@@ -1,0 +1,56 @@
+"""Query registry — the single source for the driver contract.
+
+Each engine capability (SURVEY.md §2 inventory + LLM-ops extensions) is
+a named query: a callable ``(spark, sf_dir) -> DataFrame`` plus, when
+SQL-expressible, an equivalent ANSI-SQL oracle string DuckDB runs on the
+same parquet tables. ``__spark_entry__.queries()/oracle_sql()`` read
+these dicts.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+# Modules that register queries on import.
+_QUERY_MODULES = (
+    "data_pipeline_project_spark.plans.sensor_queries",
+    "data_pipeline_project_spark.plans.relational_queries",
+    "data_pipeline_project_spark.plans.llmops_queries",
+)
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query (and optionally its DuckDB oracle)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+
+
+def get_queries() -> dict[str, QueryFn]:
+    _load()
+    return dict(QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    _load()
+    return dict(ORACLES)

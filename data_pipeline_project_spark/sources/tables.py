@@ -1,0 +1,58 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Tables per /root/repo/TESTDATA.md: TPC-H-ish star schema + events
+stream table + documents/embeddings for the LLM-ops surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects unless read as long. Runtime-settable, so this also
+        # covers driver-supplied sessions built without our factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
+    # as epoch-nanos LongType — convert to a true timestamp (values are
+    # microsecond-aligned in the testdata, so the division is exact).
+    for fld in df.schema.fields:
+        if fld.name == "ts" and isinstance(fld.dataType, LongType):
+            # integer div — a double division here loses precision at
+            # epoch-nanos magnitude (2^53 < 1.7e18) and shifts values 1us
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so spark.sql() queries run."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

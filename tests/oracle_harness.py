@@ -1,0 +1,83 @@
+"""Local replica of the driver's oracle compare: run a registered Spark
+query and its DuckDB oracle SQL on the same parquet tables, then compare
+row-count + column names + order-insensitive values.
+
+Floats are compared exactly first; on mismatch we report the max
+relative deviation so float-summation divergence (Spark partial aggs vs
+DuckDB) is visible rather than silent.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from data_pipeline_project_spark.sources.tables import TABLES
+
+
+def run_oracle(duck_con, sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duck_con.cursor()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, float_rel_tol: float = 1e-9) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
+        )
+        return problems
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"row count differs: spark={len(spark_df)} oracle={len(oracle_df)}")
+        return problems
+
+    s, o = canon(spark_df), canon(oracle_df)
+    for col in s.columns:
+        sv, ov = s[col], o[col]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            sa = pd.to_numeric(sv, errors="coerce")
+            oa = pd.to_numeric(ov, errors="coerce")
+            exact = (sa.fillna(-1.2345e300) == oa.fillna(-1.2345e300)).all()
+            if not exact:
+                both = pd.DataFrame({"s": sa, "o": oa}).dropna()
+                denom = both["o"].abs().clip(lower=1e-300)
+                rel = ((both["s"] - both["o"]).abs() / denom).max()
+                if math.isnan(rel) or rel > float_rel_tol:
+                    problems.append(f"col {col!r}: float mismatch, max rel dev={rel:.3e}")
+                else:
+                    problems.append(f"col {col!r}: NOT bit-exact (max rel dev={rel:.3e} <= tol) [HASH RISK]")
+        else:
+            eq = sv.astype(str).fillna("<NA>").eq(ov.astype(str).fillna("<NA>"))
+            if not eq.all():
+                idx = (~eq).idxmax()
+                problems.append(
+                    f"col {col!r}: value mismatch at canon row {idx}: spark={sv[idx]!r} oracle={ov[idx]!r}"
+                )
+    return problems
+
+
+def check_query(spark, duck_con, name: str, sf_dir: str) -> list[str]:
+    from data_pipeline_project_spark.plans.registry import get_oracles, get_queries
+
+    q = get_queries()[name]
+    sql = get_oracles().get(name)
+    spark_pd = q(spark, sf_dir).toPandas()
+    if sql is None:
+        return [] if len(spark_pd) >= 0 else ["unreachable"]
+    oracle_pd = run_oracle(duck_con, sql, sf_dir)
+    return compare(spark_pd, oracle_pd)

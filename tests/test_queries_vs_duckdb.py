@@ -1,0 +1,29 @@
+"""Every registered query with an oracle must match DuckDB at sf0.01 —
+the local replica of the driver's correctness gate."""
+
+import pytest
+
+from data_pipeline_project_spark.plans.registry import get_oracles, get_queries
+from tests.conftest import SF_ORACLE
+from tests.oracle_harness import check_query
+
+
+def _names():
+    return sorted(get_queries().keys())
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(spark, duck, name):
+    problems = check_query(spark, duck, name, SF_ORACLE)
+    hard = [p for p in problems if "HASH RISK" not in p]
+    assert not hard, f"{name}: {problems}"
+    if problems:
+        pytest.skip(f"{name}: float not bit-exact but within tol: {problems}")
+
+
+def test_every_query_has_oracle_or_is_declared():
+    qs, os_ = get_queries(), get_oracles()
+    missing = sorted(set(qs) - set(os_))
+    # non-SQL-expressible ops may omit oracles; keep the list visible
+    print("queries without oracle (rows-only check):", missing)
+    assert set(os_) <= set(qs)
