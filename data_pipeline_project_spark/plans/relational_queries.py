@@ -1,4 +1,631 @@
-"""Relational-completeness queries (SURVEY.md §7 M4) — placeholder.
+"""Relational-completeness queries (SURVEY.md §7 M4).
 
-Filled in by the M4 milestone.
+The reference implements none of these (SURVEY.md §2.6 gap list); they
+are required engine surface for a complete analytics engine and are all
+pure Catalyst-optimized DataFrame plans — broadcast hints where the dim
+side is small, decimal-cast sums where cross-engine float summation
+order would break value-hash equality, explicit tie-breaks wherever a
+LIMIT or window rank could otherwise be nondeterministic.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.plans.registry import register
+from data_pipeline_project_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --- TPC-H-style aggregates -------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate. Decimal-cast sums are
+    exact regardless of partial-aggregation order, so results are
+    engine-independent; the filter pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,6)"
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    customer (filtered) broadcasts; orderkey tie-break makes the LIMIT
+    deterministic. TakeOrderedAndProject avoids a global sort."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n.n_name,
+       sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. All dims broadcast (region/
+    nation/supplier/customer are tiny relative to the facts at every
+    SF); only orders⋈lineitem shuffles, on the join key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+            ).alias("revenue")
+        )
+    )
+
+
+# --- join family ------------------------------------------------------------
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner fact⋈dim with an explicit broadcast hint — no shuffle of
+    the fact side at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders
+    (count(col) skips the null-extended rows)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with >=1 finished order. Semi joins
+    never duplicate or widen rows — the probe side streams."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no pending ('P') orders — a
+    non-empty result set at every SF (plain "no orders at all" is empty
+    in this data, which would make the check vacuous)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT coalesce(s.s_nationkey, c.c_nationkey) AS nationkey,
+       count(DISTINCT s.s_suppkey) AS n_suppliers,
+       count(DISTINCT c.c_custkey) AS n_customers
+FROM supplier s FULL OUTER JOIN customer c ON s.s_nationkey = c.c_nationkey
+GROUP BY coalesce(s.s_nationkey, c.c_nationkey)
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join on a non-unique key + distinct counts."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        s.join(c, s.s_nationkey == c.c_nationkey, "full_outer")
+        .select(
+            F.coalesce(s.s_nationkey, c.c_nationkey).alias("nationkey"),
+            "s_suppkey",
+            "c_custkey",
+        )
+        .groupBy("nationkey")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+# --- window functions -------------------------------------------------------
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 3
+""",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number; orderkey tie-break for
+    determinism. At scale this is the standard one-shuffle top-k —
+    no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+SELECT p_partkey, p_brand, p_retailprice,
+       RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+       DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+FROM part
+""",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank — both deterministic (ties share a rank, and
+    every output column is rank-or-key)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       sum(CAST(o_totalprice AS DECIMAL(38,6)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+FROM orders
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer, explicit ROWS frame + full tie-break
+    (orderdate alone is not a total order; ROWS over a partial order is
+    nondeterministic)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT user_id, event_id, ts,
+       lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+       CAST(date_diff('second',
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT)
+           AS secs_since_prev
+FROM events
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over an event-time order — sessionization building
+    block (inter-event gap seconds)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).cast("bigint").alias("secs_since_prev"),
+    )
+
+
+# --- sorts / limits / set ops ----------------------------------------------
+
+@register(
+    "topk_global",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "set_union_intersect_except",
+    oracle="""
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     with_f   AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'),
+     u AS (SELECT c_custkey FROM building UNION SELECT c_custkey FROM with_f),
+     i AS (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM with_f),
+     e AS (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM with_f)
+SELECT 'union' AS op, count(*) AS n FROM u
+UNION ALL SELECT 'intersect', count(*) FROM i
+UNION ALL SELECT 'except', count(*) FROM e
+""",
+)
+def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except (distinct set semantics) summarized
+    as counts so the result is scale-stable."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_f = (
+        o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey")).distinct()
+    )
+    u = building.union(with_f).distinct()
+    i = building.intersect(with_f)
+    e = building.exceptAll(with_f.distinct()).distinct()
+    return (
+        u.agg(F.count(F.lit(1)).alias("n")).select(F.lit("union").alias("op"), "n")
+        .unionAll(i.agg(F.count(F.lit(1)).alias("n")).select(F.lit("intersect").alias("op"), "n"))
+        .unionAll(e.agg(F.count(F.lit(1)).alias("n")).select(F.lit("except").alias("op"), "n"))
+    )
+
+
+# --- grouping sets ----------------------------------------------------------
+
+@register(
+    "rollup_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS total_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals incl. grand total (null-filled
+    grouping columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("total_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^n grouping combinations in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("total_price"),
+    )
+
+
+# --- distinct / conditional / pivot -----------------------------------------
+
+@register(
+    "distinct_counts",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase under the hood)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "pivot_event_values",
+    oracle="""
+SELECT user_id,
+       round(avg(CASE WHEN event_type = 'click'    THEN value END), 6) AS click_avg,
+       round(avg(CASE WHEN event_type = 'view'     THEN value END), 6) AS view_avg,
+       round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase_avg
+FROM events GROUP BY user_id
+""",
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an explicit value list (single-pass
+    conditional aggregation; no second job to discover pivot values)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.avg(F.when(F.col("event_type") == "click", F.col("value"))), 6).alias("click_avg"),
+        F.round(F.avg(F.when(F.col("event_type") == "view", F.col("value"))), 6).alias("view_avg"),
+        F.round(F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))), 6).alias(
+            "purchase_avg"
+        ),
+    )
+
+
+@register(
+    "case_when_bucketing",
+    oracle="""
+SELECT CASE WHEN value < 10 THEN 'low'
+            WHEN value < 100 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1
+""",
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 10, "low").when(F.col("value") < 100, "mid").otherwise("high")
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+# --- scalar function library ------------------------------------------------
+
+@register(
+    "string_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       substring(p_name, 1, 5) AS name_prefix,
+       replace(p_type, ' ', '_') AS type_snake,
+       concat(p_brand, ':', p_type) AS brand_type,
+       CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green,
+       split_part(p_type, ' ', 1) AS type_first_word
+FROM part
+""",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string library: upper/length/substr/replace/concat/LIKE/
+    split — all JVM-side codegen, no UDFs."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("has_green"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS month_start,
+       count(*) AS n_orders
+FROM orders
+GROUP BY year(o_orderdate), month(o_orderdate)
+""",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time extraction + truncation grouped monthly."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(
+            F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "json_extraction",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+""",
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props string column
+    (get_json_object — no schema needed, JVM-side)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+# --- preprocessing equivalents (reference P1-P10) ---------------------------
+
+@register(
+    "preprocess_rename_project_dropna",
+    oracle="""
+SELECT event_id AS record_id, ts AS event_time, value AS reading
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL
+""",
+)
+def preprocess_rename_project_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P8 — the Kaggle preprocessor's rename -> project -> dropna
+    (preprocessing_kaggle_dataset.py:25-46) as pure projections."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumnsRenamed({"event_id": "record_id", "ts": "event_time", "value": "reading"})
+        .select("record_id", "event_time", "reading")
+        .na.drop("any", subset=["event_time", "reading"])
+    )
+
+
+@register(
+    "round_robin_synthetic_key",
+    oracle="""
+SELECT event_id,
+       CASE (ROW_NUMBER() OVER (ORDER BY event_id) - 1) % 3
+            WHEN 0 THEN 'Kaggle_Weather_01'
+            WHEN 1 THEN 'Kaggle_Weather_02'
+            ELSE 'Kaggle_Weather_03' END AS sensor_id
+FROM events
+""",
+)
+def round_robin_synthetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — round-robin synthetic key by deterministic row position
+    (preprocessing_kaggle_dataset.py:36; order pinned to event_id since
+    'file order' is not a Spark-scale concept)."""
+    ev = _t(spark, sf_dir, "events")
+    ids = ["Kaggle_Weather_01", "Kaggle_Weather_02", "Kaggle_Weather_03"]
+    rn = F.row_number().over(Window.orderBy("event_id"))
+    sensor = F.element_at(F.array(*[F.lit(i) for i in ids]), ((rn - 1) % 3 + 1).cast("int"))
+    return ev.select("event_id", sensor.alias("sensor_id"))
