@@ -104,7 +104,9 @@ def sensor_rules(bounds: ValidationBounds) -> list[Rule]:
     for metric in METRIC_COLUMNS:
         c = F.col(metric)
         lo, hi = bounds.range_for(metric)
-        num = c.cast("double")
+        # try_cast: ANSI mode (Spark 4 default) makes a plain cast THROW
+        # on 'abc'; the validation probe needs null-on-malformed.
+        num = c.try_cast("double")
         rules.append(
             Rule(
                 f"null_{metric}",
@@ -179,7 +181,7 @@ def cast_validated(df: DataFrame) -> DataFrame:
     """P4/P5 — post-validation bulk casts (pipeline.py:170-173):
     timestamp via the lenient parser, metrics to double."""
     casts = {"timestamp": parse_timestamp_lenient(F.col("timestamp"))}
-    casts.update({m: F.col(m).cast("double") for m in METRIC_COLUMNS})
+    casts.update({m: F.col(m).try_cast("double") for m in METRIC_COLUMNS})
     return df.withColumns(casts)
 
 

@@ -1,0 +1,84 @@
+"""Batch sensor pipeline — the reference's ``process_file`` end-to-end
+(pipeline.py:273-356), one declarative dataflow instead of per-file
+control flow.
+
+    read CSVs (all-string, NA tokens, lineage, line numbers)
+      → validate F1-F8 (columnar rules)
+      → strict per-file gate (broadcast anti-join) or lenient row split
+      → cast valid rows (P4/P5)           → raw table      (K1)
+      → long-format aggregates (A1-A8)    → agg table      (K2)
+      → invalid rows + per-file reasons   → quarantine     (K5)
+
+Every file in the input directory is processed in one Spark job; the
+per-file all-or-nothing semantics live inside the dataflow, so the same
+code runs unchanged in ``foreachBatch`` under Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.config import METRIC_COLUMNS, PipelineConfig
+from data_pipeline_project_spark.operators.aggregates import long_format_stats
+from data_pipeline_project_spark.operators.validation import (
+    ERROR_COL,
+    ROW_COL,
+    cast_validated,
+    file_error_summary,
+    sensor_rules,
+    split_valid_invalid,
+)
+from data_pipeline_project_spark.sources.csv_source import FILE_COL, read_sensor_csv
+
+
+@dataclass
+class SensorBatchResult:
+    """The three output tables of one pipeline run (reference: the two
+    MySQL tables + the quarantine folder/log)."""
+
+    raw: DataFrame  # valid typed rows (raw_sensor_data shape)
+    aggregates: DataFrame  # long-format stats (aggregated_sensor_data shape)
+    quarantined_rows: DataFrame  # all rows of rejected files, with error_reason
+    quarantine_log: DataFrame  # one reason line per rejected file (K5)
+
+
+def run_sensor_batch(
+    spark: SparkSession,
+    input_path: str,
+    config: PipelineConfig | None = None,
+) -> SensorBatchResult:
+    config = config or PipelineConfig()
+    df = read_sensor_csv(spark, input_path)
+
+    rules = sensor_rules(config.bounds)
+    valid, invalid = split_valid_invalid(
+        df, rules, file_col=FILE_COL, strict=config.strict
+    )
+
+    raw = cast_validated(valid).select(
+        "sensor_id", "timestamp", *METRIC_COLUMNS, FILE_COL
+    )
+
+    aggregates = long_format_stats(
+        raw,
+        group_cols=[FILE_COL, "sensor_id"],
+        metric_cols=list(METRIC_COLUMNS),
+        time_col="timestamp",
+    ).withColumnsRenamed({"timestamp": "aggregation_time"})
+
+    quarantine_log = file_error_summary(invalid, FILE_COL)
+    quarantined_rows = invalid.select(FILE_COL, ROW_COL, *_csv_cols(df), ERROR_COL)
+
+    return SensorBatchResult(
+        raw=raw,
+        aggregates=aggregates,
+        quarantined_rows=quarantined_rows,
+        quarantine_log=quarantine_log,
+    )
+
+
+def _csv_cols(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c not in (FILE_COL, ROW_COL, ERROR_COL)]

@@ -1,0 +1,91 @@
+"""CSV sensor-file source — the reference's read path, Spark-native.
+
+Reference: ``process_file`` reads each CSV with all columns as strings
+and a 17-token NA list (pipeline.py:286), detects empty/malformed files
+(pipeline.py:287-301), and validates against a fixed 5-column schema
+(pipeline.py:97-105).
+
+Design:
+- fixed all-StringType schema (types asserted by validation, cast after
+  — exactly the reference's two-pass typing, which is also the robust
+  choice at scale: a bad cell never kills a 100 TB scan);
+- ``_metadata.file_name`` for lineage (P9) — no ``input_file_name()``,
+  which is undefined under joins;
+- per-file CSV line numbers for error messages (F8): row_number over a
+  per-file window ordered by ``monotonically_increasing_id``.
+  Correctness argument: Spark assigns split partition indices in file
+  offset order and ``monotonically_increasing_id`` is
+  ``(partition_id << 33) + row_in_partition``, so ordering by it within
+  one file reproduces physical line order even when a big file is split
+  across tasks. +1 because the header is line 1 (pipeline.py:117).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_project_spark.config import EXPECTED_COLUMNS
+from data_pipeline_project_spark.operators.validation import ROW_COL, normalize_na_tokens
+
+FILE_COL = "file_name"
+
+SENSOR_CSV_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType(), True) for c in EXPECTED_COLUMNS]
+)
+
+
+def read_sensor_csv(
+    spark: SparkSession,
+    path: str,
+    with_row_numbers: bool = True,
+) -> DataFrame:
+    """S5 — all-string CSV scan with NA-token normalization, lineage
+    file name, and (optionally) per-file CSV line numbers.
+
+    Corrupt lines survive as partially-null rows (PERMISSIVE mode) and
+    are then rejected by the validation predicates — same verdict as the
+    reference's malformed-file quarantine (S7), decided row-wise in the
+    dataflow instead of by exception control flow.
+    """
+    df = (
+        spark.read.schema(SENSOR_CSV_SCHEMA)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("enforceSchema", True)
+        .csv(path)
+        .select(F.col("_metadata.file_name").alias(FILE_COL), "*")
+    )
+    df = normalize_na_tokens(df, EXPECTED_COLUMNS)
+    if with_row_numbers:
+        w = Window.partitionBy(FILE_COL).orderBy(F.monotonically_increasing_id())
+        df = df.withColumn(ROW_COL, F.row_number().over(w) + 1)
+    return df
+
+
+def empty_files(spark: SparkSession, path: str) -> DataFrame:
+    """S6 — files with zero data rows (header-only or fully empty):
+    quarantine candidates that never appear in the data frame at all.
+    One cheap text scan counting lines per file."""
+    lines = (
+        spark.read.text(path)
+        .select(F.col("_metadata.file_name").alias(FILE_COL))
+        .groupBy(FILE_COL)
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    # Hadoop FS listing (works on local/HDFS/S3): binaryFile and text
+    # sources both skip zero-byte files, so a listing is the only way to
+    # see fully-empty ones. Metadata-only — no data read.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    names = [st.getPath().getName() for st in fs.listStatus(jpath) if st.isFile()]
+    all_files = spark.createDataFrame([(n,) for n in names], [FILE_COL])
+    counted = all_files.join(lines, FILE_COL, "left").na.fill({"n_lines": 0})
+    return counted.where(F.col("n_lines") <= 1).select(
+        FILE_COL,
+        F.when(F.col("n_lines") == 0, "File is completely empty.")
+        .otherwise("File contains only a header.")
+        .alias("quarantine_reason"),
+    )
