@@ -50,9 +50,21 @@ def run_sensor_batch(
     input_path: str,
     config: PipelineConfig | None = None,
 ) -> SensorBatchResult:
-    config = config or PipelineConfig()
     df = read_sensor_csv(spark, input_path)
+    return process_sensor_frame(df, config)
 
+
+def process_sensor_frame(
+    df: DataFrame,
+    config: PipelineConfig | None = None,
+) -> SensorBatchResult:
+    """Validate/split/cast/aggregate one already-read sensor frame.
+
+    Shared verbatim between the batch entry point and the streaming
+    ``foreachBatch`` (SURVEY.md §7 M3 — the cleanest Spark idiom for
+    the reference's whole-file micro-batching).
+    """
+    config = config or PipelineConfig()
     rules = sensor_rules(config.bounds)
     valid, invalid = split_valid_invalid(
         df, rules, file_col=FILE_COL, strict=config.strict

@@ -23,6 +23,7 @@ ORACLES: dict[str, str] = {}
 _QUERY_MODULES = (
     "data_pipeline_project_spark.plans.sensor_queries",
     "data_pipeline_project_spark.plans.relational_queries",
+    "data_pipeline_project_spark.plans.streaming_queries",
     "data_pipeline_project_spark.plans.llmops_queries",
 )
 

@@ -1,0 +1,123 @@
+"""Event-time window queries (SURVEY.md §7 M3 extension).
+
+The reference has zero cross-file state (§2.6); these add the standard
+streaming-analytics surface — tumbling windows, sliding windows, and
+gap-based sessionization — expressed so the SAME plan runs in batch
+(oracle-checkable) and under Structured Streaming with a watermark
+(see streaming/event_windows.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.plans.registry import register
+from data_pipeline_project_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "tumbling_window_agg",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows — identical plan streams with
+    ``withWatermark('ts', ...)`` prepended."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "avg_value")
+    )
+
+
+@register(
+    "sliding_window_agg",
+    oracle="""
+WITH offsets AS (SELECT unnest([0, 30]) AS off_min),
+     slid AS (
+       SELECT CAST(time_bucket(INTERVAL '1 hour',
+                               ts - to_minutes(off_min)) + to_minutes(off_min) AS TIMESTAMP)
+                  AS window_start,
+              value
+       FROM events, offsets
+       WHERE ts >= CAST(time_bucket(INTERVAL '1 hour', ts - to_minutes(off_min))
+                        + to_minutes(off_min) AS TIMESTAMP)
+     )
+SELECT window_start, count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM slid GROUP BY 1
+""",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1h length, 30min slide — each event lands in 2
+    windows (Spark expands via its internal window generator; the
+    oracle replicates with an explicit offset unnest)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+@register(
+    "sessionization",
+    oracle=f"""
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM marked
+)
+SELECT user_id, session_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(38,6))) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30min inactivity) via lag + cumulative
+    sum — the batch-exact equivalent of a streaming session window, and
+    a single shuffle on user_id. (ts is unique per user in this data,
+    so the cumulative-sum frame is deterministic.)"""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(wsum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value"),
+    )

@@ -1,0 +1,81 @@
+"""Structured Streaming pipeline tests: exactly-once file handling,
+strict gate inside micro-batches, upsert replay idempotency."""
+
+import time
+
+from data_pipeline_project_spark.pipeline_batch import run_sensor_batch
+from data_pipeline_project_spark.sinks import ParquetAppendSink, ParquetUpsertSink
+from data_pipeline_project_spark.streaming.sensor_stream import run_sensor_stream
+
+HEADER = "timestamp,sensor_id,temperature,humidity,pressure"
+
+
+def _write(d, name, rows):
+    (d / name).write_text("\n".join([HEADER, *rows]) + "\n")
+
+
+def _run_until_done(q, timeout=120):
+    q.awaitTermination(timeout)
+
+
+def test_stream_end_to_end(spark, tmp_path):
+    data = tmp_path / "data"
+    data.mkdir()
+    _write(data, "f1.csv", ["2025-05-26 10:00:00,S1,20.0,0.5,1000.0",
+                            "2025-05-26 10:05:00,S1,22.0,0.5,1000.0"])
+    _write(data, "f2.csv", ["2025-05-26 11:00:00,S1,abc,0.5,1000.0"])
+
+    raw_path = str(tmp_path / "raw")
+    agg_path = str(tmp_path / "agg")
+    quar_path = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+
+    raw_sink = ParquetAppendSink(raw_path)
+    agg_sink = ParquetUpsertSink(
+        agg_path, keys=["sensor_id", "file_name", "metric_name", "aggregation_time"]
+    )
+    quar_sink = ParquetAppendSink(quar_path)
+
+    q = run_sensor_stream(
+        spark, str(data), raw_sink, agg_sink, quar_sink, ckpt,
+        trigger={"availableNow": True},
+    )
+    _run_until_done(q)
+
+    raw = spark.read.parquet(raw_path)
+    assert raw.count() == 2  # only f1 rows; f2 strict-quarantined
+    assert {r.file_name for r in raw.collect()} == {"f1.csv"}
+    agg = spark.read.parquet(agg_path)
+    assert agg.count() == 3  # 1 sensor x 3 metrics
+    quar = spark.read.parquet(quar_path)
+    assert quar.count() == 1
+
+    # late-arriving file: restart from checkpoint processes ONLY f3
+    # (S3 exactly-once dedup via checkpoint)
+    _write(data, "f3.csv", ["2025-05-26 12:00:00,S2,10.0,0.5,1000.0"])
+    q2 = run_sensor_stream(
+        spark, str(data), raw_sink, agg_sink, quar_sink, ckpt,
+        trigger={"availableNow": True},
+    )
+    _run_until_done(q2)
+    raw2 = spark.read.parquet(raw_path)
+    assert raw2.count() == 3  # f1 rows NOT duplicated
+    agg2 = spark.read.parquet(agg_path)
+    assert agg2.count() == 6  # S1+S2, 3 metrics each
+
+
+def test_upsert_replay_idempotent(spark, tmp_path):
+    """K2/K3 — replaying the same batch through the upsert sink leaves
+    one row per key (the reference's unique-key upsert property)."""
+    d = tmp_path / "data"
+    d.mkdir()
+    _write(d, "f1.csv", ["2025-05-26 10:00:00,S1,20.0,0.5,1000.0"])
+    res = run_sensor_batch(spark, str(d))
+    sink = ParquetUpsertSink(
+        str(tmp_path / "agg"),
+        keys=["sensor_id", "file_name", "metric_name", "aggregation_time"],
+    )
+    sink.write(res.aggregates)
+    sink.write(res.aggregates)  # replay
+    out = spark.read.parquet(str(tmp_path / "agg"))
+    assert out.count() == 3
