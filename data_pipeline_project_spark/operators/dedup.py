@@ -1,0 +1,225 @@
+"""Deduplication operators for the training-data pipeline surface.
+
+Four tiers, mirroring the standard large-corpus dedup stack:
+
+- exact (hash groupBy) — one shuffle on the content hash;
+- n-gram Jaccard — the exact pairwise baseline (quadratic; sampled);
+- MinHash + LSH banding — the scale path: candidate generation is a
+  bucket join on band keys (near-linear), exact Jaccard verification
+  only on candidates;
+- SimHash — 60-bit fingerprint per doc via higher-order functions, with
+  banded Hamming-distance candidate pairs.
+
+All hashing is the cross-engine md5-prefix bigint (operators/text.py),
+so every step is reproducible bit-for-bit in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.operators.text import HASH_MOD, token_hash, tokens
+
+# MinHash permutation parameters: h_i(x) = (A[i]*x + B[i]) mod HASH_MOD.
+# Fixed constants (odd multipliers < 2^30 keep products inside int64
+# under ANSI mode); identical literals are inlined in the oracle SQL.
+MINHASH_A = (
+    472882049, 741103597, 282475249, 622729787, 983459867, 338563577,
+    885564451, 571685077, 428821393, 646519031, 934030901, 109843943,
+    793304573, 264575131, 550290847, 716952361,
+)
+MINHASH_B = (
+    862973737, 178525121, 449467651, 975431119, 524287339, 313758797,
+    692939051, 237461459, 814586903, 365178313, 120789517, 587369659,
+    908794807, 462157277, 673925161, 296417389,
+)
+N_PERM = 16
+BAND_SIZE = 4  # 16 perms -> 4 bands of 4: catches J>=~0.5 reliably
+
+SIMHASH_BITS = 60  # <64 so 1<<j never overflows signed int64 either engine
+SIMHASH_BANDS = 4  # 4x15-bit chunks: pigeonhole catches hamming<=3 exactly
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Shingle set → bigint hash set (mod HASH_MOD for minhash range)."""
+    return F.transform(shingles(text, n), lambda s: token_hash(s) % HASH_MOD)
+
+
+def minhash_signature(hashes: Column) -> list[Column]:
+    """N_PERM minhash values: min over the shingle-hash set of each
+    affine permutation — pure array expressions, no explode, no
+    shuffle; cost is |shingles| * N_PERM per row."""
+    return [
+        F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_MOD)
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Plan shape (the part that must survive 100 TB):
+    1. one narrow scan computing signatures per doc (no shuffle);
+    2. explode to 4 band rows/doc, shuffle ONCE on (band, band_key) —
+       bucket sizes are tiny because random 4-minhash collisions are
+       ~(1/J^4)-rare, so the within-bucket self-join never blows up;
+    3. distinct candidate pairs (second small shuffle);
+    4. verification joins only the candidates back to their shingle
+       sets — |candidates| << |pairs|.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(F.col(text_col), n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sig = base.select("doc_id", "sh", *minhash_signature(F.col("sh")))
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * BAND_SIZE + r}").cast("string")
+                                for r in range(BAND_SIZE)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(N_PERM // BAND_SIZE)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint over the distinct token set: per bit j, sum
+    +-1 across token hashes' bit j; bit set iff the sum is positive.
+    One aggregate over a zip_with — no explode, no shuffle."""
+    # F.shiftright/shiftleft take a Python-int bit count, so inside
+    # lambdas the bit probe is (h % 2^(j+1)) >= 2^j over a literal
+    # powers array — exact integer ops, no floats.
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    hashes = F.transform(F.array_distinct(tokens(text)), lambda t: token_hash(t))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(powers, lambda p: F.when((h % (p * 2)) >= p, 1).otherwise(-1)),
+            lambda a, s: a + s,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            powers,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, found by
+    banding the fingerprint into SIMHASH_BANDS chunks (pigeonhole: any
+    pair within distance SIMHASH_BANDS-1 shares >=1 exact chunk), then
+    verifying the true distance with bit_count(xor)."""
+    chunk = SIMHASH_BITS // SIMHASH_BANDS
+    fp = docs.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("fp"))
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("fp"), b * chunk)
+                        .bitwiseAND((1 << chunk) - 1)
+                        .alias("key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", "bk.band", "bk.key")
+
+    left, right = bands.alias("l"), bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

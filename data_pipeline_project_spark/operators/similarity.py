@@ -1,0 +1,161 @@
+"""Embedding similarity search (approximate-nearest-neighbor surface).
+
+Baseline: brute-force cosine top-k — a broadcast of the (small) query
+set against the (huge) corpus, dot products as JVM array expressions,
+per-query top-k via window rank. Linear in corpus size, pleasantly
+parallel, no Python in the loop.
+
+Scale path: random-hyperplane LSH — each vector gets a sign-bit bucket
+key from dot products with fixed pseudo-random hyperplanes; candidates
+are corpus vectors sharing a bucket (or a neighboring probe bucket)
+with the query, reranked exactly. Bucketing turns the all-pairs scan
+into a bucket join, the standard trade of recall for throughput.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+# 8 bits -> 256 buckets. The testdata embeddings are weakly clustered
+# (top-5 cosine ~0.3-0.5), where angular LSH needs coarse buckets +
+# multiprobe to keep recall: p(bit agrees) ~ 1 - theta/pi ~ 0.67 at
+# sim 0.5, so 8 bits with <=2-bit probing recovers ~half the true
+# neighbors while scanning ~15% of the corpus. On genuinely clustered
+# corpora (the production case) the same machinery gives high recall
+# with many more bits; both knobs are parameters.
+N_HYPERPLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    # float->double element casts BEFORE any arithmetic: both engines
+    # then run identical IEEE double ops in identical order.
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast the query set, cross-join against the
+    corpus, rank per query by (sim desc, id asc). Rounded to 6 decimals
+    for cross-engine determinism (left-to-right double summation)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int = EMB_DIM, n: int = N_HYPERPLANES) -> list[list[float]]:
+    """Fixed pseudo-random unit-free hyperplanes from a deterministic
+    LCG (no numpy RNG state; identical across runs and engines)."""
+    planes: list[list[float]] = []
+    state = 0x2545F4914F6CDD1D
+    for _ in range(n):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map top 32 bits to (-1, 1)
+            row.append(((state >> 32) / 2**31) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """Sign-bit bucket id: bit i = (vec . plane_i) > 0."""
+    planes = planes or _hyperplanes()
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(
+            _dot(vec, p) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe_bits: int = 2,
+) -> DataFrame:
+    """ANN top-k: join query buckets (plus probe buckets within
+    Hamming distance ``n_probe_bits`` for recall) to corpus buckets,
+    rerank candidates exactly. Bucket count 2^N_HYPERPLANES bounds the
+    candidate set; multiprobe trades compute for recall without
+    rebucketing the corpus."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket0", lsh_bucket(F.col("qv")))
+    masks = [0]
+    if n_probe_bits >= 1:
+        masks += [1 << i for i in range(N_HYPERPLANES)]
+    if n_probe_bits >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(N_HYPERPLANES)
+            for j in range(i + 1, N_HYPERPLANES)
+        ]
+    if n_probe_bits >= 3:
+        masks += [
+            (1 << i) | (1 << j) | (1 << k2)
+            for i in range(N_HYPERPLANES)
+            for j in range(i + 1, N_HYPERPLANES)
+            for k2 in range(j + 1, N_HYPERPLANES)
+        ]
+    probes = [F.col("bucket0").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,116 @@
+"""Text-analysis operators for the training-data pipeline surface
+(BASELINE.json north star; no counterpart in the reference).
+
+Everything is built from Spark higher-order functions over token
+arrays — per-row JVM expressions, zero shuffles, zero Python UDFs —
+so cost is linear in tokens and the operators compose with any
+downstream groupBy/join at 100 TB.
+
+Cross-engine determinism (the oracle contract): tokenization is
+``lower → regexp split [^a-z0-9]+ → drop empties``; the shared integer
+token hash is the first 15 hex digits of md5 as a bigint — verified to
+produce identical values in Spark (``conv(substr(md5(x),1,15),16,10)``)
+and DuckDB (``('0x' || substr(md5(x),1,15))::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Rolling-hash / minhash modulus: keeps every intermediate product
+# inside int64 under ANSI mode (h < 1e9, multiplier 31 or a_i < 2^30).
+HASH_MOD = 1_000_000_007
+FINGERPRINT_MOD = 10**15
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# Tiny per-language marker lexicons for the n-gram/marker heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "and", "of", "is", "to", "a"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """lower → regexp split → drop empties (identical to the DuckDB
+    oracle's string_split_regex + list_filter)."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_hash(col: Column) -> Column:
+    """Deterministic cross-engine bigint hash of a token (md5 prefix)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def stopword_ratio(toks: Column) -> Column:
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: mean token length band,
+    stopword presence, alphanumeric density. Deliberately simple and
+    SQL-expressible — the point is the columnar pattern (C4-style
+    quality filters run exactly like this at scale)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    mean_len = F.when(
+        n > 0, F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)) / n
+    ).otherwise(F.lit(0.0))
+    alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+    alpha_ratio = F.when(F.length(text) > 0, alpha / F.length(text)).otherwise(F.lit(0.0))
+    len_component = F.when((mean_len >= 3) & (mean_len <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_component = F.when(stopword_ratio(toks) > 0, F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_component + stop_component + alpha_ratio) / 3, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over the distinct token set."""
+    toks = F.array_distinct(tokens(text))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+
+
+def detected_lang(text: Column) -> Column:
+    """Marker-lexicon language ID: argmax of marker hits; ties go to
+    the lexicographically-first language (a CASE chain ordered by name,
+    each arm testing >= the max of the rest); no hits → 'unknown'.
+    The DuckDB oracle mirrors the identical CASE chain."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    expr = F.lit("unknown")
+    for lang in reversed(langs):
+        rest = [scores[o] for o in langs if o > lang]
+        cond = (scores[lang] > 0)
+        if rest:
+            cond = cond & (scores[lang] >= F.greatest(*rest) if len(rest) > 1 else scores[lang] >= rest[0])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash over the token-hash sequence
+    (order-sensitive document fingerprint): fold of
+    ``acc*31 + (h % HASH_MOD) (mod FINGERPRINT_MOD)``."""
+    hashes = F.transform(tokens(text), lambda t: token_hash(t) % HASH_MOD)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % FINGERPRINT_MOD,
+    )

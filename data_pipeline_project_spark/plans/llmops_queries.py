@@ -1,4 +1,388 @@
-"""LLM-data-pipeline operators (BASELINE.json north star) — placeholder.
+"""LLM-data-pipeline queries (BASELINE.json north star): dedup tiers,
+embedding similarity search, text analysis — each oracle-checked
+against DuckDB where SQL-expressible.
 
-Filled in by the dedup / similarity / text-analysis milestones.
+The oracle SQL re-derives every hash from first principles (md5-prefix
+bigints, affine minhash permutations, sign-bit simhash) so the compare
+is bit-exact, not statistical.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from data_pipeline_project_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from data_pipeline_project_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    detected_lang,
+    distinct_token_count,
+    fingerprint,
+    quality_score,
+    token_count,
+)
+from data_pipeline_project_spark.plans.registry import register
+from data_pipeline_project_spark.sources.tables import load_table
+
+# ---- shared SQL fragments (keep in lockstep with operators/text.py) --------
+
+SQL_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+SQL_HASH = "('0x' || substr(md5({v}), 1, 15))::BIGINT"
+P = 1_000_000_007
+FP_MOD = 10**15
+
+SQL_SHINGLE_HASHES = f"""
+list_distinct(list_transform(
+    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in range(1, greatest(len(toks) - 1, 1))]),
+    s -> {SQL_HASH.format(v='s')} % {P}))
+"""
+
+
+# ---- exact dedup -----------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy: one shuffle on the content hash,
+    deterministic keeper (min id). At 100 TB the hash (not the text)
+    is the shuffle key — 32 bytes/row regardless of document size."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---- minhash LSH near-dup --------------------------------------------------
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n       ".join(
+        f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {P})) AS mh{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_keys = ", ".join(
+        "mh%d::VARCHAR || ',' || mh%d::VARCHAR || ',' || mh%d::VARCHAR || ',' || mh%d::VARCHAR"
+        % (4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+),
+base AS (
+    SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM toks
+),
+nonempty AS (SELECT * FROM base WHERE len(sh) > 0),
+sigs AS (
+    SELECT doc_id,
+       {mh_cols}
+    FROM nonempty
+),
+bands AS (
+    SELECT doc_id, b.band,
+           [{band_keys}][b.band + 1] AS key
+    FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+),
+candidates AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM candidates c
+JOIN nonempty a ON a.doc_id = c.id_a
+JOIN nonempty b ON b.doc_id = c.id_b
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup text pairs: 3-gram shingles → 16 minhashes → 4-band LSH
+    bucket join → exact-Jaccard verification >= 0.5."""
+    d = load_table(spark, "documents", sf_dir)
+    return minhash_lsh_pairs(d, threshold=0.5)
+
+
+# ---- simhash ---------------------------------------------------------------
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+    SELECT doc_id, list_distinct({SQL_TOKENS}) AS toks FROM documents
+),
+th AS (
+    SELECT doc_id, {SQL_HASH.format(v='t.t')} AS h
+    FROM toks, unnest(toks.toks) AS t(t)
+),
+bitsum AS (
+    SELECT doc_id, j.j,
+           sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS tot
+    FROM th CROSS JOIN (SELECT unnest(range(60)) AS j) j
+    GROUP BY doc_id, j.j
+),
+fp AS (
+    SELECT doc_id,
+           sum(CASE WHEN tot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS fp
+    FROM bitsum GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=SQL_SIMHASH + "SELECT doc_id, fp AS simhash FROM fp",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (computed as one higher-order
+    aggregate per row — the oracle re-derives it by exploding tokens
+    x bits, proving the compact form correct)."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.where(F.size(F.split(F.lower("text"), "[^a-z0-9]+")) > 0).select(
+        "doc_id", simhash(F.col("text")).alias("simhash")
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=SQL_SIMHASH
+    + """,
+bands AS (
+    SELECT doc_id, fp, b.band, (fp >> (b.band * 15)) & 32767 AS key
+    FROM fp CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       bit_count(xor(l.fp, r.fp)) AS hamming
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.fp, r.fp)) <= 3
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via 4x15-bit banding —
+    pigeonhole-complete for distance <= 3."""
+    d = load_table(spark, "documents", sf_dir)
+    return simhash_near_pairs(d, max_hamming=3)
+
+
+# ---- n-gram Jaccard quadratic baseline -------------------------------------
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {SQL_TOKENS} AS toks FROM documents WHERE doc_id % 10 = 0
+),
+base AS (
+    SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM toks
+),
+nonempty AS (SELECT * FROM base WHERE len(sh) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact pairwise baseline minhash approximates: all-pairs
+    3-gram-shingle Jaccard on a 1-in-10 doc sample (quadratic by
+    nature — the sample bounds it; dedup_minhash_lsh is the full-corpus
+    scale path)."""
+    from data_pipeline_project_spark.operators.dedup import shingle_hashes
+
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 10 == 0)
+    base = d.select(
+        F.col("doc_id"), shingle_hashes(F.col("text")).alias("sh")
+    ).where(F.size("sh") > 0)
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.3)
+    )
+
+
+# ---- embedding similarity --------------------------------------------------
+
+SQL_DOT = """
+list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+    i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)
+"""
+
+
+def _cosine_oracle() -> str:
+    dot_qc = SQL_DOT.format(a="q.embedding", b="c.embedding")
+    dot_qq = SQL_DOT.format(a="q.embedding", b="q.embedding")
+    dot_cc = SQL_DOT.format(a="c.embedding", b="c.embedding")
+    return f"""
+WITH sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(({dot_qc}) / (sqrt({dot_qq}) * sqrt({dot_cc})), 6) AS cosine_sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM sims
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("similarity_topk_bruteforce", oracle=_cosine_oracle())
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 10 vectors as queries:
+    broadcast cross-join + window rank. The oracle replicates the
+    left-fold double summation, so similarity values are bit-exact."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "cosine_sim", "rank"
+    )
+
+
+@register("similarity_topk_lsh")  # rows-only: ANN recall is checked in pytest
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant: random-hyperplane LSH buckets + multiprobe,
+    exact rerank of candidates. Non-SQL-expressible economically;
+    tests/test_llmops.py asserts recall >= 0.6 vs brute force."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return lsh_cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "cosine_sim", "rank"
+    )
+
+
+# ---- text analysis ---------------------------------------------------------
+
+def _lang_case_sql() -> str:
+    scores = {
+        lang: f"len(list_intersect(dtoks, {list(markers)}))"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    langs = sorted(scores)
+    arms = []
+    for i, lang in enumerate(langs):
+        rest = [scores[o] for o in langs[i + 1 :]]
+        cond = f"{scores[lang]} > 0"
+        if rest:
+            cond += f" AND {scores[lang]} >= greatest({', '.join(rest)})" if len(rest) > 1 else f" AND {scores[lang]} >= {rest[0]}"
+        arms.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(arms) + " ELSE 'unknown' END"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, text, {SQL_TOKENS} AS toks,
+           list_distinct({SQL_TOKENS}) AS dtoks
+    FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(dtoks) AS n_distinct_tokens,
+       round((CASE WHEN len(toks) > 0 AND
+                        list_reduce(list_prepend(0::BIGINT,
+                            list_transform(toks, x -> length(x)::BIGINT)),
+                            (a, b) -> a + b)::DOUBLE / len(toks)
+                        BETWEEN 3 AND 10
+                   THEN 1.0 ELSE 0.5 END
+              + CASE WHEN len(list_intersect(toks, {list(STOPWORDS)})) > 0
+                     THEN 1.0 ELSE 0.5 END
+              + CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE
+                          / length(text)
+                     ELSE 0.0 END) / 3, 6) AS quality,
+       {_lang_case_sql()} AS detected_lang,
+       list_reduce(list_prepend(0::BIGINT,
+           list_transform(toks, t2 -> {SQL_HASH.format(v='t2')} % {P})),
+           (acc, h) -> (acc * 31 + h) % {FP_MOD}) AS doc_fingerprint
+FROM t
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis: token counts, quality score,
+    marker-lexicon language ID, rolling-hash fingerprint — all
+    higher-order JVM expressions, one narrow scan."""
+    d = load_table(spark, "documents", sf_dir)
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(txt).alias("n_tokens"),
+        distinct_token_count(txt).alias("n_distinct_tokens"),
+        quality_score(txt).alias("quality"),
+        detected_lang(txt).alias("detected_lang"),
+        fingerprint(txt).alias("doc_fingerprint"),
+    )
+
+
+@register(
+    "lang_distribution",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, list_distinct({SQL_TOKENS}) AS dtoks FROM documents
+)
+SELECT {_lang_case_sql()} AS detected_lang, count(*) AS n_docs
+FROM t GROUP BY 1
+""",
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language histogram over the detected language."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy(detected_lang(F.col("text")).alias("detected_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---- multimodal ------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type,
+       ascii(substr(text, 1, 1)) AS width,
+       ascii(substr(text, 2, 1)) AS height,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns + Arrow-batched mapInPandas feature
+    extraction (decode stubbed — operators/multimodal.py). The oracle
+    recomputes the deterministic fake-decode from the text bytes."""
+    from data_pipeline_project_spark.operators.multimodal import (
+        documents_as_media,
+        extract_media_features,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return extract_media_features(documents_as_media(d))

@@ -1,0 +1,44 @@
+"""LLM-ops semantic tests beyond the oracle harness: ANN recall vs the
+exact baseline, and LSH candidate completeness on a planted near-dup."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.operators.dedup import minhash_lsh_pairs
+from data_pipeline_project_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from data_pipeline_project_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    def recall(n_probe_bits):
+        approx = lsh_cosine_topk(emb, queries, k=5, n_probe_bits=n_probe_bits)
+        approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        return len(exact_set & approx_set) / len(exact_set)
+
+    # These embeddings are weakly clustered (top-5 cosine ~0.25-0.5),
+    # the worst case for angular LSH: p(bit agrees) ~ 0.58 for the
+    # weakest true neighbors, so theory puts 2-bit multiprobe recall
+    # near ~0.3 here. Assert the mechanism, and that the multiprobe
+    # knob buys recall monotonically.
+    r2 = recall(2)
+    assert r2 >= 0.3, f"ANN recall {r2:.2f} too low — bucketing broken"
+    r3 = recall(3)
+    assert r3 > r2, f"multiprobe knob dead: probe3 {r3:.2f} <= probe2 {r2:.2f}"
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    """A doc and its lightly-edited copy must be caught by LSH."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    variant = "the quick brown fox jumps over the lazy dog and runs far away into the hills tonight"
+    other = "completely different content about spark query engines and shuffle partitioning strategies"
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant), (3, other)], ["doc_id", "text"]
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.7
