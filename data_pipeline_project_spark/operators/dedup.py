@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_project_spark.functions.expr import let
 from data_pipeline_project_spark.operators.text import HASH_MOD, token_hash, tokens
 
 # MinHash permutation parameters: h_i(x) = (A[i]*x + B[i]) mod HASH_MOD.
@@ -42,15 +43,20 @@ SIMHASH_BANDS = 4  # 4x15-bit chunks: pigeonhole catches hamming<=3 exactly
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined)."""
-    toks = tokens(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
+    """Distinct word n-gram shingles (space-joined). The token array is
+    let-bound so tokenization runs once per row, not once per
+    element_at reference (higher-order lambdas re-inline and run
+    interpreted — see functions/expr.py)."""
+    return let(
+        tokens(text),
+        lambda tk: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + j) for j in range(n)]
+                ),
+            )
+        ),
     )
 
 
@@ -81,7 +87,12 @@ def minhash_lsh_pairs(
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
     Plan shape (the part that must survive 100 TB):
-    1. one narrow scan computing signatures per doc (no shuffle);
+    1. one narrow scan computing shingle sets + signatures per doc (no
+       shuffle), MATERIALIZED once (persist here; at cluster scale
+       you'd write this signature table to storage) — the band
+       self-join and both verification joins all consume it, and
+       without materialization Spark recomputes the scan subtree once
+       per consumer (measured 4x the work);
     2. explode to 4 band rows/doc, shuffle ONCE on (band, band_key) —
        bucket sizes are tiny because random 4-minhash collisions are
        ~(1/J^4)-rare, so the within-bucket self-join never blows up;
@@ -89,10 +100,16 @@ def minhash_lsh_pairs(
     4. verification joins only the candidates back to their shingle
        sets — |candidates| << |pairs|.
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingle_hashes(F.col(text_col), n).alias("sh"),
-    ).where(F.size("sh") > 0)
+    from pyspark import StorageLevel
+
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            shingle_hashes(F.col(text_col), n).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sig = base.select("doc_id", "sh", *minhash_signature(F.col("sh")))
 
     bands = sig.select(
@@ -187,8 +204,15 @@ def simhash_near_pairs(
     banding the fingerprint into SIMHASH_BANDS chunks (pigeonhole: any
     pair within distance SIMHASH_BANDS-1 shares >=1 exact chunk), then
     verifying the true distance with bit_count(xor)."""
+    from pyspark import StorageLevel
+
     chunk = SIMHASH_BITS // SIMHASH_BANDS
-    fp = docs.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("fp"))
+    # Persist: both sides of the band self-join consume the fingerprint
+    # scan; unmaterialized it is computed twice (simhash is the most
+    # expensive per-row expression in the engine).
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("fp")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = fp.select(
         "doc_id",
         "fp",
