@@ -51,6 +51,9 @@ def main() -> None:
     tiny.select(
         shingle_hashes(F.col("text")).alias("s"), simhash(F.col("text")).alias("f")
     ).where(F.size("s") > 0).count()
+    # ...and the Arrow/pandas worker pool (first mapInPandas pays
+    # Python-worker startup).
+    tiny.limit(8).mapInPandas(lambda it: it, schema=tiny.schema).count()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -108,6 +108,52 @@ def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
     return bucket
 
 
+def cosine_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the vector-space tier of the
+    dedup stack (operators/dedup.py has the text tiers).
+
+    Candidates are pairs sharing an LSH bucket under 1-bit multiprobe
+    (left side explodes to 9 probe keys, right side keeps its exact
+    bucket), verified with the exact cosine. The bucket join replaces
+    the quadratic all-pairs scan: at 100 TB the per-bucket self-join
+    is the only superlinear piece and bucket count (2^N_HYPERPLANES)
+    is a direct knob on its size. Recall is that of the probe radius —
+    the oracle replicates the identical bucketing, so correctness
+    checks are exact even though the candidate set is approximate.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket0", lsh_bucket(F.col("v")))
+
+    masks = [0] + [1 << i for i in range(N_HYPERPLANES)]
+    left = base.select(
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        F.explode(
+            F.array(*[F.col("bucket0").bitwiseXOR(F.lit(m).cast("long")) for m in masks])
+        ).alias("bucket"),
+    )
+    right = base.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("bucket0").alias("bucket")
+    )
+    return (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .distinct()
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -42,6 +42,19 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
 
 
+# GPT-2-style pretokenizer classes, restricted to syntax that means the
+# same thing in Java regex (Spark) and RE2 (DuckDB): letter runs, digit
+# runs, punctuation runs (each with optional leading space), whitespace
+# runs. Real BPE would further merge within these pieces; counting the
+# pieces is the standard fast token-budget estimate.
+BPE_SPLIT_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pretokenization via regexp_extract_all (JVM-side)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_SPLIT_RE), 0)
+
+
 def token_hash(col: Column) -> Column:
     """Deterministic cross-engine bigint hash of a token (md5 prefix)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")

