@@ -90,3 +90,83 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_prefix", T.StringType()),
+    ]
+)
+
+FRAME_SIZE = 16
+MAX_FRAMES = 4
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize stub: same mapInPandas shape as a real thumbnailer
+    (PIL.Image.resize / ffmpeg scale), with a deterministic fake —
+    payload truncated/padded to width*height bytes. Output partitioning
+    follows input; at scale repartition by byte-size first so a few
+    huge payloads don't skew one partition."""
+
+    target = width * height
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda p: bytes(p[:target]).ljust(target, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame-sampling stub: the ROW-EXPANDING mapInPandas shape (one
+    input row -> up to MAX_FRAMES output rows), standing in for video
+    keyframe extraction. Fake decode: consecutive FRAME_SIZE-byte
+    chunks are 'frames'; a real implementation swaps the chunker for
+    ffmpeg/pyav iteration, everything else is identical."""
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, sizes, prefixes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                for i in range(min(MAX_FRAMES, (len(p) + FRAME_SIZE - 1) // FRAME_SIZE)):
+                    chunk = p[i * FRAME_SIZE : (i + 1) * FRAME_SIZE]
+                    ids.append(doc_id)
+                    nos.append(i)
+                    sizes.append(len(chunk))
+                    prefixes.append(chunk[:4].decode("utf-8", errors="replace"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": nos,
+                    "frame_bytes": sizes,
+                    "frame_prefix": prefixes,
+                }
+            )
+
+    return media.mapInPandas(do_sample, schema=FRAME_SCHEMA)

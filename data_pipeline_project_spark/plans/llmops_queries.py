@@ -558,3 +558,28 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return ewma(ev, alpha=0.5)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id, i.i::INT AS frame_no,
+       least(16, octet_length(encode(text)) - i.i * 16)::BIGINT AS frame_bytes,
+       substr(text, (i.i * 16 + 1)::INT, 4) AS frame_prefix
+FROM documents, (SELECT unnest(range(4)) AS i) i
+WHERE i.i * 16 < octet_length(encode(text))
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding media op: frame sampling (1 doc -> up to 4 frame
+    rows) through mapInPandas — the video-keyframe shape with the codec
+    stubbed as a byte chunker (operators/multimodal.py). The oracle
+    re-derives the chunks in SQL (testdata text is pure ASCII, so byte
+    and char offsets coincide)."""
+    from data_pipeline_project_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return sample_frames(documents_as_media(d))

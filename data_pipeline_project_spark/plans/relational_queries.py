@@ -629,3 +629,138 @@ def round_robin_synthetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(Window.orderBy("event_id"))
     sensor = F.element_at(F.array(*[F.lit(i) for i in ids]), ((rn - 1) % 3 + 1).cast("int"))
     return ev.select("event_id", sensor.alias("sensor_id"))
+
+
+# --- subqueries -------------------------------------------------------------
+
+@register(
+    "subquery_exists_correlated",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_totalprice > 300000
+)
+""",
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — planned by Catalyst as a left-semi join on
+    the correlation key (same physical shape as join_semi, proving the
+    subquery surface decorrelates instead of re-executing per row)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("v_customer")
+    orders.createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 300000
+        )
+        """
+    )
+
+
+@register(
+    "subquery_in_uncorrelated",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+""",
+)
+def subquery_in_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated IN-subquery — left-semi join after Catalyst's
+    rewrite; the segment filter pushes into the inner scan."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    orders.createOrReplaceTempView("v_orders2")
+    cust.createOrReplaceTempView("v_customer2")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM v_orders2
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM v_customer2 WHERE c_mktsegment = 'BUILDING'
+        )
+        """
+    )
+
+
+@register(
+    "subquery_scalar_avg",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+""",
+)
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery — the single-row aggregate is computed once and
+    broadcast into the filter (no per-row re-evaluation). Float avg is
+    safe here as a filter threshold: rows near the 2x-avg boundary are
+    far sparser than double-summation divergence."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_orders3")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM v_orders3
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM v_orders3)
+        """
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT n_name, o_orderpriority,
+       sum(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): three groupings in
+    one pass — Spark expands then aggregates once, not three scans."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders.createOrReplaceTempView("v_orders4")
+    cust.createOrReplaceTempView("v_customer4")
+    nation.createOrReplaceTempView("v_nation4")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority,
+               sum(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue,
+               count(*) AS n_orders
+        FROM v_orders4
+        JOIN v_customer4 ON o_custkey = c_custkey
+        JOIN v_nation4 ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+        """
+    )
+
+
+@register("approx_distinct_sketch")  # rows-only: HLL sketches are not
+# cross-engine reproducible; exactness is asserted separately in pytest
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per order priority, with
+    the exact distinct beside it — the sketch path a 100 TB engine uses
+    when exact distinct's shuffle is the bottleneck. Max rel error 2%
+    is asserted in tests/test_llmops.py-style unit coverage."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"),
+        F.count_distinct("o_custkey").alias("exact_custkeys"),
+    )

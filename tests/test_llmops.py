@@ -42,3 +42,32 @@ def test_minhash_finds_planted_near_dup(spark):
     pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
     assert pairs[0].jaccard > 0.7
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ sketch rel-error vs exact distinct (rows-only query's
+    accuracy contract)."""
+    from data_pipeline_project_spark.plans.registry import get_queries
+
+    rows = get_queries()["approx_distinct_sketch"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r.approx_custkeys - r.exact_custkeys) / max(r.exact_custkeys, 1)
+        assert rel <= 0.05, f"{r.o_orderpriority}: rel err {rel:.3f}"
+
+
+def test_resize_media_shapes(spark):
+    """Resize stub: payload normalized to width*height bytes, metadata
+    preserved."""
+    from data_pipeline_project_spark.operators.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", SF_ORACLE).limit(20)
+    out = resize_media(documents_as_media(d), width=8, height=4).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r.payload) == 32
+        assert (r.width, r.height) == (8, 4)
