@@ -62,6 +62,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    ingest = _bench_ingest(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -71,9 +73,54 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ingest": ingest,
             }
         )
     )
+
+
+def _bench_ingest(spark) -> dict:
+    """End-to-end sensor-ingest throughput, apples-to-apples with the
+    reference's logged run (BASELINE.md: 96,453 rows / 16.6 s ≈ 5,800
+    rows/s incl. MySQL): same 20-file x 5,000-row workload, full
+    read -> validate -> strict gate -> cast -> aggregate -> all three
+    outputs fully materialized (noop sink)."""
+    import shutil
+    import tempfile
+
+    from data_pipeline_project_spark.pipeline_batch import run_sensor_batch
+
+    n_files, rows_per_file = 20, 5000
+    d = tempfile.mkdtemp(prefix="ingest_bench_")
+    try:
+        for f in range(n_files):
+            lines = ["timestamp,sensor_id,temperature,humidity,pressure"]
+            for i in range(rows_per_file):
+                mm, ss = divmod(i, 60)
+                hh, mm = divmod(mm, 60)
+                bad = f % 10 == 9 and i == rows_per_file // 2
+                temp = "abc" if bad else f"{(-40 + (i * 7) % 80)}.{i % 10}"
+                lines.append(
+                    f"2025-05-{(f % 27) + 1:02d} {hh % 24:02d}:{mm:02d}:{ss:02d},"
+                    f"S{i % 3 + 1},{temp},0.{30 + i % 60},{985 + i % 60}.0"
+                )
+            with open(os.path.join(d, f"bench_{f:02d}.csv"), "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+
+        t0 = time.perf_counter()
+        res = run_sensor_batch(spark, d)
+        for out in (res.raw, res.aggregates, res.quarantined_rows, res.quarantine_log):
+            out.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        n_rows = n_files * rows_per_file
+        return {
+            "rows": n_rows,
+            "seconds": round(elapsed, 3),
+            "rows_per_sec": round(n_rows / elapsed),
+            "reference_rows_per_sec": 5800,
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -155,6 +155,7 @@ def split_valid_invalid(
     rules: Sequence[Rule],
     file_col: str | None = None,
     strict: bool = True,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """F7 — split into (valid, invalid) frames.
 
@@ -166,8 +167,18 @@ def split_valid_invalid(
 
     lenient (strict=False): row-level split only (the historical
     `MainPipeline` variant).
+
+    persist=True materializes the flagged frame once: the bad-file set,
+    both splits, and every downstream output (raw/agg/quarantine sinks)
+    otherwise re-run the scan + rule evaluation per consumer. The
+    pipeline writes 3-4 outputs per batch, so this is a ~4x saving;
+    the cache is batch-sized and evicted LRU.
     """
     flagged = with_error_reason(df, rules)
+    if persist:
+        from pyspark import StorageLevel
+
+        flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
     row_bad = F.col(ERROR_COL) != ""
     if strict and file_col is not None:
         bad_files = flagged.where(row_bad).select(file_col).distinct()

@@ -67,7 +67,7 @@ def process_sensor_frame(
     config = config or PipelineConfig()
     rules = sensor_rules(config.bounds)
     valid, invalid = split_valid_invalid(
-        df, rules, file_col=FILE_COL, strict=config.strict
+        df, rules, file_col=FILE_COL, strict=config.strict, persist=True
     )
 
     raw = cast_validated(valid).select(
