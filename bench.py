@@ -54,6 +54,14 @@ def main() -> None:
     # ...and the Arrow/pandas worker pool (first mapInPandas pays
     # Python-worker startup).
     tiny.limit(8).mapInPandas(lambda it: it, schema=tiny.schema).count()
+    # ...and the agg/join/AQE machinery (first shuffle-agg pays its own
+    # class-loading; ~2.5s otherwise billed to the alphabetically-first
+    # query).
+    n = load_table(spark, "nation", "/root/testdata/sf0.001")
+    r = load_table(spark, "region", "/root/testdata/sf0.001")
+    n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).groupBy("r_name").agg(
+        F.count_distinct("n_name"), F.approx_count_distinct("n_name")
+    ).count()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

