@@ -177,3 +177,38 @@ def test_empty_and_header_only_files(spark, tmp_path):
         "empty.csv": "File is completely empty.",
         "header_only.csv": "File contains only a header.",
     }
+
+
+def test_preprocess_job_chunks_and_format(spark, tmp_path):
+    """EP2 (P1-P10/K7): rename/project/synthetic-key/UTC-format/dropna
+    plus chunked CSV output with headers."""
+    import csv as _csv
+
+    from data_pipeline_project_spark.preprocess import run_preprocess_job
+
+    src = tmp_path / "kaggle.csv"
+    with open(src, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["Formatted Date", "Summary", "Temperature (C)", "Humidity", "Pressure (millibars)"])
+        for i in range(25):
+            w.writerow([f"2006-04-{i // 24 + 1:02d} {i % 24:02d}:00:00.000 +02:00",
+                        "cloudy", 9.47 + i, 0.89, 1015.13])
+        w.writerow(["2006-04-02 01:00:00.000 +02:00", "cloudy", "", 0.5, 1000.0])  # dropna row
+
+    out = run_preprocess_job(spark, str(src), str(tmp_path / "chunks"), chunk_rows=10)
+    rows = out.orderBy("timestamp").collect()
+    assert len(rows) == 25  # null-temperature row dropped
+    # UTC normalize: +02:00 input -> 22:00 previous day UTC
+    assert rows[0].timestamp == "2006-03-31 22:00:00"
+    assert rows[0].sensor_id == "Kaggle_Weather_01"
+    assert rows[1].sensor_id == "Kaggle_Weather_02"  # round-robin
+
+    chunk_files = list((tmp_path / "chunks").glob("*.csv"))
+    assert chunk_files
+    sizes = []
+    for f in chunk_files:
+        lines = f.read_text().strip().splitlines()
+        assert lines[0] == "timestamp,sensor_id,temperature,humidity,pressure"
+        sizes.append(len(lines) - 1)
+    assert max(sizes) <= 10  # K7/P10 chunk bound
+    assert sum(sizes) == 25
