@@ -45,6 +45,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # integer div — a double division here loses precision at
             # epoch-nanos magnitude (2^53 < 1.7e18) and shifts values 1us
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NOTE: the testdata ships every table as single-row-group parquet,
+    # so scans are unsplittable and run on one core. Measured both
+    # ways: repartitioning documents/embeddings to session parallelism
+    # made the doc-heavy queries 2-3x SLOWER at this scale — 32 tiny
+    # partitions cost more in task + Python-worker round-trips than the
+    # parallelism returns. At cluster scale real corpora arrive as many
+    # files/row groups and the scan parallelizes on its own; don't
+    # hand-repartition small inputs.
     return df
 
 
