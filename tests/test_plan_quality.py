@@ -1,0 +1,77 @@
+"""Physical-plan regression tests — the 100 TB readiness gate.
+
+Correctness says what a query returns; these pin HOW: filters reach the
+parquet scan, column pruning holds, small dims broadcast, nothing
+degenerates into a cartesian product. A plan regression here would be
+invisible at sf0.01 and catastrophic at scale.
+"""
+
+import re
+
+import pytest
+
+from data_pipeline_project_spark.plans.registry import get_queries
+from tests.conftest import SF_ORACLE
+
+
+def plan_of(spark, name: str) -> str:
+    df = get_queries()[name](spark, SF_ORACLE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_shipdate" in p for p in pushed), plan
+
+
+def test_column_pruning_narrow_scan(spark):
+    """q1 touches 7 of lineitem's 16 columns; the scan must not read
+    the rest."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "l_comment" not in cols and "l_partkey" not in cols, cols
+    assert cols <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }, cols
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier_volume",
+                                  "join_broadcast_dim", "subquery_exists_correlated"])
+def test_dims_broadcast_no_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_strict_gate_broadcasts_bad_file_set(spark):
+    """F7: the per-file gate must broadcast the tiny bad-file set, not
+    shuffle the full scan."""
+    plan = plan_of(spark, "strict_file_gate")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    plan = plan_of(spark, "subquery_exists_correlated")
+    assert "LeftSemi" in plan, plan
+
+
+def test_minhash_band_join_not_cartesian(spark):
+    """The LSH candidate join must be an equi-join on (band, key)."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_aggregates_partial_then_final(spark):
+    """Map-side partial aggregation (two HashAggregate phases around
+    the exchange) — the shape that bounds shuffle volume at scale."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan, plan
