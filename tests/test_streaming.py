@@ -144,3 +144,66 @@ def test_streaming_ewma_stateful(spark, tmp_path):
     # exact chain if b1 processed first (lexicographic listing): 15 -> 27.5
     if hist and final[1][0] == 27.5:
         assert final[2][0] == 6.0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Event-time windows under a 10-minute watermark: a row arriving
+    after the watermark passed its window is dropped; append mode emits
+    a window only once finalized."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_project_spark.streaming.event_windows import tumbling_event_counts
+
+    src = tmp_path / "events"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:20:00",
+                               "2024-01-01 10:59:00"]),
+         "value": [1.0, 2.0, 3.0]}
+    )
+    # Batches 2-3 push the watermark past 11:00, finalizing and
+    # EVICTING window [10:00, 11:00) — Spark drops late rows at window
+    # granularity (window end <= watermark in effect), and the
+    # watermark a batch runs under is the one computed after the
+    # PREVIOUS batch, so the late row goes in batch 4.
+    b2 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 11:30:00", "2024-01-01 11:40:00"]),
+         "value": [4.0, 5.0]}
+    )
+    b3 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 11:45:00"]), "value": [6.0]}
+    )
+    # Batch 4: 10:05 targets the evicted window -> numRowsDroppedByWatermark.
+    b4 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 10:05:00", "2024-01-01 11:50:00"]),
+         "value": [100.0, 7.0]}
+    )
+    for i, b in enumerate((b1, b2, b3, b4)):
+        pq.write_table(pa.Table.from_pandas(b), str(src / f"b{i + 1}.parquet"),
+                       coerce_timestamps="us")
+        _time.sleep(1.1)  # file-source ordering is by modification time
+
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        tumbling_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {r.window_start.isoformat(): (r.n_events, r.avg_value)
+            for r in spark.sql("select * from win_out").collect()}
+    # only the finalized 10:00 window is emitted, late 10:05 row excluded
+    assert rows == {"2024-01-01T10:00:00": (3, 2.0)}, rows
