@@ -764,3 +764,103 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"),
         F.count_distinct("o_custkey").alias("exact_custkeys"),
     )
+
+
+@register(
+    "subquery_correlated_agg",
+    oracle="""
+WITH tot AS (
+    SELECT c_nationkey, o_custkey,
+           sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey, o_custkey
+)
+SELECT c_nationkey, o_custkey, total
+FROM tot t1
+WHERE total = (SELECT max(total) FROM tot t2
+               WHERE t2.c_nationkey = t1.c_nationkey)
+""",
+)
+def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery (TPC-H Q2/Q17 shape): per nation,
+    the customer(s) with the maximum order total. Catalyst decorrelates
+    the inner max into one aggregate joined back on the correlation key
+    — the inner query runs once, not per outer row."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    orders.createOrReplaceTempView("v_orders5")
+    cust.createOrReplaceTempView("v_customer5")
+    return spark.sql(
+        """
+        WITH tot AS (
+            SELECT c_nationkey, o_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+            FROM v_orders5 JOIN v_customer5 ON o_custkey = c_custkey
+            GROUP BY c_nationkey, o_custkey
+        )
+        SELECT c_nationkey, o_custkey, total
+        FROM tot t1
+        WHERE total = (SELECT max(total) FROM tot t2
+                       WHERE t2.c_nationkey = t1.c_nationkey)
+        """
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+       c_acctbal
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    The returnflag filter pushes to the lineitem scan; orders/customer
+    broadcast against the big fact; the global top-20 is a
+    TakeOrderedAndProject (no full sort), tie-broken on c_custkey for
+    determinism."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.sum(rev).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "median_by_group",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS median_value,
+       round(quantile_cont(value, 0.95), 6) AS p95_value,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group: Spark's percentile() uses the same
+    continuous-interpolation definition as DuckDB's quantile_cont, so
+    the exact path is oracle-checkable (the approx_percentile sketch is
+    the scale alternative; HLL-style, rows-only)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
