@@ -307,3 +307,59 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: (node, cluster_id) where
+    cluster_id = min doc id reachable through the pair graph — the
+    keeper-selection step of a dedup pipeline.
+
+    Algorithm: min-label propagation. Each node starts labeled with
+    itself; every iteration each node takes the min of its own and its
+    neighbors' labels; converged when no label changes. Iterations are
+    bounded by the cluster diameter — near-dup graphs are shallow
+    (mostly pairs/triangles), so this is 2-4 rounds in practice. Each
+    round is one shuffle (join on dst + groupBy src); localCheckpoint
+    truncates the growing lineage so round N doesn't replay rounds
+    1..N-1. The same loop at 100 TB is the standard large-star/
+    small-star family's simple cousin; swap in GraphFrames'
+    connectedComponents for very deep graphs.
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -72,7 +72,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- minhash LSH near-dup --------------------------------------------------
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """CTE chain (no WITH keyword) deriving verified minhash near-dup
+    pairs — shared by the pairs oracle and the clusters oracle."""
     mh_cols = ",\n       ".join(
         f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {P})) AS mh{i}"
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -83,7 +85,7 @@ def _minhash_oracle() -> str:
         for b in range(4)
     )
     return f"""
-WITH toks AS (
+toks AS (
     SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
 ),
 base AS (
@@ -104,16 +106,21 @@ candidates AS (
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
     FROM bands l JOIN bands r
       ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-)
-SELECT c.id_a, c.id_b,
-       round(len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM candidates c
-JOIN nonempty a ON a.doc_id = c.id_a
-JOIN nonempty b ON b.doc_id = c.id_b
-WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
-"""
+),
+pairs AS (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM candidates c
+    JOIN nonempty a ON a.doc_id = c.id_a
+    JOIN nonempty b ON b.doc_id = c.id_b
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+)"""
+
+
+def _minhash_oracle() -> str:
+    return "WITH " + _minhash_ctes() + "\nSELECT id_a, id_b, jaccard FROM pairs"
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle())
@@ -587,3 +594,32 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return sample_frames(documents_as_media(d))
+
+
+@register(
+    "dedup_clusters",
+    oracle="WITH RECURSIVE " + _minhash_ctes() + """,
+sym AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+    SELECT DISTINCT src, src FROM sym
+    UNION
+    SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the
+    verified MinHash pair graph (cluster_id = min reachable doc id —
+    the canonical keeper). Spark side is iterative min-label
+    propagation (operators/dedup.connected_components); the oracle
+    computes the same transitive closure with a recursive CTE, so even
+    the iterative-algorithm surface gets an exact value check."""
+    from data_pipeline_project_spark.operators.dedup import connected_components
+
+    d = load_table(spark, "documents", sf_dir)
+    return connected_components(minhash_lsh_pairs(d, threshold=0.5))

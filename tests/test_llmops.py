@@ -71,3 +71,15 @@ def test_resize_media_shapes(spark):
     for r in out:
         assert len(r.payload) == 32
         assert (r.width, r.height) == (8, 4)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain collapses to one cluster (needs >1 propagation
+    round); disjoint pairs stay separate."""
+    from data_pipeline_project_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
