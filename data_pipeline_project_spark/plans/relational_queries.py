@@ -864,3 +864,26 @@ def median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "map_explode_props",
+    oracle="""
+SELECT k.key AS prop_key,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.' || k.key) AS BIGINT)) AS total
+FROM events, unnest(json_keys(props::JSON)) AS k(key)
+GROUP BY 1
+""",
+)
+def map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props JSON -> MapType -> explode -> per-key aggregate
+    (SURVEY §1.3's map-typed surface): schema-on-read with from_json,
+    entries exploded JVM-side, one shuffle on the key."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(F.explode(m).alias("prop_key", "v"))
+        .groupBy("prop_key")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("total"))
+    )
