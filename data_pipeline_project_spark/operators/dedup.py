@@ -76,6 +76,16 @@ def _md5_hash(s: str) -> int:
     return h
 
 
+def _shingle_list(text: str | None, n: int, pat) -> list[int]:
+    toks = [x for x in pat.split(text.lower()) if x] if text else []
+    hs = dict.fromkeys(  # distinct shingles then distinct hashes,
+        # first-occurrence order — mirrors list_distinct twice
+        _md5_hash(" ".join(toks[i : i + n])) % HASH_MOD
+        for i in range(max(len(toks) - (n - 1), 0))
+    )
+    return list(hs)
+
+
 def _shingle_kernel_factory(n: int):
     import re
 
@@ -84,16 +94,39 @@ def _shingle_kernel_factory(n: int):
     pat = re.compile("[^a-z0-9]+")
 
     def kernel(texts):
-        out = []
+        return pd.Series([_shingle_list(t, n, pat) for t in texts])
+
+    return kernel
+
+
+def _signature_kernel_factory(n: int):
+    """Shingle hashes AND the 16 minhash values in one kernel pass:
+    mh_i = min((A_i*h + B_i) mod P over the shingle set), vectorized as
+    an int64 (16, |sh|) matrix op — exact integer arithmetic, identical
+    to the affine-permutation SQL the oracle runs. Products stay under
+    2^60 (A_i < 2^30, h < P < 2^30)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    pat = re.compile("[^a-z0-9]+")
+    A = np.array(MINHASH_A, dtype=np.int64)[:, None]
+    B = np.array(MINHASH_B, dtype=np.int64)[:, None]
+
+    def kernel(texts):
+        shs, mhs = [], []
         for t in texts:
-            toks = [x for x in pat.split(t.lower()) if x] if t else []
-            hs = dict.fromkeys(  # distinct shingles then distinct hashes,
-                # first-occurrence order — mirrors list_distinct twice
-                _md5_hash(" ".join(toks[i : i + n])) % HASH_MOD
-                for i in range(max(len(toks) - (n - 1), 0))
-            )
-            out.append(list(hs))
-        return pd.Series(out)
+            sh = _shingle_list(t, n, pat)
+            shs.append(sh)
+            if not sh:
+                mhs.append([])
+                continue
+            hs = np.array(sh, dtype=np.int64)[None, :]
+            mh = ((A * hs + B) % HASH_MOD).min(axis=1)
+            mhs.append([int(v) for v in mh])
+        # struct return type => one DataFrame column per struct field
+        return pd.DataFrame({"sh": shs, "mh": mhs})
 
     return kernel
 
@@ -111,18 +144,6 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     from data_pipeline_project_spark.operators.similarity import _udf
 
     return _udf(f"shingle_hashes_{n}", _shingle_kernel_factory(n), "array<long>")(text)
-
-
-def minhash_signature(hashes: Column) -> list[Column]:
-    """N_PERM minhash values: min over the shingle-hash set of each
-    affine permutation — pure array expressions, no explode, no
-    shuffle; cost is |shingles| * N_PERM per row."""
-    return [
-        F.array_min(
-            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_MOD)
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-    ]
 
 
 def minhash_lsh_pairs(
@@ -150,17 +171,21 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
+    from data_pipeline_project_spark.operators.similarity import _udf
+
+    sig_udf = _udf(
+        f"minhash_sig_{n}",
+        _signature_kernel_factory(n),
+        "struct<sh:array<long>,mh:array<long>>",
+    )
     base = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            shingle_hashes(F.col(text_col), n).alias("sh"),
-        )
+        docs.select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("s"))
+        .select("doc_id", F.col("s.sh").alias("sh"), F.col("s.mh").alias("mh"))
         .where(F.size("sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sig = base.select("doc_id", "sh", *minhash_signature(F.col("sh")))
 
-    bands = sig.select(
+    bands = base.select(
         "doc_id",
         F.explode(
             F.array(
@@ -170,7 +195,7 @@ def minhash_lsh_pairs(
                         F.concat_ws(
                             ",",
                             *[
-                                F.col(f"mh{b * BAND_SIZE + r}").cast("string")
+                                F.element_at("mh", b * BAND_SIZE + r + 1).cast("string")
                                 for r in range(BAND_SIZE)
                             ],
                         ).alias("key"),
@@ -330,9 +355,14 @@ def connected_components(
     small-star family's simple cousin; swap in GraphFrames'
     connectedComponents for very deep graphs.
     """
-    sym = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # Materialize the edge list once — every iteration joins against
+    # it, and `pairs` may be an expensive subtree (e.g. the full
+    # MinHash pipeline) that would otherwise re-run per round.
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
+    )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
 
