@@ -131,6 +131,30 @@ def _signature_kernel_factory(n: int):
     return kernel
 
 
+def _jaccard_kernel(a, b):
+    import pandas as pd
+
+    out = []
+    for xa, xb in zip(a, b):
+        sa, sb = set(xa), set(xb)
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        out.append(round(inter / union, 6) if union else 0.0)
+    return pd.Series(out)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two hash-set columns — Arrow kernel (Python
+    set ops) instead of interpreted array_intersect/array_union, the
+    dominant cost of all-pairs verification. len ratios are exact ints
+    -> identical doubles -> identical round(.,6) in both engines.
+    (round on a double never lands on an exact .5 tie at 1e-6, so
+    Python banker's vs SQL half-up cannot diverge here.)"""
+    from data_pipeline_project_spark.operators.similarity import _udf
+
+    return _udf("jaccard", _jaccard_kernel, "double")(a, b)
+
+
 def shingle_hashes(text: Column, n: int = 3) -> Column:
     """Shingle set → bigint hash set (mod HASH_MOD for minhash range).
 
@@ -224,14 +248,7 @@ def minhash_lsh_pairs(
     verified = (
         candidates.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
+        .withColumn("jaccard", jaccard("sh_a", "sh_b"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

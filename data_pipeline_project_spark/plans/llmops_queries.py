@@ -220,6 +220,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_pipeline_project_spark.operators.dedup import shingle_hashes
 
+    from data_pipeline_project_spark.operators.dedup import jaccard
+
     d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 10 == 0)
     base = (
         d.select(F.col("doc_id"), shingle_hashes(F.col("text")).alias("sh"))
@@ -228,14 +230,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        6,
-    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        .select("id_a", "id_b", jaccard("sh_a", "sh_b").alias("jaccard"))
         .where(F.col("jaccard") >= 0.3)
     )
 
