@@ -20,15 +20,7 @@ from data_pipeline_project_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from data_pipeline_project_spark.operators.similarity import cosine_topk, lsh_cosine_topk
-from data_pipeline_project_spark.operators.text import (
-    LANG_MARKERS,
-    STOPWORDS,
-    detected_lang,
-    distinct_token_count,
-    fingerprint,
-    quality_score,
-    token_count,
-)
+from data_pipeline_project_spark.operators.text import LANG_MARKERS, STOPWORDS
 from data_pipeline_project_spark.plans.registry import register
 from data_pipeline_project_spark.sources.tables import load_table
 
@@ -338,17 +330,16 @@ FROM t
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: token counts, quality score,
-    marker-lexicon language ID, rolling-hash fingerprint — all
-    higher-order JVM expressions, one narrow scan."""
+    marker-lexicon language ID, rolling-hash fingerprint — one Arrow
+    kernel pass (operators/text.text_stats_struct; the expression forms
+    in operators/text.py remain the documented SQL-equivalent
+    semantics and are what the oracle re-derives)."""
+    from data_pipeline_project_spark.operators.text import text_stats_struct
+
     d = load_table(spark, "documents", sf_dir)
-    txt = F.col("text")
-    return d.select(
-        "doc_id",
-        token_count(txt).alias("n_tokens"),
-        distinct_token_count(txt).alias("n_distinct_tokens"),
-        quality_score(txt).alias("quality"),
-        detected_lang(txt).alias("detected_lang"),
-        fingerprint(txt).alias("doc_fingerprint"),
+    return d.select("doc_id", text_stats_struct(F.col("text")).alias("s")).select(
+        "doc_id", "s.n_tokens", "s.n_distinct_tokens", "s.quality",
+        "s.detected_lang", "s.doc_fingerprint",
     )
 
 
@@ -364,9 +355,13 @@ FROM t GROUP BY 1
 )
 def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus language histogram over the detected language."""
+    from data_pipeline_project_spark.operators.text import text_stats_struct
+
     d = load_table(spark, "documents", sf_dir)
-    return d.groupBy(detected_lang(F.col("text")).alias("detected_lang")).agg(
-        F.count(F.lit(1)).alias("n_docs")
+    return (
+        d.select(text_stats_struct(F.col("text")).alias("s"))
+        .groupBy(F.col("s.detected_lang").alias("detected_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
