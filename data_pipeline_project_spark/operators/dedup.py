@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_project_spark.functions.expr import let
-from data_pipeline_project_spark.operators.text import HASH_MOD, token_hash, tokens
+from data_pipeline_project_spark.operators.text import HASH_MOD, tokens
 
 # MinHash permutation parameters: h_i(x) = (A[i]*x + B[i]) mod HASH_MOD.
 # Fixed constants (odd multipliers < 2^30 keep products inside int64

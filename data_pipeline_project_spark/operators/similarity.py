@@ -14,8 +14,6 @@ into a bucket join, the standard trade of recall for throughput.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 

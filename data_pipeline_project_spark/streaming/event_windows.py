@@ -31,3 +31,19 @@ def tumbling_event_counts(
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each key,
+    suppress re-deliveries within the watermark horizon. This is the
+    ingest-time guard a training-data pipeline puts in front of
+    storage (at-least-once sources re-deliver; state is bounded by the
+    watermark, unlike an unbounded dropDuplicates)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )

@@ -207,3 +207,50 @@ def test_watermark_drops_late_events(spark, tmp_path):
             for r in spark.sql("select * from win_out").collect()}
     # only the finalized 10:00 window is emitted, late 10:05 row excluded
     assert rows == {"2024-01-01T10:00:00": (3, 2.0)}, rows
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-delivered event in a later
+    micro-batch (within the watermark) is suppressed."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_project_spark.streaming.event_windows import dedup_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {"event_id": [1, 2],
+         "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:01:00"]),
+         "value": [1.0, 2.0]}
+    )
+    b2 = pd.DataFrame(  # event 1 re-delivered, event 3 new
+        {"event_id": [1, 3],
+         "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:02:00"]),
+         "value": [1.0, 3.0]}
+    )
+    for i, b in enumerate((b1, b2)):
+        pq.write_table(pa.Table.from_pandas(b), str(src / f"b{i + 1}.parquet"),
+                       coerce_timestamps="us")
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(r.event_id for r in spark.sql("select * from dedup_out").collect())
+    assert rows == [1, 2, 3], rows  # event 1 exactly once
