@@ -887,3 +887,35 @@ def map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prop_key")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("total"))
     )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT round(
+    100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                     ELSE 0 END)
+    / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 6)
+    AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact-dim join —
+    date range pushes to the lineitem scan, part broadcasts, decimal
+    sums keep the ratio engine-exact."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(38,6)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue_pct")
+        )
+    )
