@@ -380,8 +380,14 @@ def connected_components(
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .localCheckpoint()
     )
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    # Seed with round 1 already applied: label = min(self, neighbors).
+    # Saves one full join+checkpoint+convergence-check cycle.
+    labels = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("min_nbr"))
+        .select("node", F.least("node", "min_nbr").alias("label"))
+        .localCheckpoint()
+    )
 
     for _ in range(max_iter):
         nbr_min = (
