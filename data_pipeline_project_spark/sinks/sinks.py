@@ -193,3 +193,24 @@ CREATE TABLE IF NOT EXISTS aggregated_sensor_data (
         (sensor_id, file_name, metric_name, aggregation_time)
 )
 """
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by join/agg
+    keys — the co-location contract that removes the shuffle from
+    every later join or aggregation on those keys. At 100 TB this is
+    the difference between an hourly fact-fact join re-shuffling the
+    big table every run and reading pre-hashed buckets: pay the
+    shuffle once at write time, never again at read time. (Bucket
+    pruning also kicks in for point predicates on the bucket key.)
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

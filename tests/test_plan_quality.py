@@ -10,6 +10,8 @@ import re
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from data_pipeline_project_spark.plans.registry import get_queries
 from tests.conftest import SF_ORACLE
 
@@ -75,3 +77,32 @@ def test_aggregates_partial_then_final(spark):
     plan = plan_of(spark, "q1_pricing_summary")
     assert plan.count("HashAggregate") >= 2, plan
     assert "Exchange" in plan, plan
+
+
+def test_bucketed_join_removes_shuffle(spark, tmp_path):
+    """Fact-fact joins on the bucket key read co-located buckets: no
+    Exchange on either side of the SortMergeJoin."""
+    from data_pipeline_project_spark.sinks.sinks import write_bucketed
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path}/wh'")
+    try:
+        orders = load_table(spark, "orders", SF_ORACLE)
+        cust = load_table(spark, "customer", SF_ORACLE)
+        write_bucketed(orders, "bdemo.orders_b", ["o_custkey"], 8)
+        write_bucketed(cust, "bdemo.customer_b", ["c_custkey"], 8)
+
+        joined = spark.table("bdemo.orders_b").join(
+            spark.table("bdemo.customer_b").hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # sanity: result matches the unbucketed join
+        plain = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).count()
+        assert joined.count() == plain
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
