@@ -615,3 +615,109 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return connected_components(minhash_lsh_pairs(d, threshold=0.5))
+
+
+# ---- composite pipelines ---------------------------------------------------
+
+@register(
+    "clean_corpus_pipeline",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, text, {SQL_TOKENS} AS toks,
+           list_distinct({SQL_TOKENS}) AS dtoks
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, text, len(toks) AS n_tokens,
+           round((CASE WHEN len(toks) > 0 AND
+                            list_reduce(list_prepend(0::BIGINT,
+                                list_transform(toks, x -> length(x)::BIGINT)),
+                                (a, b) -> a + b)::DOUBLE / len(toks)
+                            BETWEEN 3 AND 10
+                       THEN 1.0 ELSE 0.5 END
+                  + CASE WHEN len(list_intersect(toks, {list(STOPWORDS)})) > 0
+                         THEN 1.0 ELSE 0.5 END
+                  + CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE
+                              / length(text)
+                         ELSE 0.0 END) / 3, 6) AS quality,
+           {_lang_case_sql()} AS detected_lang
+    FROM t
+),
+filtered AS (
+    SELECT * FROM scored
+    WHERE quality >= 0.6 AND detected_lang = 'en' AND n_tokens BETWEEN 10 AND 1000
+),
+deduped AS (
+    SELECT md5(text) AS h, min(doc_id) AS keeper FROM filtered GROUP BY md5(text)
+)
+SELECT f.doc_id, f.n_tokens, f.quality
+FROM filtered f JOIN deduped d ON f.doc_id = d.keeper
+""",
+)
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pass: quality + language +
+    length filters, then exact dedup keeping the smallest doc id — the
+    C4-style end-to-end selection every corpus build runs. One narrow
+    kernel scan, one filter, one hash-groupBy shuffle, one semi-join
+    back (broadcast: keepers are a projection of the filtered set)."""
+    from data_pipeline_project_spark.operators.text import text_stats_struct
+
+    d = load_table(spark, "documents", sf_dir)
+    scored = d.select(
+        "doc_id", "text", text_stats_struct(F.col("text")).alias("s")
+    ).select(
+        "doc_id", "text",
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.quality").alias("quality"),
+        F.col("s.detected_lang").alias("detected_lang"),
+    )
+    filtered = scored.where(
+        (F.col("quality") >= 0.6)
+        & (F.col("detected_lang") == "en")
+        & F.col("n_tokens").between(10, 1000)
+    )
+    keepers = filtered.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    return (
+        filtered.join(
+            F.broadcast(keepers), filtered.doc_id == keepers.keeper, "left_semi"
+        ).select("doc_id", "n_tokens", "quality")
+    )
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id,
+           {SQL_HASH.format(v="'split:' || doc_id::VARCHAR")} % 100 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM h GROUP BY 1
+""",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by salted content-independent hash
+    (md5 of 'split:<id>') — reproducible across runs, engines, and
+    cluster sizes, unlike randomSplit; the split column is a pure
+    projection so it composes with any downstream filter/write."""
+    from data_pipeline_project_spark.operators.text import token_hash
+
+    d = load_table(spark, "documents", sf_dir)
+    bucket = token_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
