@@ -210,9 +210,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path)."""
     from pyspark import StorageLevel
 
-    from data_pipeline_project_spark.operators.dedup import shingle_hashes
-
-    from data_pipeline_project_spark.operators.dedup import jaccard
+    from data_pipeline_project_spark.operators.dedup import jaccard, shingle_hashes
 
     d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 10 == 0)
     base = (
