@@ -62,6 +62,14 @@ def main() -> None:
     n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).groupBy("r_name").agg(
         F.count_distinct("n_name"), F.approx_count_distinct("n_name")
     ).count()
+    # ...and window/generate/json execution classes.
+    from pyspark.sql import Window
+
+    (
+        n.withColumn("rn", F.row_number().over(Window.orderBy("n_nationkey")))
+        .select(F.explode(F.split("n_name", "")), F.from_json(F.lit('{"k":1}'), "map<string,int>"))
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
