@@ -27,9 +27,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_extendedprice), 6) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -42,18 +42,20 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate. Decimal-cast sums are
     exact regardless of partial-aggregation order, so results are
-    engine-independent; the filter pushes to the parquet scan."""
+    engine-independent; the final double cast keeps the output dtype
+    hash-identical to DuckDB's (which renders decimal sums as float64).
+    The filter pushes to the parquet scan."""
     li = _t(spark, sf_dir, "lineitem")
     dec = "decimal(38,6)"
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(dec)).alias("sum_base_price"),
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)).alias(
-                "sum_disc_price"
-            ),
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec))
+            .cast("double")
+            .alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -65,16 +67,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_shipping_priority",
     oracle="""
-SELECT l.l_orderkey,
-       sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue,
-       o.o_orderdate
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-GROUP BY l.l_orderkey, o.o_orderdate
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
+SELECT l_orderkey, CAST(revenue AS DOUBLE) AS revenue, o_orderdate FROM (
+    SELECT l.l_orderkey,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+)
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,7 +99,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .select("l_orderkey", F.col("revenue").cast("double").alias("revenue"), "o_orderdate")
     )
 
 
@@ -103,7 +107,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
 SELECT n.n_name,
-       sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+           AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -137,7 +142,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
-            ).alias("revenue")
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -148,7 +155,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dim",
     oracle="""
 SELECT c.c_mktsegment, count(*) AS n_orders,
-       sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS total_price
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
@@ -163,7 +170,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total_price"),
         )
     )
 
@@ -303,9 +310,9 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,
-       sum(CAST(o_totalprice AS DECIMAL(38,6)))
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
 FROM orders
 """,
 )
@@ -323,7 +330,10 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).alias("running_total"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
     )
 
 
@@ -413,7 +423,7 @@ def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS total_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
        count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -424,7 +434,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping columns)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("total_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("total_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -433,7 +443,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_order_stats",
     oracle="""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -443,7 +453,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total_price"),
     )
 
 
@@ -722,7 +732,7 @@ def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_revenue",
     oracle="""
 SELECT n_name, o_orderpriority,
-       sum(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
        count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -742,7 +752,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n_name, o_orderpriority,
-               sum(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
                count(*) AS n_orders
         FROM v_orders4
         JOIN v_customer4 ON o_custkey = c_custkey
@@ -775,7 +785,7 @@ WITH tot AS (
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_nationkey, o_custkey
 )
-SELECT c_nationkey, o_custkey, total
+SELECT c_nationkey, o_custkey, CAST(total AS DOUBLE) AS total
 FROM tot t1
 WHERE total = (SELECT max(total) FROM tot t2
                WHERE t2.c_nationkey = t1.c_nationkey)
@@ -798,7 +808,7 @@ def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM v_orders5 JOIN v_customer5 ON o_custkey = c_custkey
             GROUP BY c_nationkey, o_custkey
         )
-        SELECT c_nationkey, o_custkey, total
+        SELECT c_nationkey, o_custkey, CAST(total AS DOUBLE) AS total
         FROM tot t1
         WHERE total = (SELECT max(total) FROM tot t2
                        WHERE t2.c_nationkey = t1.c_nationkey)
@@ -809,16 +819,18 @@ def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q10_returned_items",
     oracle="""
-SELECT c_custkey, c_name,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
-       c_acctbal
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE l_returnflag = 'R'
-GROUP BY c_custkey, c_name, c_acctbal
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
+SELECT c_custkey, c_name, CAST(revenue AS DOUBLE) AS revenue, c_acctbal FROM (
+    SELECT c_custkey, c_name,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+           c_acctbal
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+)
 """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,9 +848,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(F.sum(rev).alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
+        .select("c_custkey", "c_name", F.col("revenue").cast("double").alias("revenue"), "c_acctbal")
     )
 
 
@@ -871,7 +883,7 @@ def median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT k.key AS prop_key,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.' || k.key) AS BIGINT)) AS total
+       CAST(sum(CAST(json_extract_string(props, '$.' || k.key) AS BIGINT)) AS BIGINT) AS total
 FROM events, unnest(json_keys(props::JSON)) AS k(key)
 GROUP BY 1
 """,

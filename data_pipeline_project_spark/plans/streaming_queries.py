@@ -83,16 +83,16 @@ WITH marked AS (
 ),
 sessions AS (
     SELECT user_id, ts, value,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
     FROM marked
 )
 SELECT user_id, session_id,
        CAST(min(ts) AS TIMESTAMP) AS session_start,
        CAST(max(ts) AS TIMESTAMP) AS session_end,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(38,6))) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
 FROM sessions
 GROUP BY user_id, session_id
 """,
@@ -119,5 +119,5 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
     )

@@ -34,6 +34,30 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_class(series: pd.Series) -> str:
+    """Coarse value-class a hash of rendered values would see.
+
+    The driver's value hash is dtype-sensitive: Decimal('8.000000') vs
+    float 8.0 vs int 8 all hash differently even when numerically equal
+    (CORRECTNESS_r01's 12 hash-fails were exactly this). Classify so the
+    local replica fails the same way the driver does.
+    """
+    dt = series.dtype
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    nonnull = series.dropna()
+    if len(nonnull):
+        v = nonnull.iloc[0]
+        return type(v).__name__  # str, Decimal, date, list, ...
+    return "empty-object"
+
+
 def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, float_rel_tol: float = 1e-9) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     problems: list[str] = []
@@ -49,6 +73,12 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, float_rel_tol: floa
     s, o = canon(spark_df), canon(oracle_df)
     for col in s.columns:
         sv, ov = s[col], o[col]
+        sc, oc = _dtype_class(sv), _dtype_class(ov)
+        if sc != oc and "empty-object" not in (sc, oc):
+            problems.append(
+                f"col {col!r}: dtype class mismatch spark={sc} oracle={oc} (driver hash would fail)"
+            )
+            continue
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             sa = pd.to_numeric(sv, errors="coerce")
             oa = pd.to_numeric(ov, errors="coerce")
