@@ -196,36 +196,35 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi",
+    "join_semi_anti",
     oracle="""
-SELECT c_custkey, c_name FROM customer c
+SELECT 'semi' AS rel, c_custkey, c_name FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
-""",
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join: customers with >=1 finished order. Semi joins
-    never duplicate or widen rows — the probe side streams."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@register(
-    "join_anti",
-    oracle="""
-SELECT c_custkey, c_name FROM customer c
+UNION ALL
+SELECT 'anti' AS rel, c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
 """,
 )
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no pending ('P') orders — a
-    non-empty result set at every SF (plain "no orders at all" is empty
-    in this data, which would make the check vacuous)."""
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (customers with >=1 finished order) and left-anti
+    (customers with no pending 'P' order) in one tagged union. Semi and
+    anti joins never duplicate or widen rows — the probe side streams.
+    The anti side filters on 'P' rather than "no orders at all", which
+    is empty in this data and would make the check vacuous."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    of = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    op = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    semi = (
+        c.join(of, c.c_custkey == of.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("rel"), "c_custkey", "c_name")
+    )
+    anti = (
+        c.join(op, c.c_custkey == op.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("rel"), "c_custkey", "c_name")
+    )
+    return semi.unionAll(anti)
 
 
 @register(
@@ -265,44 +264,34 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT * FROM (
     SELECT o_custkey, o_orderkey, o_totalprice,
            ROW_NUMBER() OVER (PARTITION BY o_custkey
-                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           RANK() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC) AS price_dense_rank
     FROM orders
 ) WHERE rn <= 3
 """,
 )
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer via row_number; orderkey tie-break for
-    determinism. At scale this is the standard one-shuffle top-k —
-    no global sort."""
+    """Top-3 orders per customer via row_number, with rank/dense_rank
+    beside it (ties share a rank, so the un-tiebroken window is still
+    deterministic). One shuffle on the group key serves all three
+    ranking functions — the standard per-group top-k at scale, no
+    global sort."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wt = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(wt).alias("price_rank"),
+            F.dense_rank().over(wt).alias("price_dense_rank"),
+        )
         .where(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-    )
-
-
-@register(
-    "window_rank_dense",
-    oracle="""
-SELECT p_partkey, p_brand, p_retailprice,
-       RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
-       DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
-FROM part
-""",
-)
-def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank vs dense_rank — both deterministic (ties share a rank, and
-    every output column is rank-or-key)."""
-    p = _t(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
-    return p.select(
-        "p_partkey",
-        "p_brand",
-        "p_retailprice",
-        F.rank().over(w).alias("price_rank"),
-        F.dense_rank().over(w).alias("price_dense_rank"),
     )
 
 
@@ -312,20 +301,23 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_custkey, o_orderkey, o_orderdate,
        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       lag(o_totalprice)  OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       lead(o_totalprice) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS next_price
 FROM orders
 """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total per customer, explicit ROWS frame + full tie-break
-    (orderdate alone is not a total order; ROWS over a partial order is
-    nondeterministic)."""
+    """Running total + lag/lead over each customer's order history —
+    explicit ROWS frame and full tie-break (orderdate alone is not a
+    total order; a frame over a partial order is nondeterministic).
+    All three window functions share one shuffle on the partition key.
+    (lag/lead over raw event time is exercised inside sessionization.)"""
     o = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -334,55 +326,14 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("running_total"),
-    )
-
-
-@register(
-    "window_lag_lead",
-    oracle="""
-SELECT user_id, event_id, ts,
-       lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
-       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
-       CAST(date_diff('second',
-            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT)
-           AS secs_since_prev
-FROM events
-""",
-)
-def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead over an event-time order — sessionization building
-    block (inter-event gap seconds)."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    return ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lead("event_type").over(w).alias("next_type"),
-        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).cast("bigint").alias("secs_since_prev"),
+        F.lag("o_totalprice").over(wo).alias("prev_price"),
+        F.lead("o_totalprice").over(wo).alias("next_price"),
     )
 
 
 # --- sorts / limits / set ops ----------------------------------------------
-
-@register(
-    "topk_global",
-    oracle="""
-SELECT o_orderkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
-""",
-)
-def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject
-    (per-partition heaps + driver merge), never a full sort."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(100)
-        .select("o_orderkey", "o_totalprice")
-    )
+# (Global ORDER BY + LIMIT → TakeOrderedAndProject is exercised by
+# q3_shipping_priority / q10_returned_items.)
 
 
 @register(
@@ -460,24 +411,6 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- distinct / conditional / pivot -----------------------------------------
 
 @register(
-    "distinct_counts",
-    oracle="""
-SELECT event_type,
-       count(DISTINCT user_id) AS n_users,
-       count(*) AS n_events
-FROM events GROUP BY event_type
-""",
-)
-def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct aggregation (expand+two-phase under the hood)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-@register(
     "pivot_event_values",
     oracle="""
 SELECT user_id,
@@ -501,24 +434,33 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "case_when_bucketing",
+    "value_bucket_stats",
     oracle="""
 SELECT CASE WHEN value < 10 THEN 'low'
             WHEN value < 100 THEN 'mid'
             ELSE 'high' END AS bucket,
        count(*) AS n,
-       round(avg(value), 6) AS avg_value
+       round(avg(value), 6) AS avg_value,
+       round(quantile_cont(value, 0.5), 6) AS median_value,
+       round(quantile_cont(value, 0.95), 6) AS p95_value
 FROM events GROUP BY 1
 """,
 )
-def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def value_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + exact percentiles per bucket in one agg.
+    Spark's percentile() uses the same continuous-interpolation
+    definition as DuckDB's quantile_cont, so the exact path is
+    oracle-checkable (approx_percentile is the sketch alternative at
+    scale, rows-only like approx_distinct_sketch)."""
     ev = _t(spark, sf_dir, "events")
     bucket = (
         F.when(F.col("value") < 10, "low").when(F.col("value") < 100, "mid").otherwise("high")
     )
-    return (
-        ev.groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
     )
 
 
