@@ -44,20 +44,35 @@ def with_row_position(
     for the position to be well-defined.
 
     Scale: two narrow scans (min/max, per-bucket counts) + one hash
-    shuffle on the bucket id; driver traffic is <= n_buckets rows.
+    shuffle on the bucket id; driver traffic is <= n_buckets rows. The
+    keyed input stays persisted (the returned plan reads it); Spark's
+    LRU eviction reclaims it — callers that loop may ``unpersist()``
+    via ``df.sparkSession.catalog.clearCache()`` between iterations.
     """
     key = F.col(order_key) if isinstance(order_key, str) else order_key
-    keyed = df.withColumn(_KEY, key.cast("bigint"))
+    # Persist: three jobs (min/max, per-bucket counts, final window) read
+    # this frame; without it the upstream recomputes per job, and a
+    # nondeterministic upstream could make the collected counts disagree
+    # with the final window pass, corrupting offsets.
+    keyed = df.withColumn(_KEY, key.cast("bigint")).persist()
 
     stats = keyed.agg(
         F.min(_KEY).alias("lo"), F.max(_KEY).alias("hi"), F.count(F.lit(1)).alias("n")
     ).first()
     if stats is None or stats["n"] == 0:
+        keyed.unpersist()
         return df.withColumn(col_name, F.lit(None).cast("long"))
     lo, hi = stats["lo"], stats["hi"]
     if lo is None:  # all keys null
         lo = hi = 0
-    width = max(1, (int(hi) - int(lo)) // n_buckets + 1)
+    span = int(hi) - int(lo)
+    if span >= 2**63:  # Spark-side (key - lo) would overflow bigint:
+        # silently wrong buckets with ANSI off, runtime error with ANSI on.
+        raise ValueError(
+            f"order-key range {span} exceeds int64; rescale the key (e.g. "
+            "unix_micros -> unix_seconds) before calling with_row_position"
+        )
+    width = max(1, span // n_buckets + 1)
 
     bucket = F.when(F.col(_KEY).isNull(), F.lit(_NULL_BUCKET)).otherwise(
         F.expr(f"({_KEY} - {int(lo)}) div {width}")

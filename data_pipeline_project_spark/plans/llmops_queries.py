@@ -9,14 +9,13 @@ is bit-exact, not statistical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_project_spark.operators.dedup import (
     MINHASH_A,
     MINHASH_B,
     minhash_lsh_pairs,
-    simhash,
     simhash_near_pairs,
 )
 from data_pipeline_project_spark.operators.similarity import cosine_topk, lsh_cosine_topk
@@ -148,20 +147,6 @@ fp AS (
 
 
 @register(
-    "simhash_fingerprints",
-    oracle=SQL_SIMHASH + "SELECT doc_id, fp AS simhash FROM fp",
-)
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document (computed as one higher-order
-    aggregate per row — the oracle re-derives it by exploding tokens
-    x bits, proving the compact form correct)."""
-    d = load_table(spark, "documents", sf_dir)
-    return d.where(F.size(F.split(F.lower("text"), "[^a-z0-9]+")) > 0).select(
-        "doc_id", simhash(F.col("text")).alias("simhash")
-    )
-
-
-@register(
     "dedup_simhash_pairs",
     oracle=SQL_SIMHASH
     + """,
@@ -189,7 +174,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH toks AS (
-    SELECT doc_id, {SQL_TOKENS} AS toks FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id, {SQL_TOKENS} AS toks FROM documents WHERE doc_id < 500
 ),
 base AS (
     SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM toks
@@ -205,14 +190,16 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact pairwise baseline minhash approximates: all-pairs
-    3-gram-shingle Jaccard on a 1-in-10 doc sample (quadratic by
-    nature — the sample bounds it; dedup_minhash_lsh is the full-corpus
-    scale path)."""
+    3-gram-shingle Jaccard on a bounded doc-id prefix window (500 docs
+    — the whole corpus at sf0.01, so the check is non-vacuous; constant
+    quadratic cost at any larger SF). An exact baseline exists to
+    validate the LSH paths, not to run corpus-wide: dedup_minhash_lsh
+    is the full-corpus scale path."""
     from pyspark import StorageLevel
 
     from data_pipeline_project_spark.operators.dedup import jaccard, shingle_hashes
 
-    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 10 == 0)
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 500)
     base = (
         d.select(F.col("doc_id"), shingle_hashes(F.col("text")).alias("sh"))
         .where(F.size("sh") > 0)
@@ -497,8 +484,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
 
@@ -657,8 +642,10 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data cleaning pass: quality + language +
     length filters, then exact dedup keeping the smallest doc id — the
     C4-style end-to-end selection every corpus build runs. One narrow
-    kernel scan, one filter, one hash-groupBy shuffle, one semi-join
-    back (broadcast: keepers are a projection of the filtered set)."""
+    kernel scan, one filter, then keeper selection as a window over the
+    content hash (min(doc_id) per md5(text) group): a single parallel
+    hash shuffle, no join and no broadcast — the keeper set is
+    corpus-sized, so broadcasting it would OOM the driver at scale."""
     from data_pipeline_project_spark.operators.text import text_stats_struct
 
     d = load_table(spark, "documents", sf_dir)
@@ -675,13 +662,11 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("detected_lang") == "en")
         & F.col("n_tokens").between(10, 1000)
     )
-    keepers = filtered.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("keeper")
-    )
+    w = Window.partitionBy(F.md5("text"))
     return (
-        filtered.join(
-            F.broadcast(keepers), filtered.doc_id == keepers.keeper, "left_semi"
-        ).select("doc_id", "n_tokens", "quality")
+        filtered.withColumn("_keeper", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("_keeper"))
+        .select("doc_id", "n_tokens", "quality")
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_project_spark.functions.positions import with_row_position
 from data_pipeline_project_spark.plans.registry import register
 from data_pipeline_project_spark.sources.tables import load_table
 
@@ -390,24 +391,6 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cube_order_stats",
-    oracle="""
-SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
-FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
-""",
-)
-def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all 2^n grouping combinations in one pass."""
-    o = _t(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total_price"),
-    )
-
-
 # --- distinct / conditional / pivot -----------------------------------------
 
 @register(
@@ -575,12 +558,17 @@ FROM events
 def round_robin_synthetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 — round-robin synthetic key by deterministic row position
     (preprocessing_kaggle_dataset.py:36; order pinned to event_id since
-    'file order' is not a Spark-scale concept)."""
+    'file order' is not a Spark-scale concept). Row position comes from
+    the bucketed ``with_row_position`` (range buckets + per-bucket
+    window), not a partition-less global window — the global window
+    collapses the table into one task at scale."""
     ev = _t(spark, sf_dir, "events")
     ids = ["Kaggle_Weather_01", "Kaggle_Weather_02", "Kaggle_Weather_03"]
-    rn = F.row_number().over(Window.orderBy("event_id"))
-    sensor = F.element_at(F.array(*[F.lit(i) for i in ids]), ((rn - 1) % 3 + 1).cast("int"))
-    return ev.select("event_id", sensor.alias("sensor_id"))
+    pos = with_row_position(ev, "event_id", col_name="_rn")
+    sensor = F.element_at(
+        F.array(*[F.lit(i) for i in ids]), ((F.col("_rn") - 1) % 3 + 1).cast("int")
+    )
+    return pos.select("event_id", sensor.alias("sensor_id"))
 
 
 # --- subqueries -------------------------------------------------------------
@@ -679,12 +667,14 @@ SELECT n_name, o_orderpriority,
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
-GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority), ())
 """,
 )
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (beyond rollup/cube): three groupings in
-    one pass — Spark expands then aggregates once, not three scans."""
+    """Explicit GROUPING SETS covering every subset of the two dims —
+    semantically CUBE(n_name, o_orderpriority), spelled as sets so the
+    general mechanism (and the grand-total () set) is exercised; all
+    groupings aggregate in one expand+hash-agg pass, not four scans."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -699,7 +689,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_orders4
         JOIN v_customer4 ON o_custkey = c_custkey
         JOIN v_nation4 ON c_nationkey = n_nationkey
-        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority), ())
         """
     )
 
@@ -793,30 +783,6 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name", F.col("revenue").cast("double").alias("revenue"), "c_acctbal")
-    )
-
-
-@register(
-    "median_by_group",
-    oracle="""
-SELECT event_type,
-       round(quantile_cont(value, 0.5), 6) AS median_value,
-       round(quantile_cont(value, 0.95), 6) AS p95_value,
-       count(*) AS n
-FROM events
-GROUP BY event_type
-""",
-)
-def median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles per group: Spark's percentile() uses the same
-    continuous-interpolation definition as DuckDB's quantile_cont, so
-    the exact path is oracle-checkable (the approx_percentile sketch is
-    the scale alternative; HLL-style, rows-only)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
-        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
-        F.count(F.lit(1)).alias("n"),
     )
 
 

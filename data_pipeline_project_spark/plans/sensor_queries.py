@@ -15,10 +15,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_project_spark.operators.aggregates import long_format_stats
-from data_pipeline_project_spark.operators.validation import (
-    split_valid_invalid,
-    with_error_reason,
-)
 from data_pipeline_project_spark.plans.registry import register
 from data_pipeline_project_spark.sources.tables import load_table
 
@@ -70,40 +66,6 @@ def sensor_stats_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_stats_by_sensor",
-    oracle=f"""
-SELECT user_id, event_type,
-       min(value) AS min_value,
-       max(value) AS max_value,
-       round(avg(value), 6) AS avg_value,
-       round(coalesce(stddev_samp(value), 0.0), 6) AS std_dev_value,
-       count(value) AS record_count,
-       min(ts) AS aggregation_time
-FROM events
-GROUP BY user_id, event_type
-HAVING count(value) > 0
-""",
-)
-def events_stats_by_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1-A6/A8 on the events table: (user_id, event_type) plays
-    (file_name, sensor_id). Small groups (n can be 1) exercise the
-    stddev coalesce for real."""
-    ev = load_table(spark, "events", sf_dir)
-    return (
-        ev.groupBy("user_id", "event_type")
-        .agg(
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 6).alias("std_dev_value"),
-            F.count("value").alias("record_count"),
-            F.min("ts").alias("aggregation_time"),
-        )
-        .where(F.col("record_count") > 0)
-    )
-
-
-@register(
     "strict_file_gate",
     oracle=f"""
 SELECT e.event_id, e.user_id, e.event_type, e.value
@@ -127,28 +89,6 @@ def strict_file_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(F.broadcast(bad_units), "user_id", "left_anti").select(
         "event_id", "user_id", "event_type", "value"
     )
-
-
-@register(
-    "lenient_row_filter",
-    oracle=f"""
-SELECT event_id, user_id, event_type, value
-FROM events
-WHERE value IS NOT NULL AND value >= {VAL_LO} AND value <= {VAL_HI}
-  AND event_type IS NOT NULL
-""",
-)
-def lenient_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lenient mode (the log's `MainPipeline` variant,
-    logs/pipeline.log:273): drop only the bad rows, keep the rest."""
-    ev = load_table(spark, "events", sf_dir)
-    good = (
-        F.col("value").isNotNull()
-        & (F.col("value") >= VAL_LO)
-        & (F.col("value") <= VAL_HI)
-        & F.col("event_type").isNotNull()
-    )
-    return ev.where(good).select("event_id", "user_id", "event_type", "value")
 
 
 @register(

@@ -15,8 +15,10 @@ are preserved exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.functions.positions import with_row_position
 
 # Kaggle weatherHistory.csv headers -> canonical names
 # (preprocessing_kaggle_dataset.py:25-30).
@@ -50,12 +52,19 @@ def preprocess_weather_frame(df: DataFrame) -> DataFrame:
         F.to_timestamp("timestamp", "yyyy-MM-dd HH:mm:ss"),
     )
     out = out.withColumn("_ts", ts)
-    rn = F.row_number().over(Window.orderBy(F.col("_ts"), F.col("timestamp")))
+    # Bucketed global row position (functions/positions.py) — a
+    # partition-less Window.orderBy would collapse the table into one
+    # task. unix_micros makes the timestamp a bigint range key; the raw
+    # string breaks ties, matching the old (_ts, timestamp) ordering.
+    out = with_row_position(
+        out, F.unix_micros(F.col("_ts")), F.col("timestamp"), col_name="_rn"
+    )
     out = (
         out.withColumn(
             "sensor_id",
             F.element_at(
-                F.array(*[F.lit(s) for s in SENSOR_IDS]), ((rn - 1) % 3 + 1).cast("int")
+                F.array(*[F.lit(s) for s in SENSOR_IDS]),
+                ((F.col("_rn") - 1) % 3 + 1).cast("int"),
             ),
         )
         .withColumn("timestamp", F.date_format("_ts", "yyyy-MM-dd HH:mm:ss"))

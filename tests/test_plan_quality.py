@@ -79,6 +79,25 @@ def test_aggregates_partial_then_final(spark):
     assert "Exchange" in plan, plan
 
 
+def test_row_position_no_single_partition_window(spark):
+    """P7's global row position must come from the bucketed
+    with_row_position path: a partition-less window's Exchange
+    SinglePartition collapses the table into one task at scale."""
+    plan = plan_of(spark, "round_robin_synthetic_key")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(_rp_bucket" in plan, plan
+
+
+def test_clean_corpus_no_corpus_sized_broadcast(spark):
+    """Keeper selection must be a window over the content hash — a
+    broadcast of the corpus-sized keeper set would OOM the driver at
+    scale, and a global window would serialize."""
+    plan = plan_of(spark, "clean_corpus_pipeline")
+    assert "BroadcastExchange" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(md5" in plan or "hashpartitioning(_w" in plan, plan
+
+
 def test_bucketed_join_removes_shuffle(spark, tmp_path):
     """Fact-fact joins on the bucket key read co-located buckets: no
     Exchange on either side of the SortMergeJoin."""

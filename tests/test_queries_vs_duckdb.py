@@ -21,6 +21,13 @@ def test_query_matches_oracle(spark, duck, name):
         pytest.skip(f"{name}: float not bit-exact but within tol: {problems}")
 
 
+def test_ngram_jaccard_not_vacuous(spark):
+    """The exact-baseline check is only evidence if it finds the planted
+    near-dups at the oracle SF — 0 rows == 0 rows proves nothing."""
+    n = get_queries()["dedup_ngram_jaccard"](spark, SF_ORACLE).count()
+    assert n > 0
+
+
 def test_every_query_has_oracle_or_is_declared():
     qs, os_ = get_queries(), get_oracles()
     missing = sorted(set(qs) - set(os_))
