@@ -9,6 +9,7 @@ humidity fallback [0.0, 1.0]).
 
 from __future__ import annotations
 
+import configparser
 from dataclasses import dataclass, field
 
 # NA tokens honored at CSV read time (reference: pipeline.py:286).
@@ -102,3 +103,41 @@ class PipelineConfig:
     # lenient: bad rows are dropped/quarantined row-wise (the log's
     # historical `MainPipeline` variant, logs/pipeline.log:273).
     strict: bool = True
+
+    @classmethod
+    def from_ini(cls, path: str, strict: bool = True) -> PipelineConfig:
+        """Load the reference's config.ini key names (config.ini:1-20)
+        with the reference's code fallbacks (pipeline.py:30-37): every
+        VALIDATION key falls back per-key via ``getfloat(...,
+        fallback=...)``, folders/interval live in [DEFAULT]. Values are
+        ``strip()``-ed — the shipped ini carries trailing spaces that
+        configparser preserves."""
+        parser = configparser.ConfigParser()
+        with open(path) as fh:  # surface a missing file, unlike parser.read
+            parser.read_file(fh)
+
+        def getfloat(key: str, fallback: float) -> float:
+            raw = parser.get("VALIDATION", key, fallback=None)
+            if raw is None or not raw.strip():
+                return fallback
+            return float(raw.strip())
+
+        bounds = ValidationBounds(
+            temp_min=getfloat("TEMP_MIN", -50.0),
+            temp_max=getfloat("TEMP_MAX", 50.0),
+            humidity_min=getfloat("HUMIDITY_MIN", 0.0),
+            humidity_max=getfloat("HUMIDITY_MAX", 1.0),
+            pressure_min=getfloat("PRESSURE_MIN", 900.0),
+            pressure_max=getfloat("PRESSURE_MAX", 1100.0),
+        )
+        default = parser["DEFAULT"]
+        return cls(
+            data_folder=default.get("DATA_FOLDER", "data").strip(),
+            processed_folder=default.get("PROCESSED_FOLDER", "processed").strip(),
+            quarantine_folder=default.get("QUARANTINE_FOLDER", "quarantine").strip(),
+            monitor_interval_seconds=int(
+                default.get("MONITOR_INTERVAL_SECONDS", "5").strip()
+            ),
+            bounds=bounds,
+            strict=strict,
+        )

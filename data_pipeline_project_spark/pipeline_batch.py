@@ -31,7 +31,11 @@ from data_pipeline_project_spark.operators.validation import (
     sensor_rules,
     split_valid_invalid,
 )
-from data_pipeline_project_spark.sources.csv_source import FILE_COL, read_sensor_csv
+from data_pipeline_project_spark.sources.csv_source import (
+    FILE_COL,
+    header_mismatch_files,
+    read_sensor_csv,
+)
 
 
 @dataclass
@@ -51,7 +55,19 @@ def run_sensor_batch(
     config: PipelineConfig | None = None,
 ) -> SensorBatchResult:
     df = read_sensor_csv(spark, input_path)
-    return process_sensor_frame(df, config)
+    # F1 — a missing/unknown header column quarantines the whole file
+    # BEFORE row validation (enforceSchema would positional-map it into
+    # silently mislabeled columns). The bad-header set is per-batch tiny:
+    # broadcast anti-join, same shape as the strict file gate.
+    bad_headers = header_mismatch_files(spark, input_path)
+    df = df.join(F.broadcast(bad_headers.select(FILE_COL)), FILE_COL, "left_anti")
+    result = process_sensor_frame(df, config)
+    return SensorBatchResult(
+        raw=result.raw,
+        aggregates=result.aggregates,
+        quarantined_rows=result.quarantined_rows,
+        quarantine_log=result.quarantine_log.unionByName(bad_headers),
+    )
 
 
 def process_sensor_frame(

@@ -19,11 +19,35 @@ exists.
 
 from __future__ import annotations
 
+import time
 from abc import ABC, abstractmethod
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def connect_with_retry(
+    connect: Callable[[], object],
+    retry_count: int = 3,
+    delay: float = 5.0,
+    sleep: Callable[[float], None] = time.sleep,
+):
+    """K6 — the reference's DB connect retry loop (pipeline.py:59-82):
+    up to ``retry_count`` attempts, ``delay`` seconds apart; re-raises
+    the last error once attempts are exhausted (the reference returns
+    None and skips the file — in a dataflow engine the batch must fail
+    so the stream's checkpoint retries it, K3)."""
+    last: Exception | None = None
+    for attempt in range(retry_count):
+        try:
+            return connect()
+        except Exception as e:  # noqa: BLE001 — driver errors vary by DB-API
+            last = e
+            if attempt + 1 < retry_count:
+                sleep(delay)
+    assert last is not None
+    raise last
 
 
 class Sink(ABC):
@@ -50,17 +74,51 @@ class ParquetUpsertSink(Sink):
     """K2 — upsert keyed on ``keys``: last write wins per key.
 
     Without a transactional table format, upsert-into-parquet is
-    implemented as read-merge-overwrite of the key-affected data: new
-    batch rows replace existing rows with the same key. Replaying the
-    same batch is idempotent — exactly the property the reference's
-    unique-key upsert provides (K3/K6). At 100 TB one would point this
-    interface at Delta/Iceberg MERGE INTO instead; the interface is the
-    contract, the format is a deployment choice.
+    read-merge-overwrite — but scoped to the partitions the batch
+    touches, not the whole table: the table is partitioned by
+    ``partition_by`` (must be a subset of ``keys``, so a key's row can
+    never move between partitions), the merge reads only the affected
+    partitions (partition pruning), and the overwrite uses dynamic
+    partition-overwrite so untouched partitions' files are never
+    rewritten. Per-micro-batch cost is O(affected partitions), not
+    O(table) — for the sensor agg table partitioned by file_name, a
+    batch of k files rewrites k partitions of a table that grows
+    forever. Replaying the same batch is idempotent — the property the
+    reference's unique-key upsert provides (K3/K6). At 100 TB one would
+    point this interface at Delta/Iceberg MERGE INTO instead; the
+    interface is the contract, the format is a deployment choice.
+
+    ``partition_by=()`` degenerates to a full-table rewrite — only for
+    tiny bounded tables.
     """
 
-    def __init__(self, path: str, keys: Sequence[str]):  # noqa: D107
+    def __init__(
+        self,
+        path: str,
+        keys: Sequence[str],
+        partition_by: Sequence[str] = (),
+    ):  # noqa: D107
         self.path = path
         self.keys = list(keys)
+        self.partition_by = list(partition_by)
+        if not set(self.partition_by) <= set(self.keys):
+            raise ValueError(
+                "partition_by must be a subset of keys: an updated row "
+                "must land in the same partition as the row it replaces"
+            )
+
+    def _affected_filter(self, df: DataFrame):
+        """Predicate selecting the batch's partitions (pruning pushes it
+        to the directory listing). Driver traffic is one small collect:
+        distinct partition tuples of one micro-batch."""
+        parts = df.select(self.partition_by).distinct().collect()
+        cond = F.lit(False)
+        for p in parts:
+            tup = F.lit(True)
+            for c in self.partition_by:
+                tup = tup & (F.col(c) == F.lit(p[c]))
+            cond = cond | tup
+        return cond
 
     def write(self, df: DataFrame, epoch_id: int | None = None) -> None:
         spark = df.sparkSession
@@ -70,16 +128,23 @@ class ParquetUpsertSink(Sink):
         except Exception:
             have_existing = False
         if have_existing:
-            merged = existing.join(df.select(self.keys).distinct(), self.keys, "left_anti").unionByName(
-                df
-            )
+            if self.partition_by:
+                existing = existing.where(self._affected_filter(df))
+            merged = existing.join(
+                df.select(self.keys).distinct(), self.keys, "left_anti"
+            ).unionByName(df)
         else:
             merged = df
         # Materialize before overwrite: the plan reads the same path it
         # overwrites.
         out = merged.cache()
         out.count()
-        out.write.mode("overwrite").parquet(self.path)
+        writer = out.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by).option(
+                "partitionOverwriteMode", "dynamic"
+            )
+        writer.parquet(self.path)
         out.unpersist()
 
 
@@ -89,13 +154,40 @@ class JdbcAppendSink(Sink):
     connections: strictly better than the reference's single
     connection)."""
 
-    def __init__(self, url: str, table: str, properties: dict[str, str] | None = None, batchsize: int = 5000):  # noqa: D107
+    def __init__(
+        self,
+        url: str,
+        table: str,
+        properties: dict[str, str] | None = None,
+        batchsize: int = 5000,
+        retry_count: int = 3,
+        retry_delay: float = 5.0,
+    ):  # noqa: D107
         self.url = url
         self.table = table
         self.properties = dict(properties or {})
         self.batchsize = batchsize
+        self.retry_count = retry_count
+        self.retry_delay = retry_delay
 
     def write(self, df: DataFrame, epoch_id: int | None = None) -> None:
+        # K6 — retried connectivity probe BEFORE the save, mirroring the
+        # reference's get_db_connection-then-store split: the probe is
+        # one SELECT 1 round-trip; the save itself runs once (a mid-save
+        # retry could append a partition's rows twice).
+        spark = df.sparkSession
+
+        def probe() -> None:  # pragma: no cover - needs a live DB
+            (
+                spark.read.format("jdbc")
+                .option("url", self.url)
+                .option("query", "SELECT 1")
+                .options(**self.properties)
+                .load()
+                .collect()
+            )
+
+        connect_with_retry(probe, self.retry_count, self.retry_delay)
         (
             df.write.format("jdbc")
             .option("url", self.url)
@@ -118,12 +210,27 @@ class JdbcUpsertSink(Sink):
     environments without one can still import the module.
     """
 
-    def __init__(self, connect_kwargs: dict, table: str, keys: Sequence[str], update_cols: Sequence[str], batchsize: int = 1000):  # noqa: D107
+    def __init__(
+        self,
+        connect_kwargs: dict,
+        table: str,
+        keys: Sequence[str],
+        update_cols: Sequence[str],
+        batchsize: int = 1000,
+        retry_count: int = 3,
+        retry_delay: float = 5.0,
+        connect_fn: Callable[..., object] | None = None,
+    ):  # noqa: D107
         self.connect_kwargs = dict(connect_kwargs)
         self.table = table
         self.keys = list(keys)
         self.update_cols = list(update_cols)
         self.batchsize = batchsize
+        self.retry_count = retry_count
+        self.retry_delay = retry_delay
+        # injectable for tests / non-MySQL DB-API drivers; must be
+        # picklable (executors call it)
+        self.connect_fn = connect_fn
 
     def write(self, df: DataFrame, epoch_id: int | None = None) -> None:
         cols = df.columns
@@ -135,11 +242,17 @@ class JdbcUpsertSink(Sink):
         )
         connect_kwargs = self.connect_kwargs
         batchsize = self.batchsize
+        retry_count, retry_delay = self.retry_count, self.retry_delay
+        connect_fn = self.connect_fn
 
-        def write_partition(rows):  # pragma: no cover - needs a live DB
-            import mysql.connector  # deferred: not bundled in CI images
+        def write_partition(rows):
+            if connect_fn is None:  # pragma: no cover - needs a live DB
+                import mysql.connector  # deferred: not bundled in CI images
 
-            conn = mysql.connector.connect(**connect_kwargs)
+                make = lambda: mysql.connector.connect(**connect_kwargs)  # noqa: E731
+            else:
+                make = lambda: connect_fn(**connect_kwargs)  # noqa: E731
+            conn = connect_with_retry(make, retry_count, retry_delay)
             try:
                 cur = conn.cursor()
                 batch = []

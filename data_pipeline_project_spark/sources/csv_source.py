@@ -64,6 +64,49 @@ def read_sensor_csv(
     return df
 
 
+def header_mismatch_files(spark: SparkSession, path: str) -> DataFrame:
+    """F1 — files whose header lacks any expected column, with the
+    reference's message (pipeline.py:100-105: "File '{name}': Missing
+    critical columns: {cols}. Quarantining."). ``enforceSchema``
+    positional-maps a short or reordered header, so this per-file probe
+    is the only thing standing between a malformed header and silently
+    mislabeled columns.
+
+    One cheap text scan: min_by picks each file's first line via
+    map-side partial aggregation (no per-file window sort — splits are
+    assigned in offset order, so the minimum ``monotonically_increasing_
+    id`` within a file IS its first line). Header cells are split on
+    ',' and trimmed — same fidelity as the reference's parsed-column
+    check for the unquoted headers both pipelines emit."""
+    first_lines = (
+        spark.read.text(path)
+        .select(
+            F.col("_metadata.file_name").alias(FILE_COL),
+            "value",
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        .groupBy(FILE_COL)
+        .agg(F.min_by("value", F.col("_mid")).alias("header"))
+    )
+    cols = F.transform(F.split(F.col("header"), ","), lambda c: F.trim(c))
+    expected = F.array(*[F.lit(c) for c in EXPECTED_COLUMNS])
+    missing = F.array_except(expected, cols)
+    return (
+        first_lines.withColumn("_missing", missing)
+        .where(F.size("_missing") > 0)
+        .select(
+            FILE_COL,
+            F.concat(
+                F.lit("File '"),
+                F.col(FILE_COL),
+                F.lit("': Missing critical columns: "),
+                F.concat_ws(", ", F.col("_missing")),
+                F.lit(". Quarantining."),
+            ).alias("quarantine_reason"),
+        )
+    )
+
+
 def empty_files(spark: SparkSession, path: str) -> DataFrame:
     """S6 — files with zero data rows (header-only or fully empty):
     quarantine candidates that never appear in the data frame at all.

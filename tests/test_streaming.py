@@ -32,7 +32,9 @@ def test_stream_end_to_end(spark, tmp_path):
 
     raw_sink = ParquetAppendSink(raw_path)
     agg_sink = ParquetUpsertSink(
-        agg_path, keys=["sensor_id", "file_name", "metric_name", "aggregation_time"]
+        agg_path,
+        keys=["sensor_id", "file_name", "metric_name", "aggregation_time"],
+        partition_by=["file_name"],
     )
     quar_sink = ParquetAppendSink(quar_path)
 
@@ -74,11 +76,49 @@ def test_upsert_replay_idempotent(spark, tmp_path):
     sink = ParquetUpsertSink(
         str(tmp_path / "agg"),
         keys=["sensor_id", "file_name", "metric_name", "aggregation_time"],
+        partition_by=["file_name"],
     )
     sink.write(res.aggregates)
     sink.write(res.aggregates)  # replay
     out = spark.read.parquet(str(tmp_path / "agg"))
     assert out.count() == 3
+
+
+def test_upsert_rewrites_only_affected_partitions(spark, tmp_path):
+    """K2 at scale: a batch must rewrite only the partitions it touches
+    — untouched partitions' files stay byte-identical (dynamic
+    partition overwrite), so per-batch cost is O(batch), not O(table)."""
+    import hashlib
+    from pathlib import Path
+
+    d = tmp_path / "data"
+    d.mkdir()
+    _write(d, "f1.csv", ["2025-05-26 10:00:00,S1,20.0,0.5,1000.0"])
+    _write(d, "f2.csv", ["2025-05-26 11:00:00,S2,21.0,0.6,1001.0"])
+    res = run_sensor_batch(spark, str(d))
+    agg_path = tmp_path / "agg"
+    sink = ParquetUpsertSink(
+        str(agg_path),
+        keys=["sensor_id", "file_name", "metric_name", "aggregation_time"],
+        partition_by=["file_name"],
+    )
+    sink.write(res.aggregates)
+
+    def snapshot(part_dir: Path):
+        return {
+            f.name: (f.stat().st_mtime_ns, hashlib.md5(f.read_bytes()).hexdigest())
+            for f in part_dir.glob("*.parquet")
+        }
+
+    f1_before = snapshot(agg_path / "file_name=f1.csv")
+    assert f1_before  # the partition exists and has data files
+
+    # disjoint batch: touches only f2's partition
+    sink.write(res.aggregates.where("file_name = 'f2.csv'"))
+
+    assert snapshot(agg_path / "file_name=f1.csv") == f1_before
+    out = spark.read.parquet(str(agg_path))
+    assert out.count() == 6  # 2 sensors x 3 metrics, no dup keys
 
 
 def test_streaming_ewma_stateful(spark, tmp_path):

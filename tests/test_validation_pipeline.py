@@ -127,6 +127,48 @@ def test_config_injected_bounds(spark, tmp_path):
     assert "'humidity' ('0.10') is out of range [0.2, 0.99]." in reason
 
 
+def test_config_ini_loader(tmp_path):
+    """PipelineConfig.from_ini parses the reference's key names
+    (config.ini:1-20, incl. its trailing-space quirks) and falls back
+    per-key to the code defaults (pipeline.py:30-37)."""
+    from data_pipeline_project_spark.config import CONFIG_INI_BOUNDS, PipelineConfig
+
+    ini = tmp_path / "config.ini"
+    ini.write_text(
+        "[DEFAULT]\n"
+        "DATA_FOLDER = data\n"
+        "QUARANTINE_FOLDER = quarantine\n"
+        "PROCESSED_FOLDER = processed\n"
+        "LOG_FILE = logs/pipeline.log\n"
+        "MONITOR_INTERVAL_SECONDS = 5\n"
+        "[VALIDATION]\n"
+        "\n"
+        "TEMP_MIN = -50.0\n"
+        "TEMP_MAX = 50.0\n"
+        "HUMIDITY_MIN = 0.20\n"
+        "HUMIDITY_MAX = 0.99\n"
+        "PRESSURE_MIN = 980.0\n"
+        "PRESSURE_MAX = 1050.0 \n"  # trailing space, as shipped
+    )
+    cfg = PipelineConfig.from_ini(str(ini))
+    assert cfg.bounds == CONFIG_INI_BOUNDS
+    assert cfg.data_folder == "data"
+    assert cfg.monitor_interval_seconds == 5
+
+    # partial ini: missing VALIDATION keys use the code fallbacks
+    sparse = tmp_path / "sparse.ini"
+    sparse.write_text("[VALIDATION]\nTEMP_MIN = -10.0\n")
+    cfg2 = PipelineConfig.from_ini(str(sparse))
+    assert cfg2.bounds.temp_min == -10.0
+    assert cfg2.bounds.humidity_min == 0.0 and cfg2.bounds.humidity_max == 1.0
+    assert cfg2.bounds.pressure_max == 1100.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        PipelineConfig.from_ini(str(tmp_path / "missing.ini"))
+
+
 def test_aggregates_shape_and_stddev_edge(spark, fixture_dir):
     res = run_sensor_batch(spark, str(fixture_dir))
     aggs = {(r.sensor_id, r.metric_name): r for r in res.aggregates.collect()}
@@ -177,6 +219,36 @@ def test_empty_and_header_only_files(spark, tmp_path):
         "empty.csv": "File is completely empty.",
         "header_only.csv": "File contains only a header.",
     }
+
+
+def test_header_mismatch_quarantined_with_reference_message(spark, tmp_path):
+    """F1 — a file whose header lacks expected columns is quarantined
+    whole with the reference's message (pipeline.py:100-105), and its
+    rows never reach the raw table (enforceSchema would otherwise
+    positional-map them into the wrong columns)."""
+    d = tmp_path / "data"
+    d.mkdir()
+    write_csv(d, "ok.csv", ["2025-05-26 10:00:00,S1,20.0,0.5,1000.0"])
+    # 4-column header: pressure missing entirely
+    (d / "short_header.csv").write_text(
+        "timestamp,sensor_id,temperature,humidity\n"
+        "2025-05-26 10:00:00,S1,20.0,0.5\n"
+    )
+    # unknown names in place of two expected columns
+    (d / "renamed_header.csv").write_text(
+        "timestamp,sensor_id,temp_c,hum_pct,pressure\n"
+        "2025-05-26 10:00:00,S1,20.0,0.5,1000.0\n"
+    )
+    res = run_sensor_batch(spark, str(d))
+    assert {r.file_name for r in res.raw.collect()} == {"ok.csv"}
+    log = {r.file_name: r.quarantine_reason for r in res.quarantine_log.collect()}
+    assert log["short_header.csv"] == (
+        "File 'short_header.csv': Missing critical columns: pressure. Quarantining."
+    )
+    assert log["renamed_header.csv"] == (
+        "File 'renamed_header.csv': Missing critical columns: "
+        "temperature, humidity. Quarantining."
+    )
 
 
 def test_preprocess_job_chunks_and_format(spark, tmp_path):
