@@ -110,3 +110,36 @@ def process_sensor_frame(
 
 def _csv_cols(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c not in (FILE_COL, ROW_COL, ERROR_COL)]
+
+
+def batch_metrics(result: SensorBatchResult) -> DataFrame:
+    """K9 — one-row audit metrics frame for a pipeline run, the
+    first-class equivalent of the reference's per-file audit logging
+    (pipeline.py:311-324 logs quarantines and success moves; this emits
+    the counts as data, writable through any Sink as a fourth output).
+
+    Columns: files_processed / files_quarantined (distinct file
+    counts), rows_valid / rows_quarantined. Each input is a 1-row
+    aggregate, so the cross joins are trivially broadcast — one job,
+    no driver-side counting.
+    """
+    valid = result.raw.agg(
+        F.count_distinct(F.col(FILE_COL)).alias("files_processed"),
+        F.count(F.lit(1)).alias("rows_valid"),
+    )
+    quarantined = result.quarantine_log.agg(
+        F.count_distinct(F.col(FILE_COL)).alias("files_quarantined")
+    )
+    quarantined_rows = result.quarantined_rows.agg(
+        F.count(F.lit(1)).alias("rows_quarantined")
+    )
+    return (
+        valid.crossJoin(quarantined)
+        .crossJoin(quarantined_rows)
+        .select(
+            "files_processed",
+            "files_quarantined",
+            "rows_valid",
+            "rows_quarantined",
+        )
+    )

@@ -308,6 +308,30 @@ CREATE TABLE IF NOT EXISTS aggregated_sensor_data (
 """
 
 
+def bootstrap_database(
+    connect_fn: Callable[..., object],
+    connect_kwargs: dict | None = None,
+    ddls: Sequence[str] = (RAW_TABLE_DDL, AGG_TABLE_DDL),
+    retry_count: int = 3,
+    retry_delay: float = 5.0,
+) -> None:
+    """K8 — run the table DDL once at startup, the reference's
+    setup_database_in_mysql.py:58-103 as an entry point: connect with
+    the K6 retry loop, execute each CREATE TABLE IF NOT EXISTS, commit,
+    close. ``connect_fn`` is any DB-API connect callable (injectable
+    for tests; pass ``mysql.connector.connect`` in production)."""
+    conn = connect_with_retry(
+        lambda: connect_fn(**(connect_kwargs or {})), retry_count, retry_delay
+    )
+    try:
+        cur = conn.cursor()
+        for ddl in ddls:
+            cur.execute(ddl)
+        conn.commit()
+    finally:
+        conn.close()
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -10,6 +10,7 @@ DuckDB) is visible rather than silent.
 from __future__ import annotations
 
 import math
+import warnings
 
 import pandas as pd
 
@@ -74,6 +75,14 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, float_rel_tol: floa
     for col in s.columns:
         sv, ov = s[col], o[col]
         sc, oc = _dtype_class(sv), _dtype_class(ov)
+        if sc != oc and "empty-object" in (sc, oc):
+            # All-null at this SF: the class check is unverifiable here
+            # but the driver at larger SF would see values — surface it.
+            warnings.warn(
+                f"col {col!r}: dtype parity unverified (all-null column at "
+                f"this SF): spark={sc} oracle={oc}",
+                stacklevel=2,
+            )
         if sc != oc and "empty-object" not in (sc, oc):
             problems.append(
                 f"col {col!r}: dtype class mismatch spark={sc} oracle={oc} (driver hash would fail)"

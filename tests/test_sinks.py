@@ -6,7 +6,13 @@ import os
 
 import pytest
 
-from data_pipeline_project_spark.sinks.sinks import JdbcUpsertSink, connect_with_retry
+from data_pipeline_project_spark.sinks.sinks import (
+    AGG_TABLE_DDL,
+    RAW_TABLE_DDL,
+    JdbcUpsertSink,
+    bootstrap_database,
+    connect_with_retry,
+)
 
 
 def test_connect_with_retry_succeeds_on_third_attempt():
@@ -33,6 +39,44 @@ def test_connect_with_retry_exhausts_and_raises():
     with pytest.raises(ConnectionError):
         connect_with_retry(connect, retry_count=3, delay=5.0, sleep=sleeps.append)
     assert sleeps == [5.0, 5.0]  # no sleep after the final attempt
+
+
+def test_bootstrap_database_runs_ddl_with_retry():
+    """K8 — the DDL bootstrap entry point executes both CREATE TABLE
+    statements over a retried connection (reference
+    setup_database_in_mysql.py:58-103 + the K6 connect loop)."""
+    attempts, executed, state = [], [], {"committed": False, "closed": False}
+
+    class FakeCursor:
+        def execute(self, sql):
+            executed.append(sql)
+
+    class FakeConn:
+        def cursor(self):
+            return FakeCursor()
+
+        def commit(self):
+            state["committed"] = True
+
+        def close(self):
+            state["closed"] = True
+
+    def flaky_connect(**kwargs):
+        attempts.append(kwargs)
+        if len(attempts) < 2:
+            raise ConnectionError("db warming up")
+        return FakeConn()
+
+    bootstrap_database(
+        flaky_connect,
+        connect_kwargs={"host": "fake"},
+        retry_count=3,
+        retry_delay=0.0,
+    )
+    assert len(attempts) == 2 and attempts[0] == {"host": "fake"}
+    assert executed == [RAW_TABLE_DDL, AGG_TABLE_DDL]
+    assert "CREATE TABLE IF NOT EXISTS raw_sensor_data" in executed[0]
+    assert state == {"committed": True, "closed": True}
 
 
 def test_jdbc_upsert_retries_flaky_connection(spark, tmp_path):

@@ -66,6 +66,55 @@ def test_stream_end_to_end(spark, tmp_path):
     assert agg2.count() == 6  # S1+S2, 3 metrics each
 
 
+def test_archive_moves_consumed_files(spark, tmp_path):
+    """K4 — consumed source files land in sourceArchiveDir (the
+    reference's shutil.move to processed/, pipeline.py:323-324).
+
+    Spark's file-source cleaner archives a batch's files when the
+    source commits that batch — which happens as the NEXT batch starts
+    — and the move itself runs on a background cleaner thread, so the
+    test runs a second availableNow pass and polls briefly."""
+    data = tmp_path / "data"
+    data.mkdir()
+    archive = tmp_path / "archive"
+    _write(data, "f1.csv", ["2025-05-26 10:00:00,S1,20.0,0.5,1000.0"])
+
+    sinks = dict(
+        raw_sink=ParquetAppendSink(str(tmp_path / "raw")),
+        agg_sink=ParquetUpsertSink(
+            str(tmp_path / "agg"),
+            keys=["sensor_id", "file_name", "metric_name", "aggregation_time"],
+            partition_by=["file_name"],
+        ),
+        quarantine_sink=ParquetAppendSink(str(tmp_path / "quar")),
+    )
+
+    def archived():
+        return [p.name for p in archive.rglob("*.csv")]
+
+    def run_once():
+        q = run_sensor_stream(
+            spark, str(data), checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger={"availableNow": True}, archive_dir=str(archive),
+            **sinks,
+        )
+        _run_until_done(q)
+
+    run_once()
+    if "f1.csv" not in archived():
+        # a fresh batch forces the source to commit the previous one
+        _write(data, "f2.csv", ["2025-05-26 11:00:00,S2,21.0,0.5,1000.0"])
+        run_once()
+    deadline = time.time() + 30
+    while "f1.csv" not in archived() and time.time() < deadline:
+        time.sleep(0.5)
+
+    assert "f1.csv" in archived(), (
+        f"f1.csv not archived; archive={archived()}, src={list(data.iterdir())}"
+    )
+    assert not (data / "f1.csv").exists()  # moved, not copied
+
+
 def test_upsert_replay_idempotent(spark, tmp_path):
     """K2/K3 — replaying the same batch through the upsert sink leaves
     one row per key (the reference's unique-key upsert property)."""

@@ -284,3 +284,21 @@ def test_preprocess_job_chunks_and_format(spark, tmp_path):
         sizes.append(len(lines) - 1)
     assert max(sizes) <= 10  # K7/P10 chunk bound
     assert sum(sizes) == 25
+
+
+def test_batch_metrics_counts(spark, fixture_dir):
+    """K9 — the audit metrics frame mirrors the reference's per-run
+    logging as data: on the standard fixture set, 1 file / 3 rows pass
+    and 4 files / 7 rows quarantine (strict gate)."""
+    from data_pipeline_project_spark.pipeline_batch import batch_metrics, run_sensor_batch
+
+    res = run_sensor_batch(spark, str(fixture_dir))
+    m = batch_metrics(res).collect()
+    assert len(m) == 1
+    row = m[0].asDict()
+    assert row == {
+        "files_processed": 1,
+        "files_quarantined": 4,
+        "rows_valid": 3,
+        "rows_quarantined": 7,
+    }
