@@ -36,40 +36,21 @@ def main() -> None:
 
     # Warm the JVM/reader once so timings measure plans, not session init.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    # Also warm the higher-order-function / lambda expression machinery
-    # (first use pays ~3 s of one-time JVM class loading) on a tiny SF
-    # so per-query timings reflect engine work.
-    from pyspark.sql import functions as F  # noqa: E402
-
-    from data_pipeline_project_spark.operators.dedup import (  # noqa: E402
-        shingle_hashes,
-        simhash,
-    )
-    from data_pipeline_project_spark.sources.tables import load_table  # noqa: E402
-
-    tiny = load_table(spark, "documents", "/root/testdata/sf0.001")
-    tiny.select(
-        shingle_hashes(F.col("text")).alias("s"), simhash(F.col("text")).alias("f")
-    ).where(F.size("s") > 0).count()
-    # ...and the Arrow/pandas worker pool (first mapInPandas pays
-    # Python-worker startup).
-    tiny.limit(8).mapInPandas(lambda it: it, schema=tiny.schema).count()
-    # ...and the agg/join/AQE machinery (first shuffle-agg pays its own
-    # class-loading; ~2.5s otherwise billed to the alphabetically-first
-    # query).
-    n = load_table(spark, "nation", "/root/testdata/sf0.001")
-    r = load_table(spark, "region", "/root/testdata/sf0.001")
-    n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).groupBy("r_name").agg(
-        F.count_distinct("n_name"), F.approx_count_distinct("n_name")
-    ).count()
-    # ...and window/generate/json execution classes.
-    from pyspark.sql import Window
-
-    (
-        n.withColumn("rn", F.row_number().over(Window.orderBy("n_nationkey")))
-        .select(F.explode(F.split("n_name", "")), F.from_json(F.lit('{"k":1}'), "map<string,int>"))
-        .count()
-    )
+    # Then run EVERY query once at the tiny SF: one-time JVM class
+    # loading (codegen, window/generate/json exec classes, Arrow worker
+    # pool, AQE machinery) costs seconds and lands on whichever query
+    # touches each subsystem first — a hand-curated warm-up list rots
+    # whenever the registry changes. A uniform tiny-SF pass pays all of
+    # it outside the timed loop, so per-SF timings measure steady-state
+    # plan execution.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in sorted(queries):
+        try:
+            queries[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # a warm-up failure is the timed run's problem to report
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
@@ -122,6 +103,13 @@ def _bench_ingest(spark) -> dict:
                 )
             with open(os.path.join(d, f"bench_{f:02d}.csv"), "w") as fh:
                 fh.write("\n".join(lines) + "\n")
+
+        # one untimed pass: first use of the CSV reader, header-probe
+        # Python workers, and validation codegen pays seconds of
+        # class-loading that isn't per-batch work
+        warm = run_sensor_batch(spark, d)
+        for out in (warm.raw, warm.aggregates, warm.quarantined_rows, warm.quarantine_log):
+            out.write.format("noop").mode("overwrite").save()
 
         t0 = time.perf_counter()
         res = run_sensor_batch(spark, d)

@@ -33,7 +33,8 @@ def with_row_position(
     order_key: Column | str,
     *tiebreaks: Column | str,
     col_name: str = "row_pos",
-    n_buckets: int = 1024,
+    n_buckets: int = 65536,
+    persist: bool = True,
 ) -> DataFrame:
     """Add 1-based ``col_name`` = rank of each row under
     ``ORDER BY order_key [NULLS FIRST], *tiebreaks``.
@@ -44,23 +45,28 @@ def with_row_position(
     for the position to be well-defined.
 
     Scale: two narrow scans (min/max, per-bucket counts) + one hash
-    shuffle on the bucket id; driver traffic is <= n_buckets rows. The
-    keyed input stays persisted (the returned plan reads it); Spark's
-    LRU eviction reclaims it — callers that loop may ``unpersist()``
-    via ``df.sparkSession.catalog.clearCache()`` between iterations.
+    shuffle on the bucket id; driver traffic is <= n_buckets rows.
+
+    ``persist``: three jobs (min/max, per-bucket counts, final window)
+    read the keyed frame. With ``persist=True`` (the safe default) it
+    is cached so a nondeterministic upstream can't make the collected
+    counts disagree with the final window pass. Pass ``persist=False``
+    when the input is deterministic (a file scan plus pure
+    projections/filters — the common case): the two statistics jobs
+    then rescan only the pruned key column, which is far cheaper than
+    materializing the full row width into the cache.
     """
     key = F.col(order_key) if isinstance(order_key, str) else order_key
-    # Persist: three jobs (min/max, per-bucket counts, final window) read
-    # this frame; without it the upstream recomputes per job, and a
-    # nondeterministic upstream could make the collected counts disagree
-    # with the final window pass, corrupting offsets.
-    keyed = df.withColumn(_KEY, key.cast("bigint")).persist()
+    keyed = df.withColumn(_KEY, key.cast("bigint"))
+    if persist:
+        keyed = keyed.persist()
 
     stats = keyed.agg(
         F.min(_KEY).alias("lo"), F.max(_KEY).alias("hi"), F.count(F.lit(1)).alias("n")
     ).first()
     if stats is None or stats["n"] == 0:
-        keyed.unpersist()
+        if persist:
+            keyed.unpersist()
         return df.withColumn(col_name, F.lit(None).cast("long"))
     lo, hi = stats["lo"], stats["hi"]
     if lo is None:  # all keys null
@@ -72,7 +78,12 @@ def with_row_position(
             f"order-key range {span} exceeds int64; rescale the key (e.g. "
             "unix_micros -> unix_seconds) before calling with_row_position"
         )
-    width = max(1, span // n_buckets + 1)
+    # Auto-size: ~1M rows per bucket keeps each per-bucket window sort
+    # in-memory, floored at the cluster's parallelism so small inputs
+    # still use every core, capped at n_buckets to bound driver traffic.
+    sc = df.sparkSession.sparkContext
+    eff_buckets = min(n_buckets, max(sc.defaultParallelism, int(stats["n"]) // 1_000_000 + 1))
+    width = max(1, span // eff_buckets + 1)
 
     bucket = F.when(F.col(_KEY).isNull(), F.lit(_NULL_BUCKET)).otherwise(
         F.expr(f"({_KEY} - {int(lo)}) div {width}")
@@ -83,18 +94,22 @@ def with_row_position(
         (r[_BUCKET], r["cnt"])
         for r in bucketed.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
-    offsets: list[Column] = []
+    offsets = []
     acc = 0
     for b, cnt in counts:
-        offsets.extend((F.lit(b), F.lit(acc)))
+        offsets.append((int(b), acc))
         acc += cnt
-    offset_map = F.create_map(*offsets)
+    # Broadcast-joined offset table, not a literal create_map: a map of
+    # 2*eff_buckets literal expressions blows up codegen at high bucket
+    # counts, while a broadcast hash join stays O(1) per row.
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"{_BUCKET} bigint, _rp_off bigint"
+    )
 
     w = Window.partitionBy(_BUCKET).orderBy(F.col(_KEY).asc_nulls_first(), *tiebreaks)
     return (
-        bucketed.withColumn(
-            col_name,
-            (F.element_at(offset_map, F.col(_BUCKET)) + F.row_number().over(w)).cast("long"),
-        )
-        .drop(_KEY, _BUCKET)
+        bucketed.withColumn(_BUCKET, F.col(_BUCKET).cast("bigint"))
+        .join(F.broadcast(off_df), _BUCKET)
+        .withColumn(col_name, (F.col("_rp_off") + F.row_number().over(w)).cast("long"))
+        .drop(_KEY, _BUCKET, "_rp_off")
     )

@@ -57,16 +57,26 @@ def run_sensor_batch(
     df = read_sensor_csv(spark, input_path)
     # F1 — a missing/unknown header column quarantines the whole file
     # BEFORE row validation (enforceSchema would positional-map it into
-    # silently mislabeled columns). The bad-header set is per-batch tiny:
-    # broadcast anti-join, same shape as the strict file gate.
-    bad_headers = header_mismatch_files(spark, input_path)
-    df = df.join(F.broadcast(bad_headers.select(FILE_COL)), FILE_COL, "left_anti")
+    # silently mislabeled columns). Evaluate the probe ONCE and collect:
+    # the result is bounded by per-batch file COUNT (the driver already
+    # holds the directory listing), never data bytes — and leaving it
+    # lazy would re-run the probe's Python stage inside every one of the
+    # four output queries that reference it (measured 4-5 s/batch).
+    bad_headers = header_mismatch_files(spark, input_path).collect()
+    bad_log = spark.createDataFrame(
+        bad_headers, f"{FILE_COL} string, quarantine_reason string"
+    )
+    if bad_headers:
+        bad_names = [r[FILE_COL] for r in bad_headers]
+        # literal IN-filter: pushed into the CSV scan, no join, no
+        # recompute — the common zero-bad-files batch skips it entirely
+        df = df.where(~F.col(FILE_COL).isin(bad_names))
     result = process_sensor_frame(df, config)
     return SensorBatchResult(
         raw=result.raw,
         aggregates=result.aggregates,
         quarantined_rows=result.quarantined_rows,
-        quarantine_log=result.quarantine_log.unionByName(bad_headers),
+        quarantine_log=result.quarantine_log.unionByName(bad_log),
     )
 
 

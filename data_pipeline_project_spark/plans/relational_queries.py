@@ -562,9 +562,11 @@ def round_robin_synthetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketed ``with_row_position`` (range buckets + per-bucket
     window), not a partition-less global window — the global window
     collapses the table into one task at scale."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").select("event_id")
     ids = ["Kaggle_Weather_01", "Kaggle_Weather_02", "Kaggle_Weather_03"]
-    pos = with_row_position(ev, "event_id", col_name="_rn")
+    # persist=False: a pruned parquet scan is deterministic, so the two
+    # statistics jobs rescan one column instead of caching the table.
+    pos = with_row_position(ev, "event_id", col_name="_rn", persist=False)
     sensor = F.element_at(
         F.array(*[F.lit(i) for i in ids]), ((F.col("_rn") - 1) % 3 + 1).cast("int")
     )

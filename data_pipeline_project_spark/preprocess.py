@@ -57,7 +57,13 @@ def preprocess_weather_frame(df: DataFrame) -> DataFrame:
     # task. unix_micros makes the timestamp a bigint range key; the raw
     # string breaks ties, matching the old (_ts, timestamp) ordering.
     out = with_row_position(
-        out, F.unix_micros(F.col("_ts")), F.col("timestamp"), col_name="_rn"
+        out,
+        F.unix_micros(F.col("_ts")),
+        F.col("timestamp"),
+        col_name="_rn",
+        # the upstream is a CSV scan + pure projections — deterministic,
+        # so the statistics jobs can rescan instead of caching
+        persist=False,
     )
     out = (
         out.withColumn(

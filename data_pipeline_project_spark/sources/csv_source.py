@@ -64,6 +64,51 @@ def read_sensor_csv(
     return df
 
 
+_HEAD_BYTES = 65536
+
+
+def _first_lines(spark: SparkSession, path: str) -> DataFrame:
+    """One row per non-empty file under ``path``: (file_name, header =
+    first text line). The driver only LISTS the directory (metadata,
+    like ``empty_files``); the head reads happen on executors, each
+    bounded to the first 64 KiB of its file via pyarrow's filesystem
+    layer — never a scan proportional to dataset bytes."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    files = [
+        (st.getPath().getName(), st.getPath().toString())
+        for st in fs.listStatus(jpath)
+        if st.isFile() and st.getLen() > 0
+    ]
+    schema = f"{FILE_COL} string, header string"
+    if not files:
+        return spark.createDataFrame([], schema)
+
+    def read_heads(batches):
+        import pandas as pd
+        import pyarrow.fs as pafs
+
+        for pdf in batches:
+            heads = []
+            for uri in pdf["_uri"]:
+                try:
+                    pa_fs, rel = pafs.FileSystem.from_uri(uri)
+                except Exception:
+                    # bare local path (no scheme) — common in tests
+                    pa_fs, rel = pafs.LocalFileSystem(), uri
+                with pa_fs.open_input_stream(rel) as f:
+                    head = f.read(_HEAD_BYTES)
+                line = head.split(b"\n", 1)[0]
+                heads.append(line.decode("utf-8", "replace").rstrip("\r"))
+            yield pd.DataFrame({FILE_COL: pdf[FILE_COL], "header": heads})
+
+    paths_df = spark.createDataFrame(files, [FILE_COL, "_uri"])
+    # spread the file list across tasks so heads read in parallel
+    n_part = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    return paths_df.repartition(n_part).mapInPandas(read_heads, schema)
+
+
 def header_mismatch_files(spark: SparkSession, path: str) -> DataFrame:
     """F1 — files whose header lacks any expected column, with the
     reference's message (pipeline.py:100-105: "File '{name}': Missing
@@ -72,22 +117,14 @@ def header_mismatch_files(spark: SparkSession, path: str) -> DataFrame:
     is the only thing standing between a malformed header and silently
     mislabeled columns.
 
-    One cheap text scan: min_by picks each file's first line via
-    map-side partial aggregation (no per-file window sort — splits are
-    assigned in offset order, so the minimum ``monotonically_increasing_
-    id`` within a file IS its first line). Header cells are split on
-    ',' and trimmed — same fidelity as the reference's parsed-column
-    check for the unquoted headers both pipelines emit."""
-    first_lines = (
-        spark.read.text(path)
-        .select(
-            F.col("_metadata.file_name").alias(FILE_COL),
-            "value",
-            F.monotonically_increasing_id().alias("_mid"),
-        )
-        .groupBy(FILE_COL)
-        .agg(F.min_by("value", F.col("_mid")).alias("header"))
-    )
+    Cost is bounded by file COUNT, not dataset bytes: the file list is
+    distributed to executors and each task reads only the first 64 KiB
+    of its files through pyarrow's filesystem layer (local/HDFS/S3) —
+    never a full scan of data that row validation will read anyway.
+    Header cells are split on ',' and trimmed — same fidelity as the
+    reference's parsed-column check for the unquoted headers both
+    pipelines emit."""
+    first_lines = _first_lines(spark, path)
     cols = F.transform(F.split(F.col("header"), ","), lambda c: F.trim(c))
     expected = F.array(*[F.lit(c) for c in EXPECTED_COLUMNS])
     missing = F.array_except(expected, cols)
