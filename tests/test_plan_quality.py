@@ -125,3 +125,40 @@ def test_bucketed_join_removes_shuffle(spark, tmp_path):
         assert joined.count() == plain
     finally:
         spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
+
+
+# Queries whose physical plan legitimately contains a broadcast
+# nested-loop join: each broadcasts a bounded side by design.
+_BNLJ_BY_DESIGN = {
+    "dedup_ngram_jaccard",        # sampled quadratic baseline — the cross join IS the op
+    "similarity_topk_bruteforce", # bounded query set broadcast against the corpus scan
+    "tfidf_top_terms",            # single-row corpus-size scalar cross join
+}
+
+
+def test_registry_wide_plan_sweep(spark):
+    """Every registered query's physical plan is free of the patterns
+    that are invisible at sf0.01 and catastrophic at 100 TB:
+
+    - CartesianProduct (unbounded pairwise blowup)
+    - BroadcastNestedLoopJoin outside the documented allowlist
+    - BatchEvalPython (row-at-a-time Python UDF — all Python here must
+      be Arrow-batched)
+    - Exchange SinglePartition (a global window/sort collapsing the
+      dataset into one task)
+    """
+    problems = []
+    for name, fn in sorted(get_queries().items()):
+        df = fn(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_BY_DESIGN:
+            problems.append(f"{name}: BroadcastNestedLoopJoin (not allowlisted)")
+        if "BatchEvalPython" in plan:
+            problems.append(f"{name}: row-at-a-time Python UDF")
+        if "Exchange SinglePartition" in plan:
+            problems.append(f"{name}: Exchange SinglePartition")
+    assert not problems, problems
