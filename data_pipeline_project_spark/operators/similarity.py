@@ -253,3 +253,141 @@ def lsh_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the data-adaptive alternative to the fixed
+# random-hyperplane LSH above. Centroids learned from the data put
+# bucket boundaries where the vectors actually are, so at equal
+# candidate budget IVF recall beats LSH on clustered corpora (the
+# production case for embedding stores; faiss's IndexIVFFlat is the
+# canonical shape).
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_list: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Spherical k-means centroids from a bounded, deterministic sample.
+
+    Scale: training collects at most ``sample_size`` vectors — chosen
+    by a hash-order rank over ids, so the sample is uniform,
+    reproducible, and independent of partitioning — then runs Lloyd
+    iterations driver-side in numpy. O(sample * iters * n_list) work on
+    ~1 MB of data regardless of corpus size; this mirrors how IVF
+    indexes are trained in practice (sample -> train -> assign the full
+    corpus in one linear pass).
+    """
+    sample = (
+        corpus.select(_as_double(F.col(vec_col)).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_size)
+        .select("v")
+    )
+    x = np.vstack([r["v"] for r in sample.collect()]).astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    # k-means++ seeding with the module's deterministic LCG
+    state = 0x9E3779B97F4A7C15
+    def nxt():
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (state >> 11) / float(1 << 53)
+
+    cents = [x[int(nxt() * len(x))]]
+    for _ in range(1, n_list):
+        d2 = np.min(
+            [1.0 - x @ c for c in cents], axis=0
+        )  # angular distance proxy on unit vectors
+        d2 = np.maximum(d2, 0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(x), 1.0 / len(x))
+        cents.append(x[int(np.searchsorted(np.cumsum(probs), nxt()))])
+    c = np.vstack(cents)
+
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_list):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c.tolist()
+
+
+def _ivf_assign_kernel_factory(centroids: list[list[float]], n_probe: int):
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = _mat(vecs)
+        norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = (m / norms) @ cmat.T
+        # top-n_probe centroid ids per row, best first
+        idx = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series(list(idx.astype(np.int64)))
+
+    return kernel
+
+
+def ivf_lists(vec: Column, centroids: list[list[float]], n_probe: int = 1) -> Column:
+    """``array<bigint>`` of the ``n_probe`` nearest centroid ids for
+    each vector (Arrow-batched argmax over the broadcast centroid
+    matrix — the matrix rides into the kernel closure, ~n_list*dim
+    doubles, a few KB). ``n_probe=1`` is the corpus-side assignment;
+    queries pass ``n_probe>1`` to probe neighboring lists."""
+    kernel = _ivf_assign_kernel_factory(centroids, n_probe)
+    return F.pandas_udf(kernel, "array<bigint>")(_as_double(vec))
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_list: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in their nearest-centroid
+    list; each query probes its ``n_probe`` nearest lists; candidates
+    are reranked with the exact cosine.
+
+    Scale: one linear assignment pass over the corpus (Arrow kernel,
+    no shuffle), then an equi-join on ``list_id`` — the candidate set
+    per query is ~n_probe/n_list of the corpus, a direct recall/cost
+    knob. The list table is the thing a real deployment would persist
+    and reuse across query batches; here it is derived inline so the
+    operator stays a pure DataFrame transform.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_list=n_list, vec_col=vec_col, id_col=id_col
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("list_id", F.element_at(ivf_lists(F.col("cv"), centroids, 1), 1))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("list_id", F.explode(ivf_lists(F.col("qv"), centroids, n_probe)))
+
+    sims = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -351,3 +351,37 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    salt_col: str,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write a corpus as ``n_shards`` deterministic parquet shards —
+    the hand-off format for a training dataloader (epoch = read shards
+    in order; resume = shard offset).
+
+    Shard id is ``xxhash64(salt_col) pmod n_shards`` — a pure function
+    of the data, so the same corpus always lands in the same shard
+    regardless of input partitioning, cluster size, or task retries
+    (``repartition(n)`` round-robin is none of those). The write is one
+    hash shuffle; ``maxRecordsPerFile`` bounds file size within a shard
+    so a skewed shard splits into more files instead of one huge one.
+
+    Readers get ``shard=k/`` Hive partitions: a dataloader ranks over
+    shard directories, prunable by partition in any engine.
+    """
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_shards)).cast("int")
+    )
+    writer = (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -1,0 +1,79 @@
+"""JSONL corpus source and training-shard writer."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.sinks.sinks import write_training_shards
+from data_pipeline_project_spark.sources.jsonl_source import (
+    read_documents_jsonl,
+    split_corrupt,
+)
+from data_pipeline_project_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+GOOD = [
+    '{"doc_id": 1, "text": "hello world", "meta": {"src": "web"}}',
+    '{"doc_id": 2, "text": "second doc", "meta": {}}',
+    '{"doc_id": 3, "text": "third"}',
+]
+BAD = [
+    '{"doc_id": 4, "text": "unterminated',
+    "not json at all",
+]
+
+
+def test_jsonl_clean_and_quarantine(spark, tmp_path):
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.jsonl").write_text("\n".join(GOOD[:2] + BAD[:1]) + "\n")
+    (p / "b.jsonl").write_text("\n".join([GOOD[2], BAD[1]]) + "\n")
+
+    clean, quarantined = split_corrupt(read_documents_jsonl(spark, str(p)))
+    rows = {r.doc_id: r for r in clean.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].text == "hello world" and rows[1].meta == {"src": "web"}
+    assert rows[3].meta is None and rows[3].file_name == "b.jsonl"
+
+    q = quarantined.collect()
+    assert {r.raw_line for r in q} == set(BAD)
+    assert {r.file_name for r in q} == {"a.jsonl", "b.jsonl"}
+
+
+def test_jsonl_splittable_not_multiline(spark, tmp_path):
+    """A pretty-printed (multi-line) JSON object must NOT silently
+    parse — it would make the format unsplittable at scale."""
+    p = tmp_path / "corpus2"
+    p.mkdir()
+    (p / "pretty.json").write_text('{\n  "doc_id": 9,\n  "text": "x"\n}\n')
+    clean, quarantined = split_corrupt(read_documents_jsonl(spark, str(p)))
+    assert clean.count() == 0
+    assert quarantined.count() >= 1
+
+
+def test_training_shards_deterministic_and_bounded(spark, tmp_path):
+    docs = load_table(spark, "documents", SF_ORACLE)
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4, salt_col="doc_id",
+                          max_records_per_file=100)
+
+    # hive-partitioned layout, every shard present
+    assert sorted(d for d in os.listdir(out) if d.startswith("shard=")) == [
+        f"shard={i}" for i in range(4)
+    ]
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # shard id is a pure function of doc_id: rewriting from a different
+    # input partitioning yields the identical assignment
+    write_training_shards(docs.repartition(13), out + "_b", n_shards=4,
+                          salt_col="doc_id")
+    a = spark.read.parquet(out).select("doc_id", "shard")
+    b = spark.read.parquet(out + "_b").select("doc_id", "shard")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # maxRecordsPerFile bounds file size within each shard dir
+    for d in os.listdir(out):
+        if d.startswith("shard="):
+            n_files = len([f for f in os.listdir(os.path.join(out, d))
+                           if f.endswith(".parquet")])
+            n_rows = back.where(F.col("shard") == int(d.split("=")[1])).count()
+            assert n_files >= (n_rows + 99) // 100

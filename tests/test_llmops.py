@@ -83,3 +83,34 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF (data-adaptive centroids) must beat the candidate lottery:
+    recall against the exact baseline at a modest probe budget, and the
+    n_probe knob must buy recall monotonically. With n_probe == n_list
+    every list is scanned, so the result must equal the exact top-k."""
+    from data_pipeline_project_spark.operators.similarity import (
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    cents = train_ivf_centroids(emb, n_list=8)
+    assert cents == train_ivf_centroids(emb, n_list=8), "training not deterministic"
+
+    def recall(n_probe):
+        approx = ivf_cosine_topk(
+            emb, queries, k=5, n_list=8, n_probe=n_probe, centroids=cents
+        )
+        approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        return len(exact_set & approx_set) / len(exact_set)
+
+    r2, r4, r8 = recall(2), recall(4), recall(8)
+    assert r2 >= 0.3, f"IVF recall {r2:.2f} at n_probe=2 — assignment broken"
+    assert r4 >= r2, f"n_probe knob dead: {r4:.2f} < {r2:.2f}"
+    assert r8 == 1.0, f"full probe must be exact, got {r8:.2f}"
