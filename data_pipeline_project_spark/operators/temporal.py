@@ -1,0 +1,207 @@
+"""Temporal non-equi joins — as-of (point-in-time) and interval range
+joins — expressed as shuffle-bounded DataFrame plans.
+
+Spark has no native ASOF or interval join operator; the naive
+formulations (`left.join(right, non_equi_condition)`) fall back to
+BroadcastNestedLoopJoin — O(|L|·|R|) per key and a guaranteed
+scale-killer. Both operators here rewrite the non-equi condition into
+equi-join machinery so Catalyst plans a plain hash shuffle:
+
+- ``asof_join``: the union-window rewrite — tag both sides, union on
+  the key, and let one windowed ``last(..., ignorenulls)`` carry the
+  most recent right row forward onto each left row. One hash shuffle
+  of |L| + |R| rows on the join key, per-key parallel sort, no join
+  node at all.
+- ``interval_range_join``: the bucketed rewrite used by range-join
+  implementations in production engines (e.g. the range-join
+  optimization documented for Spark-based warehouses): quantize time
+  into fixed-width buckets, explode each interval to the buckets it
+  covers, and equi-join point-bucket to interval-bucket before the
+  exact containment filter. Join fan-out is bounded by
+  interval_length / bucket_width instead of |points| · |intervals|.
+
+Reference parity: the reference pipeline (a pandas/mysql script) has
+no temporal-join surface; these close the "operator Spark lacks"
+gap named in the build brief (as-of join, range join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "_aj_side"
+_ORD = "_aj_ord"
+_RTS = "_aj_rts"
+_PBUCKET = "_rj_bucket"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    prefix: str = "right_",
+    ts_out: str | None = None,
+    tolerance_seconds: float | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """Left as-of join: attach to every left row the single right row
+    with the nearest ``right_ts`` at-or-before (``backward``) /
+    at-or-after (``forward``) the left row's ``left_ts``, per ``on``
+    key. Unmatched left rows keep nulls (left-outer semantics), and
+    rows whose match is further than ``tolerance_seconds`` away are
+    nulled back out.
+
+    Matched right payload columns arrive as ``{prefix}{col}``; the
+    matched right timestamp as ``ts_out`` (default
+    ``{prefix}{right_ts}``).
+
+    Semantics notes:
+    - equality ties (``left_ts == right_ts``) match, same as
+      DuckDB/pandas ``merge_asof`` inclusive behavior;
+    - multiple right rows sharing an identical (key, ts) pick the one
+      last in Spark's tie order — supply unique (key, ts) on the right
+      (dedup first) if that matters;
+    - right rows with a null key or null ts never match; left rows
+      with null key/ts pass through unmatched.
+
+    Scale: ONE hash shuffle of |L| + |R| rows on ``on`` plus a per-key
+    window sort — the same cost as a groupBy over the union, with
+    per-key parallelism. A single pathologically hot key serializes
+    into one task; salt-chunk the time axis or broadcast the right
+    side for that shape.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = (
+        list(right_cols)
+        if right_cols is not None
+        else [c for c in right.columns if c not in keys + [right_ts]]
+    )
+    ts_out = ts_out if ts_out is not None else f"{prefix}{right_ts}"
+    out_names = [f"{prefix}{c}" for c in payload]
+    clash = set(out_names + [ts_out]) & set(left.columns)
+    if clash:
+        raise ValueError(f"output columns {sorted(clash)} collide with left columns")
+
+    # Window order key: epoch micros, negated for forward so the same
+    # "last value at or before" machinery answers "first at or after".
+    sign = 1 if direction == "backward" else -1
+
+    def ord_of(ts_col: Column) -> Column:
+        return (F.unix_micros(ts_col) * sign).cast("bigint")
+
+    l_side = left.select(
+        *[F.col(c) for c in left.columns],
+        ord_of(F.col(left_ts)).alias(_ORD),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast("bigint").alias(_RTS),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(n)
+            for c, n in zip(payload, out_names)
+        ],
+    )
+    r_side = right.where(F.col(right_ts).isNotNull())
+    for k in keys:
+        r_side = r_side.where(F.col(k).isNotNull())
+    r_side = r_side.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in keys
+        ],
+        ord_of(F.col(right_ts)).alias(_ORD),
+        F.lit(0).alias(_SIDE),
+        F.unix_micros(F.col(right_ts)).cast("bigint").alias(_RTS),
+        *[F.col(c).alias(n) for c, n in zip(payload, out_names)],
+    )
+
+    # side=0 (right) sorts before side=1 (left) at equal ts, so an
+    # exactly-equal right row is visible to the left row's frame.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_ORD).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l_side.unionByName(r_side).select(
+        "*",
+        F.last(F.col(_RTS), ignorenulls=True).over(w).alias("_m_rts"),
+        *[
+            F.last(F.col(n), ignorenulls=True).over(w).alias(f"_m_{n}")
+            for n in out_names
+        ],
+    )
+
+    keep = F.col("_m_rts").isNotNull()
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds * 1_000_000)
+        dist = F.abs(F.unix_micros(F.col(left_ts)) - F.col("_m_rts"))
+        keep = keep & (dist <= F.lit(tol_us))
+
+    out = matched.where(F.col(_SIDE) == 1).select(
+        *[F.col(c) for c in left.columns],
+        F.when(keep, F.timestamp_micros(F.col("_m_rts"))).alias(ts_out),
+        *[F.when(keep, F.col(f"_m_{n}")).alias(n) for n in out_names],
+    )
+    return out
+
+
+def interval_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    on: str | list[str] | None = None,
+    bucket_seconds: int = 3600,
+    max_buckets_per_interval: int = 16384,
+) -> DataFrame:
+    """Inner join of point-in-time rows to every interval that contains
+    them: ``start_ts <= point_ts <= end_ts`` (+ optional equality
+    keys). Output = points' columns followed by intervals' non-key
+    columns; the two column sets must not collide (alias beforehand).
+
+    Scale: time is quantized into ``bucket_seconds`` buckets; each
+    interval is exploded to the buckets it covers (fan-out
+    ``len/bucket_seconds + 1`` — pick the bucket near the TYPICAL
+    interval length) and the join is a plain equi shuffle on
+    (keys, bucket). A point lives in exactly one bucket, so no
+    post-join dedup is needed. ``max_buckets_per_interval`` converts a
+    mis-sized bucket (one interval exploding into millions of rows)
+    into an explicit task error instead of a silent executor OOM.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    clash = (set(intervals.columns) - set(keys)) & set(points.columns)
+    if clash:
+        raise ValueError(f"column collision between sides: {sorted(clash)}")
+    w_us = int(bucket_seconds) * 1_000_000
+
+    p = points.where(F.col(point_ts).isNotNull()).withColumn(
+        _PBUCKET, F.expr(f"unix_micros({point_ts}) div {w_us}")
+    )
+    iv = intervals.where(F.col(start_ts).isNotNull() & F.col(end_ts).isNotNull())
+    lo = F.expr(f"unix_micros({start_ts}) div {w_us}")
+    hi = F.expr(f"unix_micros({end_ts}) div {w_us}")
+    # The guard lives INSIDE the exploded expression — a standalone
+    # assert_true column would be pruned away by Catalyst as unused.
+    buckets = F.when(
+        hi - lo < F.lit(max_buckets_per_interval), F.sequence(lo, hi)
+    ).otherwise(
+        F.raise_error(
+            F.lit("interval covers too many buckets; raise bucket_seconds")
+        )
+    )
+    iv = iv.select("*", F.explode(buckets).alias(_PBUCKET))
+
+    joined = p.join(iv, keys + [_PBUCKET]).where(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    out_cols = [c for c in points.columns] + [
+        c for c in intervals.columns if c not in keys
+    ]
+    return joined.select(*out_cols)

@@ -253,7 +253,11 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_topk_lsh")  # rows-only: ANN recall is checked in pytest
+# Not driver-registered: ANN results are rows-only (recall, not equality)
+# so a registry slot buys no hash signal — the slot went to the exact,
+# hash-checkable temporal joins instead. Recall >= 0.6 vs brute force and
+# multiprobe monotonicity stay pinned in tests/test_llmops.py, alongside
+# the IVF variant (operators/similarity.py).
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant: random-hyperplane LSH buckets + multiprobe,
     exact rerank of candidates. Non-SQL-expressible economically;

@@ -450,58 +450,45 @@ def value_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- scalar function library ------------------------------------------------
 
 @register(
-    "string_functions",
+    "scalar_functions",
     oracle="""
-SELECT p_partkey,
-       upper(p_name) AS name_upper,
-       length(p_name) AS name_len,
-       substring(p_name, 1, 5) AS name_prefix,
-       replace(p_type, ' ', '_') AS type_snake,
-       concat(p_brand, ':', p_type) AS brand_type,
-       CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green,
-       split_part(p_type, ' ', 1) AS type_first_word
-FROM part
-""",
-)
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar string library: upper/length/substr/replace/concat/LIKE/
-    split — all JVM-side codegen, no UDFs."""
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.length("p_name").alias("name_len"),
-        F.substring("p_name", 1, 5).alias("name_prefix"),
-        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
-        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("has_green"),
-        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
-    )
-
-
-@register(
-    "date_functions",
-    oracle="""
-SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+SELECT o_orderkey,
+       upper(o_orderpriority) AS prio_upper,
+       length(o_orderpriority) AS prio_len,
+       substring(o_orderpriority, 1, 1) AS prio_code,
+       replace(o_orderpriority, ' ', '_') AS prio_snake,
+       concat(o_orderstatus, ':', o_orderpriority) AS status_prio,
+       CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 1 ELSE 0 END AS is_urgent,
+       split_part(o_orderpriority, '-', 1) AS prio_rank,
+       CAST(year(o_orderdate) AS INT) AS order_year,
        CAST(month(o_orderdate) AS INT) AS order_month,
-       CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS month_start,
-       count(*) AS n_orders
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INT)
+           AS days_to_2002
 FROM orders
-GROUP BY year(o_orderdate), month(o_orderdate)
 """,
 )
-def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time extraction + truncation grouped monthly."""
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library — string (upper/length/substr/replace/
+    concat/LIKE/split) and date (year/month/date_trunc/datediff) in one
+    per-row pass over orders; all JVM-side codegen, no UDFs.
+    (Consolidates the former string_functions + date_functions slots.)"""
     o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy(
-            F.year("o_orderdate").cast("int").alias("order_year"),
-            F.month("o_orderdate").cast("int").alias("order_month"),
-        )
-        .agg(
-            F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("_")).alias("prio_snake"),
+        F.concat_ws(":", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.when(F.col("o_orderpriority").like("%URGENT%"), 1).otherwise(0).alias("is_urgent"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).alias("prio_rank"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_2002"),
     )
 
 

@@ -1,0 +1,112 @@
+"""Temporal-join queries — driver-checkable as-of and range joins over
+the events stream (operators/temporal.py).
+
+Both queries are exact and SQL-expressible, so they get full
+hash-compare oracles: DuckDB's native ASOF JOIN for the as-of query,
+and a plain non-equi predicate join for the range query (DuckDB plans
+an IEJoin for it; our Spark side uses the bucketed equi rewrite — same
+answer, shuffle-bounded plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.operators.temporal import (
+    asof_join,
+    interval_range_join,
+)
+from data_pipeline_project_spark.plans.registry import register
+from data_pipeline_project_spark.sources.tables import load_table
+
+
+@register(
+    "asof_join_last_click",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       p.value AS purchase_value,
+       CAST(c.ts AS TIMESTAMP) AS click_ts,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined to the same user's
+    most recent click at-or-before the purchase (left-outer: purchases
+    with no prior click keep nulls). Union-window rewrite — one hash
+    shuffle on user_id, no join node; DuckDB's native ASOF JOIN is the
+    oracle."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_cols=["click_value"],
+        prefix="",
+        ts_out="click_ts",
+    )
+
+
+@register(
+    "range_join_error_windows",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       p.value AS purchase_value,
+       e.event_id AS error_id,
+       CAST(e.ts AS TIMESTAMP) AS error_ts
+FROM events p
+JOIN events e
+  ON p.user_id = e.user_id
+ AND p.ts >= e.ts
+ AND p.ts <= e.ts + INTERVAL 2 HOUR
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+""",
+)
+def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment: purchases landing inside a 2-hour window
+    after any error by the same user (m:n pairs). Bucketed equi
+    rewrite with bucket = window length, so each interval explodes to
+    at most 3 buckets; the oracle states the raw non-equi predicate."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("_win_end"),
+    )
+    joined = interval_range_join(
+        purchases,
+        errors,
+        point_ts="purchase_ts",
+        start_ts="error_ts",
+        end_ts="_win_end",
+        on="user_id",
+        bucket_seconds=7200,
+    )
+    return joined.select(
+        "purchase_id", "user_id", "purchase_ts", "purchase_value", "error_id", "error_ts"
+    )
