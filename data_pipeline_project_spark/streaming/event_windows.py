@@ -47,3 +47,37 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         id_cols or ["event_id"]
     )
+
+
+def stream_stream_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "2 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each left row pairs with right rows of
+    the same key whose timestamp falls in ``[left_ts - lookback,
+    left_ts]`` — the streaming twin of
+    ``operators/temporal.interval_range_join`` (e.g. purchases joined
+    to the clicks that preceded them while both are live streams).
+
+    State management is the whole game here: without a time bound a
+    stream-stream join buffers both streams forever. The watermark on
+    BOTH inputs plus the range condition lets Spark evict a buffered
+    row as soon as the other stream's watermark passes its last
+    possible match — steady-state memory is O(key-rate x (lookback +
+    watermark)), not O(stream length).
+
+    Column names must be disjoint apart from ``on`` (alias upstream).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (rw[right_ts] <= F.col(left_ts))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[on])

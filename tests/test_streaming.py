@@ -343,3 +343,59 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     rows = sorted(r.event_id for r in spark.sql("select * from dedup_out").collect())
     assert rows == [1, 2, 3], rows  # event 1 exactly once
+
+
+def test_stream_stream_window_join(spark, tmp_path):
+    """Stream-stream inner join with a lookback bound: purchases pair
+    with same-user clicks in [purchase_ts - 30min, purchase_ts], both
+    sides unbounded streams with watermark-bounded state."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_project_spark.streaming.event_windows import (
+        stream_stream_window_join,
+    )
+
+    psrc, csrc = tmp_path / "purch", tmp_path / "clicks"
+    psrc.mkdir(); csrc.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(
+            {"user_id": [1, 1, 2],
+             "pid": [100, 101, 200],
+             "pts": pd.to_datetime(["2024-01-01 10:30:00",  # 2 clicks in range
+                                    "2024-01-01 12:00:00",  # none in range
+                                    "2024-01-01 10:30:00"])})),  # other user
+        str(psrc / "p1.parquet"), coerce_timestamps="us")
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(
+            {"user_id": [1, 1, 1, 2],
+             "cid": [7, 8, 9, 10],
+             "cts": pd.to_datetime(["2024-01-01 10:10:00",   # in range for 100
+                                    "2024-01-01 10:30:00",   # tie -> in range
+                                    "2024-01-01 09:00:00",   # too old
+                                    "2024-01-01 10:29:00"])})),  # user 2
+        str(csrc / "c1.parquet"), coerce_timestamps="us")
+    _time.sleep(1.1)
+
+    purchases = (spark.readStream.schema("user_id long, pid long, pts timestamp")
+                 .parquet(str(psrc)))
+    clicks = (spark.readStream.schema("user_id long, cid long, cts timestamp")
+              .parquet(str(csrc)))
+    q = (
+        stream_stream_window_join(
+            purchases, clicks, on="user_id",
+            left_ts="pts", right_ts="cts", lookback="30 minutes",
+        )
+        .writeStream.format("memory").queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    pairs = sorted((r.pid, r.cid) for r in spark.sql("select * from ssj_out").collect())
+    assert pairs == [(100, 7), (100, 8), (200, 10)], pairs
