@@ -52,28 +52,37 @@ def main() -> None:
         except Exception:
             pass  # a warm-up failure is the timed run's problem to report
 
+    # Per-query error isolation: one broken query must cost exactly one
+    # "err" entry, never the whole round's perf signal (round 3 lesson —
+    # a single analysis error zeroed BENCH_r03 entirely).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    ingest = _bench_ingest(spark)
+    try:
+        ingest = _bench_ingest(spark)
+    except Exception as exc:  # noqa: BLE001
+        ingest = {"err": f"{type(exc).__name__}: {exc}"[:500]}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "ingest": ingest,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "ingest": ingest,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 def _bench_ingest(spark) -> dict:

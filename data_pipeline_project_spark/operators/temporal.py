@@ -36,6 +36,17 @@ _RTS = "_aj_rts"
 _PBUCKET = "_rj_bucket"
 
 
+def _epoch_us(c: Column) -> Column:
+    """Epoch microseconds for both ``TIMESTAMP`` and ``TIMESTAMP_NTZ``
+    inputs. ``unix_micros`` rejects ``TIMESTAMP_NTZ`` at analysis time
+    (parquet written without a timezone — e.g. the driver's
+    events.parquet — reads as NTZ), so cast through ``timestamp``
+    first: the session timezone is pinned to UTC (session.py), making
+    the NTZ wall-clock → instant interpretation identical to DuckDB's
+    handling of naive parquet timestamps."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -93,7 +104,7 @@ def asof_join(
     sign = 1 if direction == "backward" else -1
 
     def ord_of(ts_col: Column) -> Column:
-        return (F.unix_micros(ts_col) * sign).cast("bigint")
+        return (_epoch_us(ts_col) * sign).cast("bigint")
 
     l_side = left.select(
         *[F.col(c) for c in left.columns],
@@ -117,7 +128,7 @@ def asof_join(
         ],
         ord_of(F.col(right_ts)).alias(_ORD),
         F.lit(0).alias(_SIDE),
-        F.unix_micros(F.col(right_ts)).cast("bigint").alias(_RTS),
+        _epoch_us(F.col(right_ts)).cast("bigint").alias(_RTS),
         *[F.col(c).alias(n) for c, n in zip(payload, out_names)],
     )
 
@@ -140,12 +151,20 @@ def asof_join(
     keep = F.col("_m_rts").isNotNull()
     if tolerance_seconds is not None:
         tol_us = int(tolerance_seconds * 1_000_000)
-        dist = F.abs(F.unix_micros(F.col(left_ts)) - F.col("_m_rts"))
+        dist = F.abs(_epoch_us(F.col(left_ts)) - F.col("_m_rts"))
         keep = keep & (dist <= F.lit(tol_us))
 
     out = matched.where(F.col(_SIDE) == 1).select(
         *[F.col(c) for c in left.columns],
-        F.when(keep, F.timestamp_micros(F.col("_m_rts"))).alias(ts_out),
+        # cast back so ts_out keeps the right side's timestamp flavor
+        # (TIMESTAMP_NTZ in, TIMESTAMP_NTZ out) instead of always
+        # widening to tz-aware TIMESTAMP
+        F.when(
+            keep,
+            F.timestamp_micros(F.col("_m_rts")).cast(
+                right.schema[right_ts].dataType
+            ),
+        ).alias(ts_out),
         *[F.when(keep, F.col(f"_m_{n}")).alias(n) for n in out_names],
     )
     return out
@@ -182,11 +201,11 @@ def interval_range_join(
     w_us = int(bucket_seconds) * 1_000_000
 
     p = points.where(F.col(point_ts).isNotNull()).withColumn(
-        _PBUCKET, F.expr(f"unix_micros({point_ts}) div {w_us}")
+        _PBUCKET, F.expr(f"unix_micros(cast({point_ts} as timestamp)) div {w_us}")
     )
     iv = intervals.where(F.col(start_ts).isNotNull() & F.col(end_ts).isNotNull())
-    lo = F.expr(f"unix_micros({start_ts}) div {w_us}")
-    hi = F.expr(f"unix_micros({end_ts}) div {w_us}")
+    lo = F.expr(f"unix_micros(cast({start_ts} as timestamp)) div {w_us}")
+    hi = F.expr(f"unix_micros(cast({end_ts} as timestamp)) div {w_us}")
     # The guard lives INSIDE the exploded expression — a standalone
     # assert_true column would be pruned away by Catalyst as unused.
     buckets = F.when(

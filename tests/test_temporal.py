@@ -1,6 +1,12 @@
 """Unit tests for operators/temporal.py — as-of and interval range
 joins (edge semantics + plan shape; full-oracle parity runs in
-test_queries_vs_duckdb.py via the registered queries)."""
+test_queries_vs_duckdb.py via the registered queries).
+
+All fixtures are parametrized over TIMESTAMP and TIMESTAMP_NTZ: the
+driver parquet stores tz-less timestamps which Spark reads as NTZ, and
+round 3 shipped an `unix_micros`-rejects-NTZ analysis bug precisely
+because these fixtures only built tz-aware rows.
+"""
 
 from datetime import datetime, timezone
 
@@ -13,63 +19,83 @@ from data_pipeline_project_spark.operators.temporal import (
     interval_range_join,
 )
 
-
-def _ts(s: str):
-    return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+TS_VARIANTS = ["tz", "ntz"]
 
 
-LEFT_SCHEMA = T.StructType(
-    [
-        T.StructField("k", T.LongType()),
-        T.StructField("lid", T.LongType()),
-        T.StructField("lts", T.TimestampType()),
-    ]
-)
-RIGHT_SCHEMA = T.StructType(
-    [
-        T.StructField("k", T.LongType()),
-        T.StructField("rts", T.TimestampType()),
-        T.StructField("rv", T.DoubleType()),
-    ]
-)
+def _mk_ts(variant):
+    if variant == "ntz":
+        return lambda s: datetime.fromisoformat(s)
+    return lambda s: datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+
+
+def _ts_type(variant):
+    return T.TimestampNTZType() if variant == "ntz" else T.TimestampType()
+
+
+def _ts_ddl(variant):
+    return "timestamp_ntz" if variant == "ntz" else "timestamp"
+
+
+@pytest.fixture(params=TS_VARIANTS)
+def ts_variant(request):
+    return request.param
 
 
 @pytest.fixture()
-def frames(spark):
+def frames(spark, ts_variant):
+    ts = _mk_ts(ts_variant)
+    left_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("lid", T.LongType()),
+            T.StructField("lts", _ts_type(ts_variant)),
+        ]
+    )
+    right_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("rts", _ts_type(ts_variant)),
+            T.StructField("rv", T.DoubleType()),
+        ]
+    )
     left = spark.createDataFrame(
         [
-            (1, 100, _ts("2024-01-01 10:00:00")),  # matches rv=1.0 (exact tie)
-            (1, 101, _ts("2024-01-01 12:30:00")),  # matches rv=2.0
-            (1, 102, _ts("2024-01-01 09:00:00")),  # before all rights -> null
-            (2, 200, _ts("2024-01-01 12:00:00")),  # other key
-            (3, 300, _ts("2024-01-01 12:00:00")),  # key absent on right
-            (None, 400, _ts("2024-01-01 12:00:00")),  # null key passes through
+            (1, 100, ts("2024-01-01 10:00:00")),  # matches rv=1.0 (exact tie)
+            (1, 101, ts("2024-01-01 12:30:00")),  # matches rv=2.0
+            (1, 102, ts("2024-01-01 09:00:00")),  # before all rights -> null
+            (2, 200, ts("2024-01-01 12:00:00")),  # other key
+            (3, 300, ts("2024-01-01 12:00:00")),  # key absent on right
+            (None, 400, ts("2024-01-01 12:00:00")),  # null key passes through
         ],
-        LEFT_SCHEMA,
+        left_schema,
     )
     right = spark.createDataFrame(
         [
-            (1, _ts("2024-01-01 10:00:00"), 1.0),
-            (1, _ts("2024-01-01 12:00:00"), 2.0),
-            (1, _ts("2024-01-01 13:00:00"), 3.0),
-            (2, _ts("2024-01-01 11:00:00"), 9.0),
-            (None, _ts("2024-01-01 00:00:00"), -1.0),  # null key never matches
+            (1, ts("2024-01-01 10:00:00"), 1.0),
+            (1, ts("2024-01-01 12:00:00"), 2.0),
+            (1, ts("2024-01-01 13:00:00"), 3.0),
+            (2, ts("2024-01-01 11:00:00"), 9.0),
+            (None, ts("2024-01-01 00:00:00"), -1.0),  # null key never matches
         ],
-        RIGHT_SCHEMA,
+        right_schema,
     )
     return left, right
 
 
-def test_asof_backward(spark, frames):
+def _naive(s: str):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward(spark, frames, ts_variant):
     left, right = frames
-    out = {
-        r.lid: (r.right_rts, r.right_rv)
-        for r in asof_join(left, right, "k", "lts", "rts").collect()
-    }
-    assert out[100] == (_ts("2024-01-01 10:00:00").replace(tzinfo=None), 1.0)  # tie matches
-    assert out[101] == (_ts("2024-01-01 12:00:00").replace(tzinfo=None), 2.0)
+    out_df = asof_join(left, right, "k", "lts", "rts")
+    # ts_out keeps the right side's timestamp flavor
+    assert out_df.schema["right_rts"].dataType == _ts_type(ts_variant)
+    out = {r.lid: (r.right_rts, r.right_rv) for r in out_df.collect()}
+    assert out[100] == (_naive("2024-01-01 10:00:00"), 1.0)  # tie matches
+    assert out[101] == (_naive("2024-01-01 12:00:00"), 2.0)
     assert out[102] == (None, None)  # nothing at-or-before
-    assert out[200] == (_ts("2024-01-01 11:00:00").replace(tzinfo=None), 9.0)
+    assert out[200] == (_naive("2024-01-01 11:00:00"), 9.0)
     assert out[300] == (None, None)  # key absent on right
     assert out[400] == (None, None)  # null left key never matches null right key
     assert len(out) == 6  # left-outer: every left row survives
@@ -110,21 +136,22 @@ def test_asof_plan_has_no_join_single_shuffle(spark, frames):
     assert "SinglePartition" not in plan
 
 
-def test_range_join_containment_and_multi_bucket(spark):
+def test_range_join_containment_and_multi_bucket(spark, ts_variant):
+    ts, ddl = _mk_ts(ts_variant), _ts_ddl(ts_variant)
     points = spark.createDataFrame(
         [
-            (1, 10, _ts("2024-01-01 10:30:00")),
-            (1, 11, _ts("2024-01-01 13:59:59")),
-            (1, 12, _ts("2024-01-01 14:00:01")),  # past end
-            (2, 20, _ts("2024-01-01 10:30:00")),  # wrong key
+            (1, 10, ts("2024-01-01 10:30:00")),
+            (1, 11, ts("2024-01-01 13:59:59")),
+            (1, 12, ts("2024-01-01 14:00:01")),  # past end
+            (2, 20, ts("2024-01-01 10:30:00")),  # wrong key
         ],
-        "k long, pid long, pts timestamp",
+        f"k long, pid long, pts {ddl}",
     )
     intervals = spark.createDataFrame(
         # 4h interval spans many 30min buckets -> explode, but each
         # (point, interval) pair must appear exactly once.
-        [(1, 900, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 14:00:00"))],
-        "k long, iid long, st timestamp, en timestamp",
+        [(1, 900, ts("2024-01-01 10:00:00"), ts("2024-01-01 14:00:00"))],
+        f"k long, iid long, st {ddl}, en {ddl}",
     )
     got = interval_range_join(
         points, intervals, "pts", "st", "en", on="k", bucket_seconds=1800
@@ -132,14 +159,15 @@ def test_range_join_containment_and_multi_bucket(spark):
     assert sorted((r.pid, r.iid) for r in got) == [(10, 900), (11, 900)]
 
 
-def test_range_join_inclusive_bounds_and_guard(spark):
+def test_range_join_inclusive_bounds_and_guard(spark, ts_variant):
+    ts, ddl = _mk_ts(ts_variant), _ts_ddl(ts_variant)
     points = spark.createDataFrame(
-        [(1, _ts("2024-01-01 10:00:00")), (2, _ts("2024-01-01 11:00:00"))],
-        "pid long, pts timestamp",
+        [(1, ts("2024-01-01 10:00:00")), (2, ts("2024-01-01 11:00:00"))],
+        f"pid long, pts {ddl}",
     )
     intervals = spark.createDataFrame(
-        [(7, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
-        "iid long, st timestamp, en timestamp",
+        [(7, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))],
+        f"iid long, st {ddl}, en {ddl}",
     )
     got = interval_range_join(points, intervals, "pts", "st", "en", bucket_seconds=3600)
     assert sorted(r.pid for r in got.collect()) == [1, 2]  # both endpoints inclusive
@@ -152,9 +180,9 @@ def test_range_join_inclusive_bounds_and_guard(spark):
 
 
 def test_range_join_column_collision_raises(spark):
-    df = spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"))], "x long, pts timestamp")
+    df = spark.createDataFrame([(1, _naive("2024-01-01 10:00:00"))], "x long, pts timestamp")
     iv = spark.createDataFrame(
-        [(1, _ts("2024-01-01 09:00:00"), _ts("2024-01-01 11:00:00"))],
+        [(1, _naive("2024-01-01 09:00:00"), _naive("2024-01-01 11:00:00"))],
         "x long, st timestamp, en timestamp",
     )
     with pytest.raises(ValueError, match="collision"):
