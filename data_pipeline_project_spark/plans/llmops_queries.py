@@ -18,7 +18,11 @@ from data_pipeline_project_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_near_pairs,
 )
-from data_pipeline_project_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from data_pipeline_project_spark.operators.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from data_pipeline_project_spark.operators.text import LANG_MARKERS, STOPWORDS
 from data_pipeline_project_spark.plans.registry import register
 from data_pipeline_project_spark.sources.tables import load_table
@@ -253,11 +257,29 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Not driver-registered: ANN results are rows-only (recall, not equality)
-# so a registry slot buys no hash signal — the slot went to the exact,
-# hash-checkable temporal joins instead. Recall >= 0.6 vs brute force and
-# multiprobe monotonicity stay pinned in tests/test_llmops.py, alongside
-# the IVF variant (operators/similarity.py).
+@register("similarity_topk_ivf_fullprobe", oracle=_cosine_oracle())
+def similarity_topk_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN run at n_probe == n_list (every inverted list probed):
+    the candidate set is the full corpus, so the result is EXACTLY the
+    brute-force top-k — which makes the whole IVF pipeline (sampled
+    spherical k-means training, Arrow-batched centroid assignment,
+    list-id equi join, exact rerank) hash-checkable against the same
+    DuckDB oracle as the brute-force row. Recall at n_probe < n_list
+    is the approximate operating point and stays pinned in
+    tests/test_llmops.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, queries, k=5, n_list=16, n_probe=16).select(
+        "query_id", "neighbor_id", "cosine_sim", "rank"
+    )
+
+
+# Not driver-registered: ANN results at the approximate operating point
+# are rows-only (recall, not equality) so this slot buys no hash signal —
+# it went to the exact temporal joins instead. Recall >= 0.6 vs brute
+# force and multiprobe monotonicity stay pinned in tests/test_llmops.py;
+# the IVF tier's machinery is hash-checked via
+# similarity_topk_ivf_fullprobe above.
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant: random-hyperplane LSH buckets + multiprobe,
     exact rerank of candidates. Non-SQL-expressible economically;
@@ -707,4 +729,41 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@register(
+    "training_shard_assignment",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id, {SQL_HASH.format(v="doc_id::VARCHAR")} % 16 AS shard
+    FROM documents
+)
+SELECT shard,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM s GROUP BY shard
+""",
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-shard writer's shard-assignment logic as a
+    hash-checkable frame: ``sinks.shard_id`` (md5 method — the
+    cross-engine-reproducible variant of the writer's default xxhash64)
+    over doc_id, rolled up to per-shard counts and key ranges. This is
+    the pure-function core of ``sinks.write_training_shards``
+    (`sinks/sinks.py`): identical shard for identical key regardless of
+    partitioning — the property the oracle verifies row-for-row. The
+    parquet-writing half stays pytest-verified (tests/test_llm_io.py)."""
+    from data_pipeline_project_spark.sinks.sinks import shard_id
+
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.withColumn("shard", shard_id(F.col("doc_id"), 16, method="md5"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
     )

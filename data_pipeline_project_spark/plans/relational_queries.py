@@ -296,9 +296,13 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_running_sum",
-    oracle="""
+# Not driver-registered (slot ceded in round 4 to the hash-checkable
+# training_shard_assignment / similarity_topk_ivf_fullprobe rows):
+# frame-window machinery stays driver-checked inside asof_join_last_click
+# (rowsBetween unboundedPreceding window) and lag/lead inside
+# sessionization; this query's own oracle parity is pinned in
+# tests/test_queries_vs_duckdb.py::test_deregistered_queries_still_match.
+WINDOW_RUNNING_SUM_ORACLE = """
 SELECT o_custkey, o_orderkey, o_orderdate,
        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -308,8 +312,9 @@ SELECT o_custkey, o_orderkey, o_orderdate,
        lead(o_totalprice) OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey) AS next_price
 FROM orders
-""",
-)
+"""
+
+
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total + lag/lead over each customer's order history —
     explicit ROWS frame and full tie-break (orderdate alone is not a
@@ -595,16 +600,19 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "subquery_in_uncorrelated",
-    oracle="""
+# Not driver-registered (round-4 slot swap, see WINDOW_RUNNING_SUM_ORACLE
+# note): Catalyst rewrites IN to the same left-semi machinery the
+# driver-checked subquery_exists_correlated row exercises; oracle parity
+# pinned in tests/test_queries_vs_duckdb.py.
+SUBQUERY_IN_ORACLE = """
 SELECT o_orderkey, o_totalprice
 FROM orders
 WHERE o_custkey IN (
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 )
-""",
-)
+"""
+
+
 def subquery_in_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated IN-subquery — left-semi join after Catalyst's
     rewrite; the segment filter pushes into the inner scan."""

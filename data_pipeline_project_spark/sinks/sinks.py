@@ -353,29 +353,57 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def shard_id(col, n_shards: int, method: str = "xxhash64"):
+    """Deterministic shard id: a pure function of the key, so the same
+    row always lands in the same shard regardless of input partitioning,
+    cluster size, or task retries (``repartition(n)`` round-robin is
+    none of those).
+
+    - ``xxhash64`` (default): Spark's fastest JVM hash — the production
+      path for the shard writer.
+    - ``md5``: cross-engine reproducible (md5-prefix bigint, the same
+      construction as ``operators/text.token_hash``) — slower per row
+      but byte-identical in any engine with md5(), which is what lets
+      the ``training_shard_assignment`` registry row hash-check this
+      sharding logic against a DuckDB oracle.
+
+    Both are uniform over shards; pick by whether cross-engine
+    reproducibility is part of the contract.
+    """
+    if method == "xxhash64":
+        h = F.xxhash64(col)
+    elif method == "md5":
+        # 15 hex chars = 60 bits, always non-negative, so pmod == %
+        h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+    else:
+        raise ValueError(f"unknown shard hash method {method!r}")
+    return F.pmod(h, F.lit(n_shards)).cast("int")
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
     n_shards: int,
     salt_col: str,
     max_records_per_file: int | None = None,
+    hash_method: str = "xxhash64",
 ) -> None:
     """Write a corpus as ``n_shards`` deterministic parquet shards —
     the hand-off format for a training dataloader (epoch = read shards
     in order; resume = shard offset).
 
-    Shard id is ``xxhash64(salt_col) pmod n_shards`` — a pure function
-    of the data, so the same corpus always lands in the same shard
-    regardless of input partitioning, cluster size, or task retries
-    (``repartition(n)`` round-robin is none of those). The write is one
-    hash shuffle; ``maxRecordsPerFile`` bounds file size within a shard
-    so a skewed shard splits into more files instead of one huge one.
+    Shard id is ``shard_id(salt_col, n_shards)`` — see ``shard_id`` for
+    the determinism contract. The write is one hash shuffle;
+    ``maxRecordsPerFile`` bounds file size within a shard so a skewed
+    shard splits into more files instead of one huge one.
 
     Readers get ``shard=k/`` Hive partitions: a dataloader ranks over
     shard directories, prunable by partition in any engine.
     """
     sharded = df.withColumn(
-        "shard", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_shards)).cast("int")
+        "shard", shard_id(F.col(salt_col), n_shards, hash_method)
     )
     writer = (
         sharded.repartition(n_shards, "shard")

@@ -28,6 +28,22 @@ def test_ngram_jaccard_not_vacuous(spark):
     assert n > 0
 
 
+@pytest.mark.parametrize("fn_name,oracle_name", [
+    ("window_running_sum", "WINDOW_RUNNING_SUM_ORACLE"),
+    ("subquery_in_uncorrelated", "SUBQUERY_IN_ORACLE"),
+])
+def test_deregistered_queries_still_match(spark, duck, fn_name, oracle_name):
+    """Queries whose driver slots were ceded in round 4 keep full
+    oracle parity here so their semantics can't silently rot."""
+    from data_pipeline_project_spark.plans import relational_queries as rq
+    from tests.oracle_harness import compare, run_oracle
+
+    spark_pd = getattr(rq, fn_name)(spark, SF_ORACLE).toPandas()
+    oracle_pd = run_oracle(duck, getattr(rq, oracle_name), SF_ORACLE)
+    problems = compare(spark_pd, oracle_pd)
+    assert not [p for p in problems if "HASH RISK" not in p], problems
+
+
 def test_every_query_has_oracle_or_is_declared():
     qs, os_ = get_queries(), get_oracles()
     missing = sorted(set(qs) - set(os_))
