@@ -1,0 +1,201 @@
+"""Incremental-ingest deduplication: new batch vs. a huge historical
+corpus, without ever shuffling the historical side.
+
+The 100 TB problem this solves: a training-data pipeline ingests a few
+GB of new documents per run and must drop anything already present in
+a 100 TB historical corpus. The naive ``new.join(historical, key,
+"left_anti")`` plan shuffles BOTH sides on the key — re-hashing 100 TB
+every run. The standard fix (what this module implements):
+
+1. build a Bloom filter over the historical keys — one narrow scan,
+   no shuffle, bitmaps OR-combined up a tree;
+2. broadcast the (MB-sized) filter and split the new batch:
+   bloom-negative rows are DEFINITELY new (no false negatives);
+3. exactly verify only the bloom-positive candidates with one
+   broadcast semi join against the historical scan — historical is
+   read once, shuffled never, and only candidate keys (bounded by the
+   new-batch size x fpp + true dups) cross the wire.
+
+Result is exactly ``new LEFT ANTI JOIN historical`` — the filter only
+prunes work, never changes the answer (verified property-style in
+tests/test_incremental.py).
+
+Reference scope note: the reference pipeline's dedup surface is
+file-level (`pipeline.py:362-372` recently_processed set); row-level
+incremental dedup is part of the LLM-data-pipeline extension surface
+(BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Second xxhash64 seed column for Kirsch-Mitzenmacher double hashing:
+# position_i(x) = (h1(x) + i*h2(x)) mod m_bits gives k near-independent
+# probes from two real hash evaluations.
+_H2_SALT = 0x9E3779B9
+
+
+def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Optimal (m_bits, k_hashes) for ``n_items`` keys at target false-
+    positive probability ``fpp``: m = -n ln p / (ln 2)^2, k = m/n ln 2.
+    m is rounded up to a whole byte."""
+    n_items = max(n_items, 1)
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 7) // 8) * 8
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def _hash_cols(df: DataFrame, key_col: str) -> DataFrame:
+    # Hash the STRING form of the key so semantics are type-stable
+    # (xxhash64 of 1L and "1" differ; casting fixes the contract).
+    key = F.col(key_col).cast("string")
+    return df.withColumn("_bf_h1", F.xxhash64(key)).withColumn(
+        "_bf_h2", F.xxhash64(key, F.lit(_H2_SALT))
+    )
+
+
+def _bitmap_builder(m_bits: int, k: int):
+    """mapInPandas kernel: fold a whole partition's (h1, h2) rows into
+    one local bitmap, emit a single binary row. Runs on executors; the
+    per-task output is m_bits/8 bytes regardless of row count."""
+    import numpy as np
+
+    def build(batches):
+        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h1 = pdf["_bf_h1"].to_numpy(dtype=np.int64).astype(np.uint64)
+            h2 = pdf["_bf_h2"].to_numpy(dtype=np.int64).astype(np.uint64)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                np.bitwise_or.at(bitmap, (pos >> np.uint64(3)).astype(np.int64),
+                                 np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        import pandas as pd
+
+        yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    return build
+
+
+def build_bloom(
+    df: DataFrame,
+    key_col: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    combine_fanin: int = 64,
+) -> tuple[bytes, int, int]:
+    """Distributed Bloom-filter build over ``df[key_col]``.
+
+    Returns ``(bitmap_bytes, m_bits, k_hashes)``. One narrow scan: each
+    partition folds its keys into a local bitmap (mapInPandas), and
+    bitmaps are OR-combined. With more than ``combine_fanin`` partition
+    bitmaps an intermediate distributed OR level runs first (grouped by
+    ``spark_partition_id % fanin``) so the driver never collects more
+    than ``fanin`` bitmaps — the tree-reduce shape that holds at 1000
+    executors. ``expected_items`` sizes the filter; when omitted a
+    count() of the scan supplies it (at warehouse scale pass table
+    statistics instead)."""
+    import numpy as np
+
+    if expected_items is None:
+        expected_items = df.select(key_col).count()
+    m_bits, k = bloom_parameters(expected_items, fpp)
+
+    hashed = _hash_cols(df.select(key_col), key_col).select("_bf_h1", "_bf_h2")
+    parts = hashed.mapInPandas(_bitmap_builder(m_bits, k), "bitmap binary")
+    if parts.rdd.getNumPartitions() > combine_fanin:
+        or_kernel = _bitmap_or_builder(m_bits)
+        parts = (
+            parts.withColumn(
+                "grp", F.pmod(F.spark_partition_id(), F.lit(combine_fanin))
+            )
+            .repartition(combine_fanin, "grp")
+            .select("bitmap")
+            .mapInPandas(or_kernel, "bitmap binary")
+        )
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in parts.collect():
+        bitmap |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return bitmap.tobytes(), m_bits, k
+
+
+def _bitmap_or_builder(m_bits: int):
+    import numpy as np
+
+    def orfold(batches):
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            for b in pdf["bitmap"]:
+                acc |= np.frombuffer(b, dtype=np.uint8)
+        import pandas as pd
+
+        yield pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+    return orfold
+
+
+def bloom_might_contain(spark, bitmap: bytes, m_bits: int, k: int):
+    """Returns a pandas_udf ``(h1, h2) -> bool`` testing membership.
+    The bitmap ships to executors once via a Spark broadcast variable,
+    not per-task closure pickling."""
+    import numpy as np
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    def kernel(h1, h2):
+        if len(h1) == 0:
+            return pd.Series([], dtype=bool)
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        a = h1.to_numpy(dtype=np.int64).astype(np.uint64)
+        b = h2.to_numpy(dtype=np.int64).astype(np.uint64)
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            pos = (a + np.uint64(i) * b) % np.uint64(m_bits)
+            byte = bm[(pos >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return pd.Series(hit)
+
+    return F.pandas_udf(kernel, "boolean")
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    historical: DataFrame,
+    key_col: str,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Rows of ``new_batch`` whose ``key_col`` does NOT appear in
+    ``historical`` — semantically ``new_batch.join(historical, key,
+    "left_anti")``, planned so the historical side is scanned once and
+    never shuffled (see module docstring for the three-step shape).
+
+    Assumes |new_batch| << |historical| (the incremental-ingest
+    contract): bloom-positive candidate keys must fit a broadcast.
+    """
+    spark = new_batch.sparkSession
+    bitmap, m_bits, k = build_bloom(historical, key_col, expected_items, fpp)
+    might = bloom_might_contain(spark, bitmap, m_bits, k)
+
+    hashed = _hash_cols(new_batch, key_col).withColumn(
+        "_bf_hit", might(F.col("_bf_h1"), F.col("_bf_h2"))
+    )
+    definite_new = hashed.where(~F.col("_bf_hit"))
+    candidates = hashed.where(F.col("_bf_hit"))
+
+    # Historical side: ONE scan, broadcast-semi-joined down to the keys
+    # that actually collide — no exchange on the big side (asserted in
+    # tests/test_incremental.py::test_plan_never_shuffles_historical).
+    cand_keys = candidates.select(key_col)
+    matched = historical.select(key_col).join(
+        F.broadcast(cand_keys), key_col, "left_semi"
+    )
+    survivors = candidates.join(F.broadcast(matched), key_col, "left_anti")
+    return definite_new.unionByName(survivors).drop("_bf_h1", "_bf_h2", "_bf_hit")

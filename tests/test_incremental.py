@@ -1,0 +1,111 @@
+"""Incremental-ingest dedup (operators/incremental.py): the Bloom
+prefilter must be invisible in the answer (== exact left_anti) and
+visible in the plan (historical side never shuffles)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.operators.incremental import (
+    bloom_might_contain,
+    bloom_parameters,
+    build_bloom,
+    incremental_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # historical: keys 0..4999; new batch: 500 dups (0..499 * 10) +
+    # 500 genuinely new keys (odd ids above the historical range).
+    hist = spark.range(0, 5000).select(
+        (F.col("id") * 10).alias("doc_key"), F.lit("hist").alias("origin")
+    )
+    new = spark.range(0, 1000).select(
+        F.when(F.col("id") < 500, F.col("id") * 10)
+        .otherwise(F.col("id") * 10 + 1)
+        .alias("doc_key"),
+        F.lit("new").alias("origin"),
+    )
+    return hist, new
+
+
+def test_matches_exact_anti_join(spark, corpus):
+    hist, new = corpus
+    got = sorted(
+        r.doc_key for r in incremental_dedup(new, hist, "doc_key").collect()
+    )
+    want = sorted(
+        r.doc_key for r in new.join(hist, "doc_key", "left_anti").collect()
+    )
+    assert got == want
+    assert len(got) == 500  # the planted genuinely-new half
+
+
+def test_plan_never_shuffles_historical(spark, corpus):
+    hist, new = corpus
+    plan = incremental_dedup(new, hist, "doc_key")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan  # zero shuffle exchanges
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_false_positive_rate_bounded(spark):
+    n, fpp = 20_000, 0.01
+    hist = spark.range(0, n).select(F.col("id").alias("k"))
+    bitmap, m_bits, k = build_bloom(hist, "k", expected_items=n, fpp=fpp)
+    probe = spark.range(n, 2 * n).select(F.col("id").alias("k"))
+    from data_pipeline_project_spark.operators.incremental import _hash_cols
+
+    might = bloom_might_contain(spark, bitmap, m_bits, k)
+    hits = (
+        _hash_cols(probe, "k")
+        .where(might(F.col("_bf_h1"), F.col("_bf_h2")))
+        .count()
+    )
+    assert hits / n < 5 * fpp  # generous slack over the design point
+
+
+def test_no_false_negatives(spark):
+    n = 5_000
+    hist = spark.range(0, n).select(F.col("id").alias("k"))
+    bitmap, m_bits, k = build_bloom(hist, "k", expected_items=n, fpp=0.01)
+    from data_pipeline_project_spark.operators.incremental import _hash_cols
+
+    might = bloom_might_contain(spark, bitmap, m_bits, k)
+    hits = (
+        _hash_cols(hist, "k").where(might(F.col("_bf_h1"), F.col("_bf_h2"))).count()
+    )
+    assert hits == n
+
+
+def test_tree_combine_matches_direct(spark):
+    hist = spark.range(0, 3_000).select(F.col("id").alias("k")).repartition(8)
+    direct, m1, k1 = build_bloom(hist, "k", expected_items=3_000, combine_fanin=64)
+    treed, m2, k2 = build_bloom(hist, "k", expected_items=3_000, combine_fanin=2)
+    assert (m1, k1) == (m2, k2)
+    assert np.array_equal(
+        np.frombuffer(direct, dtype=np.uint8), np.frombuffer(treed, dtype=np.uint8)
+    )
+
+
+def test_null_keys_follow_anti_join_semantics(spark):
+    hist = spark.createDataFrame([(1,), (None,)], "k int")
+    new = spark.createDataFrame([(1,), (2,), (None,)], "k int")
+    got = sorted(
+        (r.k is None, r.k or 0)
+        for r in incremental_dedup(new, hist, "k").collect()
+    )
+    want = sorted(
+        (r.k is None, r.k or 0)
+        for r in new.join(hist, "k", "left_anti").collect()
+    )
+    assert got == want  # null-key row survives in both
+
+
+def test_parameter_formula():
+    m, k = bloom_parameters(1_000_000, 0.01)
+    assert 9_000_000 < m < 10_500_000  # ~9.59 bits/key at 1% fpp
+    assert k in (6, 7)
+    assert m % 8 == 0
