@@ -767,3 +767,104 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# ---- corpus balancing / sampling (pytest-oracle-checked; not driver-
+# registered — the 50-slot registry is full, parity is pinned in
+# tests/test_queries_vs_duckdb.py::test_deregistered_queries_still_match) ----
+
+# Shared quality CTE: identical expression chain to text_stats_struct's
+# kernel (and to clean_corpus_pipeline's oracle) so quality values are
+# bit-equal across engines.
+_QUALITY_CTE = f"""
+t AS (
+    SELECT doc_id, source, text, {SQL_TOKENS} AS toks FROM documents
+),
+scored AS (
+    SELECT doc_id, source,
+           round((CASE WHEN len(toks) > 0 AND
+                            list_reduce(list_prepend(0::BIGINT,
+                                list_transform(toks, x -> length(x)::BIGINT)),
+                                (a, b) -> a + b)::DOUBLE / len(toks)
+                            BETWEEN 3 AND 10
+                       THEN 1.0 ELSE 0.5 END
+                  + CASE WHEN len(list_intersect(toks, {list(STOPWORDS)})) > 0
+                         THEN 1.0 ELSE 0.5 END
+                  + CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE
+                              / length(text)
+                         ELSE 0.0 END) / 3, 6) AS quality
+    FROM t
+)
+"""
+
+DOMAIN_CAP_ORACLE = f"""
+WITH {_QUALITY_CTE},
+ranked AS (
+    SELECT source, doc_id, quality,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY quality DESC, doc_id) AS rk
+    FROM scored
+)
+SELECT source, doc_id, quality FROM ranked WHERE rk <= 10
+"""
+
+
+def domain_balanced_cap(
+    spark: SparkSession, sf_dir: str, max_per_domain: int = 10
+) -> DataFrame:
+    """Domain balancing for a training corpus: cap each source domain
+    at its ``max_per_domain`` highest-quality documents (deterministic
+    tiebreak on doc_id). The standard anti-overrepresentation pass —
+    one hash shuffle on the domain key + a per-group top-k window; no
+    global sort, no collect, so the plan is identical at 100 TB with
+    AQE splitting any skewed mega-domain."""
+    from data_pipeline_project_spark.operators.text import text_stats_struct
+
+    d = load_table(spark, "documents", sf_dir)
+    scored = d.select(
+        "source", "doc_id", text_stats_struct(F.col("text"))["quality"].alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= max_per_domain)
+        .select("source", "doc_id", "quality")
+    )
+
+
+# Per-stratum sampling rates: heavily keep src0, quarter src1, default
+# 10% elsewhere — the "rebalance web-crawl vs curated" shape.
+_STRATA_PERMILLE = {"src0": 500, "src1": 250}
+_DEFAULT_PERMILLE = 100
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, source,
+           {SQL_HASH.format(v="'sample:' || doc_id::VARCHAR")} % 1000 AS bucket
+    FROM documents
+)
+SELECT doc_id, source FROM b
+WHERE bucket < CASE source WHEN 'src0' THEN 500
+                           WHEN 'src1' THEN 250
+                           ELSE 100 END
+"""
+
+
+def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep rates applied
+    via a salted content-independent hash bucket (md5 of
+    'sample:<doc_id>' mod 1000), NOT ``sampleBy`` — same sample on
+    every run, engine, and cluster size, and the predicate is a pure
+    projection (no shuffle, no RNG state), so it composes with pushdown
+    and streams through any scan at 100 TB."""
+    from data_pipeline_project_spark.operators.text import token_hash
+
+    d = load_table(spark, "documents", sf_dir)
+    bucket = token_hash(
+        F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
+    ) % 1000
+    rate = F.when(F.col("source") == "src0", _STRATA_PERMILLE["src0"]).when(
+        F.col("source") == "src1", _STRATA_PERMILLE["src1"]
+    ).otherwise(_DEFAULT_PERMILLE)
+    return d.where(bucket < rate).select("doc_id", "source")

@@ -28,18 +28,23 @@ def test_ngram_jaccard_not_vacuous(spark):
     assert n > 0
 
 
-@pytest.mark.parametrize("fn_name,oracle_name", [
-    ("window_running_sum", "WINDOW_RUNNING_SUM_ORACLE"),
-    ("subquery_in_uncorrelated", "SUBQUERY_IN_ORACLE"),
+@pytest.mark.parametrize("mod_name,fn_name,oracle_name", [
+    ("relational_queries", "window_running_sum", "WINDOW_RUNNING_SUM_ORACLE"),
+    ("relational_queries", "subquery_in_uncorrelated", "SUBQUERY_IN_ORACLE"),
+    ("llmops_queries", "domain_balanced_cap", "DOMAIN_CAP_ORACLE"),
+    ("llmops_queries", "stratified_sample_by_source", "STRATIFIED_SAMPLE_ORACLE"),
 ])
-def test_deregistered_queries_still_match(spark, duck, fn_name, oracle_name):
-    """Queries whose driver slots were ceded in round 4 keep full
-    oracle parity here so their semantics can't silently rot."""
-    from data_pipeline_project_spark.plans import relational_queries as rq
+def test_deregistered_queries_still_match(spark, duck, mod_name, fn_name, oracle_name):
+    """Queries outside the driver's 50-slot registry window (slots
+    ceded in round 4, plus round-4 corpus-balancing additions) keep
+    full oracle parity here so their semantics can't silently rot."""
+    import importlib
+
     from tests.oracle_harness import compare, run_oracle
 
-    spark_pd = getattr(rq, fn_name)(spark, SF_ORACLE).toPandas()
-    oracle_pd = run_oracle(duck, getattr(rq, oracle_name), SF_ORACLE)
+    mod = importlib.import_module(f"data_pipeline_project_spark.plans.{mod_name}")
+    spark_pd = getattr(mod, fn_name)(spark, SF_ORACLE).toPandas()
+    oracle_pd = run_oracle(duck, getattr(mod, oracle_name), SF_ORACLE)
     problems = compare(spark_pd, oracle_pd)
     assert not [p for p in problems if "HASH RISK" not in p], problems
 
