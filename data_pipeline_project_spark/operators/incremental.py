@@ -140,6 +140,25 @@ def _bitmap_or_builder(m_bits: int):
     return orfold
 
 
+def bloom_add(
+    df: DataFrame, key_col: str, bitmap: bytes, m_bits: int, k: int
+) -> bytes:
+    """Fold ``df[key_col]`` into an EXISTING filter (fixed m/k) — the
+    incremental-maintenance path: after appending a batch to the
+    corpus, union its keys in instead of rebuilding from the full
+    corpus. Bloom bitmaps are closed under OR, so this is exact. fpp
+    degrades once insertions exceed the n the filter was sized for —
+    rebuild via build_bloom when the corpus outgrows it."""
+    import numpy as np
+
+    hashed = _hash_cols(df.select(key_col), key_col).select("_bf_h1", "_bf_h2")
+    parts = hashed.mapInPandas(_bitmap_builder(m_bits, k), "bitmap binary")
+    acc = np.frombuffer(bitmap, dtype=np.uint8).copy()
+    for row in parts.collect():
+        acc |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return acc.tobytes()
+
+
 def bloom_might_contain(spark, bitmap: bytes, m_bits: int, k: int):
     """Returns a pandas_udf ``(h1, h2) -> bool`` testing membership.
     The bitmap ships to executors once via a Spark broadcast variable,
@@ -171,6 +190,7 @@ def incremental_dedup(
     key_col: str,
     fpp: float = 0.01,
     expected_items: int | None = None,
+    bloom: tuple[bytes, int, int] | None = None,
 ) -> DataFrame:
     """Rows of ``new_batch`` whose ``key_col`` does NOT appear in
     ``historical`` — semantically ``new_batch.join(historical, key,
@@ -179,9 +199,18 @@ def incremental_dedup(
 
     Assumes |new_batch| << |historical| (the incremental-ingest
     contract): bloom-positive candidate keys must fit a broadcast.
+
+    ``bloom``: a prebuilt ``(bitmap, m_bits, k)`` covering (at least)
+    the historical keys — pass it when the caller maintains the filter
+    across repeated batches (streaming/corpus_ingest.py) to skip the
+    per-call build scan. Extra keys in the filter only add false
+    positives, which verification removes; correctness needs every
+    historical key present (no-false-negative side).
     """
     spark = new_batch.sparkSession
-    bitmap, m_bits, k = build_bloom(historical, key_col, expected_items, fpp)
+    bitmap, m_bits, k = bloom or build_bloom(
+        historical, key_col, expected_items, fpp
+    )
     might = bloom_might_contain(spark, bitmap, m_bits, k)
 
     hashed = _hash_cols(new_batch, key_col).withColumn(

@@ -488,17 +488,26 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by tf-idf. Shape at scale: one explode
-    + (doc, term) partial-agg shuffle for tf; the document-frequency
-    table and the corpus-size scalar are tiny aggregates broadcast back
-    — no second shuffle of the big side; final per-doc top-k is a
-    window over the tf shuffle's existing partitioning."""
+    + (doc, term) partial-agg shuffle for tf, MATERIALIZED once — the
+    document-frequency table, the corpus-size scalar, and the final
+    ranking all derive from it, so the corpus is tokenized exactly once
+    (unpersisted, each of the three consumers would re-run the
+    tokenize+explode scan); dfreq and n_docs are tiny aggregates
+    broadcast back — no second shuffle of the big side; final per-doc
+    top-k is a window over the tf shuffle's existing partitioning."""
+    from pyspark import StorageLevel
+
     from data_pipeline_project_spark.operators.text import tokens
 
     d = load_table(spark, "documents", sf_dir)
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    nd = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    nd = tf.select(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(nd))

@@ -1,0 +1,220 @@
+"""End-to-end streaming corpus ingest: JSONL drops → quarantine split →
+incremental dedup against the historical corpus → hash-sharded parquet
+append.
+
+This composes the engine's training-data parts into the pipeline a
+corpus build actually runs continuously:
+
+- **source**: Structured Streaming text scan over a drop directory,
+  parsed with the same explicit-schema ``from_json`` contract as the
+  batch JSONL source (``sources/jsonl_source.py``) — splittable,
+  PERMISSIVE, corrupt lines quarantined per micro-batch, never fatal;
+- **dedup**: each batch is deduped within itself (first arrival wins)
+  and then against the ENTIRE historical corpus via the Bloom-prefilter
+  path (``operators/incremental.py``). The filter is built once at
+  stream start from the existing corpus and maintained incrementally
+  (``bloom_add``) as batches append — steady state, a micro-batch costs
+  one broadcast membership test plus an exact verification scan that is
+  **partition-pruned to the shards the candidate keys hash to** (shard
+  id is a pure function of the key, so the prune list is exact);
+- **sink**: survivors append as ``shard=k/`` Hive partitions
+  (``sinks.shard_id`` layout — the training-shard contract), quarantined
+  raw lines append beside them for audit.
+
+Exactly-once without a transaction log: ``foreachBatch`` may replay a
+batch after a crash, but a replayed batch re-runs the SAME dedup
+against a corpus that now already contains its rows — every row is
+bloom-positive, verification matches it, nothing appends twice. The
+dedup IS the idempotency mechanism (same principle as the reference's
+upsert-key replay safety, `pipeline.py:240-243` / K2/K3, applied to an
+append-only corpus).
+
+Scale notes: the driver holds one bitmap (~1.2 GB per 10^9 keys at 1%
+fpp — fine for a driver; shard the filter by key range beyond that).
+fpp degrades as the corpus outgrows ``expected_total_docs``; rebuild at
+the next stream start (it always rebuilds from the real corpus, so
+drift never compounds).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_project_spark.operators.incremental import (
+    bloom_add,
+    bloom_parameters,
+    build_bloom,
+    incremental_dedup,
+)
+from data_pipeline_project_spark.sinks.sinks import shard_id
+from data_pipeline_project_spark.sources.jsonl_source import (
+    CORRUPT_COL,
+    DOCUMENT_JSONL_SCHEMA,
+    FILE_COL,
+    split_corrupt,
+)
+
+
+def read_documents_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENT_JSONL_SCHEMA,
+) -> DataFrame:
+    """Streaming twin of ``read_documents_jsonl``: same parse contract,
+    file-source checkpointing supplies exactly-once file tracking (the
+    reference's recently_processed set, S3, for free)."""
+    raw = (
+        spark.readStream.text(path)
+        .select(F.col("_metadata.file_name").alias(FILE_COL), "value")
+        .where(F.trim("value") != "")
+    )
+    parsed = raw.select(
+        FILE_COL,
+        F.from_json(
+            "value",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_rec"),
+    )
+    return parsed.select(FILE_COL, "_rec.*")
+
+
+@dataclass
+class IngestStats:
+    batches: int = 0
+    rows_seen: int = 0
+    rows_quarantined: int = 0
+    rows_appended: int = 0
+    rows_deduped: int = 0
+    history: list[dict] = field(default_factory=list)
+
+
+class CorpusIngestor:
+    """foreachBatch processor maintaining the corpus + its Bloom filter.
+
+    One instance per stream run; ``process_batch`` is the callback for
+    ``writeStream.foreachBatch``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus_path: str,
+        quarantine_path: str,
+        key_col: str = "doc_id",
+        n_shards: int = 16,
+        expected_total_docs: int = 1_000_000,
+        fpp: float = 0.01,
+    ):
+        self.spark = spark
+        self.corpus_path = corpus_path
+        self.quarantine_path = quarantine_path
+        self.key_col = key_col
+        self.n_shards = n_shards
+        self.stats = IngestStats()
+        # Size for where the corpus is GOING, not where it is, so
+        # incremental adds stay within the design fpp.
+        self.m_bits, self.k = bloom_parameters(expected_total_docs, fpp)
+        if self._corpus_exists():
+            self.bitmap, _, _ = build_bloom(
+                self._read_corpus(), key_col,
+                expected_items=expected_total_docs, fpp=fpp,
+            )
+        else:
+            self.bitmap = bytes(self.m_bits // 8)
+
+    def _corpus_exists(self) -> bool:
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.corpus_path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs.exists(p)
+
+    def _read_corpus(self, shards: list[int] | None = None) -> DataFrame:
+        df = self.spark.read.option("basePath", self.corpus_path).parquet(
+            self.corpus_path
+        )
+        if shards is not None:
+            # Exact partition prune: shard is a pure function of the
+            # key, so only these directories can hold a match.
+            df = df.where(F.col("shard").isin(shards))
+        return df
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        clean, quarantined = split_corrupt(batch)
+        n_quar = quarantined.count()
+        if n_quar:
+            quarantined.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(self.quarantine_path)
+
+        # Within-batch first-arrival dedup, then shard assignment (the
+        # same pure hash the corpus layout uses).
+        deduped = clean.where(F.col(self.key_col).isNotNull()).dropDuplicates(
+            [self.key_col]
+        )
+        sharded = deduped.withColumn(
+            "shard", shard_id(F.col(self.key_col), self.n_shards)
+        ).localCheckpoint()  # consumed 3x (shards, dedup, count); small
+
+        n_in = sharded.count()
+        if n_in and self._corpus_exists():
+            shards = [
+                r.shard for r in sharded.select("shard").distinct().collect()
+            ]
+            historical = self._read_corpus(shards)
+            fresh = incremental_dedup(
+                sharded, historical, self.key_col,
+                bloom=(self.bitmap, self.m_bits, self.k),
+            ).localCheckpoint()  # consumed 2x (write + bloom_add)
+        else:
+            fresh = sharded
+        n_new = fresh.count()
+
+        if n_new:
+            fresh.write.mode("append").partitionBy("shard").parquet(
+                self.corpus_path
+            )
+            self.bitmap = bloom_add(
+                fresh, self.key_col, self.bitmap, self.m_bits, self.k
+            )
+
+        s = self.stats
+        s.batches += 1
+        s.rows_seen += n_in + n_quar
+        s.rows_quarantined += n_quar
+        s.rows_appended += n_new
+        s.rows_deduped += n_in - n_new
+        s.history.append(
+            {"batch_id": batch_id, "in": n_in, "new": n_new, "quar": n_quar}
+        )
+
+
+def start_corpus_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **ingestor_kwargs,
+):
+    """Wire source → ingestor → sinks and start the query. Returns
+    ``(streaming_query, ingestor)`` — the ingestor exposes stats and
+    the live Bloom filter. ``available_now=True`` drains existing files
+    and stops (the batch-catchup trigger); False runs continuously."""
+    ingestor = CorpusIngestor(spark, corpus_path, quarantine_path, **ingestor_kwargs)
+    stream = read_documents_jsonl_stream(spark, source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(ingestor.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start(), ingestor

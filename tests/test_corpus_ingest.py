@@ -1,0 +1,113 @@
+"""Streaming corpus ingest (streaming/corpus_ingest.py): quarantine
+split, cross-batch dedup against the growing corpus, shard layout, and
+replay idempotency."""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.sources.jsonl_source import read_documents_jsonl
+from data_pipeline_project_spark.streaming.corpus_ingest import (
+    CorpusIngestor,
+    start_corpus_ingest,
+)
+
+
+def _write_jsonl(path, doc_ids, corrupt_lines=0):
+    with open(path, "w") as f:
+        for i in doc_ids:
+            f.write(json.dumps({"doc_id": i, "text": f"doc number {i}",
+                                "meta": {"src": "test"}}) + "\n")
+        for j in range(corrupt_lines):
+            f.write("{this is not json%d\n" % j)
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("drop", "corpus", "quar", "ckpt")}
+    (tmp_path / "drop").mkdir()
+    return d
+
+
+def test_end_to_end_ingest_with_dedup_across_runs(spark, dirs):
+    # Run 1: 50 docs + 2 corrupt lines.
+    _write_jsonl(f"{dirs['drop']}/b1.jsonl", range(50), corrupt_lines=2)
+    q, ing = start_corpus_ingest(
+        spark, dirs["drop"], dirs["corpus"], dirs["quar"], dirs["ckpt"],
+        expected_total_docs=10_000,
+    )
+    q.awaitTermination(120)
+    assert ing.stats.rows_appended == 50
+    assert ing.stats.rows_quarantined == 2
+    assert spark.read.parquet(dirs["corpus"]).count() == 50
+    assert spark.read.parquet(dirs["quar"]).count() == 2
+
+    # Run 2: a new drop overlapping 25 ids; only the 25 new ones land.
+    _write_jsonl(f"{dirs['drop']}/b2.jsonl", range(25, 75))
+    q2, ing2 = start_corpus_ingest(
+        spark, dirs["drop"], dirs["corpus"], dirs["quar"], dirs["ckpt"],
+        expected_total_docs=10_000,
+    )
+    q2.awaitTermination(120)
+    assert ing2.stats.rows_appended == 25
+    assert ing2.stats.rows_deduped == 25
+    corpus = spark.read.parquet(dirs["corpus"])
+    assert corpus.count() == 75
+    assert sorted(r.doc_id for r in corpus.collect()) == list(range(75))
+
+
+def test_shard_layout_is_deterministic(spark, dirs):
+    _write_jsonl(f"{dirs['drop']}/b1.jsonl", range(200))
+    q, _ = start_corpus_ingest(
+        spark, dirs["drop"], dirs["corpus"], dirs["quar"], dirs["ckpt"],
+        n_shards=8, expected_total_docs=10_000,
+    )
+    q.awaitTermination(120)
+    from data_pipeline_project_spark.sinks.sinks import shard_id
+
+    corpus = spark.read.parquet(dirs["corpus"])
+    # Hive partition value equals the recomputed pure-function shard id
+    # for every row.
+    mismatch = corpus.where(
+        F.col("shard") != shard_id(F.col("doc_id"), 8)
+    ).count()
+    assert mismatch == 0
+    assert corpus.select("shard").distinct().count() <= 8
+
+
+def test_replayed_batch_appends_nothing(spark, dirs):
+    _write_jsonl(f"{dirs['drop']}/b1.jsonl", range(30))
+    batch = read_documents_jsonl(spark, f"{dirs['drop']}/b1.jsonl")
+    ing = CorpusIngestor(
+        spark, dirs["corpus"], dirs["quar"], expected_total_docs=10_000
+    )
+    ing.process_batch(batch, 0)
+    assert spark.read.parquet(dirs["corpus"]).count() == 30
+
+    ing.process_batch(batch, 0)  # crash-replay of the same batch
+    assert spark.read.parquet(dirs["corpus"]).count() == 30
+    assert ing.stats.rows_appended == 30  # second pass appended 0
+
+    # A fresh ingestor (driver restart: bloom rebuilt from the corpus)
+    # must also treat the replay as already-ingested.
+    ing2 = CorpusIngestor(
+        spark, dirs["corpus"], dirs["quar"], expected_total_docs=10_000
+    )
+    ing2.process_batch(batch, 0)
+    assert spark.read.parquet(dirs["corpus"]).count() == 30
+    assert ing2.stats.rows_appended == 0
+    assert ing2.stats.rows_deduped == 30
+
+
+def test_null_key_rows_are_dropped_not_crashing(spark, dirs):
+    p = f"{dirs['drop']}/b1.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps({"doc_id": None, "text": "no id", "meta": {}}) + "\n")
+        f.write(json.dumps({"doc_id": 1, "text": "ok", "meta": {}}) + "\n")
+    ing = CorpusIngestor(
+        spark, dirs["corpus"], dirs["quar"], expected_total_docs=1_000
+    )
+    ing.process_batch(read_documents_jsonl(spark, p), 0)
+    assert spark.read.parquet(dirs["corpus"]).count() == 1
