@@ -1,0 +1,88 @@
+"""Scan-aware physical layout: range-clustered sorted parquet writes.
+
+Parquet readers prune at two levels below partitions: whole files (via
+footer min/max) and row groups (zone maps). Both only bite when the
+data is CLUSTERED on the predicate column — a time-range query over a
+randomly-laid-out 100 TB table reads every file because every file's
+[min,max] spans the whole timeline. Writing time-series (or any
+high-selectivity key) range-partitioned AND sorted makes file ranges
+near-disjoint, so a one-day probe over a year of data touches ~1/365th
+of the files, in ANY engine that reads footers (Spark, DuckDB, Trino).
+
+This is the same contract as ``sinks.write_bucketed`` but for RANGE
+predicates: bucketing co-locates equality keys for joins; range
+clustering co-locates ordered keys for scans. (Multi-column variants —
+Z-order/Hilbert — interleave several keys; the single-key case here is
+the one Spark expresses natively with repartitionByRange.)
+
+Reference scope note: the reference's layout surface is chunked CSV
+(`preprocessing_kaggle_dataset.py:56-75`, K7/P10); scan-aware layout
+belongs to the 100 TB extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned and
+    sorted on ``cluster_col``.
+
+    ``repartitionByRange`` samples the key distribution to pick split
+    points, so files are near-equal-sized even under skew (one range
+    shuffle — the price paid once at write time for every later pruned
+    scan). ``sortWithinPartitions`` then orders rows inside each file so
+    ROW-GROUP zone maps are tight too, not just file footers. With
+    ``partition_cols``, clustering applies within each Hive partition
+    (range-shuffle keys: partitions first, then the cluster key).
+    """
+    keys = [*(partition_cols or []), cluster_col]
+    out = df.repartitionByRange(n_files, *[F.col(c) for c in keys]).sortWithinPartitions(
+        *[F.col(c) for c in keys]
+    )
+    writer = out.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def file_zone_maps(
+    duck, path: str, col: str, duck_type: str = "BIGINT"
+) -> list[tuple[str, object, object]]:
+    """Per-file (file, min, max) for ``col`` straight from the parquet
+    footers (no data read) — the pruning metadata any engine consults.
+    Used by tests to prove layout quality; handy as an ops probe.
+    DuckDB surfaces footer stats as strings; ``duck_type`` casts them
+    so min/max aggregate over row groups in value order."""
+    rows = duck.execute(
+        f"""
+        SELECT file_name,
+               min(try_cast(stats_min_value AS {duck_type})),
+               max(try_cast(stats_max_value AS {duck_type}))
+        FROM parquet_metadata(?)
+        WHERE path_in_schema = ?
+        GROUP BY file_name
+        """,
+        [f"{path}/**/*.parquet", col],
+    ).fetchall()
+    return [(f, lo, hi) for f, lo, hi in rows]
+
+
+def overlap_fraction(
+    zone_maps: list[tuple[str, object, object]], lo, hi
+) -> float:
+    """Fraction of files whose [min,max] intersects [lo, hi] — the
+    fraction of the dataset a range scan must actually read."""
+    if not zone_maps:
+        return 0.0
+    hit = sum(1 for _, mn, mx in zone_maps if not (mx < lo or mn > hi))
+    return hit / len(zone_maps)

@@ -1,0 +1,86 @@
+"""Range-clustered writes (sinks/layout.py): file zone maps must become
+near-disjoint so range scans prune, and rows must survive exactly."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.sinks.layout import (
+    file_zone_maps,
+    overlap_fraction,
+    write_range_clustered,
+)
+
+N = 20_000
+N_FILES = 10
+
+
+def _events(spark):
+    # Shuffled arrival order: worst case for zone maps if written as-is.
+    return (
+        spark.range(0, N)
+        .select(
+            F.col("id"),
+            # pseudo-random permutation of a day of seconds
+            F.pmod(F.col("id") * 48271 + 11, F.lit(N)).alias("ts_s"),
+        )
+        .select("id", F.col("ts_s").cast("long").alias("event_ts"))
+    )
+
+
+def test_clustered_layout_prunes_range_scans(spark, duck, tmp_path):
+    messy, tidy = str(tmp_path / "messy"), str(tmp_path / "tidy")
+    ev = _events(spark)
+    ev.repartition(N_FILES).write.parquet(messy)  # round-robin layout
+    write_range_clustered(ev, tidy, "event_ts", N_FILES)
+
+    probe_lo, probe_hi = 1000, 2999  # a 10% slice of the key space
+    messy_frac = overlap_fraction(
+        file_zone_maps(duck, messy, "event_ts"), probe_lo, probe_hi
+    )
+    tidy_frac = overlap_fraction(
+        file_zone_maps(duck, tidy, "event_ts"), probe_lo, probe_hi
+    )
+    assert messy_frac == 1.0  # every file overlaps: zero pruning
+    assert tidy_frac <= 2 / N_FILES  # only the file(s) holding the slice
+
+    # Same rows either way.
+    assert (
+        spark.read.parquet(tidy).orderBy("id").collect()
+        == spark.read.parquet(messy).orderBy("id").collect()
+    )
+
+
+def test_files_are_balanced_and_internally_sorted(spark, duck, tmp_path):
+    tidy = str(tmp_path / "tidy2")
+    write_range_clustered(_events(spark), tidy, "event_ts", N_FILES)
+    zm = file_zone_maps(duck, tidy, "event_ts")
+    assert len(zm) == N_FILES
+    # Disjoint file ranges (sorted by min, each max < next min).
+    spans = sorted((int(lo), int(hi)) for _, lo, hi in zm)
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+    # Range partitioner balance: no file holds more than ~2x its share.
+    counts = [
+        r[0]
+        for r in duck.execute(
+            "SELECT count(*) FROM read_parquet(?, filename=true) "
+            "GROUP BY filename ORDER BY 1",
+            [f"{tidy}/**/*.parquet"],
+        ).fetchall()
+    ]
+    assert max(counts) < 2 * N / N_FILES
+
+
+def test_hive_partitioned_clustering(spark, duck, tmp_path):
+    path = str(tmp_path / "parts")
+    ev = _events(spark).withColumn(
+        "day", (F.col("event_ts") / (N // 2)).cast("int")
+    )
+    write_range_clustered(ev, path, "event_ts", 8, partition_cols=["day"])
+    assert spark.read.parquet(path).count() == N
+    # Zone maps stay tight inside each Hive partition.
+    zm = [
+        (f, int(lo), int(hi))
+        for f, lo, hi in file_zone_maps(duck, path, "event_ts")
+        if "day=0" in f
+    ]
+    spans = sorted((lo, hi) for _, lo, hi in zm)
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
