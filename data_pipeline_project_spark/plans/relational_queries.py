@@ -836,3 +836,72 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue_pct")
         )
     )
+
+
+# Not driver-registered (the 50-slot registry is full): SCD2 merge —
+# oracle parity pinned in tests/test_queries_vs_duckdb.py::
+# test_deregistered_queries_still_match; the generic operator is
+# operators/scd.scd2_merge with its own unit coverage in
+# tests/test_scd.py.
+SCD2_ORACLE = """
+WITH touched AS (SELECT DISTINCT o_custkey FROM orders),
+base AS (
+    SELECT c_custkey, 'NONE' AS prio, TIMESTAMP '1990-01-01' AS _ts,
+           0 AS _src, NULL::BIGINT AS _o
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM touched)
+),
+chg AS (
+    SELECT o_custkey AS c_custkey, o_orderpriority AS prio,
+           CAST(o_orderdate AS TIMESTAMP) AS _ts, 1 AS _src, o_orderkey AS _o
+    FROM orders
+),
+seq AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+lagged AS (
+    SELECT *, lag(prio) OVER (PARTITION BY c_custkey
+                              ORDER BY _ts, _src, _o) AS _prev
+    FROM seq
+),
+dedup AS (SELECT * FROM lagged WHERE _prev IS DISTINCT FROM prio),
+versioned AS (
+    SELECT c_custkey, prio, _ts AS valid_from,
+           lead(_ts) OVER (PARTITION BY c_custkey
+                           ORDER BY _ts, _src, _o) AS valid_to
+    FROM dedup
+),
+untouched AS (
+    SELECT c_custkey, 'NONE' AS prio, TIMESTAMP '1990-01-01' AS valid_from,
+           NULL::TIMESTAMP AS valid_to
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM touched)
+)
+SELECT * FROM versioned UNION ALL SELECT * FROM untouched
+"""
+
+
+def scd2_customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge exercised on driver data: customers start as one open
+    'NONE' version; each order is a CDC change of the customer's
+    priority at its order date (orderkey tiebreak). Output is the full
+    validity-interval history — consecutive same-priority orders
+    collapse, each key's last version stays open. See operators/scd.py
+    for the one-shuffle plan shape."""
+    from data_pipeline_project_spark.operators.scd import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dim = cust.select(
+        "c_custkey",
+        F.lit("NONE").alias("prio"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("timestamp").alias("change_ts"),
+        "o_orderkey",
+    )
+    return scd2_merge(
+        dim, changes,
+        key_col="c_custkey", attr_cols=["prio"], change_ts_col="change_ts",
+        order_cols=["o_orderkey"],
+    )
