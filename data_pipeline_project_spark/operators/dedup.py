@@ -356,6 +356,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    pointer_jumping: bool = False,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: (node, cluster_id) where
     cluster_id = min doc id reachable through the pair graph — the
@@ -368,9 +369,18 @@ def connected_components(
     (mostly pairs/triangles), so this is 2-4 rounds in practice. Each
     round is one shuffle (join on dst + groupBy src); localCheckpoint
     truncates the growing lineage so round N doesn't replay rounds
-    1..N-1. The same loop at 100 TB is the standard large-star/
-    small-star family's simple cousin; swap in GraphFrames'
-    connectedComponents for very deep graphs.
+    1..N-1.
+
+    ``pointer_jumping=True`` adds a label-of-label contraction to each
+    round (label <- label[label]): path lengths to the component min
+    halve every round, so convergence is O(log diameter) instead of
+    O(diameter) — the Kiveris-et-al. star-contraction family's
+    behavior. Costs one extra self-join per round; worth it exactly
+    when components can be DEEP (long chains — e.g. near-dup edges
+    through successively-edited document versions). For the shallow
+    graphs LSH banding emits, plain propagation does fewer total
+    shuffles; both converge to identical labels (pinned in
+    tests/test_llmops.py).
     """
     # Materialize the edge list once — every iteration joins against
     # it, and `pairs` may be an expensive subtree (e.g. the full
@@ -405,6 +415,24 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        if pointer_jumping:
+            # label <- label[label]: every label value is itself a node
+            # (labels are initialized from node ids), so the self-join
+            # always resolves; taking the least keeps monotonicity.
+            # Materialized above so both join sides read one result.
+            l2 = new_labels.select(
+                F.col("node").alias("_jn"), F.col("label").alias("_jl")
+            )
+            new_labels = (
+                new_labels.join(l2, new_labels.label == l2._jn, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("_jl", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -55,6 +55,64 @@ def write_range_clustered(
     writer.parquet(path)
 
 
+def zorder_key(cols: list, mins: list, maxs: list, bits: int = 8):
+    """Z-value (Morton code) expression over numeric columns: each
+    column min-max-scales to a ``bits``-bit bucket, then bucket bits
+    interleave — nearby points in ANY dimension get nearby z-values.
+    Pure JVM bit arithmetic (shiftleft/or chain built statically), no
+    UDF. ``mins``/``maxs`` come from one tiny agg over the data (or
+    table stats at warehouse scale)."""
+    n = len(cols)
+    top = (1 << bits) - 1
+    buckets = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi - lo) or 1.0
+        b = F.floor((c.cast("double") - float(lo)) / span * top).cast("bigint")
+        buckets.append(F.greatest(F.least(b, F.lit(top)), F.lit(0)))
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for d, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + d)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-column variant of ``write_range_clustered``: cluster on the
+    interleaved z-value so range predicates on EVERY listed column
+    prune, not just the first. Single-column sorting gives one column
+    perfect zone maps and the others none; z-ordering trades a little
+    of the first column's tightness for useful min/max bounds on all of
+    them (the Delta/Iceberg OPTIMIZE ZORDER BY contract, expressed with
+    plain Spark ops). One stats agg + one range shuffle."""
+    stats = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+    ).first()
+    z = zorder_key(
+        [F.col(c) for c in cols],
+        [stats[f"_lo_{c}"] for c in cols],
+        [stats[f"_hi_{c}"] for c in cols],
+        bits,
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def file_zone_maps(
     duck, path: str, col: str, duck_type: str = "BIGINT"
 ) -> list[tuple[str, object, object]]:

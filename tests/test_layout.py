@@ -84,3 +84,48 @@ def test_hive_partitioned_clustering(spark, duck, tmp_path):
     ]
     spans = sorted((lo, hi) for _, lo, hi in zm)
     assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+def test_zorder_prunes_on_both_columns(spark, duck, tmp_path):
+    """Single-key clustering leaves the second column unprunable
+    (every file overlaps any y-probe); z-order gives BOTH columns
+    selective zone maps."""
+    from data_pipeline_project_spark.sinks.layout import write_zordered
+
+    xonly, zord = str(tmp_path / "xonly"), str(tmp_path / "zord")
+    side = 141
+    pts = spark.range(0, side * side).select(
+        (F.col("id") % side).alias("x"), (F.col("id") / side).cast("long").alias("y")
+    )
+    write_range_clustered(pts, xonly, "x", 16)
+    write_zordered(pts, zord, ["x", "y"], 16)
+
+    # 10%-wide probes on each axis, placed inside the first z-quadrant
+    # (a probe straddling the top-level split necessarily hits both
+    # halves of the space in that dimension).
+    lo, hi = 20, 34
+
+    def frac(path, col):
+        return overlap_fraction(file_zone_maps(duck, path, col), lo, hi)
+
+    assert frac(xonly, "x") <= 3 / 16  # primary key: tight
+    assert frac(xonly, "y") == 1.0     # second column: useless
+    assert frac(zord, "x") <= 0.5      # both columns: selective
+    assert frac(zord, "y") <= 0.5
+    assert spark.read.parquet(zord).count() == side * side
+
+
+def test_zorder_key_interleaves(spark):
+    from data_pipeline_project_spark.sinks.layout import zorder_key
+
+    df = spark.createDataFrame([(0, 0), (3, 0), (0, 3), (3, 3)], "a int, b int")
+    z = df.select(
+        "a", "b",
+        zorder_key([F.col("a"), F.col("b")], [0, 0], [3, 3], bits=2).alias("z"),
+    ).collect()
+    got = {(r.a, r.b): r.z for r in z}
+    # 2-bit Morton codes: a bits land at even positions, b at odd.
+    assert got[(0, 0)] == 0b0000
+    assert got[(3, 0)] == 0b0101
+    assert got[(0, 3)] == 0b1010
+    assert got[(3, 3)] == 0b1111

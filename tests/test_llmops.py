@@ -114,3 +114,69 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     assert r2 >= 0.3, f"IVF recall {r2:.2f} at n_probe=2 — assignment broken"
     assert r4 >= r2, f"n_probe knob dead: {r4:.2f} < {r2:.2f}"
     assert r8 == 1.0, f"full probe must be exact, got {r8:.2f}"
+
+
+def test_pointer_jumping_converges_on_deep_chain(spark):
+    """A 150-node path has diameter 149: plain min-label propagation
+    moves the min one hop per round (unconverged at max_iter=10), while
+    pointer jumping halves remaining distances every round and fully
+    converges in ~log2(149) rounds — the deep-graph scale path."""
+    from data_pipeline_project_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(149)], "id_a long, id_b long"
+    )
+    plain = connected_components(edges, max_iter=10)
+    assert any(r.cluster_id != 0 for r in plain.collect())  # still spreading
+
+    jumped = connected_components(edges, max_iter=10, pointer_jumping=True)
+    rows = jumped.collect()
+    assert len(rows) == 150
+    assert all(r.cluster_id == 0 for r in rows)
+
+
+def test_pointer_jumping_matches_plain_and_union_find(spark):
+    """Both modes must produce identical labels, equal to a reference
+    union-find, on a random sparse graph."""
+    import random
+
+    from data_pipeline_project_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = sorted({x for e in edges for x in e})
+    want = {x: find(x) for x in touched}
+    # union-find roots are not necessarily component minima; normalize
+    comp_min = {}
+    for x in touched:
+        comp_min.setdefault(find(x), x)  # touched is sorted: first is min
+    want = {x: comp_min[find(x)] for x in touched}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    plain = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(df, max_iter=40).collect()
+    }
+    jumped = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            df, max_iter=40, pointer_jumping=True
+        ).collect()
+    }
+    assert plain == want
+    assert jumped == want
