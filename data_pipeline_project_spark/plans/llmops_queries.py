@@ -877,3 +877,37 @@ def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source") == "src1", _STRATA_PERMILLE["src1"]
     ).otherwise(_DEFAULT_PERMILLE)
     return d.where(bucket < rate).select("doc_id", "source")
+
+
+HEAVY_HITTER_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest({SQL_TOKENS}) AS term FROM documents
+),
+counts AS (SELECT term, count(*) AS n_occurrences FROM tok GROUP BY term),
+total AS (SELECT count(*) AS n FROM tok)
+SELECT term, n_occurrences
+FROM counts, total
+WHERE n_occurrences > n / 50.0
+"""
+
+
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus terms occurring in more than 1/50th of all token
+    positions — boilerplate detection at corpus scale. Runs the
+    Misra-Gries sketch-then-verify plan (operators/sketches.py: narrow
+    sketch pass, broadcast recount of candidates only — raw tokens
+    never shuffle), then keeps exactly the true >n/k items, which
+    makes the result deterministic and hash-checkable against the
+    plain GROUP BY oracle."""
+    from data_pipeline_project_spark.operators.sketches import heavy_hitters
+    from data_pipeline_project_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    hh = heavy_hitters(tok, "term", 50)
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hh.crossJoin(F.broadcast(total))
+        .where(F.col("count") > F.col("n") / 50.0)
+        .select(F.col("item").alias("term"), F.col("count").alias("n_occurrences"))
+    )

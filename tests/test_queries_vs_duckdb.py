@@ -34,6 +34,7 @@ def test_ngram_jaccard_not_vacuous(spark):
     ("llmops_queries", "domain_balanced_cap", "DOMAIN_CAP_ORACLE"),
     ("llmops_queries", "stratified_sample_by_source", "STRATIFIED_SAMPLE_ORACLE"),
     ("relational_queries", "scd2_customer_priority_history", "SCD2_ORACLE"),
+    ("llmops_queries", "heavy_hitter_terms", "HEAVY_HITTER_ORACLE"),
 ])
 def test_deregistered_queries_still_match(spark, duck, mod_name, fn_name, oracle_name):
     """Queries outside the driver's 50-slot registry window (slots

@@ -1,0 +1,73 @@
+"""Heavy hitters (operators/sketches.py): the candidate set must
+contain every true >n/k item, counts must be exact, and the raw data
+must never shuffle."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.operators.sketches import heavy_hitters
+
+
+def _zipfish(spark, n=60_000):
+    # value v appears ~ n/(2^v): v=0 ~ half the rows, v=1 a quarter...
+    # long tail of near-unique values below.
+    return spark.range(0, n).select(
+        F.when(F.col("id") % 2 == 0, "hh0")
+        .when(F.col("id") % 4 == 1, "hh1")
+        .when(F.col("id") % 8 == 3, "hh2")
+        .otherwise(F.concat(F.lit("tail"), F.col("id")))
+        .alias("term")
+    ).repartition(8)
+
+
+def test_contains_all_true_heavy_hitters_with_exact_counts(spark):
+    df = _zipfish(spark)
+    n = df.count()
+    k = 10
+    got = {r.item: r["count"] for r in heavy_hitters(df, "term", k).collect()}
+    exact = {
+        r.term: r["count"]
+        for r in df.groupBy("term").agg(F.count(F.lit(1)).alias("count")).collect()
+    }
+    for item, cnt in exact.items():
+        if cnt > n / k:  # the MG guarantee
+            assert item in got, f"missed true heavy hitter {item}"
+    for item, cnt in got.items():
+        assert cnt == exact[item]  # recount pass is exact, not approx
+
+
+def test_candidate_set_is_small(spark):
+    df = _zipfish(spark)
+    k = 10
+    # 8 partitions x <= k survivors is the hard bound; in practice the
+    # tail items cancel and the set stays near the true hitters.
+    assert heavy_hitters(df, "term", k).count() <= 8 * k
+
+
+def test_raw_data_never_shuffles(spark):
+    df = _zipfish(spark)
+    plan = (
+        heavy_hitters(df, "term", 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # Only keyed exchanges allowed: the candidate distinct and the
+    # partially-aggregated exact counts (both bounded by candidates,
+    # not rows). The verify join must be broadcast.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_integer_typed_column(spark):
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 3 == 0, 7).otherwise(F.col("id")).alias("v")
+    )
+    got = {r.item: r["count"] for r in heavy_hitters(df, "v", 5).collect()}
+    assert got[7] == sum(1 for i in range(10_000) if i % 3 == 0 or i == 7)
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [(None,)] * 50 + [("b",)] * 5, "v string"
+    )
+    got = {r.item: r["count"] for r in heavy_hitters(df, "v", 3).collect()}
+    assert got["a"] == 50
+    assert None not in got
