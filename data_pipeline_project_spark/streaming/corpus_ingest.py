@@ -63,12 +63,17 @@ def read_documents_jsonl_stream(
     spark: SparkSession,
     path: str,
     schema: T.StructType = DOCUMENT_JSONL_SCHEMA,
+    reader_options: dict | None = None,
 ) -> DataFrame:
     """Streaming twin of ``read_documents_jsonl``: same parse contract,
     file-source checkpointing supplies exactly-once file tracking (the
-    reference's recently_processed set, S3, for free)."""
+    reference's recently_processed set, S3, for free).
+    ``reader_options``: file-source knobs (e.g. maxFilesPerTrigger)."""
+    reader = spark.readStream
+    for key, val in (reader_options or {}).items():
+        reader = reader.option(key, val)
     raw = (
-        spark.readStream.text(path)
+        reader.text(path)
         .select(F.col("_metadata.file_name").alias(FILE_COL), "value")
         .where(F.trim("value") != "")
     )
@@ -128,10 +133,18 @@ class CorpusIngestor:
             self.bitmap = bytes(self.m_bits // 8)
 
     def _corpus_exists(self) -> bool:
+        """True only when the corpus holds actual data files (a bare
+        pre-created directory is an empty corpus)."""
         jvm = self.spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(self.corpus_path)
         fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return fs.exists(p)
+        if not fs.exists(p):
+            return False
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            if not it.next().getPath().getName().startswith(("_", ".")):
+                return True
+        return False
 
     def _read_corpus(self, shards: list[int] | None = None) -> DataFrame:
         df = self.spark.read.option("basePath", self.corpus_path).parquet(
@@ -153,13 +166,13 @@ class CorpusIngestor:
 
         # Within-batch first-arrival dedup, then shard assignment (the
         # same pure hash the corpus layout uses).
-        deduped = clean.where(F.col(self.key_col).isNotNull()).dropDuplicates(
-            [self.key_col]
+        keyed = clean.where(F.col(self.key_col).isNotNull()).localCheckpoint()
+        n_raw = keyed.count()
+        sharded = (
+            keyed.dropDuplicates([self.key_col])
+            .withColumn("shard", shard_id(F.col(self.key_col), self.n_shards))
+            .localCheckpoint()  # consumed 3x (shards, dedup, count); small
         )
-        sharded = deduped.withColumn(
-            "shard", shard_id(F.col(self.key_col), self.n_shards)
-        ).localCheckpoint()  # consumed 3x (shards, dedup, count); small
-
         n_in = sharded.count()
         if n_in and self._corpus_exists():
             shards = [
@@ -184,12 +197,12 @@ class CorpusIngestor:
 
         s = self.stats
         s.batches += 1
-        s.rows_seen += n_in + n_quar
+        s.rows_seen += n_raw + n_quar
         s.rows_quarantined += n_quar
         s.rows_appended += n_new
-        s.rows_deduped += n_in - n_new
+        s.rows_deduped += n_raw - n_new  # within-batch + vs-corpus dups
         s.history.append(
-            {"batch_id": batch_id, "in": n_in, "new": n_new, "quar": n_quar}
+            {"batch_id": batch_id, "in": n_raw, "new": n_new, "quar": n_quar}
         )
 
 
@@ -200,14 +213,22 @@ def start_corpus_ingest(
     quarantine_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
     **ingestor_kwargs,
 ):
     """Wire source → ingestor → sinks and start the query. Returns
     ``(streaming_query, ingestor)`` — the ingestor exposes stats and
     the live Bloom filter. ``available_now=True`` drains existing files
-    and stops (the batch-catchup trigger); False runs continuously."""
+    and stops (the batch-catchup trigger); False runs continuously.
+    ``max_files_per_trigger`` bounds batch size (and makes each drop
+    file its own dedup round when set to 1)."""
     ingestor = CorpusIngestor(spark, corpus_path, quarantine_path, **ingestor_kwargs)
-    stream = read_documents_jsonl_stream(spark, source_dir)
+    opts = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None
+    )
+    stream = read_documents_jsonl_stream(spark, source_dir, reader_options=opts)
     writer = (
         stream.writeStream.foreachBatch(ingestor.process_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -1,0 +1,109 @@
+"""Capstone integration: the full training-corpus build, end to end —
+JSONL drops → streaming ingest (quarantine + dedup) → quality/language
+cleaning → near-dup cluster keeper selection → deterministic split →
+sharded training output → compaction. Each stage is unit/oracle-tested
+on its own; this guards their COMPOSITION and the determinism of the
+final artifact (two identical builds must produce byte-identical shard
+membership)."""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+)
+from data_pipeline_project_spark.operators.text import text_stats_struct, token_hash
+from data_pipeline_project_spark.sinks.compact import compact_dataset
+from data_pipeline_project_spark.sinks.sinks import shard_id
+from data_pipeline_project_spark.streaming.corpus_ingest import start_corpus_ingest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stage_drops(spark, drop_dir):
+    """Documents table rendered as two JSONL drops with planted
+    duplicates (last 50 ids repeat) and corrupt lines."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    half = len(docs) // 2
+    with open(f"{drop_dir}/a.jsonl", "w") as f:
+        for r in docs[:half]:
+            f.write(json.dumps({"doc_id": r.doc_id, "text": r.text,
+                                "meta": {"source": r.source, "lang": r.lang}}) + "\n")
+        f.write("corrupt {line one\n")
+    with open(f"{drop_dir}/b.jsonl", "w") as f:
+        for r in docs[half - 50:]:  # 50-row overlap with drop a
+            f.write(json.dumps({"doc_id": r.doc_id, "text": r.text,
+                                "meta": {"source": r.source, "lang": r.lang}}) + "\n")
+        f.write("corrupt {line two\n")
+    return len(docs)
+
+
+def _build(spark, tmp, tag):
+    root = tmp / tag
+    for sub in ("drop", "corpus", "quar", "ckpt"):
+        (root / sub).mkdir(parents=True)
+    n_docs = _stage_drops(spark, str(root / "drop"))
+
+    # 1. streaming ingest: dedups the planted overlap, quarantines junk
+    q, ing = start_corpus_ingest(
+        spark, str(root / "drop"), str(root / "corpus"), str(root / "quar"),
+        str(root / "ckpt"), expected_total_docs=10_000,
+        max_files_per_trigger=1,  # each drop is its own dedup round
+    )
+    q.awaitTermination(180)
+    assert ing.stats.rows_appended == n_docs
+    assert ing.stats.rows_deduped == 50
+    assert ing.stats.rows_quarantined == 2
+
+    corpus = spark.read.parquet(str(root / "corpus"))
+    meta = corpus.select(
+        "doc_id", "text",
+        F.col("meta")["source"].alias("source"),
+        text_stats_struct(F.col("text"))["quality"].alias("quality"),
+    )
+
+    # 2. near-dup clusters over the ingested corpus; keep cluster minima
+    clusters = connected_components(minhash_lsh_pairs(meta, threshold=0.5))
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = meta.join(F.broadcast(losers), "doc_id", "left_anti")
+
+    # 3. deterministic split + sharded training output
+    bucket = token_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    train = kept.where(bucket < 80).withColumn(
+        "shard", shard_id(F.col("doc_id"), 4, method="md5")
+    )
+    train.select("doc_id", "text", "source", "shard").repartition(
+        16
+    ).write.partitionBy("shard").parquet(str(root / "train"))
+
+    # 4. compaction: the fragmented write shrinks, rows intact
+    before = spark.read.parquet(str(root / "train")).count()
+    stats = compact_dataset(
+        spark, str(root / "train"), target_file_bytes=32 * 1024 * 1024,
+        partition_cols=["shard"],
+    )
+    assert stats.partitions_compacted >= 1
+    assert stats.files_after < stats.files_before
+    assert spark.read.parquet(str(root / "train")).count() == before
+
+    out = spark.read.parquet(str(root / "train"))
+    return {
+        s: sorted(r.doc_id for r in rows)
+        for s, rows in (
+            (g.shard, out.where(F.col("shard") == g.shard).collect())
+            for g in out.select("shard").distinct().collect()
+        )
+    }
+
+
+def test_full_corpus_build_is_deterministic(spark, tmp_path):
+    run1 = _build(spark, tmp_path, "run1")
+    run2 = _build(spark, tmp_path, "run2")
+    assert run1.keys() == run2.keys()
+    assert run1 == run2  # identical shard membership, build-to-build
+    total = sum(len(v) for v in run1.values())
+    assert 0 < total < 500  # split + dedup actually removed rows
