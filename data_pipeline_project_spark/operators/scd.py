@@ -50,6 +50,13 @@ def scd2_merge(
     ``changes`` columns: key, attrs, ``change_ts_col`` (+``order_cols``
     as a deterministic tiebreak for same-timestamp changes).
     Returns the same schema as ``dim``.
+
+    Out-of-order contract: a change timestamped BEFORE its key's open
+    version began (``ts < valid_from``) is DISCARDED — it belongs to
+    already-closed history, and applying it would rewrite the open
+    version's start retroactively (found by the property test in
+    tests/test_scd_property.py). Correcting closed history is a
+    bitemporal restatement, deliberately out of scope here.
     """
     order_cols = order_cols or []
     attrs = [F.col(c) for c in attr_cols]
@@ -68,10 +75,22 @@ def scd2_merge(
         F.col(from_col).alias("_ts"), F.lit(0).alias("_src"),
         *[F.lit(None).cast("long").alias(f"_o_{c}") for c in order_cols],
     )
-    chg = changes.select(
-        key_col, *attr_cols,
-        F.col(change_ts_col).alias("_ts"), F.lit(1).alias("_src"),
-        *[F.col(c).cast("long").alias(f"_o_{c}") for c in order_cols],
+    # Stale-change guard (see docstring): keep a change only if its key
+    # is new or its ts is not before the open version's start. The
+    # per-key valid_from frame is bounded by the changed-key set, so it
+    # broadcasts.
+    cur_from = touched.select(key_col, F.col(from_col).alias("_cur_from"))
+    chg = (
+        changes.join(F.broadcast(cur_from), key_col, "left")
+        .where(
+            F.col("_cur_from").isNull()
+            | (F.col(change_ts_col) >= F.col("_cur_from"))
+        )
+        .select(
+            key_col, *attr_cols,
+            F.col(change_ts_col).alias("_ts"), F.lit(1).alias("_src"),
+            *[F.col(c).cast("long").alias(f"_o_{c}") for c in order_cols],
+        )
     )
     seq = base.unionByName(chg)
 

@@ -33,6 +33,39 @@ def tumbling_event_counts(
     )
 
 
+def session_event_counts(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization via ``session_window``: per key, events
+    within ``gap`` of each other merge into one growing session window
+    [first_ts, last_ts + gap). The streaming twin of the batch
+    sessionization query (plans/streaming_queries.py — lag + cumulative
+    gap-count), but with state Spark manages: a session is held open
+    while events can still extend it and emitted exactly once, when the
+    watermark passes its end. State per key is O(open sessions), not
+    O(events) — the property that lets this run forever at 100 TB
+    scale."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     id_cols: list[str] | None = None,

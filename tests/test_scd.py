@@ -119,12 +119,26 @@ def test_one_shuffle_plan(spark, dim):
     )
     plan = _merge(dim, changes)._jdf.queryExecution().executedPlan().toString()
     # Every shuffle touches only change-bounded data: the changed-key
-    # distinct (computed once per broadcast consumer, so twice) and ONE
-    # versioning window exchange reused by lag AND lead, whose input is
-    # changes + the touched current rows — bounded by the batch, not
-    # the dimension. The dimension side itself never shuffles or
-    # sort-merge-joins.
-    assert plan.count("hashpartitioning") <= 3, plan
-    assert plan.count("Window ") == 2  # lag + lead ...
-    assert plan.count("Exchange hashpartitioning(k#") <= 3
+    # distinct (recomputed once per broadcast consumer: anti, semi, and
+    # the stale-guard's cur_from) and ONE versioning window exchange
+    # reused by lag AND lead, whose input is changes + the touched
+    # current rows — bounded by the batch, not the dimension. The
+    # dimension side itself never shuffles or sort-merge-joins.
+    assert plan.count("hashpartitioning") <= 5, plan
+    assert plan.count("Window ") == 2  # lag + lead share one exchange
     assert "SortMergeJoin" not in plan
+
+
+def test_stale_change_before_open_version_is_discarded(spark, dim):
+    """A change timestamped before its key's open version began must
+    not rewrite history (the out-of-order contract in the docstring)."""
+    changes = spark.createDataFrame(
+        # key 1's open 'a' version began 2020-01-01
+        [(1, "old", D(2019, 6, 1), 1), (1, "b", D(2021, 1, 1), 2)],
+        "k int, attr string, ts date, seq long",
+    )
+    got = _rows(_merge(dim, changes).where(F.col("k") == 1))
+    assert got == [
+        (1, "a", D(2020, 1, 1), D(2021, 1, 1)),  # start unchanged
+        (1, "b", D(2021, 1, 1), None),
+    ]

@@ -399,3 +399,71 @@ def test_stream_stream_window_join(spark, tmp_path):
 
     pairs = sorted((r.pid, r.cid) for r in spark.sql("select * from ssj_out").collect())
     assert pairs == [(100, 7), (100, 8), (200, 10)], pairs
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_window sessions merge events within the gap, stay open
+    while extendable, and emit exactly once the watermark passes their
+    end (append mode)."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_project_spark.streaming.event_windows import (
+        session_event_counts,
+    )
+
+    src = tmp_path / "sess_events"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {"user_id": [1, 1, 1, 2],
+         "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:10:00",
+                               "2024-01-01 10:20:00", "2024-01-01 10:05:00"]),
+         "value": [1.0, 2.0, 3.0, 10.0]}
+    )
+    b2 = pd.DataFrame(  # user 1 returns: a second session
+        {"user_id": [1], "ts": pd.to_datetime(["2024-01-01 12:00:00"]),
+         "value": [4.0]}
+    )
+    b3 = pd.DataFrame(  # watermark -> 13:20: finalizes both early sessions
+        {"user_id": [9], "ts": pd.to_datetime(["2024-01-01 13:30:00"]),
+         "value": [0.0]}
+    )
+    b4 = pd.DataFrame(  # watermark -> 13:50: finalizes user 1's 12:00 session
+        {"user_id": [9], "ts": pd.to_datetime(["2024-01-01 14:00:00"]),
+         "value": [0.0]}
+    )
+    for i, b in enumerate((b1, b2, b3, b4)):
+        pq.write_table(pa.Table.from_pandas(b), str(src / f"b{i + 1}.parquet"),
+                       coerce_timestamps="us")
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        session_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat()):
+            (r.n_events, r.avg_value)
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    assert rows == {
+        # three events within the 30-min gap merged; end = last + gap
+        (1, "2024-01-01T10:00:00", "2024-01-01T10:50:00"): (3, 2.0),
+        (2, "2024-01-01T10:05:00", "2024-01-01T10:35:00"): (1, 10.0),
+        (1, "2024-01-01T12:00:00", "2024-01-01T12:30:00"): (1, 4.0),
+    }, rows
