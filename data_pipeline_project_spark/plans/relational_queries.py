@@ -905,3 +905,52 @@ def scd2_customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFram
         key_col="c_custkey", attr_cols=["prio"], change_ts_col="change_ts",
         order_cols=["o_orderkey"],
     )
+
+
+# Not driver-registered (50-slot window full): RANGE-interval frame —
+# oracle parity via test_deregistered_queries_still_match. ROWS frames
+# are driver-checked inside asof_join_last_click; this pins the
+# value-based frame variant (peers included by ORDER-BY value distance,
+# not row position).
+WINDOW_RANGE_FRAME_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY epoch(o_orderdate)
+            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_30d_total,
+       count(*) OVER (
+            PARTITION BY o_custkey
+            ORDER BY epoch(o_orderdate)
+            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ) AS trailing_30d_orders
+FROM orders
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day totals per customer via a RANGE frame: the frame
+    is bounded by ORDER-BY-value distance (epoch seconds), so same-day
+    orders are peers and always aggregate together — semantics a ROWS
+    frame cannot express. One shuffle on the partition key, both
+    aggregates share the frame."""
+    from data_pipeline_project_spark.operators.temporal import _epoch_us
+
+    o = _t(spark, sf_dir, "orders")
+    # epoch SECONDS on both sides (oracle uses epoch()); _epoch_us is
+    # the NTZ-safe micros helper, integer-divided down.
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy((_epoch_us(F.col("o_orderdate")) / F.lit(1_000_000)).cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_total"),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    )

@@ -35,6 +35,7 @@ def test_ngram_jaccard_not_vacuous(spark):
     ("llmops_queries", "stratified_sample_by_source", "STRATIFIED_SAMPLE_ORACLE"),
     ("relational_queries", "scd2_customer_priority_history", "SCD2_ORACLE"),
     ("llmops_queries", "heavy_hitter_terms", "HEAVY_HITTER_ORACLE"),
+    ("relational_queries", "window_range_frame", "WINDOW_RANGE_FRAME_ORACLE"),
 ])
 def test_deregistered_queries_still_match(spark, duck, mod_name, fn_name, oracle_name):
     """Queries outside the driver's 50-slot registry window (slots
