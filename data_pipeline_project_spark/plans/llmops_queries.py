@@ -911,3 +911,90 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("count") > F.col("n") / 50.0)
         .select(F.col("item").alias("term"), F.col("count").alias("n_occurrences"))
     )
+
+
+RESERVOIR_PER_SOURCE_ORACLE = f"""
+WITH h AS (
+    SELECT source, doc_id,
+           {SQL_HASH.format(v="'rsv:' || doc_id::VARCHAR")} AS hk
+    FROM documents
+),
+ranked AS (
+    SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+    FROM h
+)
+SELECT source, doc_id FROM ranked WHERE rk <= 5
+"""
+
+
+def reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample per group, deterministically: rank rows
+    within each source by a salted content-independent hash and keep
+    the first k — the reservoir-sampling CONTRACT (each subset equally
+    likely under the hash's uniformity) without reservoir STATE, so it
+    reruns identically on any cluster and needs only the one group
+    shuffle. Complements stratified_sample_by_source (fractional rates)
+    with fixed-size-per-stratum sampling."""
+    from data_pipeline_project_spark.operators.text import token_hash
+
+    d = load_table(spark, "documents", sf_dir)
+    hk = token_hash(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("source", "doc_id")
+    )
+
+
+DOCUMENT_CHUNKS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+),
+sized AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           CASE WHEN len(toks) > 50 THEN (len(toks) - 50 + 39) // 40
+                ELSE 0 END AS n_extra
+    FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, i AS chunk_id,
+       array_to_string(list_slice(toks, i * 40 + 1, i * 40 + 50), ' ') AS chunk_text,
+       least(n - i * 40, 50) AS n_chunk_tokens
+FROM sized, unnest(range(0, n_extra + 1)) AS r(i)
+"""
+
+
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token chunks, stride 40 —
+    10-token overlap): the context-window preparation step of a
+    RAG/embedding pipeline. Pure generate: tokenize once, explode a
+    chunk-index sequence, slice — no shuffle at all, so it streams
+    through a 100 TB corpus scan; chunk ids are deterministic
+    (doc_id, position)."""
+    from data_pipeline_project_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    toked = d.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    n_extra = F.when(
+        n > 50, F.floor((n - 50 + 39) / F.lit(40)).cast("int")
+    ).otherwise(0)
+    return (
+        toked.select(
+            "doc_id", "toks", n.alias("n"),
+            F.explode(F.sequence(F.lit(0), n_extra)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.concat_ws(
+                " ", F.slice("toks", F.col("chunk_id") * 40 + 1, 50)
+            ).alias("chunk_text"),
+            F.least(F.col("n") - F.col("chunk_id") * 40, F.lit(50)).alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )

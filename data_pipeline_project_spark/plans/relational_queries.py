@@ -954,3 +954,62 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_30d_total"),
         F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
     )
+
+
+# Not driver-registered: referential-integrity audit — oracle parity
+# via test_deregistered_queries_still_match.
+REFERENTIAL_AUDIT_ORACLE = """
+SELECT 'lineitem.l_orderkey -> orders' AS fk, count(*) AS n_rows,
+       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM lineitem l
+UNION ALL
+SELECT 'orders.o_custkey -> customer', count(*),
+       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o
+UNION ALL
+SELECT 'customer.c_nationkey -> nation', count(*),
+       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = c.c_nationkey)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer c
+"""
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: per foreign-key relationship, total rows and
+    orphan rows (fk value absent from the parent). The validation-
+    pipeline idea (F-rules) lifted to CROSS-TABLE contracts — the check
+    a warehouse runs after every load. Each relationship is one
+    left-anti probe; parents broadcast when small (dimension tables),
+    and the orphan count aggregates map-side, so the audit costs one
+    scan per child table."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    def probe(child, fk_col, parent, pk_col, label):
+        orphans = child.join(
+            parent.select(pk_col),
+            child[fk_col] == parent[pk_col],
+            "left_anti",
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(F.lit(label).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    return (
+        probe(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey -> orders")
+        .unionByName(
+            probe(o, "o_custkey", c, "c_custkey", "orders.o_custkey -> customer")
+        )
+        .unionByName(
+            probe(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey -> nation")
+        )
+    )

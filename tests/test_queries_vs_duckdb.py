@@ -36,6 +36,9 @@ def test_ngram_jaccard_not_vacuous(spark):
     ("relational_queries", "scd2_customer_priority_history", "SCD2_ORACLE"),
     ("llmops_queries", "heavy_hitter_terms", "HEAVY_HITTER_ORACLE"),
     ("relational_queries", "window_range_frame", "WINDOW_RANGE_FRAME_ORACLE"),
+    ("llmops_queries", "reservoir_per_source", "RESERVOIR_PER_SOURCE_ORACLE"),
+    ("llmops_queries", "document_chunks", "DOCUMENT_CHUNKS_ORACLE"),
+    ("relational_queries", "referential_integrity_audit", "REFERENTIAL_AUDIT_ORACLE"),
 ])
 def test_deregistered_queries_still_match(spark, duck, mod_name, fn_name, oracle_name):
     """Queries outside the driver's 50-slot registry window (slots
