@@ -17,6 +17,23 @@ from data_pipeline_project_spark.session import get_spark  # noqa: E402
 SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
+# Oracle-checked queries OUTSIDE the driver's 50-slot registry window
+# (module, query fn, oracle SQL constant — all in
+# data_pipeline_project_spark.plans). Consumed by the deregistered
+# parity test AND the plan-quality sweep.
+EXTRA_ORACLE_QUERIES = [
+    ("relational_queries", "window_running_sum", "WINDOW_RUNNING_SUM_ORACLE"),
+    ("relational_queries", "subquery_in_uncorrelated", "SUBQUERY_IN_ORACLE"),
+    ("llmops_queries", "domain_balanced_cap", "DOMAIN_CAP_ORACLE"),
+    ("llmops_queries", "stratified_sample_by_source", "STRATIFIED_SAMPLE_ORACLE"),
+    ("relational_queries", "scd2_customer_priority_history", "SCD2_ORACLE"),
+    ("llmops_queries", "heavy_hitter_terms", "HEAVY_HITTER_ORACLE"),
+    ("relational_queries", "window_range_frame", "WINDOW_RANGE_FRAME_ORACLE"),
+    ("llmops_queries", "reservoir_per_source", "RESERVOIR_PER_SOURCE_ORACLE"),
+    ("llmops_queries", "document_chunks", "DOCUMENT_CHUNKS_ORACLE"),
+    ("relational_queries", "referential_integrity_audit", "REFERENTIAL_AUDIT_ORACLE"),
+]
+
 
 @pytest.fixture(scope="session")
 def spark():

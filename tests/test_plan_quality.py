@@ -199,3 +199,38 @@ def test_registry_wide_plan_sweep(spark):
         if "SinglePartition" in plan and name not in _SINGLE_PARTITION_BY_DESIGN:
             problems.append(f"{name}: SinglePartition exchange (not allowlisted)")
     assert not problems, problems
+
+
+def test_deregistered_query_plan_sweep(spark):
+    """The same 100 TB anti-pattern sweep, over the oracle-checked
+    queries OUTSIDE the driver registry (tests/conftest.py
+    EXTRA_ORACLE_QUERIES) — extension operators must meet the same
+    plan bar as registry rows."""
+    import importlib
+
+    from tests.conftest import EXTRA_ORACLE_QUERIES
+
+    # Single-row scalar cross joins (bounded by partial-agg rows):
+    bnlj_ok = {"heavy_hitter_terms", "referential_integrity_audit"}
+    single_ok = {"heavy_hitter_terms", "referential_integrity_audit"}
+
+    problems = []
+    for mod_name, fn_name, _ in EXTRA_ORACLE_QUERIES:
+        mod = importlib.import_module(
+            f"data_pipeline_project_spark.plans.{mod_name}"
+        )
+        df = getattr(mod, fn_name)(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        if "CartesianProduct" in plan:
+            problems.append(f"{fn_name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and fn_name not in bnlj_ok:
+            problems.append(f"{fn_name}: BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:
+            problems.append(f"{fn_name}: row-at-a-time Python UDF")
+        if "SinglePartition" in plan and fn_name not in single_ok:
+            problems.append(f"{fn_name}: SinglePartition exchange")
+    assert not problems, problems

@@ -28,22 +28,14 @@ def test_ngram_jaccard_not_vacuous(spark):
     assert n > 0
 
 
-@pytest.mark.parametrize("mod_name,fn_name,oracle_name", [
-    ("relational_queries", "window_running_sum", "WINDOW_RUNNING_SUM_ORACLE"),
-    ("relational_queries", "subquery_in_uncorrelated", "SUBQUERY_IN_ORACLE"),
-    ("llmops_queries", "domain_balanced_cap", "DOMAIN_CAP_ORACLE"),
-    ("llmops_queries", "stratified_sample_by_source", "STRATIFIED_SAMPLE_ORACLE"),
-    ("relational_queries", "scd2_customer_priority_history", "SCD2_ORACLE"),
-    ("llmops_queries", "heavy_hitter_terms", "HEAVY_HITTER_ORACLE"),
-    ("relational_queries", "window_range_frame", "WINDOW_RANGE_FRAME_ORACLE"),
-    ("llmops_queries", "reservoir_per_source", "RESERVOIR_PER_SOURCE_ORACLE"),
-    ("llmops_queries", "document_chunks", "DOCUMENT_CHUNKS_ORACLE"),
-    ("relational_queries", "referential_integrity_audit", "REFERENTIAL_AUDIT_ORACLE"),
-])
+from tests.conftest import EXTRA_ORACLE_QUERIES
+
+
+@pytest.mark.parametrize("mod_name,fn_name,oracle_name", EXTRA_ORACLE_QUERIES)
 def test_deregistered_queries_still_match(spark, duck, mod_name, fn_name, oracle_name):
     """Queries outside the driver's 50-slot registry window (slots
-    ceded in round 4, plus round-4 corpus-balancing additions) keep
-    full oracle parity here so their semantics can't silently rot."""
+    ceded in round 4, plus round-4 additions) keep full oracle parity
+    here so their semantics can't silently rot."""
     import importlib
 
     from tests.oracle_harness import compare, run_oracle
