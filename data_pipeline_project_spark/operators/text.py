@@ -200,3 +200,37 @@ def text_stats_struct(col: Column) -> Column:
     from data_pipeline_project_spark.operators.similarity import _udf
 
     return _udf("text_stats", _text_stats_kernel, TEXT_STATS_FIELDS)(col)
+
+
+# PII/URL scrubbing (C4-style cleanup). Patterns stay inside the
+# regex subset Java regex and RE2 (DuckDB) interpret identically: no
+# lookaround, no backreferences, explicit character classes.
+SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+", "<EMAIL>"),
+    ("url", r"https?://[^ \t\n]+", "<URL>"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace emails, URLs, and international-format phone numbers
+    with typed placeholder tokens — the pre-training privacy scrub
+    every public-corpus pipeline runs before tokenization. Chained JVM
+    ``regexp_replace`` (order: email first, so user@host never
+    half-matches the URL rule), zero Python, streams through the scan."""
+    out = col
+    for _, pat, repl in SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_flags(col: Column) -> Column:
+    """Struct of booleans (had_email, had_url, had_phone) — the audit
+    columns kept beside the scrubbed text so downstream filtering can
+    drop or downweight PII-bearing documents."""
+    return F.struct(
+        *[
+            col.rlike(pat).alias(f"had_{name}")
+            for name, pat, _ in SCRUB_PATTERNS
+        ]
+    )

@@ -998,3 +998,61 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Synthetic corpus text carries no PII, so the scrub query plants
+# deterministic specimens on a doc_id spread IN THE QUERY (both
+# engines), keeping the oracle non-vacuous.
+PII_SCRUB_ORACLE = """
+WITH planted AS (
+    SELECT doc_id,
+           text || CASE doc_id % 4
+                WHEN 0 THEN ' reach me at jane.doe+spam@example.co.uk thanks'
+                WHEN 1 THEN ' see https://example.com/a/b?q=1#frag for details'
+                WHEN 2 THEN ' call +1 (555) 867-5309 now'
+                ELSE '' END AS text
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+           'https?://[^ \t\n]+', '<URL>', 'g'),
+           '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+       regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+') AS had_email,
+       regexp_matches(text, 'https?://[^ \t\n]+') AS had_url,
+       regexp_matches(text, '\\+[0-9][0-9 ()-]{6,}[0-9]') AS had_phone
+FROM planted
+"""
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII/URL scrub over the corpus (operators/text.scrub_pii
+    + pii_flags): emails, URLs, and international phone numbers become
+    typed placeholders; audit booleans ride beside the scrubbed text.
+    All JVM regexp — no shuffle, no Python — so it composes into any
+    corpus-cleaning scan at 100 TB. Deterministic PII specimens are
+    planted per doc_id residue so the oracle check exercises every
+    rule."""
+    from data_pipeline_project_spark.operators.text import pii_flags, scrub_pii
+
+    d = load_table(spark, "documents", sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   " reach me at jane.doe+spam@example.co.uk thanks")
+            .when(F.col("doc_id") % 4 == 1,
+                  " see https://example.com/a/b?q=1#frag for details")
+            .when(F.col("doc_id") % 4 == 2, " call +1 (555) 867-5309 now")
+            .otherwise(""),
+        ).alias("text"),
+    )
+    flags = pii_flags(F.col("text"))
+    return planted.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("scrubbed"),
+        flags["had_email"].alias("had_email"),
+        flags["had_url"].alias("had_url"),
+        flags["had_phone"].alias("had_phone"),
+    )

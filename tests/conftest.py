@@ -32,6 +32,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "reservoir_per_source", "RESERVOIR_PER_SOURCE_ORACLE"),
     ("llmops_queries", "document_chunks", "DOCUMENT_CHUNKS_ORACLE"),
     ("relational_queries", "referential_integrity_audit", "REFERENTIAL_AUDIT_ORACLE"),
+    ("llmops_queries", "pii_scrub", "PII_SCRUB_ORACLE"),
 ]
 
 
