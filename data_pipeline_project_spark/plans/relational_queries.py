@@ -1013,3 +1013,46 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             probe(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey -> nation")
         )
     )
+
+
+# Not driver-registered: per-group feature normalization — oracle
+# parity via test_deregistered_queries_still_match.
+FEATURE_ZSCORE_ORACLE = """
+WITH stats AS (
+    SELECT event_type,
+           round(avg(value), 6) AS mu,
+           round(stddev_samp(value), 6) AS sigma
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - s.mu) / nullif(s.sigma, 0), 6) AS z_value
+FROM events e JOIN stats s USING (event_type)
+WHERE e.value IS NOT NULL
+"""
+
+
+def feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (feature prep for training):
+    group stats as ONE small aggregate broadcast back onto the fact
+    scan — never a window over the full data (a per-row window
+    re-sorts the whole table; the stats table is |groups| rows).
+    Stats are rounded to 6dp BEFORE the ratio so both engines divide
+    identical doubles; sigma=0 groups yield null, not inf."""
+    ev = _t(spark, sf_dir, "events")
+    nn = ev.where(F.col("value").isNotNull())
+    stats = nn.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+    return (
+        nn.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value") - F.col("mu"))
+                / F.when(F.col("sigma") != 0, F.col("sigma")),
+                6,
+            ).alias("z_value"),
+        )
+    )

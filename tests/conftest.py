@@ -33,6 +33,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "document_chunks", "DOCUMENT_CHUNKS_ORACLE"),
     ("relational_queries", "referential_integrity_audit", "REFERENTIAL_AUDIT_ORACLE"),
     ("llmops_queries", "pii_scrub", "PII_SCRUB_ORACLE"),
+    ("relational_queries", "feature_zscore", "FEATURE_ZSCORE_ORACLE"),
 ]
 
 
