@@ -109,3 +109,36 @@ def test_parameter_formula():
     assert 9_000_000 < m < 10_500_000  # ~9.59 bits/key at 1% fpp
     assert k in (6, 7)
     assert m % 8 == 0
+
+
+def test_property_equivalence_with_left_anti(spark):
+    """Randomized equivalence: for varied overlap shapes (disjoint,
+    subset, superset, dup keys in the batch), incremental_dedup must
+    equal plain left_anti. Driven by hypothesis over key sets; one
+    session evaluates all examples."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.lists(st.integers(0, 30), min_size=0, max_size=25)
+
+    @given(hist_keys=keys, new_keys=keys)
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(hist_keys, new_keys):
+        hist = spark.createDataFrame(
+            [(k,) for k in set(hist_keys)] or [(None,)], "k int"
+        ).where(F.col("k").isNotNull())
+        new = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(new_keys)] or [(None, None)],
+            "k int, rowid int",
+        ).where(F.col("k").isNotNull())
+        got = sorted(
+            (r.k, r.rowid)
+            for r in incremental_dedup(new, hist, "k", fpp=0.2).collect()
+        )
+        want = sorted(
+            (r.k, r.rowid) for r in new.join(hist, "k", "left_anti").collect()
+        )
+        assert got == want
+
+    check()

@@ -71,3 +71,35 @@ def test_nulls_ignored(spark):
     got = {r.item: r["count"] for r in heavy_hitters(df, "v", 3).collect()}
     assert got["a"] == 50
     assert None not in got
+
+
+def test_property_guarantee_on_random_distributions(spark):
+    """Randomized MG guarantee: whatever the frequency distribution and
+    partitioning, every item with freq > n/k appears with its exact
+    count."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        vals=st.lists(st.integers(0, 15), min_size=1, max_size=300),
+        k=st.sampled_from([3, 5, 8]),
+        nparts=st.sampled_from([1, 3, 7]),
+    )
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(vals, k, nparts):
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "v int"
+        ).repartition(nparts)
+        got = {r.item: r["count"] for r in heavy_hitters(df, "v", k).collect()}
+        exact = Counter(vals)
+        n = len(vals)
+        for item, cnt in exact.items():
+            if cnt > n / k:
+                assert got.get(item) == cnt, (item, cnt, got)
+        for item, cnt in got.items():
+            assert cnt == exact[item]
+
+    check()
