@@ -36,6 +36,19 @@ def main() -> None:
 
     # Warm the JVM/reader once so timings measure plans, not session init.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Touch every timed-SF table end to end: after heavy co-tenant
+    # memory pressure the OS page cache drops these files, and whichever
+    # query rescans them first eats multi-second disk reads (observed
+    # 6-9s outliers on sub-1s lineitem queries). Reading the bytes once
+    # here keeps the timed loop measuring engine work.
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    for tbl in ("region", "nation", "customer", "supplier", "part", "orders",
+                "lineitem", "events", "documents", "embeddings"):
+        try:
+            load_table(spark, tbl, sf_dir).count()
+        except Exception:
+            pass
     # Then run EVERY query once at the tiny SF: one-time JVM class
     # loading (codegen, window/generate/json exec classes, Arrow worker
     # pool, AQE machinery) costs seconds and lands on whichever query
