@@ -1056,3 +1056,49 @@ def feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_value"),
         )
     )
+
+
+# Not driver-registered: winsorization — oracle parity via
+# test_deregistered_queries_still_match.
+WINSORIZE_ORACLE = """
+WITH bounds AS (
+    SELECT event_type,
+           round(quantile_cont(value, 0.01), 6) AS p01,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(least(greatest(e.value, b.p01), b.p99), 6) AS clipped_value,
+       (e.value < b.p01 OR e.value > b.p99) AS was_clipped
+FROM events e JOIN bounds b USING (event_type)
+WHERE e.value IS NOT NULL
+"""
+
+
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip values to the group's [p01, p99]
+    band — the outlier-taming pass feature pipelines run before
+    normalization. Exact percentiles as ONE small per-group aggregate
+    (Spark's percentile == DuckDB quantile_cont, continuous
+    interpolation) broadcast back onto the fact scan; a was_clipped
+    audit flag rides along. At 100 TB swap the exact percentile for
+    approx_percentile — same plan shape, sketch-sized state."""
+    ev = _t(spark, sf_dir, "events")
+    nn = ev.where(F.col("value").isNotNull())
+    bounds = nn.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.01)), 6).alias("p01"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+    return (
+        nn.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")), 6
+            ).alias("clipped_value"),
+            ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))).alias(
+                "was_clipped"
+            ),
+        )
+    )

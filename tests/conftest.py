@@ -34,6 +34,7 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "referential_integrity_audit", "REFERENTIAL_AUDIT_ORACLE"),
     ("llmops_queries", "pii_scrub", "PII_SCRUB_ORACLE"),
     ("relational_queries", "feature_zscore", "FEATURE_ZSCORE_ORACLE"),
+    ("relational_queries", "winsorize_values", "WINSORIZE_ORACLE"),
 ]
 
 
