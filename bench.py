@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -68,14 +69,23 @@ def main() -> None:
     # Per-query error isolation: one broken query must cost exactly one
     # "err" entry, never the whole round's perf signal (round 3 lesson —
     # a single analysis error zeroed BENCH_r03 entirely).
+    #
+    # Median of 3 timed passes per query: single-pass timings swung up
+    # to ~1.33x round-over-round with co-tenant box load (BENCH_r04
+    # 45.1s vs builder runs of 34-35s on unchanged plans); a per-query
+    # median absorbs one loaded pass without hiding real regressions.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(queries):
-        t0 = time.perf_counter()
+        samples: list[float] = []
         try:
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 3)
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -90,6 +100,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "passes": passes,
         "sf": sf,
         "ingest": ingest,
     }
