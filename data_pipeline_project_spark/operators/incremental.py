@@ -184,6 +184,23 @@ def bloom_might_contain(spark, bitmap: bytes, m_bits: int, k: int):
     return F.pandas_udf(kernel, "boolean")
 
 
+def _partition_distinct(key_col: str):
+    """mapInPandas kernel: drop duplicate keys within a partition
+    (across its Arrow batches). Duplicates surviving across partitions
+    are harmless to the anti-join — this only bounds broadcast size."""
+
+    def dedup(batches):
+        seen: set = set()
+        for pdf in batches:
+            vals = pdf[key_col]
+            keep = pdf[~vals.isin(seen) & ~vals.duplicated()]
+            if len(keep):
+                seen.update(keep[key_col].tolist())
+                yield keep
+
+    return dedup
+
+
 def incremental_dedup(
     new_batch: DataFrame,
     historical: DataFrame,
@@ -226,5 +243,12 @@ def incremental_dedup(
     matched = historical.select(key_col).join(
         F.broadcast(cand_keys), key_col, "left_semi"
     )
+    # Per-partition distinct (shuffle-free): left_semi keeps one row per
+    # HISTORICAL occurrence of a matched key, so a hot key duplicated
+    # millions of times would blow the broadcast. A map-side dedup
+    # bounds it by distinct-keys-per-partition instead, without the
+    # exchange a global distinct() would add (the zero-shuffle contract
+    # on the historical side is plan-asserted).
+    matched = matched.mapInPandas(_partition_distinct(key_col), matched.schema)
     survivors = candidates.join(F.broadcast(matched), key_col, "left_anti")
     return definite_new.unionByName(survivors).drop("_bf_h1", "_bf_h2", "_bf_hit")

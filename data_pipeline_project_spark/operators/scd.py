@@ -73,7 +73,12 @@ def scd2_merge(
     base = touched.select(
         key_col, *attr_cols,
         F.col(from_col).alias("_ts"), F.lit(0).alias("_src"),
-        *[F.lit(None).cast("long").alias(f"_o_{c}") for c in order_cols],
+        # Tiebreak columns keep their native type (string CDC sequence
+        # ids order correctly; a cast('long') would null them silently).
+        *[
+            F.lit(None).cast(changes.schema[c].dataType).alias(f"_o_{c}")
+            for c in order_cols
+        ],
     )
     # Stale-change guard (see docstring): keep a change only if its key
     # is new or its ts is not before the open version's start. The
@@ -89,7 +94,7 @@ def scd2_merge(
         .select(
             key_col, *attr_cols,
             F.col(change_ts_col).alias("_ts"), F.lit(1).alias("_src"),
-            *[F.col(c).cast("long").alias(f"_o_{c}") for c in order_cols],
+            *[F.col(c).alias(f"_o_{c}") for c in order_cols],
         )
     )
     seq = base.unionByName(chg)

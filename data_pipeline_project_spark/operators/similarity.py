@@ -167,15 +167,14 @@ def cosine_near_pairs(
     the oracle replicates the identical bucketing, so correctness
     checks are exact even though the candidate set is approximate.
     """
-    from pyspark import StorageLevel
+    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
 
     # Persist: both join sides consume the bucketed scan; the 8
     # hyperplane dot products per row are the expensive part and would
     # otherwise run once per consumer.
-    base = (
+    base = scoped_persist(
         emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
         .withColumn("bucket0", lsh_bucket(F.col("v")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     masks = [0] + [1 << i for i in range(N_HYPERPLANES)]

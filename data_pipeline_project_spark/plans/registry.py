@@ -9,10 +9,15 @@ these dicts.
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_project_spark.functions.persist_scope import (
+    release_scoped_persists,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -35,10 +40,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        # Release the PREVIOUS query's scoped persists when this one is
+        # built: builders persist shared intermediates they cannot
+        # unpersist themselves (the result is materialized later by the
+        # driver/bench). See functions/persist_scope.py.
+        @functools.wraps(fn)
+        def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_scoped_persists()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = scoped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return scoped
 
     return deco
 

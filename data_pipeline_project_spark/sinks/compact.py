@@ -145,7 +145,11 @@ def compact_dataset(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        atomic = True
+        # Dynamic partition overwrite commits per-partition: a failure
+        # mid-commit can leave some partitions rewritten and others not
+        # (each partition is individually consistent). Only a
+        # single-partition rewrite is atomic as a whole.
+        atomic = len(needy) <= 1
     else:
         # Whole-dataset rewrite through a temp dir + rename swap.
         df = spark.read.parquet(base)
@@ -159,9 +163,16 @@ def compact_dataset(
             .option("maxRecordsPerFile", max_records)
             .parquet(tmp)
         )
+        # Crash-safe swap ordering: park the live data aside, promote the
+        # rewrite, then drop the parked copy. Every crash point leaves a
+        # complete dataset on disk (at base, or recoverable at
+        # base__compact_old) — never a window where both are gone.
         jvm = spark._jvm
-        fs.delete(hpath, True)
+        old = jvm.org.apache.hadoop.fs.Path(base.rstrip("/") + "__compact_old")
+        fs.delete(old, True)  # leftover from a previously crashed swap
+        fs.rename(hpath, old)
         fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+        fs.delete(old, True)
         atomic = False
 
     files_after = len(list_data_files(spark, base))
