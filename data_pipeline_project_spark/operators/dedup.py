@@ -193,8 +193,7 @@ def minhash_lsh_pairs(
     4. verification joins only the candidates back to their shingle
        sets — |candidates| << |pairs|.
     """
-    from pyspark import StorageLevel
-
+    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
     from data_pipeline_project_spark.operators.similarity import _udf
 
     sig_udf = _udf(
@@ -202,11 +201,10 @@ def minhash_lsh_pairs(
         _signature_kernel_factory(n),
         "struct<sh:array<long>,mh:array<long>>",
     )
-    base = (
+    base = scoped_persist(
         docs.select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("s"))
         .select("doc_id", F.col("s.sh").alias("sh"), F.col("s.mh").alias("mh"))
         .where(F.size("sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     bands = base.select(
@@ -306,15 +304,15 @@ def simhash_near_pairs(
     banding the fingerprint into SIMHASH_BANDS chunks (pigeonhole: any
     pair within distance SIMHASH_BANDS-1 shares >=1 exact chunk), then
     verifying the true distance with bit_count(xor)."""
-    from pyspark import StorageLevel
+    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
 
     chunk = SIMHASH_BITS // SIMHASH_BANDS
     # Persist: both sides of the band self-join consume the fingerprint
     # scan; unmaterialized it is computed twice (simhash is the most
     # expensive per-row expression in the engine).
-    fp = docs.select(
-        F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("fp")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fp = scoped_persist(
+        docs.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("fp"))
+    )
     bands = fp.select(
         "doc_id",
         "fp",
@@ -382,13 +380,15 @@ def connected_components(
     shuffles; both converge to identical labels (pinned in
     tests/test_llmops.py).
     """
-    # Materialize the edge list once — every iteration joins against
-    # it, and `pairs` may be an expensive subtree (e.g. the full
-    # MinHash pipeline) that would otherwise re-run per round.
-    sym = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .localCheckpoint()
+    # Materialize the PAIR LIST itself before symmetrizing: the union
+    # has two branches over `pairs`, and an unmaterialized expensive
+    # subtree (e.g. the full MinHash candidate + verification pipeline)
+    # would execute once PER BRANCH — measured ~2x the whole query's
+    # cost for dedup_clusters. After the checkpoint the union is a
+    # narrow transform over stored blocks.
+    p = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint()
+    sym = p.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     # Seed with round 1 already applied: label = min(self, neighbors).
     # Saves one full join+checkpoint+convergence-check cycle.
@@ -399,6 +399,16 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # Convergence check: labels are monotonically non-increasing (every
+    # update is a least()), so the label SUM is strictly decreasing
+    # until the fixpoint — comparing sums round-over-round detects
+    # convergence with one aggregate scan instead of the
+    # join-old-vs-new + count a direct comparison costs. decimal(38,0)
+    # so billions of 64-bit ids cannot overflow the sum.
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -433,14 +443,9 @@ def connected_components(
                 )
                 .localCheckpoint()
             )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
