@@ -554,11 +554,20 @@ def round_robin_synthetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketed ``with_row_position`` (range buckets + per-bucket
     window), not a partition-less global window — the global window
     collapses the table into one task at scale."""
+    import os
+
+    from data_pipeline_project_spark.functions.positions import parquet_key_stats
+
     ev = _t(spark, sf_dir, "events").select("event_id")
     ids = ["Kaggle_Weather_01", "Kaggle_Weather_02", "Kaggle_Weather_03"]
-    # persist=False: a pruned parquet scan is deterministic, so the two
-    # statistics jobs rescan one column instead of caching the table.
-    pos = with_row_position(ev, "event_id", col_name="_rn", persist=False)
+    # persist=False: a pruned parquet scan is deterministic, so extra
+    # reads rescan one column instead of caching the table. key_stats
+    # from parquet footers (driver-side ms) removes the min/max Spark
+    # job entirely; None on any stats gap falls back to that job.
+    stats = parquet_key_stats(os.path.join(sf_dir, "events.parquet"), "event_id")
+    pos = with_row_position(
+        ev, "event_id", col_name="_rn", persist=False, key_stats=stats
+    )
     sensor = F.element_at(
         F.array(*[F.lit(i) for i in ids]), ((F.col("_rn") - 1) % 3 + 1).cast("int")
     )
@@ -691,17 +700,36 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_sketch")  # rows-only: HLL sketches are not
-# cross-engine reproducible; exactness is asserted separately in pytest
-def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per order priority, with
-    the exact distinct beside it — the sketch path a 100 TB engine uses
-    when exact distinct's shuffle is the bottleneck. Max rel error 2%
-    is asserted in tests/test_llmops.py-style unit coverage."""
+@register(
+    "approx_distinct_accuracy",
+    oracle="""
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_custkeys,
+       TRUE AS approx_within_bounds
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per order priority — the
+    sketch path a 100 TB engine uses when exact distinct's shuffle is
+    the bottleneck. HLL register values are not cross-engine
+    reproducible, so the driver-checkable surface is the ACCURACY
+    CONTRACT: the exact distinct plus a Spark-computed boolean that the
+    estimate lands within 5% of it (rsd=0.02, so 5% is comfortably
+    outside the sketch's documented error); the oracle supplies exact
+    counts and literal TRUE. Every output column is deterministic and
+    hash-checked; the tighter 2% error is additionally pinned in
+    tests/test_llmops.py::test_approx_distinct_within_tolerance."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"),
         F.count_distinct("o_custkey").alias("exact_custkeys"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.02)
+                - F.count_distinct("o_custkey")
+            )
+            <= F.count_distinct("o_custkey") * F.lit(0.05)
+        ).alias("approx_within_bounds"),
     )
 
 

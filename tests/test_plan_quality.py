@@ -80,14 +80,56 @@ def test_aggregates_partial_then_final(spark):
 
 
 def test_row_position_no_single_partition_window(spark):
-    """P7's global row position must come from the bucketed
-    with_row_position path: a partition-less window's Exchange
-    SinglePartition collapses the table into one task at scale."""
+    """P7's global row position must never be a partition-less window
+    OVER THE DATA (collapses the table into one task at scale). Two
+    acceptable shapes: the dense-key fast path (footer statistics prove
+    row_count == max-min+1 with no nulls, so position is the pure
+    projection key-min+1 — no window, no exchange at all), else the
+    bucketed path whose only SinglePartition is the prefix-sum window
+    over the PER-BUCKET AGGREGATE (<= 65536 rows by construction)."""
     plan = plan_of(spark, "round_robin_synthetic_key")
-    # formatted mode puts the partitioning on an Arguments: line, so
-    # match the bare token, not "Exchange SinglePartition"
-    assert "SinglePartition" not in plan, plan
+    if "Window" not in plan:
+        # Dense fast path: a pure projection must not shuffle at all.
+        assert "Exchange" not in plan, plan
+    else:
+        # The main row_number window must be hash-partitioned by bucket.
+        assert "hashpartitioning(_rp_bucket" in plan, plan
+        # formatted mode puts the partitioning on an Arguments: line, so
+        # count the bare token: exactly the offsets branch, nothing else.
+        assert plan.count("SinglePartition") <= 1, plan
+        if "SinglePartition" in plan:
+            # It must be fed by the per-bucket count aggregate (the only
+            # producer of _rp_cnt), i.e. bounded rows — not raw data.
+            assert "_rp_cnt" in plan, plan
+
+
+def test_row_position_general_path_plan(spark):
+    """The bucketed general path (no statistics supplied): the
+    row_number window must run on hashpartitioning(bucket), and the
+    only SinglePartition may be the bounded per-bucket-aggregate
+    prefix sum — never a window over the raw data."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_spark.functions.positions import with_row_position
+
+    # Non-dense keys (gaps) so no fast path can ever apply.
+    df = spark.range(0, 1000).select((F.col("id") * 7).alias("k"))
+    out = with_row_position(df, "k", col_name="pos", persist=False)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert "hashpartitioning(_rp_bucket" in plan, plan
+    assert plan.count("SinglePartition") <= 1, plan
+    if "SinglePartition" in plan:
+        assert "_rp_cnt" in plan, plan
+
+    # And it is exact: identical to the global-window positions.
+    from pyspark.sql import Window
+
+    expect = df.withColumn("pos", F.row_number().over(Window.orderBy("k")))
+    assert sorted((r.k, r.pos) for r in out.collect()) == sorted(
+        (r.k, r.pos) for r in expect.collect()
+    )
 
 
 def test_clean_corpus_no_corpus_sized_broadcast(spark):
@@ -170,6 +212,9 @@ _SINGLE_PARTITION_BY_DESIGN = {
     "set_union_intersect_except",  # 3-row set-op cardinality summary
     "subquery_scalar_avg",         # scalar AVG subquery value
     "tfidf_top_terms",             # single-row corpus-size scalar
+    "round_robin_synthetic_key",   # prefix-sum window over the per-bucket
+                                   # aggregate: <= 65536 rows by construction
+                                   # (pinned by its dedicated plan test above)
 }
 
 
