@@ -31,13 +31,18 @@ append-only corpus).
 
 Scale notes: the driver holds one bitmap (~1.2 GB per 10^9 keys at 1%
 fpp — fine for a driver; shard the filter by key range beyond that).
-fpp degrades as the corpus outgrows ``expected_total_docs``; rebuild at
-the next stream start (it always rebuilds from the real corpus, so
-drift never compounds).
+fpp degrades as the corpus outgrows ``expected_total_docs``; the
+ingestor TRACKS cumulative insertions, exposes the resulting
+effective-fpp estimate, and AUTO-REBUILDS the filter from the real
+corpus at double the sizing whenever insertions exceed what it was
+sized for — saturation costs one corpus scan per capacity doubling
+(O(log growth) rebuilds total) instead of silently degrading the
+prefilter toward verify-everything.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,6 +100,7 @@ class IngestStats:
     rows_quarantined: int = 0
     rows_appended: int = 0
     rows_deduped: int = 0
+    bloom_rebuilds: int = 0
     history: list[dict] = field(default_factory=list)
 
 
@@ -121,16 +127,45 @@ class CorpusIngestor:
         self.key_col = key_col
         self.n_shards = n_shards
         self.stats = IngestStats()
+        self.fpp = fpp
         # Size for where the corpus is GOING, not where it is, so
-        # incremental adds stay within the design fpp.
+        # incremental adds stay within the design fpp. sized_n /
+        # inserted drive the saturation guard: once insertions pass the
+        # sizing, _rebuild doubles the filter (see module docstring).
+        self.sized_n = expected_total_docs
         self.m_bits, self.k = bloom_parameters(expected_total_docs, fpp)
         if self._corpus_exists():
+            corpus = self._read_corpus()
+            self.inserted = corpus.count()
             self.bitmap, _, _ = build_bloom(
-                self._read_corpus(), key_col,
-                expected_items=expected_total_docs, fpp=fpp,
+                corpus, key_col, expected_items=expected_total_docs, fpp=fpp,
+            )
+        else:
+            self.inserted = 0
+            self.bitmap = bytes(self.m_bits // 8)
+
+    def effective_fpp(self) -> float:
+        """Estimated CURRENT false-positive probability from the
+        standard Bloom formula (1 - e^{-kn/m})^k with n = cumulative
+        insertions — at or below the design ``fpp`` while the guard
+        holds. fpp only costs verification work (false positives are
+        exactly re-checked), never correctness."""
+        return (1.0 - math.exp(-self.k * self.inserted / self.m_bits)) ** self.k
+
+    def _rebuild(self) -> None:
+        """Double the filter sizing and rebuild from the REAL corpus —
+        drift can never compound, and doubling amortizes rebuild scans
+        to O(log growth) over the corpus's lifetime."""
+        self.sized_n = max(self.sized_n * 2, self.inserted * 2)
+        self.m_bits, self.k = bloom_parameters(self.sized_n, self.fpp)
+        if self._corpus_exists():
+            self.bitmap, _, _ = build_bloom(
+                self._read_corpus(), self.key_col,
+                expected_items=self.sized_n, fpp=self.fpp,
             )
         else:
             self.bitmap = bytes(self.m_bits // 8)
+        self.stats.bloom_rebuilds += 1
 
     def _corpus_exists(self) -> bool:
         """True only when the corpus holds actual data files (a bare
@@ -194,6 +229,12 @@ class CorpusIngestor:
             self.bitmap = bloom_add(
                 fresh, self.key_col, self.bitmap, self.m_bits, self.k
             )
+            self.inserted += n_new
+            # Saturation guard: past the sizing, each further insert
+            # pushes fpp above design — rebuild at double capacity now
+            # rather than degrade toward verify-everything.
+            if self.inserted > self.sized_n:
+                self._rebuild()
 
         s = self.stats
         s.batches += 1
@@ -202,7 +243,10 @@ class CorpusIngestor:
         s.rows_appended += n_new
         s.rows_deduped += n_raw - n_new  # within-batch + vs-corpus dups
         s.history.append(
-            {"batch_id": batch_id, "in": n_raw, "new": n_new, "quar": n_quar}
+            {
+                "batch_id": batch_id, "in": n_raw, "new": n_new,
+                "quar": n_quar, "fpp": round(self.effective_fpp(), 6),
+            }
         )
 
 

@@ -101,6 +101,38 @@ def test_replayed_batch_appends_nothing(spark, dirs):
     assert ing2.stats.rows_deduped == 30
 
 
+def test_bloom_saturation_guard_rebuilds_and_bounds_fpp(spark, dirs):
+    """Insertions far past the original sizing must trigger capacity-
+    doubling rebuilds that keep the effective fpp at/below design —
+    not silently degrade the prefilter. Correctness (exact dedup) must
+    hold throughout regardless."""
+    ing = CorpusIngestor(
+        spark, dirs["corpus"], dirs["quar"],
+        expected_total_docs=50, fpp=0.01,  # deliberately undersized
+    )
+    m0 = ing.m_bits
+    for b in range(4):  # 4 x 50 = 200 keys = 4x the sizing
+        p = f"{dirs['drop']}/b{b}.jsonl"
+        _write_jsonl(p, range(b * 50, (b + 1) * 50))
+        ing.process_batch(read_documents_jsonl(spark, p), b)
+
+    assert ing.stats.bloom_rebuilds >= 1
+    assert ing.sized_n >= 200 and ing.m_bits > m0
+    assert ing.inserted == 200
+    # Post-guard the filter is sized at >= 2x the inserted count, so
+    # the estimate sits strictly below the design fpp.
+    assert ing.effective_fpp() <= 0.01
+    # And per-batch history carries the estimate for observability.
+    assert all("fpp" in h for h in ing.stats.history)
+
+    # Exact dedup unaffected by rebuilds: replay everything, nothing lands.
+    p = f"{dirs['drop']}/replay.jsonl"
+    _write_jsonl(p, range(200))
+    before = spark.read.parquet(dirs["corpus"]).count()
+    ing.process_batch(read_documents_jsonl(spark, p), 99)
+    assert spark.read.parquet(dirs["corpus"]).count() == before == 200
+
+
 def test_null_key_rows_are_dropped_not_crashing(spark, dirs):
     p = f"{dirs['drop']}/b1.jsonl"
     with open(p, "w") as f:
