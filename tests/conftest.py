@@ -35,6 +35,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "pii_scrub", "PII_SCRUB_ORACLE"),
     ("relational_queries", "feature_zscore", "FEATURE_ZSCORE_ORACLE"),
     ("relational_queries", "winsorize_values", "WINSORIZE_ORACLE"),
+    ("llmops_queries", "ivf_ann_recall", "IVF_ANN_RECALL_ORACLE"),
 ]
 
 

@@ -45,15 +45,30 @@ def test_minhash_finds_planted_near_dup(spark):
 
 
 def test_approx_distinct_within_tolerance(spark):
-    """HLL++ sketch rel-error vs exact distinct (rows-only query's
-    accuracy contract)."""
-    from data_pipeline_project_spark.plans.registry import get_queries
+    """HLL++ sketch rel-error vs exact distinct: the registry query's
+    hash-checked accuracy booleans must all be TRUE, and the raw sketch
+    estimate pins the tighter 2% error the rsd promises."""
+    from pyspark.sql import functions as F
 
-    rows = get_queries()["approx_distinct_sketch"](spark, SF_ORACLE).collect()
+    from data_pipeline_project_spark.plans.registry import get_queries
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    rows = get_queries()["approx_distinct_accuracy"](spark, SF_ORACLE).collect()
     assert rows
-    for r in rows:
-        rel = abs(r.approx_custkeys - r.exact_custkeys) / max(r.exact_custkeys, 1)
-        assert rel <= 0.05, f"{r.o_orderpriority}: rel err {rel:.3f}"
+    assert all(r.approx_within_bounds for r in rows)
+
+    raw = (
+        load_table(spark, "orders", SF_ORACLE)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+            F.count_distinct("o_custkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in raw:
+        rel = abs(r.approx - r.exact) / max(r.exact, 1)
+        assert rel <= 0.02, f"{r.o_orderpriority}: rel err {rel:.3f}"
 
 
 def test_resize_media_shapes(spark):
