@@ -55,6 +55,22 @@ def bpe_tokens(col: Column) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(BPE_SPLIT_RE), 0)
 
 
+def ngrams(toks: Column, n: int) -> Column:
+    """Positional (non-distinct) word n-grams over a token array —
+    unlike ``dedup.shingles`` this keeps every occurrence, which is
+    what repetition statistics need (a doc that repeats one trigram 50
+    times must count 50, not 1). Guarded so documents shorter than
+    ``n`` tokens yield an empty array rather than a reversed
+    ``sequence`` range."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def token_hash(col: Column) -> Column:
     """Deterministic cross-engine bigint hash of a token (md5 prefix)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")

@@ -1111,3 +1111,225 @@ def ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
+
+
+# ---- benchmark decontamination --------------------------------------------
+
+# Eval set = every 17th doc_id: a deterministic stand-in for a held-out
+# benchmark, so both engines derive the identical train/eval partition.
+DECONTAMINATION_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+),
+sh AS (
+    SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM toks
+),
+eval_sh AS (
+    SELECT DISTINCT u.h FROM sh, unnest(sh.sh) AS u(h) WHERE doc_id % 17 = 0
+),
+train_sh AS (
+    SELECT doc_id, u.h FROM sh, unnest(sh.sh) AS u(h) WHERE doc_id % 17 <> 0
+)
+SELECT t.doc_id, count(*) AS n_shared_shingles
+FROM train_sh t JOIN eval_sh e ON t.h = e.h
+GROUP BY t.doc_id
+"""
+
+
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/corpus.contaminated_docs):
+    training docs sharing any word-trigram shingle with the eval set,
+    with the shared-shingle count. The eval shingle vocabulary is
+    deduped and broadcast; the corpus side never shuffles — the
+    GPT-3/The-Pile n-gram-overlap rule in its scale-correct shape."""
+    from data_pipeline_project_spark.operators.corpus import contaminated_docs
+
+    d = load_table(spark, "documents", sf_dir)
+    ev = d.where(F.col("doc_id") % 17 == 0)
+    tr = d.where(F.col("doc_id") % 17 != 0)
+    return contaminated_docs(tr, ev)
+
+
+# ---- Gopher-style repetition filter ---------------------------------------
+
+# Non-distinct positional n-grams (DuckDB list comprehension): trigrams
+# i in [1, len-2], bigrams i in [1, len-1].
+_SQL_TRIGRAMS = """[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    for i in range(1, greatest(len(toks) - 1, 1))]"""
+_SQL_BIGRAMS = """[toks[i] || ' ' || toks[i+1]
+                   for i in range(1, greatest(len(toks), 1))]"""
+
+REPETITION_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+),
+tri AS (
+    SELECT doc_id,
+           len({_SQL_TRIGRAMS}) AS n_tri,
+           len(list_distinct({_SQL_TRIGRAMS})) AS n_tri_distinct
+    FROM t
+),
+bg AS (
+    SELECT doc_id, u.bg
+    FROM (SELECT doc_id, {_SQL_BIGRAMS} AS bgs FROM t) b, unnest(b.bgs) AS u(bg)
+),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+bstat AS (SELECT doc_id, max(c) AS maxc, sum(c) AS totc FROM bgc GROUP BY doc_id)
+SELECT tri.doc_id,
+       round(CASE WHEN n_tri > 0
+                  THEN 1.0 - n_tri_distinct::DOUBLE / n_tri ELSE 0.0 END, 6)
+           AS dup_trigram_frac,
+       coalesce(round(maxc::DOUBLE / totc, 6), 0.0) AS top_bigram_frac,
+       (round(CASE WHEN n_tri > 0
+                   THEN 1.0 - n_tri_distinct::DOUBLE / n_tri ELSE 0.0 END, 6) > 0.2
+        OR coalesce(round(maxc::DOUBLE / totc, 6), 0.0) > 0.18) AS is_repetitive
+FROM tri LEFT JOIN bstat ON tri.doc_id = bstat.doc_id
+"""
+
+
+def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules: per-doc duplicate-trigram
+    fraction (1 - distinct/total, pure HOF projection) and most-frequent
+    -bigram mass fraction (explode -> two hash aggregates keyed by
+    doc_id — work proportional to tokens, shuffle keyed on the doc, so
+    AQE splits any mega-doc and the plan holds at 100 TB). Docs tripping
+    either threshold are flagged for removal — the boilerplate/spam
+    filter every pre-training cleanup runs (Rae et al. 2021 rules C4/
+    MassiveText use)."""
+    from data_pipeline_project_spark.operators.text import ngrams, tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    tri = t.select(
+        "doc_id",
+        F.size(ngrams(F.col("toks"), 3)).alias("n_tri"),
+        F.size(F.array_distinct(ngrams(F.col("toks"), 3))).alias("n_tri_distinct"),
+    )
+    bstat = (
+        t.select("doc_id", F.explode(ngrams(F.col("toks"), 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("maxc"), F.sum("c").alias("totc"))
+    )
+    dup_frac = F.round(
+        F.when(
+            F.col("n_tri") > 0,
+            F.lit(1.0) - F.col("n_tri_distinct").cast("double") / F.col("n_tri"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    top_frac = F.coalesce(
+        F.round(F.col("maxc").cast("double") / F.col("totc"), 6), F.lit(0.0)
+    )
+    return (
+        tri.join(bstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            dup_frac.alias("dup_trigram_frac"),
+            top_frac.alias("top_bigram_frac"),
+            ((dup_frac > 0.2) | (top_frac > 0.18)).alias("is_repetitive"),
+        )
+    )
+
+
+# ---- unigram-LM quality scoring -------------------------------------------
+
+# Log-probs are fixed-pointed at 1e-6 (round(ln(p)*1e6) as int64) so
+# the per-doc sum is integer — order-independent across partitions and
+# engines; only the final single division touches floats.
+UNIGRAM_LOGPROB_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+vocab AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+total AS (SELECT count(*) AS n FROM tok),
+lp AS (
+    SELECT term, round(ln(c::DOUBLE / n) * 1e6)::BIGINT AS lp6
+    FROM vocab, total
+),
+dt AS (SELECT doc_id, term, count(*) AS k FROM tok GROUP BY doc_id, term)
+SELECT dt.doc_id,
+       sum(k)::BIGINT AS n_tokens,
+       round(sum(k * lp6)::DOUBLE / (sum(k) * 1000000.0), 6) AS avg_logprob
+FROM dt JOIN lp USING (term)
+GROUP BY dt.doc_id
+"""
+
+
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality score: mean per-token natural-log
+    probability under the corpus's own unigram distribution (spam and
+    gibberish score low; fluent text scores near the corpus mode).
+    Two-aggregate plan: the vocabulary (term, count) is corpus-bounded
+    and broadcast back onto per-doc term counts — the raw token stream
+    is shuffled once (doc,term aggregate); the corpus never re-shuffles
+    to score. The scalar corpus-size cross join moves partial-agg rows
+    only. Log-probs are fixed-pointed to int64 microlog units so the
+    per-doc sum is order-independent — bit-stable across runs, engines,
+    and cluster sizes despite being a float metric."""
+    from data_pipeline_project_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("c").cast("double") / F.col("n")) * 1e6, 0)
+        .cast("bigint")
+        .alias("lp6"),
+    )
+    dt = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        dt.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("k") * F.col("lp6")).cast("double")
+                / (F.sum("k") * F.lit(1000000.0)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---- sequence packing ------------------------------------------------------
+
+SEQUENCE_PACKING_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           len({SQL_TOKENS})::BIGINT AS n_tok,
+           {SQL_HASH.format(v="doc_id::VARCHAR")} % 8 AS shard_id
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shard_id,
+           (sum(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tok)::BIGINT AS strt
+    FROM t
+)
+SELECT doc_id, shard_id,
+       (strt // 512)::BIGINT AS pack_seq,
+       (strt % 512)::BIGINT AS token_offset
+FROM c
+"""
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing for training batches
+    (operators/corpus.pack_sequences): per hash shard, documents
+    concatenate in doc_id order and the token stream splits into
+    512-token sequences; each doc gets (pack_seq, token_offset). One
+    per-shard exchange, integer outputs — bit-identical across engines
+    and cluster sizes."""
+    from data_pipeline_project_spark.operators.corpus import pack_sequences
+    from data_pipeline_project_spark.operators.text import token_count
+
+    d = load_table(spark, "documents", sf_dir)
+    sized = d.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    return pack_sequences(
+        sized, "n_tok", id_col="doc_id", n_shards=8, seq_len=512, shard_method="md5"
+    )

@@ -36,6 +36,10 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "feature_zscore", "FEATURE_ZSCORE_ORACLE"),
     ("relational_queries", "winsorize_values", "WINSORIZE_ORACLE"),
     ("llmops_queries", "ivf_ann_recall", "IVF_ANN_RECALL_ORACLE"),
+    ("llmops_queries", "decontamination_overlap", "DECONTAMINATION_ORACLE"),
+    ("llmops_queries", "repetition_quality_flags", "REPETITION_ORACLE"),
+    ("llmops_queries", "unigram_logprob_score", "UNIGRAM_LOGPROB_ORACLE"),
+    ("llmops_queries", "sequence_packing", "SEQUENCE_PACKING_ORACLE"),
 ]
 
 

@@ -1,0 +1,131 @@
+"""Semantic tests for the corpus-level training-data operators
+(operators/corpus.py, text.ngrams, and the round-5 quality queries)
+beyond the DuckDB oracle parity they also carry."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.operators.corpus import (
+    contaminated_docs,
+    pack_sequences,
+)
+from data_pipeline_project_spark.operators.text import ngrams, tokens
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ---- decontamination -------------------------------------------------------
+
+def test_decontamination_catches_planted_overlap(spark):
+    ev = _docs(spark, [(100, "held out benchmark question about spark shuffles")])
+    tr = _docs(
+        spark,
+        [
+            # copies an eval trigram verbatim -> contaminated
+            (1, "this doc leaks the benchmark question about spark internals"),
+            # no shared trigram -> clean
+            (2, "completely unrelated text on parquet footer statistics"),
+        ],
+    )
+    out = {r.doc_id: r.n_shared_shingles for r in contaminated_docs(tr, ev).collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out
+
+
+def test_decontamination_counts_distinct_shared_shingles(spark):
+    # Train doc repeats the leaked trigram: shared count stays distinct.
+    ev = _docs(spark, [(100, "alpha beta gamma")])
+    tr = _docs(spark, [(1, "alpha beta gamma alpha beta gamma")])
+    out = contaminated_docs(tr, ev).collect()
+    assert len(out) == 1
+    # eval has exactly 1 trigram; train shares it (plus its own overlap
+    # trigrams don't exist in eval) -> exactly 1 distinct shared shingle
+    assert out[0].n_shared_shingles == 1
+
+
+# ---- ngrams ---------------------------------------------------------------
+
+def test_ngrams_positional_and_short_doc_guard(spark):
+    df = _docs(spark, [(1, "a b a b"), (2, "xy"), (3, "")])
+    out = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", ngrams(tokens(F.col("text")), 2).alias("g")
+        ).collect()
+    }
+    assert out[1] == ["a b", "b a", "a b"]  # non-distinct, positional
+    assert out[2] == []  # 1 token < n
+    assert out[3] == []  # empty doc
+
+
+# ---- sequence packing ------------------------------------------------------
+
+def test_pack_sequences_concat_and_chunk_invariants(spark):
+    rows = [(i, f"doc {i} " + "tok " * (i % 7) * 30) for i in range(200)]
+    sized = _docs(spark, rows).select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    out = pack_sequences(sized, "n_tok", n_shards=4, seq_len=64).collect()
+    counts = {r.doc_id: r.n_tok for r in sized.collect()}
+
+    assert len(out) == 200
+    by_shard: dict = {}
+    for r in out:
+        assert 0 <= r.token_offset < 64
+        assert r.pack_seq >= 0
+        by_shard.setdefault(r.shard_id, []).append(r)
+    # concat-and-chunk: within a shard, start positions are the exact
+    # running sum of prior docs' token counts in doc_id order
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in rs:
+            assert r.pack_seq * 64 + r.token_offset == run, (shard, r)
+            run += counts[r.doc_id]
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    """Same assignment regardless of input partitioning — the retry/
+    cluster-size safety property."""
+    rows = [(i, (i * 13) % 97 + 1) for i in range(300)]
+    df1 = spark.createDataFrame(rows, ["doc_id", "n_tok"]).repartition(1)
+    df8 = spark.createDataFrame(rows, ["doc_id", "n_tok"]).repartition(8, "n_tok")
+    a = sorted(map(tuple, pack_sequences(df1, "n_tok").collect()))
+    b = sorted(map(tuple, pack_sequences(df8, "n_tok").collect()))
+    assert a == b
+
+
+# ---- repetition flags ------------------------------------------------------
+
+def test_repetition_flags_semantics(spark, tmp_path):
+    docs = _docs(
+        spark,
+        [
+            (0, "spam spam spam spam spam spam spam spam spam spam"),
+            (1, "a genuinely varied sentence with distinct words throughout here"),
+        ],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from data_pipeline_project_spark.plans.llmops_queries import (
+        repetition_quality_flags,
+    )
+
+    out = {r.doc_id: r for r in repetition_quality_flags(spark, str(tmp_path)).collect()}
+    assert out[0].is_repetitive and out[0].dup_trigram_frac > 0.8
+    assert not out[1].is_repetitive and out[1].dup_trigram_frac == 0.0
+
+
+def test_unigram_logprob_ranks_gibberish_below_modal_text(spark, tmp_path):
+    common = "data table query join " * 10
+    docs = _docs(
+        spark,
+        [(i, common) for i in range(20)] + [(99, "zyxq wvut srqp onml kjih")],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from data_pipeline_project_spark.plans.llmops_queries import (
+        unigram_logprob_score,
+    )
+
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob_score(spark, str(tmp_path)).collect()}
+    assert out[99] < out[0] < 0.0

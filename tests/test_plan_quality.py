@@ -256,8 +256,16 @@ def test_deregistered_query_plan_sweep(spark):
     from tests.conftest import EXTRA_ORACLE_QUERIES
 
     # Single-row scalar cross joins (bounded by partial-agg rows):
-    bnlj_ok = {"heavy_hitter_terms", "referential_integrity_audit"}
-    single_ok = {"heavy_hitter_terms", "referential_integrity_audit"}
+    bnlj_ok = {
+        "heavy_hitter_terms",
+        "referential_integrity_audit",
+        "unigram_logprob_score",  # corpus-size scalar onto the vocab agg
+    }
+    single_ok = {
+        "heavy_hitter_terms",
+        "referential_integrity_audit",
+        "unigram_logprob_score",
+    }
 
     problems = []
     for mod_name, fn_name, _ in EXTRA_ORACLE_QUERIES:
