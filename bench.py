@@ -70,24 +70,32 @@ def main() -> None:
     # "err" entry, never the whole round's perf signal (round 3 lesson —
     # a single analysis error zeroed BENCH_r03 entirely).
     #
-    # Median of 3 timed passes per query: single-pass timings swung up
-    # to ~1.33x round-over-round with co-tenant box load (BENCH_r04
-    # 45.1s vs builder runs of 34-35s on unchanged plans); a per-query
-    # median absorbs one loaded pass without hiding real regressions.
+    # Median of 3 timed passes per query, INTERLEAVED (pass-major, not
+    # query-major): single-pass timings swung up to ~1.33x with
+    # co-tenant box load (BENCH_r04), and back-to-back passes of the
+    # same query all land inside one load spike — a spike lasting ~1
+    # min once inflated a whole query family's medians 2-4x. Spreading
+    # each query's samples across the full run means a transient spike
+    # taxes at most one sample per query, which the median discards.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in queries}
     errors: dict[str, str] = {}
-    for name in sorted(queries):
-        samples: list[float] = []
-        try:
-            for _ in range(passes):
+    for _ in range(passes):
+        for name in sorted(queries):
+            if name in errors:
+                continue
+            try:
                 t0 = time.perf_counter()
                 df = queries[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
-            timings[name] = round(statistics.median(samples), 3)
-        except Exception as exc:  # noqa: BLE001 — record and keep benching
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                samples[name].append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — record, keep benching
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    timings = {
+        name: round(statistics.median(s), 3)
+        for name, s in samples.items()
+        if s and name not in errors
+    }
 
     try:
         ingest = _bench_ingest(spark)
