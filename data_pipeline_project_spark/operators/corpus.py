@@ -57,6 +57,64 @@ def contaminated_docs(
     )
 
 
+def repetition_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_trigram_max: float = 0.2,
+    top_bigram_max: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021): per-doc
+    duplicate-trigram fraction (1 - distinct/total — a pure HOF
+    projection) and most-frequent-bigram mass fraction (explode -> two
+    hash aggregates keyed by the doc — work proportional to tokens,
+    shuffle keyed on the doc id, so AQE splits any mega-doc and the
+    plan holds at 100 TB). Docs tripping either threshold are flagged
+    ``is_repetitive`` — the boilerplate/spam filter every pre-training
+    cleanup runs.
+
+    Returns (id_col, dup_trigram_frac, top_bigram_frac, is_repetitive);
+    fractions are rounded to 1e-6 BEFORE thresholding so the booleans
+    are bit-stable across engines.
+    """
+    from data_pipeline_project_spark.operators.text import ngrams, tokens
+
+    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    tri = t.select(
+        id_col,
+        F.size(ngrams(F.col("toks"), 3)).alias("n_tri"),
+        F.size(F.array_distinct(ngrams(F.col("toks"), 3))).alias("n_tri_distinct"),
+    )
+    bstat = (
+        t.select(F.col(id_col), F.explode(ngrams(F.col("toks"), 2)).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("maxc"), F.sum("c").alias("totc"))
+    )
+    dup_frac = F.round(
+        F.when(
+            F.col("n_tri") > 0,
+            F.lit(1.0) - F.col("n_tri_distinct").cast("double") / F.col("n_tri"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    top_frac = F.coalesce(
+        F.round(F.col("maxc").cast("double") / F.col("totc"), 6), F.lit(0.0)
+    )
+    return (
+        tri.join(bstat, id_col, "left")
+        .select(
+            id_col,
+            dup_frac.alias("dup_trigram_frac"),
+            top_frac.alias("top_bigram_frac"),
+            ((dup_frac > dup_trigram_max) | (top_frac > top_bigram_max)).alias(
+                "is_repetitive"
+            ),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_count_col: str,

@@ -1188,49 +1188,15 @@ FROM tri LEFT JOIN bstat ON tri.doc_id = bstat.doc_id
 
 
 def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality rules: per-doc duplicate-trigram
-    fraction (1 - distinct/total, pure HOF projection) and most-frequent
-    -bigram mass fraction (explode -> two hash aggregates keyed by
-    doc_id — work proportional to tokens, shuffle keyed on the doc, so
-    AQE splits any mega-doc and the plan holds at 100 TB). Docs tripping
-    either threshold are flagged for removal — the boilerplate/spam
-    filter every pre-training cleanup runs (Rae et al. 2021 rules C4/
-    MassiveText use)."""
-    from data_pipeline_project_spark.operators.text import ngrams, tokens
+    """Gopher-style repetition quality rules over the corpus
+    (operators/corpus.repetition_flags): duplicate-trigram fraction and
+    most-frequent-bigram mass fraction, thresholded into the
+    ``is_repetitive`` removal flag — the boilerplate/spam filter every
+    pre-training cleanup runs (Rae et al. 2021 rules C4/MassiveText
+    use)."""
+    from data_pipeline_project_spark.operators.corpus import repetition_flags
 
-    d = load_table(spark, "documents", sf_dir)
-    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
-    tri = t.select(
-        "doc_id",
-        F.size(ngrams(F.col("toks"), 3)).alias("n_tri"),
-        F.size(F.array_distinct(ngrams(F.col("toks"), 3))).alias("n_tri_distinct"),
-    )
-    bstat = (
-        t.select("doc_id", F.explode(ngrams(F.col("toks"), 2)).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("maxc"), F.sum("c").alias("totc"))
-    )
-    dup_frac = F.round(
-        F.when(
-            F.col("n_tri") > 0,
-            F.lit(1.0) - F.col("n_tri_distinct").cast("double") / F.col("n_tri"),
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
-    top_frac = F.coalesce(
-        F.round(F.col("maxc").cast("double") / F.col("totc"), 6), F.lit(0.0)
-    )
-    return (
-        tri.join(bstat, "doc_id", "left")
-        .select(
-            "doc_id",
-            dup_frac.alias("dup_trigram_frac"),
-            top_frac.alias("top_bigram_frac"),
-            ((dup_frac > 0.2) | (top_frac > 0.18)).alias("is_repetitive"),
-        )
-    )
+    return repetition_flags(load_table(spark, "documents", sf_dir))
 
 
 # ---- unigram-LM quality scoring -------------------------------------------

@@ -1,10 +1,11 @@
 """Capstone integration: the full training-corpus build, end to end —
 JSONL drops → streaming ingest (quarantine + dedup) → quality/language
-cleaning → near-dup cluster keeper selection → deterministic split →
-sharded training output → compaction. Each stage is unit/oracle-tested
-on its own; this guards their COMPOSITION and the determinism of the
-final artifact (two identical builds must produce byte-identical shard
-membership)."""
+cleaning → near-dup cluster keeper selection → benchmark
+decontamination → repetition filter → deterministic split → sequence
+packing → sharded training output → compaction. Each stage is
+unit/oracle-tested on its own; this guards their COMPOSITION and the
+determinism of the final artifact (two identical builds must produce
+byte-identical shard membership and packing)."""
 
 import json
 
@@ -12,6 +13,11 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from data_pipeline_project_spark.operators.corpus import (
+    contaminated_docs,
+    pack_sequences,
+    repetition_flags,
+)
 from data_pipeline_project_spark.operators.dedup import (
     connected_components,
     minhash_lsh_pairs,
@@ -71,14 +77,49 @@ def _build(spark, tmp, tag):
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     kept = meta.join(F.broadcast(losers), "doc_id", "left_anti")
 
-    # 3. deterministic split + sharded training output
+    # 2b. benchmark decontamination: the doc_id % 17 slice stands in
+    # for a held-out eval set — it leaves the train path entirely, and
+    # any train doc sharing >= 8 trigram shingles with it is dropped
+    # (the synthetic word-salad corpus makes 1-shingle overlap near-
+    # universal, so the e2e uses a realistic multi-shingle threshold).
+    eval_docs = kept.where(F.col("doc_id") % 17 == 0)
+    train_docs = kept.where(F.col("doc_id") % 17 != 0)
+    contaminated = contaminated_docs(train_docs, eval_docs).where(
+        F.col("n_shared_shingles") >= 8
+    )
+    decontam = train_docs.join(
+        F.broadcast(contaminated.select("doc_id")), "doc_id", "left_anti"
+    )
+
+    # 2c. repetition filter (no synthetic doc trips it — the stage
+    # must still compose and pass everything through)
+    rep = repetition_flags(decontam)
+    final = decontam.join(
+        F.broadcast(rep.where("is_repetitive").select("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+
+    # 3. deterministic split + sequence packing + sharded output
     bucket = token_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
-    train = kept.where(bucket < 80).withColumn(
+    train = final.where(bucket < 80).withColumn(
         "shard", shard_id(F.col("doc_id"), 4, method="md5")
     )
-    train.select("doc_id", "text", "source", "shard").repartition(
-        16
-    ).write.partitionBy("shard").parquet(str(root / "train"))
+    packed = pack_sequences(
+        train.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")),
+        "n_tok",
+        n_shards=4,
+        seq_len=128,
+    )
+    assert packed.where(
+        (F.col("token_offset") < 0) | (F.col("token_offset") >= 128)
+    ).count() == 0
+    train = train.join(
+        packed.select("doc_id", "pack_seq", "token_offset"), "doc_id"
+    )
+    train.select(
+        "doc_id", "text", "source", "shard", "pack_seq", "token_offset"
+    ).repartition(16).write.partitionBy("shard").parquet(str(root / "train"))
 
     # 4. compaction: the fragmented write shrinks, rows intact
     before = spark.read.parquet(str(root / "train")).count()
@@ -92,7 +133,7 @@ def _build(spark, tmp, tag):
 
     out = spark.read.parquet(str(root / "train"))
     return {
-        s: sorted(r.doc_id for r in rows)
+        s: sorted((r.doc_id, r.pack_seq, r.token_offset) for r in rows)
         for s, rows in (
             (g.shard, out.where(F.col("shard") == g.shard).collect())
             for g in out.select("shard").distinct().collect()
