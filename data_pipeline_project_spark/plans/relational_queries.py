@@ -1130,3 +1130,58 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# The quantile-sketch accuracy contract (same pattern as the
+# approx_distinct_accuracy registry row): sketch outputs are not
+# cross-engine reproducible, so the driver-checkable surface is the
+# exact statistic plus a Spark-computed boolean that the sketch meets
+# its documented error bound; the oracle supplies the exact values and
+# literal TRUE.
+APPROX_QUANTILE_ORACLE = """
+SELECT l_returnflag,
+       count(*)::BIGINT AS n_rows,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
+       TRUE AS rank_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def approx_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna) accuracy contract per
+    return flag — the quantile-sketch path a 100 TB engine takes when
+    exact percentile's full-sort-per-group is the bottleneck. The
+    sketch guarantees RANK error <= 1/accuracy regardless of partition
+    merge order, so the checkable invariant is: the true rank of the
+    returned value stays within 0.5 +/- 5x the documented bound
+    (accuracy=100 -> eps=0.01, bar at 0.05). Exact median (continuous
+    interpolation, == DuckDB quantile_cont) rides along so the row
+    also hash-pins the exact-percentile surface. Plan: tiny per-group
+    sketch aggregate broadcast back onto the fact scan for the exact
+    rank count — two scans, no global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    appx = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 100)").alias("appx")
+    )
+    return (
+        li.join(F.broadcast(appx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+                "exact_median"
+            ),
+            (
+                F.abs(
+                    F.sum(
+                        F.when(
+                            F.col("l_extendedprice") <= F.col("appx"), 1
+                        ).otherwise(0)
+                    )
+                    / F.count(F.lit(1))
+                    - F.lit(0.5)
+                )
+                <= F.lit(0.05)
+            ).alias("rank_ok"),
+        )
+    )

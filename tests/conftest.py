@@ -40,6 +40,8 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "repetition_quality_flags", "REPETITION_ORACLE"),
     ("llmops_queries", "unigram_logprob_score", "UNIGRAM_LOGPROB_ORACLE"),
     ("llmops_queries", "sequence_packing", "SEQUENCE_PACKING_ORACLE"),
+    ("relational_queries", "approx_quantile_accuracy", "APPROX_QUANTILE_ORACLE"),
+    ("llmops_queries", "embedding_int8_quantization", "EMBEDDING_QUANTIZE_ORACLE"),
 ]
 
 

@@ -129,3 +129,27 @@ def test_unigram_logprob_ranks_gibberish_below_modal_text(spark, tmp_path):
 
     out = {r.doc_id: r.avg_logprob for r in unigram_logprob_score(spark, str(tmp_path)).collect()}
     assert out[99] < out[0] < 0.0
+
+
+# ---- embedding quantization -----------------------------------------------
+
+def test_embedding_quantization_known_values(spark, tmp_path):
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),   # scale = 1/127
+        (1, [0.0, 0.0, 0.0, 0.0]),     # zero vector -> guarded path
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    from data_pipeline_project_spark.plans.llmops_queries import (
+        embedding_int8_quantization,
+    )
+
+    out = {r.vec_id: r for r in embedding_int8_quantization(spark, str(tmp_path)).collect()}
+    # vec 0: q = round(x/ (1/127)) = [127, -64 (round -63.5 away), 32, 0]
+    q = [127, -64, 32, 0]
+    assert out[0].q_checksum == sum(v * (i + 1) for i, v in enumerate(q))
+    assert out[0].recon_ok
+    assert abs(out[0].scale6 - round(1 / 127, 6)) < 1e-9
+    # zero vector: checksum 0, trivially ok, scale 0
+    assert out[1].q_checksum == 0 and out[1].recon_ok and out[1].scale6 == 0.0
