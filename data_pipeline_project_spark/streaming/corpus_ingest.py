@@ -17,6 +17,12 @@ corpus build actually runs continuously:
   one broadcast membership test plus an exact verification scan that is
   **partition-pruned to the shards the candidate keys hash to** (shard
   id is a pure function of the key, so the prune list is exact);
+- **decontamination** (optional): an eval/benchmark document set given
+  at stream start is reduced once to its persisted shingle vocabulary;
+  every micro-batch broadcast-joins against it and docs sharing
+  ``decontam_min_shared``+ trigram shingles divert to a decontam audit
+  path instead of the corpus — the batch ``contaminated_docs`` rule
+  running continuously at ingest time;
 - **sink**: survivors append as ``shard=k/`` Hive partitions
   (``sinks.shard_id`` layout — the training-shard contract), quarantined
   raw lines append beside them for audit.
@@ -100,6 +106,7 @@ class IngestStats:
     rows_quarantined: int = 0
     rows_appended: int = 0
     rows_deduped: int = 0
+    rows_decontaminated: int = 0
     bloom_rebuilds: int = 0
     history: list[dict] = field(default_factory=list)
 
@@ -120,6 +127,10 @@ class CorpusIngestor:
         n_shards: int = 16,
         expected_total_docs: int = 1_000_000,
         fpp: float = 0.01,
+        eval_docs: DataFrame | None = None,
+        decontam_min_shared: int = 1,
+        decontam_path: str | None = None,
+        text_col: str = "text",
     ):
         self.spark = spark
         self.corpus_path = corpus_path
@@ -128,6 +139,27 @@ class CorpusIngestor:
         self.n_shards = n_shards
         self.stats = IngestStats()
         self.fpp = fpp
+        # Decontamination gate: the eval set's shingle vocabulary is
+        # computed ONCE at stream start and persisted (eval benchmarks
+        # are KB-to-MB scale; the vocabulary is smaller still), then
+        # broadcast against every micro-batch — same operator contract
+        # as operators/corpus.contaminated_docs, applied continuously.
+        self.text_col = text_col
+        self.decontam_min_shared = decontam_min_shared
+        self.decontam_path = decontam_path or (quarantine_path + "_decontam")
+        if eval_docs is not None:
+            from data_pipeline_project_spark.operators.dedup import shingle_hashes
+
+            self.eval_sh = (
+                eval_docs.select(
+                    F.explode(shingle_hashes(F.col(text_col))).alias("sh")
+                )
+                .distinct()
+                .persist()
+            )
+            self.eval_sh.count()  # materialize before the stream starts
+        else:
+            self.eval_sh = None
         # Size for where the corpus is GOING, not where it is, so
         # incremental adds stay within the design fpp. sized_n /
         # inserted drive the saturation guard: once insertions pass the
@@ -209,6 +241,45 @@ class CorpusIngestor:
             .localCheckpoint()  # consumed 3x (shards, dedup, count); small
         )
         n_in = sharded.count()
+
+        # Decontamination gate: docs sharing >= decontam_min_shared
+        # trigram shingles with the eval set divert to the decontam
+        # audit path and never reach the corpus. Replay-safe for the
+        # same reason the dedup is: a replayed batch re-derives the
+        # same contaminated set (pure function of batch + eval set).
+        n_contam = 0
+        if self.eval_sh is not None and n_in:
+            # Same plan as operators/corpus.contaminated_docs, with the
+            # eval side already reduced to its persisted shingle
+            # vocabulary at stream start.
+            from data_pipeline_project_spark.operators.dedup import (
+                shingle_hashes,
+            )
+
+            contam_keys = (
+                sharded.select(
+                    F.col(self.key_col),
+                    F.explode(shingle_hashes(F.col(self.text_col))).alias("sh"),
+                )
+                .join(F.broadcast(self.eval_sh), "sh")
+                .groupBy(self.key_col)
+                .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+                .where(F.col("n_shared_shingles") >= self.decontam_min_shared)
+                .select(self.key_col)
+            )
+            diverted = sharded.join(
+                F.broadcast(contam_keys), self.key_col, "left_semi"
+            )
+            n_contam = diverted.count()
+            if n_contam:
+                diverted.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(self.decontam_path)
+                sharded = sharded.join(
+                    F.broadcast(contam_keys), self.key_col, "left_anti"
+                ).localCheckpoint()
+                n_in -= n_contam
+
         if n_in and self._corpus_exists():
             shards = [
                 r.shard for r in sharded.select("shard").distinct().collect()
@@ -241,11 +312,13 @@ class CorpusIngestor:
         s.rows_seen += n_raw + n_quar
         s.rows_quarantined += n_quar
         s.rows_appended += n_new
-        s.rows_deduped += n_raw - n_new  # within-batch + vs-corpus dups
+        s.rows_decontaminated += n_contam
+        s.rows_deduped += n_raw - n_new - n_contam  # within-batch + vs-corpus
         s.history.append(
             {
                 "batch_id": batch_id, "in": n_raw, "new": n_new,
-                "quar": n_quar, "fpp": round(self.effective_fpp(), 6),
+                "quar": n_quar, "contam": n_contam,
+                "fpp": round(self.effective_fpp(), 6),
             }
         )
 

@@ -143,3 +143,43 @@ def test_null_key_rows_are_dropped_not_crashing(spark, dirs):
     )
     ing.process_batch(read_documents_jsonl(spark, p), 0)
     assert spark.read.parquet(dirs["corpus"]).count() == 1
+
+
+def test_decontamination_gate_diverts_eval_overlap(spark, dirs, tmp_path):
+    """Docs sharing trigrams with the eval set never reach the corpus;
+    they land in the decontam audit path with counts in stats."""
+    with open(f"{dirs['drop']}/b1.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "held out benchmark answer key alpha beta",
+                            "meta": {"src": "t"}}) + "\n")   # leaks eval text
+        f.write(json.dumps({"doc_id": 2, "text": "perfectly ordinary training material here",
+                            "meta": {"src": "t"}}) + "\n")
+    eval_docs = spark.createDataFrame(
+        [(100, "the held out benchmark answer key alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    q, ing = start_corpus_ingest(
+        spark, dirs["drop"], dirs["corpus"], dirs["quar"], dirs["ckpt"],
+        expected_total_docs=10_000, eval_docs=eval_docs,
+    )
+    q.awaitTermination(120)
+    assert ing.stats.rows_decontaminated == 1
+    assert ing.stats.rows_appended == 1
+    corpus = spark.read.parquet(dirs["corpus"])
+    assert [r.doc_id for r in corpus.collect()] == [2]
+    diverted = spark.read.parquet(ing.decontam_path)
+    assert [r.doc_id for r in diverted.collect()] == [1]
+
+    # Replay safety: a second run over the same (already-processed)
+    # drop plus one new clean doc appends only the new doc and
+    # re-diverts nothing.
+    with open(f"{dirs['drop']}/b2.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": "more clean training material arrives",
+                            "meta": {"src": "t"}}) + "\n")
+    q2, ing2 = start_corpus_ingest(
+        spark, dirs["drop"], dirs["corpus"], dirs["quar"], dirs["ckpt"],
+        expected_total_docs=10_000, eval_docs=eval_docs,
+    )
+    q2.awaitTermination(120)
+    assert ing2.stats.rows_decontaminated == 0
+    assert ing2.stats.rows_appended == 1
+    assert spark.read.parquet(dirs["corpus"]).count() == 2
