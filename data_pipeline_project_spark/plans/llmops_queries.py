@@ -1389,3 +1389,58 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         checksum.alias("q_checksum"),
         recon_ok.alias("recon_ok"),
     )
+
+
+# ---- vocabulary coverage / OOV rate ---------------------------------------
+
+_VOCAB_K = 50
+
+VOCAB_OOV_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+counts AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+vocab AS (SELECT term FROM counts ORDER BY n DESC, term LIMIT {_VOCAB_K})
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (term)
+GROUP BY doc_id
+"""
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage: build the top-K corpus
+    vocabulary (count-desc, term-asc tiebreak — deterministic) and
+    measure each document's out-of-vocabulary token fraction — the
+    go/no-go statistic for sizing a fixed vocabulary before training.
+    Plan: one token aggregate -> top-K via TakeOrdered (bounded, no
+    global sort materialization) -> broadcast membership flag onto the
+    token stream -> per-doc aggregate. The corpus shuffles once (the
+    term count); membership is a broadcast lookup."""
+    from data_pipeline_project_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(_VOCAB_K)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

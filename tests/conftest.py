@@ -42,6 +42,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "sequence_packing", "SEQUENCE_PACKING_ORACLE"),
     ("relational_queries", "approx_quantile_accuracy", "APPROX_QUANTILE_ORACLE"),
     ("llmops_queries", "embedding_int8_quantization", "EMBEDDING_QUANTIZE_ORACLE"),
+    ("llmops_queries", "vocab_oov_rate", "VOCAB_OOV_ORACLE"),
 ]
 
 
