@@ -74,3 +74,40 @@ def test_centroid_sidecar_roundtrip(spark, tmp_path):
         .collect()
     ]
     assert stored == cents
+
+
+def test_int8_quantized_vectors_keep_ann_recall(spark, tmp_path):
+    """The quantization tier composes with the index tier: serving ANN
+    over int8-dequantized vectors recovers most of the full-precision
+    top-k (the documented 'small recall cost for 4x storage' trade).
+    Shared centroids isolate exactly the quantization effect."""
+    emb = load_table(spark, "embeddings", SF)
+
+    def deq(col):
+        xd = F.transform(col, lambda e: e.cast("double"))
+        scale = F.array_max(F.transform(xd, F.abs)) / F.lit(127.0)
+        return F.when(
+            scale > 0,
+            F.transform(xd, lambda e: F.round(e / scale, 0) * scale),
+        ).otherwise(xd)
+
+    emb_q = emb.select("vec_id", deq(F.col("embedding")).alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 10)
+    cents = train_ivf_centroids(emb, n_list=8)
+
+    build_ivf_index(emb, str(tmp_path / "full"), n_list=8, centroids=cents)
+    build_ivf_index(emb_q, str(tmp_path / "int8"), n_list=8, centroids=cents)
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in query_ivf_index(
+            spark, str(tmp_path / "full"), queries, k=10, n_probe=8
+        ).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in query_ivf_index(
+            spark, str(tmp_path / "int8"), queries, k=10, n_probe=8
+        ).collect()
+    }
+    recall = len(full & quant) / len(full)
+    assert recall >= 0.8, f"int8 recall {recall:.2f}"
