@@ -76,3 +76,120 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
     )
     return exact
+
+
+# ---- count-min sketch ------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def count_min_table(
+    items: DataFrame,
+    col: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Build a Count-Min sketch as a (d, bucket, counter) DataFrame:
+    ``depth`` salted md5 bucket hashes per item, one hash-aggregate.
+
+    Scale shape: each input row expands to ``depth`` (d, bucket) pairs,
+    but map-side partial aggregation collapses every partition's
+    contribution to at most depth x width counter rows before the
+    shuffle — the exchange moves sketch-sized state, never the stream.
+    The result is depth x width rows total (a few KB), broadcastable to
+    any consumer. Mergeable by construction: sketches of two streams
+    ADD counter-wise (they share the deterministic hash family), which
+    is the property that lets per-day / per-source sketches roll up
+    without rescanning.
+
+    The md5 bucket family makes the sketch BIT-REPRODUCIBLE across
+    engines (same construction as operators/text.token_hash), so even
+    the approximate estimates hash-check against a SQL oracle — rare
+    for a sketch, and exactly what you want when two systems must agree
+    on the same approximation.
+    """
+    pairs = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"cms{d}:"),
+                                            F.col(col).cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+
+
+def count_min_estimates(
+    items: DataFrame,
+    queries: DataFrame,
+    col: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Point-frequency estimates from the Count-Min table: for each
+    query item, min over the ``depth`` rows of its bucket counters.
+    Overcount-only (est >= true count, always); overshoot bounded by
+    colliding mass ~ N/width per row, so min-of-depth is within
+    e*N/width with probability 1 - e^-depth. The sketch table is tiny
+    and broadcast; query items never shuffle."""
+    sketch = count_min_table(items, col, width, depth)
+    q = queries.select(F.col(col).alias("item")).distinct()
+    probes = q.select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"cms{d}:"),
+                                            F.col("item").cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("item", F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("item")
+        .agg(F.min("counter").alias("cms_estimate"))
+    )

@@ -1444,3 +1444,66 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---- count-min sketch term frequencies ------------------------------------
+
+# The md5 bucket family makes the CMS bit-reproducible cross-engine,
+# so the APPROXIMATE estimates themselves hash-check — the oracle
+# rebuilds the identical sketch in SQL.
+_CMS_D = "(SELECT unnest([0,1,2,3]) AS d)"
+
+COUNT_MIN_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest({SQL_TOKENS}) AS term FROM documents
+),
+pairs AS (
+    SELECT d.d,
+           ('0x' || substr(md5('cms' || d.d || ':' || term), 1, 15))::BIGINT
+               % 1024 AS bucket
+    FROM tok CROSS JOIN {_CMS_D} d
+),
+sketch AS (SELECT d, bucket, count(*) AS c FROM pairs GROUP BY d, bucket),
+terms AS (SELECT term, count(*) AS exact_n FROM tok GROUP BY term),
+probes AS (
+    SELECT term, exact_n, d.d,
+           ('0x' || substr(md5('cms' || d.d || ':' || term), 1, 15))::BIGINT
+               % 1024 AS bucket
+    FROM terms CROSS JOIN {_CMS_D} d
+)
+SELECT p.term, p.exact_n AS exact_n, min(s.c) AS cms_estimate,
+       min(s.c) >= p.exact_n AS never_undercounts
+FROM probes p JOIN sketch s USING (d, bucket)
+GROUP BY p.term, p.exact_n
+"""
+
+
+def count_min_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch term frequencies
+    (operators/sketches.count_min_table/count_min_estimates) beside the
+    exact counts and the sketch's defining never-undercounts guarantee.
+    The sketch's exchange moves at most depth x width counter rows per
+    partition (map-side combine), never the token stream, and the
+    deterministic md5 hash family means both engines compute the SAME
+    approximation — the estimates hash-check exactly, not just their
+    error bounds."""
+    from data_pipeline_project_spark.operators.sketches import (
+        count_min_estimates,
+    )
+    from data_pipeline_project_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    est = count_min_estimates(tok, tok, "term")
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        exact.join(est.withColumnRenamed("item", "term"), "term")
+        .select(
+            "term",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_n")).alias(
+                "never_undercounts"
+            ),
+        )
+    )

@@ -43,6 +43,7 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "approx_quantile_accuracy", "APPROX_QUANTILE_ORACLE"),
     ("llmops_queries", "embedding_int8_quantization", "EMBEDDING_QUANTIZE_ORACLE"),
     ("llmops_queries", "vocab_oov_rate", "VOCAB_OOV_ORACLE"),
+    ("llmops_queries", "count_min_term_counts", "COUNT_MIN_ORACLE"),
 ]
 
 

@@ -103,3 +103,35 @@ def test_property_guarantee_on_random_distributions(spark):
             assert cnt == exact[item]
 
     check()
+
+
+def test_count_min_sketch_merges_counterwise(spark):
+    """CMS(A union B) must equal CMS(A) + CMS(B) counter-wise (shared
+    deterministic hash family) — the property that lets per-day /
+    per-source sketches roll up without rescanning streams."""
+    from data_pipeline_project_spark.operators.sketches import (
+        count_min_estimates,
+        count_min_table,
+    )
+
+    a = spark.createDataFrame([(f"t{i % 7}",) for i in range(50)], ["v"])
+    b = spark.createDataFrame([(f"t{i % 11}",) for i in range(80)], ["v"])
+    both = a.union(b)
+
+    def counters(df):
+        return {
+            (r.d, r.bucket): r.counter
+            for r in count_min_table(df, "v", width=64, depth=3).collect()
+        }
+
+    ca, cb, cu = counters(a), counters(b), counters(both)
+    merged = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
+    assert merged == cu
+
+    # and the estimate never undercounts on the merged stream
+    exact = {r.v: r.n for r in both.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {
+        r.item: r.cms_estimate
+        for r in count_min_estimates(both, both, "v", width=64, depth=3).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
