@@ -163,7 +163,9 @@ def pack_sequences(
         .select(
             F.col(id_col),
             F.col("shard_id"),
-            (F.col("_start") / seq_len).cast("long").alias("pack_seq"),
+            # integer `div`, not `/`+cast: double division loses
+            # exactness past 2^53 tokens per shard
+            F.expr(f"_start div {int(seq_len)}").alias("pack_seq"),
             (F.col("_start") % seq_len).cast("long").alias("token_offset"),
         )
     )
