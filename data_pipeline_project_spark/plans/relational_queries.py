@@ -1185,3 +1185,120 @@ def approx_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank_ok"),
         )
     )
+
+
+# Skew-mitigation parity: the two-phase salted aggregation must equal
+# the plain GROUP BY exactly (integer aggregates -> reassociation-safe).
+SKEW_SALTED_AGG_ORACLE = """
+SELECT l_returnflag,
+       count(l_orderkey)::BIGINT AS l_orderkey_count,
+       min(l_partkey) AS l_partkey_min,
+       max(l_suppkey) AS l_suppkey_max,
+       sum(l_linenumber)::BIGINT AS l_linenumber_sum
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key aggregation path (functions/skew.salted_sum) under
+    oracle eyes: phase 1 aggregates on (key, random salt) so a skewed
+    key's work spreads over n_salts tasks, phase 2 merges partials on
+    the key alone. l_returnflag is exactly the skew shape AQE's
+    statistics miss (3 values over 60k+ rows); integer aggregates keep
+    the reassociated sums bit-equal to the plain GROUP BY."""
+    from data_pipeline_project_spark.functions.skew import salted_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_sum(
+        li,
+        ["l_returnflag"],
+        {
+            "l_orderkey": "count",
+            "l_partkey": "min",
+            "l_suppkey": "max",
+            "l_linenumber": "sum",
+        },
+        n_salts=16,
+    ).select(
+        "l_returnflag",
+        F.col("l_orderkey_count").cast("bigint").alias("l_orderkey_count"),
+        "l_partkey_min",
+        "l_suppkey_max",
+        F.col("l_linenumber_sum").cast("bigint").alias("l_linenumber_sum"),
+    )
+
+
+# Data-quality profiling: per-column row/null/distinct counts + min/max
+# rendered as strings (int/string/formatted-date columns only — float
+# renderings are not cross-engine stable).
+_PROFILE_COLS = ("l_orderkey", "l_linenumber", "l_returnflag", "l_ship_day")
+
+TABLE_PROFILE_ORACLE = """
+WITH t AS (
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           strftime(l_shipdate, '%Y-%m-%d') AS l_ship_day
+    FROM lineitem
+)
+SELECT 'l_orderkey' AS col_name, count(*)::BIGINT AS n_rows,
+       (count(*) - count(l_orderkey))::BIGINT AS n_nulls,
+       count(DISTINCT l_orderkey)::BIGINT AS n_distinct,
+       min(l_orderkey)::VARCHAR AS min_str, max(l_orderkey)::VARCHAR AS max_str
+FROM t
+UNION ALL
+SELECT 'l_linenumber', count(*)::BIGINT, (count(*) - count(l_linenumber))::BIGINT,
+       count(DISTINCT l_linenumber)::BIGINT,
+       min(l_linenumber)::VARCHAR, max(l_linenumber)::VARCHAR
+FROM t
+UNION ALL
+SELECT 'l_returnflag', count(*)::BIGINT, (count(*) - count(l_returnflag))::BIGINT,
+       count(DISTINCT l_returnflag)::BIGINT,
+       min(l_returnflag), max(l_returnflag)
+FROM t
+UNION ALL
+SELECT 'l_ship_day', count(*)::BIGINT, (count(*) - count(l_ship_day))::BIGINT,
+       count(DISTINCT l_ship_day)::BIGINT,
+       min(l_ship_day), max(l_ship_day)
+FROM t
+"""
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile (the first query run against any
+    new 100 TB dataset): per column, rows / nulls / exact distincts /
+    min / max, computed in a SINGLE aggregate over one scan and
+    unpivoted to a row per column. The only exchange carries the
+    partial-agg rows of that one aggregate; output is bounded by the
+    column list. min/max render as strings so heterogeneous column
+    types share one schema."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_ship_day"),
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.count_distinct(c).alias(f"{c}_nd"),
+            F.min(c).cast("string").alias(f"{c}_min"),
+            F.max(c).cast("string").alias(f"{c}_max"),
+        ]
+    one = li.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("_n").cast("bigint").alias("n_rows"),
+                        (F.col("_n") - F.col(f"{c}_nn")).cast("bigint").alias("n_nulls"),
+                        F.col(f"{c}_nd").cast("bigint").alias("n_distinct"),
+                        F.col(f"{c}_min").alias("min_str"),
+                        F.col(f"{c}_max").alias("max_str"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")

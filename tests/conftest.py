@@ -44,6 +44,8 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "embedding_int8_quantization", "EMBEDDING_QUANTIZE_ORACLE"),
     ("llmops_queries", "vocab_oov_rate", "VOCAB_OOV_ORACLE"),
     ("llmops_queries", "count_min_term_counts", "COUNT_MIN_ORACLE"),
+    ("relational_queries", "skew_salted_agg", "SKEW_SALTED_AGG_ORACLE"),
+    ("relational_queries", "table_profile", "TABLE_PROFILE_ORACLE"),
 ]
 
 

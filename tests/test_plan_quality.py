@@ -265,6 +265,7 @@ def test_deregistered_query_plan_sweep(spark):
         "heavy_hitter_terms",
         "referential_integrity_audit",
         "unigram_logprob_score",
+        "table_profile",  # one bounded global aggregate IS the query
     }
 
     problems = []
