@@ -252,3 +252,76 @@ def incremental_dedup(
     matched = matched.mapInPandas(_partition_distinct(key_col), matched.schema)
     survivors = candidates.join(F.broadcast(matched), key_col, "left_anti")
     return definite_new.unionByName(survivors).drop("_bf_h1", "_bf_h2", "_bf_hit")
+
+
+# ---- incremental aggregate maintenance -------------------------------------
+#
+# The other half of the incremental-ingest story: per-group statistics
+# over a 100 TB fact table must not be recomputed from scratch when a
+# few GB of new rows arrive. The classic fix is a MERGEABLE STATE
+# table: keep per-group (count, exact sum, min, max) — every one of
+# which is an associative/commutative monoid — then each ingest
+# computes the same state over ONLY the delta and merges the two state
+# tables with a |groups|-sized shuffle. The raw historical rows are
+# never read again.
+#
+# Sums are carried as DECIMAL(38,6): integer arithmetic underneath, so
+# the merged sum is bit-identical to a full recompute regardless of
+# how many increments (or which partitioning) produced it — the same
+# exactness trick the registry's q1 uses, which is what lets
+# tests/conftest.py oracle-check the merged state against DuckDB's
+# one-shot GROUP BY.
+
+_DEC = "decimal(38,6)"
+
+
+def aggregate_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Per-group mergeable state ``(n, sum, min, max)`` of ``value_col``.
+
+    ``n`` counts non-null values (matching SQL aggregate semantics);
+    the sum is decimal-exact so merge order can never change it.
+    """
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(v).alias("_st_n"),
+        F.sum(v.cast(_DEC)).alias("_st_sum"),
+        F.min(v).alias("_st_min"),
+        F.max(v).alias("_st_max"),
+    )
+
+
+def merge_aggregate_states(*states: DataFrame) -> DataFrame:
+    """Merge state tables produced by :func:`aggregate_state` on the
+    same keys: union then one more monoid fold. Shuffles only state
+    rows (one per group per input), never the underlying facts."""
+    keys = [c for c in states[0].columns if not c.startswith("_st_")]
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys).agg(
+        F.sum("_st_n").alias("_st_n"),
+        F.sum("_st_sum").alias("_st_sum"),
+        F.min("_st_min").alias("_st_min"),
+        F.max("_st_max").alias("_st_max"),
+    )
+
+
+def finalize_aggregate_state(state: DataFrame) -> DataFrame:
+    """Render a state table as user-facing statistics. The mean comes
+    from the exact decimal sum, so it is identical to a single-shot
+    AVG over all rows (rounded to 6 places for cross-engine dtype
+    stability)."""
+    keys = [c for c in state.columns if not c.startswith("_st_")]
+    return state.select(
+        *keys,
+        F.col("_st_n").alias("n_rows"),
+        F.col("_st_sum").cast("double").alias("sum_value"),
+        F.col("_st_min").alias("min_value"),
+        F.col("_st_max").alias("max_value"),
+        # Exact-sum double / count: one IEEE division on identical
+        # inputs in any engine — avoids decimal-division scale rules
+        # that differ between Spark and DuckDB.
+        F.round(
+            F.col("_st_sum").cast("double") / F.col("_st_n"), 6
+        ).alias("avg_value"),
+    )

@@ -1302,3 +1302,48 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
+
+
+# ---- incremental aggregate maintenance (deregistered-parity) ---------------
+
+INCREMENTAL_AGG_ORACLE = """
+SELECT o_custkey,
+       count(o_totalprice) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       min(o_totalprice) AS min_value,
+       max(o_totalprice) AS max_value,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             / count(o_totalprice), 6) AS avg_value
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance
+    (operators/incremental.aggregate_state / merge_aggregate_states):
+    the orders table is split into a historical slice plus two ingest
+    deltas; per-custkey mergeable states (count, decimal-exact sum,
+    min, max) are computed per slice and merged. The oracle is a
+    ONE-SHOT GROUP BY over the whole table — parity proves the merged
+    state is exactly the full recompute, which is what lets a 100 TB
+    pipeline update per-group stats by scanning only the delta. The
+    merge shuffles state rows (one per group per slice), never facts.
+    """
+    from data_pipeline_project_spark.operators.incremental import (
+        aggregate_state,
+        finalize_aggregate_state,
+        merge_aggregate_states,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    slices = [
+        o.where(d < "1999-01-01"),
+        o.where((d >= "1999-01-01") & (d < "2000-06-01")),
+        o.where(d >= "2000-06-01"),
+    ]
+    states = [
+        aggregate_state(s, ["o_custkey"], "o_totalprice") for s in slices
+    ]
+    return finalize_aggregate_state(merge_aggregate_states(*states))

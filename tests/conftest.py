@@ -46,6 +46,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "count_min_term_counts", "COUNT_MIN_ORACLE"),
     ("relational_queries", "skew_salted_agg", "SKEW_SALTED_AGG_ORACLE"),
     ("relational_queries", "table_profile", "TABLE_PROFILE_ORACLE"),
+    ("relational_queries", "incremental_agg_merge", "INCREMENTAL_AGG_ORACLE"),
 ]
 
 
