@@ -169,3 +169,82 @@ def pack_sequences(
             (F.col("_start") % seq_len).cast("long").alias("token_offset"),
         )
     )
+
+
+def duplicate_passages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_tokens: int = 10,
+    max_df: int = 64,
+) -> DataFrame:
+    """Exact duplicate-PASSAGE detection: maximal token spans (>=
+    ``min_tokens`` tokens) shared verbatim between two documents — the
+    substring-level dedup of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better"), where whole-document and
+    near-dup filters miss boilerplate paragraphs pasted into otherwise
+    distinct pages.
+
+    Suffix arrays don't distribute; the scale-correct Spark shape is
+    shingle-diagonal islands:
+
+    1. every positional ``k``-token shingle is hashed (one scan, no
+       shuffle yet);
+    2. shingles are grouped by hash and only those seen in 2..``max_df``
+       distinct docs survive — the df cap bounds the self-join fan-out
+       exactly like an LSH band-bucket cap, so work scales with truly
+       duplicated content, not corpus size squared;
+    3. the surviving (doc, pos, hash) rows self-join on the hash: a
+       match at positions (pa, pb) lies on diagonal ``pa - pb``, and a
+       COPIED PASSAGE is a consecutive run along one diagonal;
+    4. runs become one row each via the gaps-and-islands trick (a
+       window partitioned by (doc_a, doc_b, diagonal) — never a global
+       window), with span length ``max(pa) - min(pa) + k`` tokens.
+
+    Returns (doc_a, doc_b, a_start, b_start, length_tokens) with
+    0-based token offsets; callers cut or deduplicate the spans. A
+    shingle inside a copied passage that leaks past ``max_df`` (ultra-
+    boilerplate) splits its run — two shorter spans, never a false
+    match.
+    """
+    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
+    from data_pipeline_project_spark.operators.text import ngrams, token_hash, tokens
+
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+    # Bind the shingle array in its own projection step (codegen lesson:
+    # inlining a wide HOF tree into posexplode's generator blows up
+    # whole-stage-codegen compile time).
+    grams = toks.select("doc_id", ngrams(F.col("_toks"), k).alias("_grams"))
+    sh = grams.select(
+        "doc_id", F.posexplode("_grams").alias("pos", "_sh")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), token_hash(F.col("_sh")).alias("sh"))
+
+    eligible = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("sh")
+    )
+    # Both sides of the diagonal self-join read this frame: persist it
+    # once (query-scoped) so the shingle scan + df filter run once.
+    m = scoped_persist(sh.join(eligible, "sh"))
+
+    a = m.select("sh", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"))
+    b = m.select("sh", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"))
+    p = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = p.withColumn("_g", F.col("pos_a") - F.row_number().over(w))
+    spans = isl.groupBy("doc_a", "doc_b", "diag", "_g").agg(
+        F.min("pos_a").alias("a_start"),
+        F.min("pos_b").alias("b_start"),
+        (F.max("pos_a") - F.min("pos_a") + k).alias("length_tokens"),
+    )
+    return spans.where(F.col("length_tokens") >= min_tokens).select(
+        "doc_a", "doc_b", "a_start", "b_start", "length_tokens"
+    )

@@ -1507,3 +1507,57 @@ def count_min_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---- duplicate-passage detection (deregistered-parity) ---------------------
+
+_DP_K = 6
+_DP_MIN = 10
+_DP_MAXDF = 64
+
+DUPLICATE_PASSAGES_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, i AS pos,
+           {SQL_HASH.format(v=f"array_to_string(t[i+1:i+{_DP_K}], ' ')")} AS sh
+    FROM toks, unnest(range(0, greatest(len(t) - {_DP_K} + 1, 0))) AS u(i)
+),
+el AS (
+    SELECT sh FROM sh GROUP BY sh
+    HAVING count(DISTINCT doc_id) BETWEEN 2 AND {_DP_MAXDF}
+),
+m AS (SELECT s.doc_id, s.pos, s.sh FROM sh s JOIN el USING (sh)),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+    FROM m a JOIN m b USING (sh)
+    WHERE a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT *, pos_a - row_number()
+        OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS g
+    FROM p
+),
+spans AS (
+    SELECT doc_a, doc_b,
+           min(pos_a) AS a_start, min(pos_b) AS b_start,
+           max(pos_a) - min(pos_a) + {_DP_K} AS length_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, g
+)
+SELECT doc_a, doc_b, a_start, b_start, length_tokens
+FROM spans WHERE length_tokens >= {_DP_MIN}
+"""
+
+
+def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (operators/corpus.duplicate_passages):
+    maximal verbatim token spans shared between document pairs via
+    hashed positional shingles + diagonal gaps-and-islands — the
+    Lee-et-al.-2021 duplicate-passage surface, expressed without a
+    suffix array so it distributes (df-capped self-join bounds fan-out
+    like an LSH bucket cap)."""
+    from data_pipeline_project_spark.operators.corpus import duplicate_passages as dp
+
+    return dp(load_table(spark, "documents", sf_dir), k=_DP_K, min_tokens=_DP_MIN, max_df=_DP_MAXDF)

@@ -47,6 +47,7 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "skew_salted_agg", "SKEW_SALTED_AGG_ORACLE"),
     ("relational_queries", "table_profile", "TABLE_PROFILE_ORACLE"),
     ("relational_queries", "incremental_agg_merge", "INCREMENTAL_AGG_ORACLE"),
+    ("llmops_queries", "duplicate_passages", "DUPLICATE_PASSAGES_ORACLE"),
 ]
 
 

@@ -153,3 +153,48 @@ def test_embedding_quantization_known_values(spark, tmp_path):
     assert abs(out[0].scale6 - round(1 / 127, 6)) < 1e-9
     # zero vector: checksum 0, trivially ok, scale 0
     assert out[1].q_checksum == 0 and out[1].recon_ok and out[1].scale6 == 0.0
+
+
+# ---- duplicate-passage detection -------------------------------------------
+
+def test_duplicate_passages_planted_span(spark):
+    """A 12-token passage pasted into two otherwise-unique docs is
+    found once, at the right offsets, with the right length."""
+    from data_pipeline_project_spark.operators.corpus import duplicate_passages
+
+    passage = "the quick brown fox jumps over the lazy dog near red barns"
+    d = _docs(
+        spark,
+        [
+            (1, "unique opening words here " + passage + " tail one"),
+            (2, "different other prefix tokens go first " + passage),
+            (3, "no shared passage in this document at all whatsoever"),
+        ],
+    )
+    out = duplicate_passages(d, k=6, min_tokens=10).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.length_tokens == 12
+    assert r.a_start == 4   # after 4 unique prefix tokens
+    assert r.b_start == 6
+
+
+def test_duplicate_passages_spans_are_verbatim(spark):
+    """Every reported span on the real corpus is a verbatim token-level
+    match between the two documents (and the set is non-vacuous)."""
+    from tests.conftest import SF_SMALL
+
+    from data_pipeline_project_spark.operators.corpus import duplicate_passages
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    spans = duplicate_passages(docs, k=6, min_tokens=10).collect()
+    toks = {
+        r.doc_id: r.t
+        for r in docs.select("doc_id", tokens(F.col("text")).alias("t")).collect()
+    }
+    assert spans, "expected planted duplicate passages in the test corpus"
+    for s in spans:
+        a = toks[s.doc_a][s.a_start : s.a_start + s.length_tokens]
+        b = toks[s.doc_b][s.b_start : s.b_start + s.length_tokens]
+        assert a == b and len(a) == s.length_tokens
