@@ -483,3 +483,65 @@ def query_ivf_index(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    deduplicate ONLY within clusters — the practical recipe for
+    semantic near-dup removal at corpus scale, where a global pairwise
+    pass is quadratic but k-means cells bound each pairwise block.
+
+    A vector is ``is_removed`` when a SMALLER-id vector in its cluster
+    has cosine similarity >= ``threshold`` — a deterministic,
+    iteration-free keep-one rule (the kept representative of every
+    duplicate clique is its minimum id; chains may remove extra
+    members, which for dedup only errs toward fewer duplicates kept).
+
+    Scale: centroids train on a bounded sample
+    (:func:`train_ivf_centroids`); assignment is one Arrow-batched
+    linear pass; the self-join shuffles on cluster id, so work is
+    sum(|cell|^2) — operators choose ``n_clusters`` proportional to
+    corpus size to hold cell width constant (SemDeDup used 50k cells
+    for LAION). Returns (id, cluster_id, is_removed, n_lower_dups).
+    """
+    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
+
+    cents = centroids or train_ivf_centroids(
+        corpus, n_list=n_clusters, vec_col=vec_col, id_col=id_col
+    )
+    assigned = scoped_persist(
+        corpus.select(
+            F.col(id_col).alias("_sd_id"),
+            _as_double(F.col(vec_col)).alias("_sd_v"),
+            F.element_at(ivf_lists(F.col(vec_col), cents, 1), 1).alias("cluster_id"),
+        )
+    )
+    a = assigned.select(
+        F.col("_sd_id").alias("_id_a"), F.col("_sd_v").alias("_v_a"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col("_sd_id").alias("_id_b"), F.col("_sd_v").alias("_v_b"), "cluster_id"
+    )
+    dup_counts = (
+        a.join(b, "cluster_id")
+        .where(F.col("_id_a") < F.col("_id_b"))
+        .where(cosine(F.col("_v_a"), F.col("_v_b")) >= threshold)
+        .groupBy(F.col("_id_b").alias("_sd_id"))
+        .agg(F.count(F.lit(1)).alias("n_lower_dups"))
+    )
+    return (
+        assigned.join(dup_counts, "_sd_id", "left")
+        .select(
+            F.col("_sd_id").alias(id_col),
+            "cluster_id",
+            F.coalesce(F.col("n_lower_dups"), F.lit(0)).alias("n_lower_dups"),
+            (F.coalesce(F.col("n_lower_dups"), F.lit(0)) > 0).alias("is_removed"),
+        )
+    )

@@ -195,3 +195,103 @@ def test_pointer_jumping_matches_plain_and_union_find(spark):
     }
     assert plain == want
     assert jumped == want
+
+
+# ---- SemDeDup semantic dedup ----------------------------------------------
+
+def test_semantic_dedup_matches_numpy_simulator(spark):
+    """Removal decisions on the real embeddings equal a single-node
+    numpy simulator given the SAME centroids: assignment by argmax
+    cosine, removal iff a smaller-id same-cluster vector has cosine >=
+    threshold (replicating the kernel's exact fold order)."""
+    import numpy as np
+
+    from data_pipeline_project_spark.operators.similarity import (
+        _fold_dot,
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    cents = train_ivf_centroids(emb, n_list=8)
+    out = {
+        r.vec_id: (r.cluster_id, r.is_removed, r.n_lower_dups)
+        for r in semantic_dedup(
+            emb, n_clusters=8, threshold=0.9, centroids=cents
+        ).collect()
+    }
+
+    rows = sorted(
+        (r.vec_id, r.embedding) for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    c = np.asarray(cents)
+    norms = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    assign = np.argsort(-((x / norms) @ c.T), axis=1)[:, 0]
+
+    removed = set()
+    n_lower = {}
+    for cl in np.unique(assign):
+        members = np.where(assign == cl)[0]
+        m = x[members]
+        sim = _fold_dot(
+            np.repeat(m, len(members), axis=0), np.tile(m, (len(members), 1))
+        ).reshape(len(members), len(members))
+        d = np.sqrt(_fold_dot(m, m))
+        sim = sim / (d[:, None] * d[None, :])
+        for j_i, j in enumerate(members):
+            cnt = sum(
+                1
+                for i_i, i in enumerate(members)
+                if ids[i] < ids[j] and sim[i_i, j_i] >= 0.9
+            )
+            n_lower[ids[j]] = cnt
+            if cnt:
+                removed.add(ids[j])
+
+    assert set(out) == set(ids.tolist())
+    for vid, (cl, is_removed, n) in out.items():
+        k = np.where(ids == vid)[0][0]
+        assert cl == assign[k], (vid, cl, assign[k])
+        assert is_removed == (vid in removed), vid
+        assert n == n_lower[vid], (vid, n, n_lower[vid])
+
+
+def test_semantic_dedup_removes_planted_replicas(spark):
+    """Exact copies (shifted ids) are all removed; the originals all
+    survive at a near-exact threshold."""
+    from data_pipeline_project_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", SF_ORACLE).limit(100)
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    out = semantic_dedup(
+        emb.unionByName(copies), n_clusters=8, threshold=0.9999
+    ).collect()
+    for r in out:
+        if r.vec_id >= 100000:
+            assert r.is_removed and r.n_lower_dups >= 1, r
+        else:
+            assert not r.is_removed, r
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """The within-cluster self-join must hash on cluster_id — never a
+    cartesian/broadcast-nested-loop pairing of the corpus with itself
+    (100 TB bar: work is sum(|cell|^2), bounded by cell width)."""
+    from data_pipeline_project_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    cents = train_ivf_centroids(emb, n_list=8)
+    df = semantic_dedup(emb, n_clusters=8, centroids=cents)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "cluster_id" in plan, plan
