@@ -1,0 +1,100 @@
+"""Declarative data-quality expectations, computed in ONE pass.
+
+The reference validates row-by-row with per-file gates
+(`pipeline.py:161-173` null/range checks); this is the table-level
+complement a 100 TB pipeline needs: a suite of named constraints
+(completeness, uniqueness, bounds, accepted values, regex shape)
+whose metrics all fold into a single aggregate scan — the
+Deequ/Great-Expectations shape, minus the framework.
+
+Scale: every rule is an algebraic aggregate (avg of 0/1 indicators,
+count_distinct), so the whole suite is one map-side-combinable
+HashAggregate over one scan of the table — adding a rule adds a
+column, not a pass. The report is a handful of rows regardless of
+table size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    metric: Column          # aggregate expression in [0, 1]
+    threshold: float = 1.0  # passed iff metric >= threshold
+
+
+def _frac(pred: Column) -> Column:
+    """Fraction of rows satisfying ``pred`` (null counts as failing),
+    rounded for cross-engine float stability; empty table -> 1.0
+    (vacuously satisfied, the Deequ convention)."""
+    return F.round(
+        F.coalesce(
+            F.avg(F.when(pred.isNull(), F.lit(0.0)).otherwise(pred.cast("double"))),
+            F.lit(1.0),
+        ),
+        6,
+    )
+
+
+def expect_not_null(col: str, threshold: float = 1.0) -> Expectation:
+    return Expectation(f"{col}_not_null", _frac(F.col(col).isNotNull()), threshold)
+
+
+def expect_between(col: str, lo, hi, threshold: float = 1.0) -> Expectation:
+    return Expectation(
+        f"{col}_between",
+        _frac(F.col(col).between(F.lit(lo), F.lit(hi))),
+        threshold,
+    )
+
+
+def expect_in(col: str, values: list, threshold: float = 1.0) -> Expectation:
+    return Expectation(f"{col}_in_set", _frac(F.col(col).isin(values)), threshold)
+
+
+def expect_regex(col: str, pattern: str, threshold: float = 1.0) -> Expectation:
+    return Expectation(
+        f"{col}_matches_regex", _frac(F.col(col).rlike(pattern)), threshold
+    )
+
+
+def expect_unique(cols: list[str], threshold: float = 1.0) -> Expectation:
+    """distinct(cols) / rows — 1.0 iff the columns form a key."""
+    # try_divide: ANSI-safe on an empty table (0/0 -> null -> vacuous 1.0)
+    metric = F.round(
+        F.coalesce(
+            F.try_divide(
+                F.count_distinct(*[F.col(c) for c in cols]),
+                F.count(F.lit(1)).cast("double"),
+            ),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    return Expectation("unique_" + "_".join(cols), metric, threshold)
+
+
+def expectation_report(df: DataFrame, rules: list[Expectation]) -> DataFrame:
+    """(rule_name, metric, passed) — one aggregate job for the whole
+    suite."""
+    agg = df.agg(*[r.metric.alias(f"_m_{i}") for i, r in enumerate(rules)])
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r.name).alias("rule_name"),
+                        F.col(f"_m_{i}").alias("metric"),
+                        (F.col(f"_m_{i}") >= F.lit(r.threshold)).alias("passed"),
+                    )
+                    for i, r in enumerate(rules)
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")

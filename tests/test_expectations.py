@@ -1,0 +1,72 @@
+"""Unit semantics for the one-pass expectation suite
+(operators/expectations.py) beyond its DuckDB oracle parity."""
+
+from data_pipeline_project_spark.operators.expectations import (
+    expect_between,
+    expect_in,
+    expect_not_null,
+    expect_regex,
+    expect_unique,
+    expectation_report,
+)
+
+
+def _report(spark, rows, rules):
+    df = spark.createDataFrame(rows, ["k", "v", "s"])
+    return {r.rule_name: (r.metric, r.passed) for r in expectation_report(df, rules).collect()}
+
+
+def test_null_values_fail_predicates(spark):
+    out = _report(
+        spark,
+        [(1, 10.0, "ok"), (2, None, "ok"), (3, 99.0, None)],
+        [
+            expect_not_null("v"),
+            expect_between("v", 0, 50),
+            expect_regex("s", "^ok$"),
+        ],
+    )
+    assert out["v_not_null"] == (round(2 / 3, 6), False)
+    # null v and out-of-range v both fail the between rule
+    assert out["v_between"] == (round(1 / 3, 6), False)
+    assert out["s_matches_regex"] == (round(2 / 3, 6), False)
+
+
+def test_threshold_and_uniqueness(spark):
+    out = _report(
+        spark,
+        [(1, 1.0, "a"), (1, 2.0, "b"), (2, 3.0, "c"), (3, 4.0, "d")],
+        [
+            expect_unique(["k"]),
+            expect_unique(["k", "s"]),
+            expect_in("s", ["a", "b", "c"], threshold=0.7),
+        ],
+    )
+    assert out["unique_k"] == (0.75, False)
+    assert out["unique_k_s"] == (1.0, True)
+    assert out["s_in_set"] == (0.75, True)
+
+
+def test_empty_table_is_vacuously_green(spark):
+    df = spark.createDataFrame([], "k long, v double, s string")
+    out = {
+        r.rule_name: (r.metric, r.passed)
+        for r in expectation_report(
+            df, [expect_not_null("v"), expect_unique(["k"])]
+        ).collect()
+    }
+    assert out == {"v_not_null": (1.0, True), "unique_k": (1.0, True)}
+
+
+def test_suite_is_single_aggregate_job(spark):
+    """The whole suite folds into one aggregate over one scan: the plan
+    has exactly one pair of partial/final HashAggregates and no join."""
+    df = spark.range(100).selectExpr("id as k", "cast(id as double) as v", "'x' as s")
+    rep = expectation_report(
+        df, [expect_not_null("v"), expect_between("v", 0, 50), expect_unique(["k"])]
+    )
+    plan = rep._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Scan") <= 1, plan
