@@ -70,6 +70,23 @@ class ParquetAppendSink(Sink):
         w.parquet(self.path)
 
 
+class OrcAppendSink(Sink):
+    """K1 variant for ORC-standardized lakes: same append-only fact
+    sink, same partition pruning; ORC carries its own stripe-level
+    zone maps, so Spark's filter pushdown works identically (asserted
+    in tests/test_sinks.py)."""
+
+    def __init__(self, path: str, partition_by: Sequence[str] = ()):  # noqa: D107
+        self.path = path
+        self.partition_by = list(partition_by)
+
+    def write(self, df: DataFrame, epoch_id: int | None = None) -> None:
+        w = df.write.mode("append")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.orc(self.path)
+
+
 class ParquetUpsertSink(Sink):
     """K2 — upsert keyed on ``keys``: last write wins per key.
 
