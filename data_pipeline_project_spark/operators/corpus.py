@@ -171,6 +171,33 @@ def pack_sequences(
     )
 
 
+def _positional_shingle_kernel_factory(n: int):
+    """POSITIONAL (non-distinct) k-shingle hashes — unlike
+    dedup._shingle_kernel_factory, every position keeps its hash so
+    span offsets survive; no minhash range-mod, full 60-bit digests."""
+    import re
+
+    import pandas as pd
+
+    from data_pipeline_project_spark.operators.dedup import _md5_hash
+
+    pat = re.compile("[^a-z0-9]+")
+
+    def kernel(texts):
+        out = []
+        for t in texts:
+            toks = [x for x in pat.split(t.lower()) if x] if t else []
+            out.append(
+                [
+                    _md5_hash(" ".join(toks[i : i + n]))
+                    for i in range(max(len(toks) - (n - 1), 0))
+                ]
+            )
+        return pd.Series(out)
+
+    return kernel
+
+
 def duplicate_passages(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -209,16 +236,25 @@ def duplicate_passages(
     match.
     """
     from data_pipeline_project_spark.functions.persist_scope import scoped_persist
-    from data_pipeline_project_spark.operators.text import ngrams, token_hash, tokens
+    from data_pipeline_project_spark.operators.similarity import _udf
 
-    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
-    # Bind the shingle array in its own projection step (codegen lesson:
-    # inlining a wide HOF tree into posexplode's generator blows up
-    # whole-stage-codegen compile time).
-    grams = toks.select("doc_id", ngrams(F.col("_toks"), k).alias("_grams"))
-    sh = grams.select(
-        "doc_id", F.posexplode("_grams").alias("pos", "_sh")
-    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), token_hash(F.col("_sh")).alias("sh"))
+    # Positional shingle hashes via an Arrow kernel, not the
+    # ngrams()+md5 expression form: the interpreted HOF tree under a
+    # Generate measured ~35 s/pass at 5k docs, while the hashlib memo
+    # kernel (identical digests — the oracle's '0x'||substr(md5,1,15)
+    # contract) runs the same pass in well under a second. Same
+    # trade-off, same digest contract as dedup.shingle_hashes.
+    sh_arr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _udf(
+            f"pos_shingle_hashes_{k}",
+            _positional_shingle_kernel_factory(k),
+            "array<long>",
+        )(F.col(text_col)).alias("_shs"),
+    )
+    sh = sh_arr.select("doc_id", F.posexplode("_shs").alias("pos", "sh")).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "sh"
+    )
 
     eligible = (
         sh.groupBy("sh")
@@ -247,4 +283,73 @@ def duplicate_passages(
     )
     return spans.where(F.col("length_tokens") >= min_tokens).select(
         "doc_a", "doc_b", "a_start", "b_start", "length_tokens"
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Training-mixture construction: fill a per-source TOKEN budget
+    (mixing weights x total budget) with a deterministic,
+    partitioning-independent document sample — the step that turns
+    "40% web, 30% code, ..." into an actual document list.
+
+    Documents are taken per source in a deterministic pseudo-random
+    order (md5 hash of the id), accumulating token counts until the
+    source's budget is filled (a doc that would cross the budget is
+    excluded). Sources absent from ``budgets`` are dropped.
+
+    Scale shape: a naive per-source running sum is one window task per
+    source — a straggler when one source is half the corpus. Instead
+    the running total is decomposed hierarchically, the same trick as
+    functions/positions.with_row_position: hash docs into
+    ``n_buckets`` sub-buckets per source, aggregate per-bucket token
+    sums (map-side combinable), take an exclusive prefix over the <=
+    ``n_buckets`` bucket rows per source (tiny window), then add
+    within-bucket running sums computed in parallel across (source,
+    bucket) partitions. The global order is (bucket, hash, id), which
+    the tiny-window/big-window split reproduces exactly — verified
+    against a single-window DuckDB oracle, which is precisely the
+    decomposition proof.
+
+    Returns (id, source, n_tokens, cum_tokens) for kept documents.
+    """
+    from data_pipeline_project_spark.operators.text import token_hash, tokens
+
+    d = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        token_hash(F.col(id_col).cast("string")).alias("_h"),
+    ).withColumn("_bkt", F.pmod(F.col("_h"), F.lit(n_buckets)))
+
+    per_bucket = d.groupBy(source_col, "_bkt").agg(F.sum("n_tokens").alias("_bt"))
+    wb = (
+        Window.partitionBy(source_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        source_col, "_bkt", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_off")
+    )
+
+    ww = (
+        Window.partitionBy(source_col, "_bkt")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in sorted(budgets.items()) for x in kv]
+    )
+    return (
+        d.join(F.broadcast(offsets), [source_col, "_bkt"])
+        .withColumn("cum_tokens", F.sum("n_tokens").over(ww) + F.col("_off"))
+        .withColumn("_budget", budget_map[F.col(source_col)])
+        .where(F.col("cum_tokens") <= F.col("_budget"))
+        .select(id_col, source_col, "n_tokens", "cum_tokens")
     )

@@ -1561,3 +1561,50 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_project_spark.operators.corpus import duplicate_passages as dp
 
     return dp(load_table(spark, "documents", sf_dir), k=_DP_K, min_tokens=_DP_MIN, max_df=_DP_MAXDF)
+
+
+# ---- training-mixture sampling (deregistered-parity) -----------------------
+
+_MIX_HEAVY = "('src0','src1','src2','src3','src4')"
+_MIX_HEAVY_BUDGET = 1200
+_MIX_LIGHT_BUDGET = 266
+
+CORPUS_MIXTURE_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, source,
+           len({SQL_TOKENS}) AS n_tokens,
+           {SQL_HASH.format(v='doc_id::VARCHAR')} AS h
+    FROM documents
+),
+b AS (SELECT *, h % 32 AS bkt FROM d),
+cum AS (
+    SELECT doc_id, source, n_tokens,
+           (sum(n_tokens) OVER (PARTITION BY source ORDER BY bkt, h, doc_id
+                                ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+    FROM b
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM cum
+WHERE cum_tokens <= CASE WHEN source IN {_MIX_HEAVY}
+                         THEN {_MIX_HEAVY_BUDGET} ELSE {_MIX_LIGHT_BUDGET} END
+"""
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction (operators/corpus.mixture_sample): five
+    up-weighted sources get a 1200-token budget, the rest 266 tokens,
+    filled in deterministic hash order. The Spark side computes the
+    running totals with the skew-proof bucketed two-phase prefix sum;
+    the oracle is ONE plain window per source — parity is the proof
+    that the hierarchical decomposition reproduces the sequential
+    semantics exactly."""
+    from data_pipeline_project_spark.operators.corpus import mixture_sample
+
+    d = load_table(spark, "documents", sf_dir)
+    sources = [r.source for r in d.select("source").distinct().collect()]
+    heavy = {"src0", "src1", "src2", "src3", "src4"}
+    budgets = {
+        s: (_MIX_HEAVY_BUDGET if s in heavy else _MIX_LIGHT_BUDGET)
+        for s in sources
+    }
+    return mixture_sample(d, budgets)

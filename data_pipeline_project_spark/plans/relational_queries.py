@@ -1347,3 +1347,60 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggregate_state(s, ["o_custkey"], "o_totalprice") for s in slices
     ]
     return finalize_aggregate_state(merge_aggregate_states(*states))
+
+
+# ---- declarative data-quality expectations (deregistered-parity) -----------
+
+DATA_EXPECTATIONS_ORACLE = """
+WITH m AS (
+    SELECT
+        round(coalesce(avg(CASE WHEN l_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 1.0), 6) AS m0,
+        round(coalesce(avg(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1.0 ELSE 0.0 END), 1.0), 6) AS m1,
+        round(coalesce(avg(CASE WHEN l_returnflag IN ('A','N','R') THEN 1.0 ELSE 0.0 END), 1.0), 6) AS m2,
+        round(coalesce(avg(CASE WHEN regexp_matches(l_linestatus, '^[OF]$') THEN 1.0 ELSE 0.0 END), 1.0), 6) AS m3,
+        round(coalesce(count(DISTINCT (l_orderkey, l_linenumber)) / count(*), 1.0), 6) AS m4,
+        round(coalesce(avg(CASE WHEN l_discount BETWEEN 0.0 AND 0.08 THEN 1.0 ELSE 0.0 END), 1.0), 6) AS m5
+    FROM lineitem
+)
+SELECT 'l_orderkey_not_null' AS rule_name, m0 AS metric, m0 >= 1.0 AS passed FROM m
+UNION ALL
+SELECT 'l_quantity_between', m1, m1 >= 1.0 FROM m
+UNION ALL
+SELECT 'l_returnflag_in_set', m2, m2 >= 1.0 FROM m
+UNION ALL
+SELECT 'l_linestatus_matches_regex', m3, m3 >= 1.0 FROM m
+UNION ALL
+SELECT 'unique_l_orderkey_l_linenumber', m4, m4 >= 1.0 FROM m
+UNION ALL
+SELECT 'l_discount_between', m5, m5 >= 0.8 FROM m
+"""
+
+
+def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality suite (operators/expectations.py): six named
+    constraints — completeness, bounds, accepted set, regex shape,
+    key uniqueness, and a thresholded tolerance rule — folded into ONE
+    aggregate scan of lineitem (Deequ's shape). The synthetic data
+    genuinely fails the uniqueness and strict-bounds rules, so the
+    report exercises both verdicts."""
+    from data_pipeline_project_spark.operators.expectations import (
+        expect_between,
+        expect_in,
+        expect_not_null,
+        expect_regex,
+        expect_unique,
+        expectation_report,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return expectation_report(
+        li,
+        [
+            expect_not_null("l_orderkey"),
+            expect_between("l_quantity", 1, 50),
+            expect_in("l_returnflag", ["A", "N", "R"]),
+            expect_regex("l_linestatus", "^[OF]$"),
+            expect_unique(["l_orderkey", "l_linenumber"]),
+            expect_between("l_discount", 0.0, 0.08, threshold=0.8),
+        ],
+    )

@@ -180,6 +180,12 @@ def main() -> None:
             pass
         row = {}
         for label, d in (("sf0.1", args.base), ("sf1.0", args.out)):
+            # deregistered queries bypass the registry's persist-release
+            from data_pipeline_project_spark.functions.persist_scope import (
+                release_scoped_persists,
+            )
+
+            release_scoped_persists()
             t0 = time.perf_counter()
             try:
                 out_df = fn(spark, d)

@@ -48,6 +48,8 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "table_profile", "TABLE_PROFILE_ORACLE"),
     ("relational_queries", "incremental_agg_merge", "INCREMENTAL_AGG_ORACLE"),
     ("llmops_queries", "duplicate_passages", "DUPLICATE_PASSAGES_ORACLE"),
+    ("relational_queries", "data_expectations", "DATA_EXPECTATIONS_ORACLE"),
+    ("llmops_queries", "corpus_mixture_sample", "CORPUS_MIXTURE_ORACLE"),
 ]
 
 

@@ -198,3 +198,43 @@ def test_duplicate_passages_spans_are_verbatim(spark):
         a = toks[s.doc_a][s.a_start : s.a_start + s.length_tokens]
         b = toks[s.doc_b][s.b_start : s.b_start + s.length_tokens]
         assert a == b and len(a) == s.length_tokens
+
+
+# ---- training-mixture sampling --------------------------------------------
+
+def test_mixture_sample_budget_maximal_and_partition_invariant(spark):
+    from data_pipeline_project_spark.operators.corpus import mixture_sample
+    from data_pipeline_project_spark.operators.text import tokens
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    budgets = {f"src{i}": 500 for i in range(20)}
+    out = mixture_sample(docs, budgets).collect()
+
+    per_source = {}
+    for r in out:
+        per_source.setdefault(r.source, []).append(r)
+    all_tok = {
+        (r.doc_id, r.source): r.n
+        for r in docs.select(
+            "doc_id", "source", F.size(tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    for src, rows in per_source.items():
+        total = sum(r.n_tokens for r in rows)
+        assert total <= 500, (src, total)
+        assert total == max(r.cum_tokens for r in rows)
+    # maximality: some source must have been budget-limited (docs exist
+    # beyond the kept set), and every kept set is a prefix: adding any
+    # unkept doc's tokens would cross the budget is guaranteed by the
+    # cum_tokens <= budget rule; spot-check the counts differ from the
+    # full corpus.
+    kept = {(r.doc_id, r.source) for r in out}
+    assert len(kept) < len(all_tok)
+
+    # partitioning invariance: a different physical layout yields the
+    # exact same sample.
+    out2 = mixture_sample(docs.repartition(13, "doc_id"), budgets).collect()
+    assert sorted((r.doc_id, r.cum_tokens) for r in out2) == sorted(
+        (r.doc_id, r.cum_tokens) for r in out
+    )

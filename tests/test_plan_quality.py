@@ -266,10 +266,16 @@ def test_deregistered_query_plan_sweep(spark):
         "referential_integrity_audit",
         "unigram_logprob_score",
         "table_profile",  # one bounded global aggregate IS the query
+        "data_expectations",  # same shape: one bounded global aggregate
     }
+
+    from data_pipeline_project_spark.functions.persist_scope import (
+        release_scoped_persists,
+    )
 
     problems = []
     for mod_name, fn_name, _ in EXTRA_ORACLE_QUERIES:
+        release_scoped_persists()
         mod = importlib.import_module(
             f"data_pipeline_project_spark.plans.{mod_name}"
         )

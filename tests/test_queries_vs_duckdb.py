@@ -40,6 +40,13 @@ def test_deregistered_queries_still_match(spark, duck, mod_name, fn_name, oracle
 
     from tests.oracle_harness import compare, run_oracle
 
+    from data_pipeline_project_spark.functions.persist_scope import (
+        release_scoped_persists,
+    )
+
+    # Deregistered queries bypass the registry wrapper that normally
+    # releases the previous query's scoped persists — do it here.
+    release_scoped_persists()
     mod = importlib.import_module(f"data_pipeline_project_spark.plans.{mod_name}")
     spark_pd = getattr(mod, fn_name)(spark, SF_ORACLE).toPandas()
     oracle_pd = run_oracle(duck, getattr(mod, oracle_name), SF_ORACLE)
