@@ -224,3 +224,57 @@ def interval_range_join(
         c for c in intervals.columns if c not in keys
     ]
     return joined.select(*out_cols)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    on: str | list[str] | None = None,
+    bucket_seconds: int = 3600,
+    max_buckets_per_interval: int = 16384,
+) -> DataFrame:
+    """Inner join of two INTERVAL sets on overlap:
+    ``l_start <= r_end AND r_start <= l_end`` (+ optional equality
+    keys) — the interval-interval sibling of
+    :func:`interval_range_join` (point-interval).
+
+    Same bucketed rewrite: both sides explode to the time buckets they
+    cover and equi-join on (keys, bucket). Overlapping intervals share
+    every bucket of their intersection, so instead of a wide DISTINCT
+    the join keeps only the CANONICAL bucket — the later of the two
+    start buckets, which any overlapping pair shares exactly once.
+    Work is sum(interval_len)/bucket + true pair count; never
+    |left| x |right|.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    clash = (set(right.columns) - set(keys)) & set(left.columns)
+    if clash:
+        raise ValueError(f"column collision between sides: {sorted(clash)}")
+    w_us = int(bucket_seconds) * 1_000_000
+
+    def exploded(df: DataFrame, start: str, end: str, lo_name: str) -> DataFrame:
+        df = df.where(F.col(start).isNotNull() & F.col(end).isNotNull())
+        lo = F.expr(f"unix_micros(cast({start} as timestamp)) div {w_us}")
+        hi = F.expr(f"unix_micros(cast({end} as timestamp)) div {w_us}")
+        buckets = F.when(
+            hi - lo < F.lit(max_buckets_per_interval), F.sequence(lo, hi)
+        ).otherwise(
+            F.raise_error(
+                F.lit("interval covers too many buckets; raise bucket_seconds")
+            )
+        )
+        return df.select("*", lo.alias(lo_name)).select(
+            "*", F.explode(buckets).alias(_PBUCKET)
+        )
+
+    le = exploded(left, l_start, l_end, "_ov_l_lo")
+    ri = exploded(right, r_start, r_end, "_ov_r_lo")
+    joined = le.join(ri, keys + [_PBUCKET]).where(
+        (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    ).where(F.col(_PBUCKET) == F.greatest("_ov_l_lo", "_ov_r_lo"))
+    out_cols = list(left.columns) + [c for c in right.columns if c not in keys]
+    return joined.select(*out_cols)

@@ -110,3 +110,55 @@ def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "purchase_id", "user_id", "purchase_ts", "purchase_value", "error_id", "error_ts"
     )
+
+
+# ---- interval-overlap join (deregistered-parity) ---------------------------
+
+INTERVAL_OVERLAP_ORACLE = """
+SELECT e.event_id AS error_id,
+       e.user_id,
+       CAST(e.ts AS TIMESTAMP) AS error_start,
+       CAST(e.ts + INTERVAL 2 HOUR AS TIMESTAMP) AS error_end,
+       p.event_id AS purchase_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_start,
+       CAST(p.ts + INTERVAL 1 HOUR AS TIMESTAMP) AS purchase_end
+FROM events e
+JOIN events p
+  ON e.user_id = p.user_id
+ AND e.ts <= p.ts + INTERVAL 1 HOUR
+ AND p.ts <= e.ts + INTERVAL 2 HOUR
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+"""
+
+
+def interval_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-INTERVAL overlap (operators/temporal.interval_overlap_join):
+    2-hour error-incident windows overlapping 1-hour purchase-session
+    windows for the same user. The bucketed rewrite dedups pairs by
+    keeping only the canonical (later-start) shared bucket — no wide
+    DISTINCT; the oracle states the raw overlap predicate."""
+    from data_pipeline_project_spark.operators.temporal import interval_overlap_join
+
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("error_end"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOURS")).alias("purchase_end"),
+    )
+    return interval_overlap_join(
+        errors,
+        purchases,
+        l_start="error_start",
+        l_end="error_end",
+        r_start="purchase_start",
+        r_end="purchase_end",
+        on="user_id",
+        bucket_seconds=7200,
+    )

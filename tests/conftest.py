@@ -50,6 +50,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "duplicate_passages", "DUPLICATE_PASSAGES_ORACLE"),
     ("relational_queries", "data_expectations", "DATA_EXPECTATIONS_ORACLE"),
     ("llmops_queries", "corpus_mixture_sample", "CORPUS_MIXTURE_ORACLE"),
+    ("temporal_queries", "interval_overlap_windows", "INTERVAL_OVERLAP_ORACLE"),
 ]
 
 

@@ -187,3 +187,82 @@ def test_range_join_column_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="collision"):
         interval_range_join(df, iv, "pts", "st", "en")  # x clashes (no on=)
+
+
+# ---- interval-overlap join -------------------------------------------------
+
+def _iv(spark, rows, prefix):
+    return spark.createDataFrame(
+        rows, f"{prefix}_id long, k string, {prefix}_s timestamp, {prefix}_e timestamp"
+    )
+
+
+def test_interval_overlap_matches_bruteforce_any_bucket(spark):
+    """The canonical-bucket dedup emits every overlapping pair exactly
+    once, for bucket widths smaller, comparable, and larger than the
+    interval lengths."""
+    from datetime import datetime
+
+    from data_pipeline_project_spark.operators.temporal import interval_overlap_join
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    left = _iv(
+        spark,
+        [
+            (1, "u", t(0), t(3)),     # long interval
+            (2, "u", t(5), t(5, 30)),
+            (3, "v", t(1), t(2)),
+            (4, "u", t(9), t(10)),    # touches 5's start exactly
+        ],
+        "l",
+    )
+    right = _iv(
+        spark,
+        [
+            (10, "u", t(2), t(6)),    # overlaps 1 and 2
+            (11, "u", t(3), t(4)),    # touches 1's end exactly
+            (12, "v", t(1, 30), t(1, 45)),  # inside 3
+            (13, "u", t(10), t(11)),  # touches 4's end
+            (14, "w", t(0), t(23)),   # no matching key
+        ],
+        "r",
+    )
+    expect = set()
+    lrows = left.collect()
+    for lr in lrows:
+        for rr in right.collect():
+            if lr.k == rr.k and lr.l_s <= rr.r_e and rr.r_s <= lr.l_e:
+                expect.add((lr.l_id, rr.r_id))
+
+    for bucket in (600, 3600, 86400):
+        got = [
+            (r.l_id, r.r_id)
+            for r in interval_overlap_join(
+                left, right, "l_s", "l_e", "r_s", "r_e",
+                on="k", bucket_seconds=bucket,
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"duplicates at bucket={bucket}"
+        assert set(got) == expect, (bucket, sorted(got))
+
+
+def test_interval_overlap_guard_and_collision(spark):
+    import pytest as _pytest
+    from datetime import datetime
+
+    from data_pipeline_project_spark.operators.temporal import interval_overlap_join
+
+    left = _iv(spark, [(1, "u", datetime(2024, 1, 1), datetime(2024, 3, 1))], "l")
+    right = _iv(spark, [(2, "u", datetime(2024, 1, 5), datetime(2024, 1, 6))], "r")
+    with _pytest.raises(Exception, match="too many buckets"):
+        interval_overlap_join(
+            left, right, "l_s", "l_e", "r_s", "r_e",
+            on="k", bucket_seconds=60, max_buckets_per_interval=100,
+        ).collect()
+    with _pytest.raises(ValueError, match="collision"):
+        interval_overlap_join(
+            left, left.withColumnRenamed("l_id", "x_id"),
+            "l_s", "l_e", "l_s", "l_e", on="k",
+        )
