@@ -104,3 +104,117 @@ def test_repetition_flags_match_simulator(spark, rows):
         for r in repetition_flags(df).collect()
     }
     assert got == _simulate_repetition(rows)
+
+
+# ---- duplicate passages vs DP reference ------------------------------------
+
+_passage_docs = st.lists(
+    st.tuples(
+        st.integers(0, 30),
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=40),
+    ),
+    min_size=2,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+def _dp_spans(docs, k, min_tokens):
+    """Single-node reference: maximal cross-doc common token runs of
+    length >= min_tokens, per (pair, diagonal) — exactly what the
+    shingle-diagonal islands compute when max_df never caps."""
+    out = set()
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ta, tb = docs[a], docs[b]
+            # run lengths ending at (i, j)
+            run = [[0] * (len(tb) + 1) for _ in range(len(ta) + 1)]
+            for i in range(1, len(ta) + 1):
+                for j in range(1, len(tb) + 1):
+                    if ta[i - 1] == tb[j - 1]:
+                        run[i][j] = run[i - 1][j - 1] + 1
+            for i in range(1, len(ta) + 1):
+                for j in range(1, len(tb) + 1):
+                    L = run[i][j]
+                    if L < min_tokens:
+                        continue
+                    # maximal: not extendable forward
+                    if i < len(ta) and j < len(tb) and ta[i] == tb[j]:
+                        continue
+                    out.add((a, b, i - L, j - L, L))
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_passage_docs)
+def test_duplicate_passages_matches_dp_reference(spark, rows):
+    from data_pipeline_project_spark.operators.corpus import duplicate_passages
+
+    k, min_tokens = 3, 4
+    docs = {doc_id: toks for doc_id, toks in rows}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.length_tokens)
+        for r in duplicate_passages(
+            df, k=k, min_tokens=min_tokens, max_df=10**9
+        ).collect()
+    }
+    assert got == _dp_spans(docs, k, min_tokens)
+
+
+# ---- mixture sampling vs simulator -----------------------------------------
+
+_mix_docs = st.lists(
+    st.tuples(
+        st.integers(0, 60),
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.lists(st.sampled_from("pqrs"), min_size=0, max_size=20),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+def _mix_simulator(rows, budgets, n_buckets=32):
+    kept = {}
+    by_src = {}
+    for doc_id, src, toks in rows:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        by_src.setdefault(src, []).append((h % n_buckets, h, doc_id, len(toks)))
+    for src, docs in by_src.items():
+        run = 0
+        for _bkt, _h, doc_id, n in sorted(docs):
+            run += n
+            if run <= budgets[src]:
+                kept[doc_id] = (src, n, run)
+    return kept
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_mix_docs, b0=st.integers(0, 40), b1=st.integers(0, 40))
+def test_mixture_sample_matches_simulator(spark, rows, b0, b1):
+    from data_pipeline_project_spark.operators.corpus import mixture_sample
+
+    budgets = {"s0": b0, "s1": b1, "s2": 15}
+    df = spark.createDataFrame(
+        [(i, s, " ".join(t)) for i, s, t in rows],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.cum_tokens)
+        for r in mixture_sample(df, budgets).collect()
+    }
+    assert got == _mix_simulator(rows, budgets)
