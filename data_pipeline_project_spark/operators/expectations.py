@@ -98,3 +98,26 @@ def expectation_report(df: DataFrame, rules: list[Expectation]) -> DataFrame:
             )
         ).alias("e")
     ).select("e.*")
+
+
+def expectation_monitor(rules: list[Expectation], history_path: str):
+    """``foreachBatch`` body for STREAMING quality monitoring: evaluate
+    the suite on every micro-batch and append (batch_id, rule_name,
+    metric, passed) rows to a parquet history table — the per-batch
+    drift record a 100 TB ingest pipeline alarms on.
+
+    The suite stays one aggregate job per batch (a handful of rows
+    written per batch regardless of batch size), and the parquet
+    append is idempotent-enough for monitoring: a replayed batch
+    re-appends its report rows, which downstream alerting dedups by
+    batch_id. Use with
+    ``stream.writeStream.foreachBatch(expectation_monitor(rules, path))``.
+    """
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        report = expectation_report(batch_df, rules).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        report.write.mode("append").parquet(history_path)
+
+    return body

@@ -325,3 +325,69 @@ def finalize_aggregate_state(state: DataFrame) -> DataFrame:
             F.col("_st_sum").cast("double") / F.col("_st_n"), 6
         ).alias("avg_value"),
     )
+
+
+def retract_aggregate_state(state: DataFrame, deleted: DataFrame) -> DataFrame:
+    """Apply a DELETE batch to a state table: the CDC complement of
+    :func:`merge_aggregate_states`.
+
+    count and the decimal-exact sum are invertible monoids, so they are
+    subtracted exactly. min/max are NOT invertible — instead of
+    rescanning everything, groups whose deleted values touch the
+    current extremes are FLAGGED (``_st_minmax_stale``) and repaired by
+    :func:`repair_aggregate_state` with a scan bounded to those groups.
+    Groups whose rows are all deleted are dropped. ``deleted`` is an
+    :func:`aggregate_state` over the delete batch (bounded by the batch,
+    not history).
+    """
+    keys = [c for c in state.columns if not c.startswith("_st_")]
+    d = deleted.select(
+        *keys,
+        F.col("_st_n").alias("_d_n"),
+        F.col("_st_sum").alias("_d_sum"),
+        F.col("_st_min").alias("_d_min"),
+        F.col("_st_max").alias("_d_max"),
+    )
+    j = state.join(d, keys, "left")
+    adjusted = (
+        j.select(
+            *keys,
+            (F.col("_st_n") - F.coalesce(F.col("_d_n"), F.lit(0))).alias("_st_n"),
+            (
+                F.col("_st_sum")
+                - F.coalesce(F.col("_d_sum"), F.lit(0).cast(_DEC))
+            ).alias("_st_sum"),
+            F.col("_st_min"),
+            F.col("_st_max"),
+            (
+                F.col("_d_n").isNotNull()
+                & (
+                    (F.col("_d_min") <= F.col("_st_min"))
+                    | (F.col("_d_max") >= F.col("_st_max"))
+                )
+            ).alias("_st_minmax_stale"),
+        )
+        .where(F.col("_st_n") > 0)
+    )
+    return adjusted
+
+
+def repair_aggregate_state(
+    state: DataFrame, facts: DataFrame, value_col: str
+) -> DataFrame:
+    """Recompute min/max (and, for free, the whole state row) for the
+    groups :func:`retract_aggregate_state` flagged stale, scanning only
+    those groups' remaining facts (broadcast semi-join prune — at 100 TB
+    with partition-aligned keys this is a partition-pruned scan, not a
+    full pass). Clean groups pass through untouched."""
+    keys = [
+        c
+        for c in state.columns
+        if not c.startswith("_st_")
+    ]
+    stale_keys = state.where(F.col("_st_minmax_stale")).select(*keys)
+    fresh = aggregate_state(
+        facts.join(F.broadcast(stale_keys), keys, "left_semi"), keys, value_col
+    )
+    clean = state.where(~F.col("_st_minmax_stale")).drop("_st_minmax_stale")
+    return clean.unionByName(fresh)

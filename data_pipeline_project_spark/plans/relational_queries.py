@@ -1404,3 +1404,46 @@ def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             expect_between("l_discount", 0.0, 0.08, threshold=0.8),
         ],
     )
+
+
+# ---- aggregate retraction / bounded repair (deregistered-parity) -----------
+
+INCREMENTAL_RETRACT_ORACLE = """
+SELECT o_custkey,
+       count(o_totalprice) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       min(o_totalprice) AS min_value,
+       max(o_totalprice) AS max_value,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             / count(o_totalprice), 6) AS avg_value
+FROM orders
+WHERE o_orderkey % 7 <> 0
+GROUP BY o_custkey
+"""
+
+
+def incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC DELETE maintenance (operators/incremental.retract_aggregate_state
+    / repair_aggregate_state): the full-table state has a delete batch
+    (every 7th orderkey) retracted — count/sum subtracted exactly
+    (invertible, decimal-exact), min/max repaired by rescanning ONLY
+    the groups whose extremes the deletes touched (broadcast semi-join
+    prune). The oracle is a one-shot GROUP BY over the surviving rows:
+    parity proves delete maintenance is exact with a bounded, not
+    full, rescan."""
+    from data_pipeline_project_spark.operators.incremental import (
+        aggregate_state,
+        finalize_aggregate_state,
+        repair_aggregate_state,
+        retract_aggregate_state,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    deletes = o.where(F.col("o_orderkey") % 7 == 0)
+    remaining = o.where(F.col("o_orderkey") % 7 != 0)
+
+    full_state = aggregate_state(o, ["o_custkey"], "o_totalprice")
+    del_state = aggregate_state(deletes, ["o_custkey"], "o_totalprice")
+    adjusted = retract_aggregate_state(full_state, del_state)
+    repaired = repair_aggregate_state(adjusted, remaining, "o_totalprice")
+    return finalize_aggregate_state(repaired)

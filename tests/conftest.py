@@ -51,6 +51,7 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "data_expectations", "DATA_EXPECTATIONS_ORACLE"),
     ("llmops_queries", "corpus_mixture_sample", "CORPUS_MIXTURE_ORACLE"),
     ("temporal_queries", "interval_overlap_windows", "INTERVAL_OVERLAP_ORACLE"),
+    ("relational_queries", "incremental_agg_retract", "INCREMENTAL_RETRACT_ORACLE"),
 ]
 
 

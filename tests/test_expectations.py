@@ -70,3 +70,39 @@ def test_suite_is_single_aggregate_job(spark):
     )
     assert "Join" not in plan, plan
     assert plan.count("Scan") <= 1, plan
+
+
+def test_streaming_expectation_monitor(spark, tmp_path):
+    """Per-micro-batch quality reports land in the history table, one
+    suite row set per batch, metrics matching each batch's content."""
+    from data_pipeline_project_spark.operators.expectations import (
+        expectation_monitor,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    hist = str(tmp_path / "history")
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, None)], "k long, v double"
+    ).coalesce(1).write.mode("overwrite").json(str(src / "b0"))
+
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", "1000")
+        .json(str(src / "b0"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            expectation_monitor([expect_not_null("v"), expect_unique(["k"])], hist)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    rows = spark.read.parquet(hist).collect()
+    got = {(r.batch_id, r.rule_name): (r.metric, r.passed) for r in rows}
+    assert got[(0, "v_not_null")] == (0.5, False)
+    assert got[(0, "unique_k")] == (1.0, True)

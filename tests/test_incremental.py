@@ -142,3 +142,71 @@ def test_property_equivalence_with_left_anti(spark):
         assert got == want
 
     check()
+
+
+# ---- aggregate state: merge / retract / repair ------------------------------
+
+def test_retract_flags_only_extreme_touching_groups(spark):
+    from data_pipeline_project_spark.operators.incremental import (
+        aggregate_state,
+        retract_aggregate_state,
+    )
+
+    facts = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("a", 9.0),
+         ("b", 2.0), ("b", 4.0), ("b", 6.0),
+         ("c", 7.0), ("c", 8.0)],
+        "k string, v double",
+    )
+    # deletes: a's middle value (clean), b's max (stale), all of c (gone)
+    deletes = spark.createDataFrame(
+        [("a", 5.0), ("b", 6.0), ("c", 7.0), ("c", 8.0)], "k string, v double"
+    )
+    st = aggregate_state(facts, ["k"], "v")
+    dst = aggregate_state(deletes, ["k"], "v")
+    out = {r.k: r for r in retract_aggregate_state(st, dst).collect()}
+
+    assert set(out) == {"a", "b"}          # c fully deleted -> dropped
+    assert not out["a"]._st_minmax_stale   # 5.0 inside (1, 9)
+    assert out["b"]._st_minmax_stale       # 6.0 was b's max
+    assert out["a"]._st_n == 2 and float(out["a"]._st_sum) == 10.0
+    assert out["b"]._st_n == 2 and float(out["b"]._st_sum) == 6.0
+
+
+def test_repair_scans_only_stale_groups_and_is_exact(spark):
+    from data_pipeline_project_spark.operators.incremental import (
+        aggregate_state,
+        finalize_aggregate_state,
+        repair_aggregate_state,
+        retract_aggregate_state,
+    )
+
+    facts = spark.range(0, 1000).selectExpr(
+        "id % 50 as k", "cast(id as double) as v"
+    )
+    deletes = facts.where("v % 3 = 0")
+    remaining = facts.where("v % 3 != 0")
+
+    adjusted = retract_aggregate_state(
+        aggregate_state(facts, ["k"], "v"), aggregate_state(deletes, ["k"], "v")
+    )
+    repaired = repair_aggregate_state(adjusted, remaining, "v")
+    got = {
+        r.k: (r.n_rows, r.sum_value, r.min_value, r.max_value)
+        for r in finalize_aggregate_state(repaired).collect()
+    }
+    want = {
+        r.k: (r.n_rows, r.sum_value, r.min_value, r.max_value)
+        for r in finalize_aggregate_state(
+            aggregate_state(remaining, ["k"], "v")
+        ).collect()
+    }
+    assert got == want
+
+    # the repair scan is pruned: remaining facts enter via a broadcast
+    # left-semi join on the stale keys, never a full re-aggregation of
+    # clean groups
+    plan = repaired._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
