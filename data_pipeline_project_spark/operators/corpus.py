@@ -252,8 +252,12 @@ def duplicate_passages(
             "array<long>",
         )(F.col(text_col)).alias("_shs"),
     )
-    sh = sh_arr.select("doc_id", F.posexplode("_shs").alias("pos", "sh")).select(
-        "doc_id", F.col("pos").cast("bigint").alias("pos"), "sh"
+    # The shingle table feeds the df aggregate AND the join probe side:
+    # persist it (query-scoped) so the Arrow kernel runs once per build.
+    sh = scoped_persist(
+        sh_arr.select("doc_id", F.posexplode("_shs").alias("pos", "sh")).select(
+            "doc_id", F.col("pos").cast("bigint").alias("pos"), "sh"
+        )
     )
 
     eligible = (
@@ -262,8 +266,8 @@ def duplicate_passages(
         .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
         .select("sh")
     )
-    # Both sides of the diagonal self-join read this frame: persist it
-    # once (query-scoped) so the shingle scan + df filter run once.
+    # ... and the filtered frame feeds BOTH sides of the diagonal
+    # self-join: persist it too so the join runs over cached rows.
     m = scoped_persist(sh.join(eligible, "sh"))
 
     a = m.select("sh", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"))
@@ -293,6 +297,7 @@ def mixture_sample(
     text_col: str = "text",
     source_col: str = "source",
     n_buckets: int = 32,
+    default_budget: int | None = None,
 ) -> DataFrame:
     """Training-mixture construction: fill a per-source TOKEN budget
     (mixing weights x total budget) with a deterministic,
@@ -302,7 +307,9 @@ def mixture_sample(
     Documents are taken per source in a deterministic pseudo-random
     order (md5 hash of the id), accumulating token counts until the
     source's budget is filled (a doc that would cross the budget is
-    excluded). Sources absent from ``budgets`` are dropped.
+    excluded). Sources absent from ``budgets`` get ``default_budget``,
+    or are dropped when it is None — so callers need not enumerate
+    the long tail of sources (no scan to discover them).
 
     Scale shape: a naive per-source running sum is one window task per
     source — a straggler when one source is half the corpus. Instead
@@ -346,10 +353,13 @@ def mixture_sample(
     budget_map = F.create_map(
         *[F.lit(x) for kv in sorted(budgets.items()) for x in kv]
     )
+    budget = budget_map[F.col(source_col)]
+    if default_budget is not None:
+        budget = F.coalesce(budget, F.lit(default_budget))
     return (
         d.join(F.broadcast(offsets), [source_col, "_bkt"])
         .withColumn("cum_tokens", F.sum("n_tokens").over(ww) + F.col("_off"))
-        .withColumn("_budget", budget_map[F.col(source_col)])
+        .withColumn("_budget", budget)
         .where(F.col("cum_tokens") <= F.col("_budget"))
         .select(id_col, source_col, "n_tokens", "cum_tokens")
     )

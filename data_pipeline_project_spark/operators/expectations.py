@@ -25,20 +25,20 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Expectation:
     name: str
-    metric: Column          # aggregate expression in [0, 1]
-    threshold: float = 1.0  # passed iff metric >= threshold
+    metric: Column          # RAW aggregate expression in [0, 1]
+    threshold: float = 1.0  # passed iff raw metric >= threshold
 
 
 def _frac(pred: Column) -> Column:
-    """Fraction of rows satisfying ``pred`` (null counts as failing),
-    rounded for cross-engine float stability; empty table -> 1.0
-    (vacuously satisfied, the Deequ convention)."""
-    return F.round(
-        F.coalesce(
-            F.avg(F.when(pred.isNull(), F.lit(0.0)).otherwise(pred.cast("double"))),
-            F.lit(1.0),
-        ),
-        6,
+    """Fraction of rows satisfying ``pred`` (null counts as failing);
+    empty table -> 1.0 (vacuously satisfied, the Deequ convention).
+    NOT rounded: ``passed`` must compare the raw fraction — rounding
+    first would let a 1-in-10M violation round up to exactly 1.0 and
+    falsely pass a strict threshold=1.0 gate (the report rounds the
+    DISPLAYED metric only)."""
+    return F.coalesce(
+        F.avg(F.when(pred.isNull(), F.lit(0.0)).otherwise(pred.cast("double"))),
+        F.lit(1.0),
     )
 
 
@@ -65,24 +65,27 @@ def expect_regex(col: str, pattern: str, threshold: float = 1.0) -> Expectation:
 
 
 def expect_unique(cols: list[str], threshold: float = 1.0) -> Expectation:
-    """distinct(cols) / rows — 1.0 iff the columns form a key."""
+    """distinct(cols) / rows — 1.0 iff the columns form a key. The
+    columns are wrapped in a struct so NULL key values count as values
+    (a table of one NULL-keyed row is unique), matching SQL
+    ``count(DISTINCT (a, b))`` row-struct semantics — bare
+    count_distinct would skip null rows and report false duplicates."""
     # try_divide: ANSI-safe on an empty table (0/0 -> null -> vacuous 1.0)
-    metric = F.round(
-        F.coalesce(
-            F.try_divide(
-                F.count_distinct(*[F.col(c) for c in cols]),
-                F.count(F.lit(1)).cast("double"),
-            ),
-            F.lit(1.0),
+    metric = F.coalesce(
+        F.try_divide(
+            F.count_distinct(F.struct(*[F.col(c) for c in cols])),
+            F.count(F.lit(1)).cast("double"),
         ),
-        6,
+        F.lit(1.0),
     )
     return Expectation("unique_" + "_".join(cols), metric, threshold)
 
 
 def expectation_report(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     """(rule_name, metric, passed) — one aggregate job for the whole
-    suite."""
+    suite. ``passed`` compares the RAW metric to the threshold; the
+    reported metric is rounded to 6 places for cross-engine display
+    stability only."""
     agg = df.agg(*[r.metric.alias(f"_m_{i}") for i, r in enumerate(rules)])
     return agg.select(
         F.explode(
@@ -90,7 +93,7 @@ def expectation_report(df: DataFrame, rules: list[Expectation]) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(r.name).alias("rule_name"),
-                        F.col(f"_m_{i}").alias("metric"),
+                        F.round(F.col(f"_m_{i}"), 6).alias("metric"),
                         (F.col(f"_m_{i}") >= F.lit(r.threshold)).alias("passed"),
                     )
                     for i, r in enumerate(rules)

@@ -320,9 +320,11 @@ def finalize_aggregate_state(state: DataFrame) -> DataFrame:
         F.col("_st_max").alias("max_value"),
         # Exact-sum double / count: one IEEE division on identical
         # inputs in any engine — avoids decimal-division scale rules
-        # that differ between Spark and DuckDB.
+        # that differ between Spark and DuckDB. try_divide: a group
+        # whose values are all null has n=0 (null sum / null avg, like
+        # SQL aggregates), which must not abort under ANSI mode.
         F.round(
-            F.col("_st_sum").cast("double") / F.col("_st_n"), 6
+            F.try_divide(F.col("_st_sum").cast("double"), F.col("_st_n")), 6
         ).alias("avg_value"),
     )
 
@@ -359,12 +361,17 @@ def retract_aggregate_state(state: DataFrame, deleted: DataFrame) -> DataFrame:
             ).alias("_st_sum"),
             F.col("_st_min"),
             F.col("_st_max"),
-            (
+            # coalesce(FALSE): a delete batch whose values for this
+            # group are all NULL (_d_n = 0, null extremes) cannot touch
+            # min/max — a null flag here would be dropped by BOTH
+            # repair branches and silently lose the group.
+            F.coalesce(
                 F.col("_d_n").isNotNull()
                 & (
                     (F.col("_d_min") <= F.col("_st_min"))
                     | (F.col("_d_max") >= F.col("_st_max"))
-                )
+                ),
+                F.lit(False),
             ).alias("_st_minmax_stale"),
         )
         .where(F.col("_st_n") > 0)

@@ -47,6 +47,30 @@ def _epoch_us(c: Column) -> Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
+def _bucket_bounds(start: str, end: str, w_us: int) -> tuple[Column, Column]:
+    """(start_bucket, end_bucket) for an interval, shared by the
+    range join and the overlap join. SQL `div` (not Column `/`) keeps
+    integer semantics; backticks guard unusual column names. The cast
+    through timestamp is the NTZ-compatibility trick _epoch_us
+    documents."""
+    lo = F.expr(f"unix_micros(cast(`{start}` as timestamp)) div {w_us}")
+    hi = F.expr(f"unix_micros(cast(`{end}` as timestamp)) div {w_us}")
+    return lo, hi
+
+
+def _guarded_buckets(lo: Column, hi: Column, max_buckets: int) -> Column:
+    """The interval's bucket array, or an explicit task error when a
+    mis-sized bucket width would explode one interval into millions of
+    rows (instead of a silent executor OOM). The guard lives INSIDE
+    the exploded expression — a standalone assert_true column would be
+    pruned away by Catalyst as unused."""
+    return F.when(hi - lo < F.lit(max_buckets), F.sequence(lo, hi)).otherwise(
+        F.raise_error(
+            F.lit("interval covers too many buckets; raise bucket_seconds")
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -204,18 +228,13 @@ def interval_range_join(
         _PBUCKET, F.expr(f"unix_micros(cast({point_ts} as timestamp)) div {w_us}")
     )
     iv = intervals.where(F.col(start_ts).isNotNull() & F.col(end_ts).isNotNull())
-    lo = F.expr(f"unix_micros(cast({start_ts} as timestamp)) div {w_us}")
-    hi = F.expr(f"unix_micros(cast({end_ts} as timestamp)) div {w_us}")
-    # The guard lives INSIDE the exploded expression — a standalone
-    # assert_true column would be pruned away by Catalyst as unused.
-    buckets = F.when(
-        hi - lo < F.lit(max_buckets_per_interval), F.sequence(lo, hi)
-    ).otherwise(
-        F.raise_error(
-            F.lit("interval covers too many buckets; raise bucket_seconds")
-        )
+    lo, hi = _bucket_bounds(start_ts, end_ts, w_us)
+    iv = iv.select(
+        "*",
+        F.explode(_guarded_buckets(lo, hi, max_buckets_per_interval)).alias(
+            _PBUCKET
+        ),
     )
-    iv = iv.select("*", F.explode(buckets).alias(_PBUCKET))
 
     joined = p.join(iv, keys + [_PBUCKET]).where(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
@@ -258,17 +277,12 @@ def interval_overlap_join(
 
     def exploded(df: DataFrame, start: str, end: str, lo_name: str) -> DataFrame:
         df = df.where(F.col(start).isNotNull() & F.col(end).isNotNull())
-        lo = F.expr(f"unix_micros(cast({start} as timestamp)) div {w_us}")
-        hi = F.expr(f"unix_micros(cast({end} as timestamp)) div {w_us}")
-        buckets = F.when(
-            hi - lo < F.lit(max_buckets_per_interval), F.sequence(lo, hi)
-        ).otherwise(
-            F.raise_error(
-                F.lit("interval covers too many buckets; raise bucket_seconds")
-            )
-        )
+        lo, hi = _bucket_bounds(start, end, w_us)
         return df.select("*", lo.alias(lo_name)).select(
-            "*", F.explode(buckets).alias(_PBUCKET)
+            "*",
+            F.explode(
+                _guarded_buckets(lo, hi, max_buckets_per_interval)
+            ).alias(_PBUCKET),
         )
 
     le = exploded(left, l_start, l_end, "_ov_l_lo")

@@ -1601,10 +1601,6 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_project_spark.operators.corpus import mixture_sample
 
     d = load_table(spark, "documents", sf_dir)
-    sources = [r.source for r in d.select("source").distinct().collect()]
-    heavy = {"src0", "src1", "src2", "src3", "src4"}
-    budgets = {
-        s: (_MIX_HEAVY_BUDGET if s in heavy else _MIX_LIGHT_BUDGET)
-        for s in sources
-    }
-    return mixture_sample(d, budgets)
+    budgets = {f"src{i}": _MIX_HEAVY_BUDGET for i in range(5)}
+    # default_budget covers the long tail — no scan to enumerate sources
+    return mixture_sample(d, budgets, default_budget=_MIX_LIGHT_BUDGET)

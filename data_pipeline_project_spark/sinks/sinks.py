@@ -55,36 +55,34 @@ class Sink(ABC):
     def write(self, df: DataFrame, epoch_id: int | None = None) -> None: ...
 
 
-class ParquetAppendSink(Sink):
-    """K1 — append-only fact sink. Partitioning column(s) keep the
-    table prunable at scale (e.g. by date); files stay immutable."""
+class _FormatAppendSink(Sink):
+    """K1 — append-only fact sink over any columnar format. Partitioning
+    column(s) keep the table prunable at scale (e.g. by date); files
+    stay immutable."""
+
+    _format = "parquet"
 
     def __init__(self, path: str, partition_by: Sequence[str] = ()):  # noqa: D107
         self.path = path
         self.partition_by = list(partition_by)
 
     def write(self, df: DataFrame, epoch_id: int | None = None) -> None:
-        w = df.write.mode("append")
+        w = df.write.mode("append").format(self._format)
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
-        w.parquet(self.path)
+        w.save(self.path)
 
 
-class OrcAppendSink(Sink):
-    """K1 variant for ORC-standardized lakes: same append-only fact
-    sink, same partition pruning; ORC carries its own stripe-level
+class ParquetAppendSink(_FormatAppendSink):
+    _format = "parquet"
+
+
+class OrcAppendSink(_FormatAppendSink):
+    """ORC-standardized-lake variant: ORC carries its own stripe-level
     zone maps, so Spark's filter pushdown works identically (asserted
     in tests/test_sinks.py)."""
 
-    def __init__(self, path: str, partition_by: Sequence[str] = ()):  # noqa: D107
-        self.path = path
-        self.partition_by = list(partition_by)
-
-    def write(self, df: DataFrame, epoch_id: int | None = None) -> None:
-        w = df.write.mode("append")
-        if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
-        w.orc(self.path)
+    _format = "orc"
 
 
 class ParquetUpsertSink(Sink):

@@ -106,3 +106,32 @@ def test_streaming_expectation_monitor(spark, tmp_path):
     got = {(r.batch_id, r.rule_name): (r.metric, r.passed) for r in rows}
     assert got[(0, "v_not_null")] == (0.5, False)
     assert got[(0, "unique_k")] == (1.0, True)
+
+
+def test_threshold_compares_raw_metric_not_rounded(spark):
+    """A 1-in-2M violation must fail a strict threshold=1.0 gate even
+    though the displayed metric rounds to 1.0."""
+    df = spark.range(2_000_000).selectExpr(
+        "id as k", "case when id = 0 then null else cast(id as double) end as v"
+    )
+    out = {
+        r.rule_name: r
+        for r in expectation_report(df, [expect_not_null("v")]).collect()
+    }
+    r = out["v_not_null"]
+    assert r.metric == 1.0          # display rounds up...
+    assert r.passed is False        # ...but the gate sees the raw fraction
+
+
+def test_unique_counts_null_keys_as_values(spark):
+    """NULL key values are values: one NULL-keyed row among unique rows
+    is NOT a duplicate (struct semantics, matching SQL count(DISTINCT
+    (a, b)))."""
+    df = spark.createDataFrame(
+        [(1, "x"), (None, "x"), (2, "x")], "k bigint, s string"
+    )
+    out = {
+        r.rule_name: (r.metric, r.passed)
+        for r in expectation_report(df, [expect_unique(["k"])]).collect()
+    }
+    assert out["unique_k"] == (1.0, True)

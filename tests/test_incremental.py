@@ -210,3 +210,30 @@ def test_repair_scans_only_stale_groups_and_is_exact(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+
+
+def test_retract_all_null_delete_batch_keeps_group(spark):
+    """A delete batch whose values are all NULL for a group must leave
+    the group present and unflagged (regression: a null stale flag was
+    dropped by both repair branches)."""
+    from data_pipeline_project_spark.operators.incremental import (
+        aggregate_state,
+        finalize_aggregate_state,
+        repair_aggregate_state,
+        retract_aggregate_state,
+    )
+
+    facts = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "k string, v double"
+    )
+    deletes = spark.createDataFrame([("a", None)], "k string, v double")
+    adjusted = retract_aggregate_state(
+        aggregate_state(facts, ["k"], "v"), aggregate_state(deletes, ["k"], "v")
+    )
+    rows = adjusted.collect()
+    assert len(rows) == 1 and not rows[0]._st_minmax_stale
+    out = finalize_aggregate_state(
+        repair_aggregate_state(adjusted, facts, "v")
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].n_rows, out[0].sum_value) == (2, 3.0)
