@@ -62,6 +62,12 @@ HEAVY = [
     "unigram_logprob_score",
     "sequence_packing",
     "embedding_int8_quantization",
+    # round-5 extension batch (results in SCALE_r05.md)
+    "duplicate_passages",
+    "incremental_agg_merge",
+    "incremental_agg_retract",
+    "data_expectations",
+    "corpus_mixture_sample",
 ]
 
 
@@ -75,7 +81,7 @@ def resolve_query(name: str):
     queries = get_queries()
     if name in queries:
         return queries[name]
-    for mod_name in ("llmops_queries", "relational_queries"):
+    for mod_name in ("llmops_queries", "relational_queries", "temporal_queries"):
         mod = importlib.import_module(
             f"data_pipeline_project_spark.plans.{mod_name}"
         )
