@@ -83,3 +83,29 @@ def score_quality(
         "_qm_toks", "_qm_tf", "_qm_features",
         "rawPrediction", "probability", "prediction",
     )
+
+
+def select_top_mass(
+    scored: DataFrame,
+    keep_frac: float,
+    prob_col: str = "quality_prob",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Keep approximately the top ``keep_frac`` of documents by
+    quality score — the DCLM-style selection step after scoring.
+
+    A global sort-and-cut is a full-corpus Exchange; instead the score
+    threshold comes from ``approx_percentile`` (one mergeable-sketch
+    aggregate, rank error bounded by ``relative_error`` — the same
+    guarantee the approx_quantile_accuracy oracle row pins), and
+    selection is then a pure filter. Ties at the threshold are kept,
+    so the kept fraction can exceed ``keep_frac`` by the tie mass +
+    sketch error; at corpus scale with 6-decimal scores both are
+    negligible."""
+    q = 1.0 - keep_frac
+    thresh_row = scored.agg(
+        F.percentile_approx(
+            F.col(prob_col), F.lit(q), F.lit(int(1.0 / relative_error))
+        ).alias("t")
+    ).collect()[0]
+    return scored.where(F.col(prob_col) >= F.lit(thresh_row["t"]))

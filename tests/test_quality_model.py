@@ -64,3 +64,25 @@ def test_scoring_is_pure_projection(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Exchange" not in plan, plan
+
+
+def test_select_top_mass_fraction_and_order(spark):
+    """The kept set is (approximately) the highest-scored keep_frac of
+    the corpus: kept fraction within sketch tolerance, and every kept
+    score >= every dropped score."""
+    from data_pipeline_project_spark.operators.quality_model import select_top_mass
+
+    n = 10_000
+    scored = spark.range(n).selectExpr(
+        "id as doc_id", "round(pmod(xxhash64(id), 1000000) / 1000000.0, 6) as quality_prob"
+    )
+    kept = select_top_mass(scored, keep_frac=0.2)
+    k = kept.count()
+    assert 0.19 * n <= k <= 0.22 * n, k
+    min_kept = kept.agg(F.min("quality_prob")).collect()[0][0]
+    max_dropped = (
+        scored.join(kept.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.max("quality_prob"))
+        .collect()[0][0]
+    )
+    assert min_kept >= max_dropped
