@@ -22,8 +22,9 @@ from pyspark.ml.feature import HashingTF, IDF, RegexTokenizer
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Same token contract as operators/text.tokens (lower → [^a-z0-9]+ split).
-_TOKEN_PATTERN = "[^a-z0-9]+"
+# Same token contract as operators/text.tokens — import the shared
+# regex so the classifier can't silently drift from the heuristic tiers.
+from data_pipeline_project_spark.operators.text import TOKEN_SPLIT_RE as _TOKEN_PATTERN
 
 
 def quality_pipeline(
@@ -102,10 +103,20 @@ def select_top_mass(
     so the kept fraction can exceed ``keep_frac`` by the tie mass +
     sketch error; at corpus scale with 6-decimal scores both are
     negligible."""
+    import math
+
+    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
+
+    # The scored frame is read twice (threshold sketch, then the kept
+    # filter) — persist it so the scoring pipeline runs once.
+    scored = scoped_persist(scored)
     q = 1.0 - keep_frac
+    # ceil keeps the documented rank-error bound for non-divisor errors
+    # (int() would truncate 1/0.003 to 333 -> bound 1/333 > 0.003).
+    accuracy = max(1, math.ceil(1.0 / relative_error))
     thresh_row = scored.agg(
         F.percentile_approx(
-            F.col(prob_col), F.lit(q), F.lit(int(1.0 / relative_error))
+            F.col(prob_col), F.lit(q), F.lit(accuracy)
         ).alias("t")
     ).collect()[0]
     return scored.where(F.col(prob_col) >= F.lit(thresh_row["t"]))

@@ -68,6 +68,7 @@ HEAVY = [
     "incremental_agg_retract",
     "data_expectations",
     "corpus_mixture_sample",
+    "interval_overlap_windows",
 ]
 
 
