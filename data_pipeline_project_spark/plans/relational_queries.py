@@ -1449,3 +1449,35 @@ def incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjusted = retract_aggregate_state(full_state, del_state)
     repaired = repair_aggregate_state(adjusted, remaining, "o_totalprice")
     return finalize_aggregate_state(repaired)
+
+
+# ---- per-group rank / quantile normalization (deregistered-parity) ---------
+
+FEATURE_RANK_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey), 6)
+           AS price_pct_rank,
+       (cume_dist() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey)
+        <= 0.25) AS bottom_quartile
+FROM orders
+"""
+
+
+def feature_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group rank transform — the third member of the feature-
+    normalization family beside feature_zscore and winsorize_values:
+    percent_rank maps each value to its within-group quantile
+    (distribution-free normalization for heavy-tailed features), with
+    a cume_dist bottom-quartile flag. Orderkey tiebreak makes ranks
+    deterministic; windows partition by the group key, never global."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        (F.cume_dist().over(w) <= 0.25).alias("bottom_quartile"),
+    )

@@ -52,6 +52,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "corpus_mixture_sample", "CORPUS_MIXTURE_ORACLE"),
     ("temporal_queries", "interval_overlap_windows", "INTERVAL_OVERLAP_ORACLE"),
     ("relational_queries", "incremental_agg_retract", "INCREMENTAL_RETRACT_ORACLE"),
+    ("relational_queries", "feature_rank_normalize", "FEATURE_RANK_ORACLE"),
 ]
 
 

@@ -86,3 +86,21 @@ def test_select_top_mass_fraction_and_order(spark):
         .collect()[0][0]
     )
     assert min_kept >= max_dropped
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """Train-once-score-everywhere: a persisted model reloads and
+    produces identical scores (the operational path — the classifier
+    trains on a reference slice, ships to every scoring job)."""
+    from pyspark.ml import PipelineModel
+
+    corpus = _labeled_corpus(spark)
+    model = train_quality_classifier(corpus)
+    path = str(tmp_path / "quality_model")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+
+    docs = corpus.select("doc_id", "text").limit(50)
+    a = {r.doc_id: r.quality_prob for r in score_quality(model, docs).collect()}
+    b = {r.doc_id: r.quality_prob for r in score_quality(reloaded, docs).collect()}
+    assert a == b
