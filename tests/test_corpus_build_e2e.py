@@ -100,6 +100,31 @@ def _build(spark, tmp, tag):
         "left_anti",
     )
 
+    # 2d. model-based quality filter: a classifier trained against
+    # synthetic junk negatives scores the corpus; the real docs all
+    # land far above the 0.5 cut, so the stage composes, filters
+    # deterministically (identical inputs -> identical LBFGS fit), and
+    # passes the corpus through — the DCLM-style tier in the build.
+    from data_pipeline_project_spark.operators.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    junk = spark.createDataFrame(
+        [(900_000 + i, (("spam click buy " * 10)).strip()) for i in range(40)],
+        ["doc_id", "text"],
+    ).withColumn("label", F.lit(0.0))
+    labeled = (
+        final.select("doc_id", "text").withColumn("label", F.lit(1.0))
+        .unionByName(junk)
+    )
+    qmodel = train_quality_classifier(labeled, max_iter=20)
+    final = (
+        score_quality(qmodel, final)
+        .where(F.col("quality_prob") >= 0.5)
+        .drop("quality_prob", "label")
+    )
+
     # 3. deterministic split + sequence packing + sharded output
     bucket = token_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
     train = final.where(bucket < 80).withColumn(
