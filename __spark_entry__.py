@@ -7,6 +7,11 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 All real logic lives in ``data_pipeline_project_spark``; this module
 only adapts the registry to the driver's interface.
+
+The 50-slot registry is full; 31 FURTHER oracle-checked queries live
+outside it (tests/conftest.py EXTRA_ORACLE_QUERIES) and keep identical
+DuckDB parity + 100 TB plan-sweep coverage via
+tests/test_queries_vs_duckdb.py and tests/test_plan_quality.py.
 """
 
 from __future__ import annotations
