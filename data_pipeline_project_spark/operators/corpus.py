@@ -363,3 +363,41 @@ def mixture_sample(
         .where(F.col("cum_tokens") <= F.col("_budget"))
         .select(id_col, source_col, "n_tokens", "cum_tokens")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group
+    (Efraimidis–Spirakis A-Res): each row draws a pseudo-random uniform
+    u from an md5 hash of its id and competes on the race key
+    ``ln(u) / w`` — the top-k keys per group are a weighted sample
+    without replacement. The training-data use: sample documents
+    proportional to quality/length when a source exceeds its budget,
+    reproducibly across runs and partitionings.
+
+    Rows with weight <= 0 or null are excluded (zero-weight items can
+    never win a race). The key is rounded before ranking and ties break
+    on id, so the selection is stable across engines down to the last
+    ulp. One window per group — never a global sort.
+
+    Returns (group, id, weight, sample_rank) for the k winners.
+    """
+    from data_pipeline_project_spark.operators.text import token_hash
+
+    u = (
+        (token_hash(F.col(id_col).cast("string")) % F.lit(1_000_000_000)) + 1
+    ) / F.lit(1_000_000_001.0)
+    key = F.round(F.ln(u) / F.col(weight_col), 6)
+    w = Window.partitionBy(group_col).orderBy(F.desc("_ws_key"), F.col(id_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_ws_key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select(group_col, id_col, weight_col, "sample_rank")
+    )

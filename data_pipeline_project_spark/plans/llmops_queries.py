@@ -1604,3 +1604,42 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgets = {f"src{i}": _MIX_HEAVY_BUDGET for i in range(5)}
     # default_budget covers the long tail — no scan to enumerate sources
     return mixture_sample(d, budgets, default_budget=_MIX_LIGHT_BUDGET)
+
+
+# ---- weighted sampling per group (deregistered-parity) ---------------------
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, source, len({SQL_TOKENS}) AS n_tokens FROM documents
+),
+keyed AS (
+    SELECT doc_id, source, n_tokens,
+           round(ln((({SQL_HASH.format(v='doc_id::VARCHAR')} % 1000000000) + 1)
+                    / 1000000001.0) / n_tokens, 6) AS k
+    FROM d WHERE n_tokens > 0
+),
+ranked AS (
+    SELECT doc_id, source, n_tokens,
+           row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS sample_rank
+    FROM keyed
+)
+SELECT source, doc_id, n_tokens, sample_rank FROM ranked WHERE sample_rank <= 5
+"""
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling
+    (operators/corpus.weighted_sample_per_group): 5 docs per source,
+    selection probability proportional to token count — the
+    reproducible quality/length-weighted downsampling step for sources
+    over budget. Hash-derived uniforms make the race deterministic, so
+    even the SAMPLE hash-matches the oracle."""
+    from data_pipeline_project_spark.operators.corpus import (
+        weighted_sample_per_group,
+    )
+    from data_pipeline_project_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return weighted_sample_per_group(d, "source", "n_tokens", k=5)

@@ -53,6 +53,7 @@ EXTRA_ORACLE_QUERIES = [
     ("temporal_queries", "interval_overlap_windows", "INTERVAL_OVERLAP_ORACLE"),
     ("relational_queries", "incremental_agg_retract", "INCREMENTAL_RETRACT_ORACLE"),
     ("relational_queries", "feature_rank_normalize", "FEATURE_RANK_ORACLE"),
+    ("llmops_queries", "weighted_sample_docs", "WEIGHTED_SAMPLE_ORACLE"),
 ]
 
 

@@ -238,3 +238,30 @@ def test_mixture_sample_budget_maximal_and_partition_invariant(spark):
     assert sorted((r.doc_id, r.cum_tokens) for r in out2) == sorted(
         (r.doc_id, r.cum_tokens) for r in out
     )
+
+
+# ---- weighted sampling per group -------------------------------------------
+
+def test_weighted_sample_biases_and_is_partition_invariant(spark):
+    from data_pipeline_project_spark.operators.corpus import (
+        weighted_sample_per_group,
+    )
+
+    # 20 heavy items (weight 50) among 180 light (weight 1): with A-Res
+    # the heavy items should dominate a k=20 sample.
+    rows = [(i, "g", 50.0 if i < 20 else 1.0) for i in range(200)]
+    rows += [(1000, "empty", 0.0)]  # zero weight can never win
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    out = weighted_sample_per_group(df, "source", "w", k=20).collect()
+
+    assert all(r.source == "g" for r in out) and len(out) == 20
+    heavy = sum(1 for r in out if r.doc_id < 20)
+    assert heavy >= 14, f"only {heavy}/20 heavy winners"
+    assert sorted(r.sample_rank for r in out) == list(range(1, 21))
+
+    out2 = weighted_sample_per_group(
+        df.repartition(7, "doc_id"), "source", "w", k=20
+    ).collect()
+    assert sorted((r.doc_id, r.sample_rank) for r in out2) == sorted(
+        (r.doc_id, r.sample_rank) for r in out
+    )
