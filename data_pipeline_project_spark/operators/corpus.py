@@ -235,6 +235,15 @@ def duplicate_passages(
     boilerplate) splits its run — two shorter spans, never a false
     match.
     """
+    # No k-shingle covers a run shorter than k tokens, so span length
+    # is floor-bounded by k: min_tokens < k would silently under-report
+    # duplicates in [min_tokens, k-1]. Fail loudly instead.
+    if min_tokens < k:
+        raise ValueError(
+            f"min_tokens ({min_tokens}) must be >= k ({k}): spans shorter "
+            "than the shingle width are undetectable, so a smaller "
+            "min_tokens silently under-reports duplicates"
+        )
     from data_pipeline_project_spark.functions.persist_scope import scoped_persist
     from data_pipeline_project_spark.operators.similarity import _udf
 
@@ -381,9 +390,14 @@ def weighted_sample_per_group(
     reproducibly across runs and partitionings.
 
     Rows with weight <= 0 or null are excluded (zero-weight items can
-    never win a race). The key is rounded before ranking and ties break
-    on id, so the selection is stable across engines down to the last
-    ulp. One window per group — never a global sort.
+    never win a race). The key is rounded to 12 places before ranking
+    and ties break on id, so the selection is stable across engines
+    down to the last ulp. 12 places keeps keys distinct for weights up
+    to ~1e10 (ln(u) is in roughly [-21, 0), so ln(u)/w only collapses
+    to 0.000000000000 once w exceeds ~2e12); beyond that the tie-break
+    degrades the sample toward smallest-id selection — normalize
+    weights first if yours are that large. One window per group —
+    never a global sort.
 
     Returns (group, id, weight, sample_rank) for the k winners.
     """
@@ -392,7 +406,7 @@ def weighted_sample_per_group(
     u = (
         (token_hash(F.col(id_col).cast("string")) % F.lit(1_000_000_000)) + 1
     ) / F.lit(1_000_000_001.0)
-    key = F.round(F.ln(u) / F.col(weight_col), 6)
+    key = F.round(F.ln(u) / F.col(weight_col), 12)
     w = Window.partitionBy(group_col).orderBy(F.desc("_ws_key"), F.col(id_col))
     return (
         df.where(F.col(weight_col) > 0)

@@ -276,13 +276,18 @@ _DEC = "decimal(38,6)"
 
 
 def aggregate_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
-    """Per-group mergeable state ``(n, sum, min, max)`` of ``value_col``.
+    """Per-group mergeable state ``(rows, n, sum, min, max)`` of
+    ``value_col``.
 
     ``n`` counts non-null values (matching SQL aggregate semantics);
-    the sum is decimal-exact so merge order can never change it.
+    ``rows`` counts ALL rows so retraction can tell "every row deleted"
+    (drop the group) apart from "every remaining value is null" (keep
+    the group with n=0, like a one-shot GROUP BY would). The sum is
+    decimal-exact so merge order can never change it.
     """
     v = F.col(value_col)
     return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_st_rows"),
         F.count(v).alias("_st_n"),
         F.sum(v.cast(_DEC)).alias("_st_sum"),
         F.min(v).alias("_st_min"),
@@ -299,6 +304,7 @@ def merge_aggregate_states(*states: DataFrame) -> DataFrame:
     for s in states[1:]:
         merged = merged.unionByName(s)
     return merged.groupBy(*keys).agg(
+        F.sum("_st_rows").alias("_st_rows"),
         F.sum("_st_n").alias("_st_n"),
         F.sum("_st_sum").alias("_st_sum"),
         F.min("_st_min").alias("_st_min"),
@@ -338,13 +344,18 @@ def retract_aggregate_state(state: DataFrame, deleted: DataFrame) -> DataFrame:
     rescanning everything, groups whose deleted values touch the
     current extremes are FLAGGED (``_st_minmax_stale``) and repaired by
     :func:`repair_aggregate_state` with a scan bounded to those groups.
-    Groups whose rows are all deleted are dropped. ``deleted`` is an
+    Groups whose ROWS are all deleted are dropped; a group that keeps
+    null-valued rows after losing every non-null value survives with
+    n=0 (flagged stale — deleting all values necessarily deletes the
+    min, so the existing extreme test fires and repair nulls the
+    sum/min/max exactly like a one-shot GROUP BY). ``deleted`` is an
     :func:`aggregate_state` over the delete batch (bounded by the batch,
     not history).
     """
     keys = [c for c in state.columns if not c.startswith("_st_")]
     d = deleted.select(
         *keys,
+        F.col("_st_rows").alias("_d_rows"),
         F.col("_st_n").alias("_d_n"),
         F.col("_st_sum").alias("_d_sum"),
         F.col("_st_min").alias("_d_min"),
@@ -354,6 +365,9 @@ def retract_aggregate_state(state: DataFrame, deleted: DataFrame) -> DataFrame:
     adjusted = (
         j.select(
             *keys,
+            (
+                F.col("_st_rows") - F.coalesce(F.col("_d_rows"), F.lit(0))
+            ).alias("_st_rows"),
             (F.col("_st_n") - F.coalesce(F.col("_d_n"), F.lit(0))).alias("_st_n"),
             (
                 F.col("_st_sum")
@@ -374,7 +388,7 @@ def retract_aggregate_state(state: DataFrame, deleted: DataFrame) -> DataFrame:
                 F.lit(False),
             ).alias("_st_minmax_stale"),
         )
-        .where(F.col("_st_n") > 0)
+        .where(F.col("_st_rows") > 0)
     )
     return adjusted
 

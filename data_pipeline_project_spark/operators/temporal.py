@@ -273,6 +273,16 @@ def interval_overlap_join(
     clash = (set(right.columns) - set(keys)) & set(left.columns)
     if clash:
         raise ValueError(f"column collision between sides: {sorted(clash)}")
+    # Inputs must not already carry the internal helper names — a user
+    # column called _ov_l_lo / _ov_r_lo / _PBUCKET would silently make
+    # the join columns ambiguous instead of erroring.
+    reserved = {"_ov_l_lo", "_ov_r_lo", _PBUCKET}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with reserved "
+            "internal names of interval_overlap_join"
+        )
     w_us = int(bucket_seconds) * 1_000_000
 
     def exploded(df: DataFrame, start: str, end: str, lo_name: str) -> DataFrame:

@@ -1615,7 +1615,7 @@ WITH d AS (
 keyed AS (
     SELECT doc_id, source, n_tokens,
            round(ln((({SQL_HASH.format(v='doc_id::VARCHAR')} % 1000000000) + 1)
-                    / 1000000001.0) / n_tokens, 6) AS k
+                    / 1000000001.0) / n_tokens, 12) AS k
     FROM d WHERE n_tokens > 0
 ),
 ranked AS (

@@ -265,3 +265,45 @@ def test_weighted_sample_biases_and_is_partition_invariant(spark):
     assert sorted((r.doc_id, r.sample_rank) for r in out2) == sorted(
         (r.doc_id, r.sample_rank) for r in out
     )
+
+
+def test_duplicate_passages_rejects_min_tokens_below_k(spark):
+    """min_tokens < k would silently miss spans in [min_tokens, k-1]
+    (no k-shingle covers a run shorter than k) — must fail loudly."""
+    import pytest as _pytest
+
+    from data_pipeline_project_spark.operators.corpus import duplicate_passages
+
+    d = spark.createDataFrame([("a", "one two three")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="min_tokens"):
+        duplicate_passages(d, k=6, min_tokens=5)
+
+
+def test_weighted_sample_large_weights_stay_weight_proportional(spark):
+    """Race keys rounded at 12 places must NOT collapse for weights up
+    to ~1e9 (the old 6-place rounding zeroed ln(u)/w for w >> 1e4 and
+    degraded the sample to smallest-id selection)."""
+    from data_pipeline_project_spark.operators.corpus import (
+        weighted_sample_per_group,
+    )
+
+    # All weights equal at 1e9: with distinct keys the winners are the
+    # docs with the largest hash-uniform u, NOT simply the smallest ids.
+    rows = [(i, "g", 1.0e9) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    winners = sorted(
+        r.doc_id
+        for r in weighted_sample_per_group(df, "source", "w", k=5).collect()
+    )
+    assert winners != [0, 1, 2, 3, 4], (
+        "race keys collapsed: selection fell back to smallest-id order"
+    )
+
+    # And weight-proportionality survives at that magnitude: heavy docs
+    # (1e9) should dominate light ones (1e6) in a mixed group.
+    mixed = [(i, "m", 1.0e9 if i < 20 else 1.0e6) for i in range(200)]
+    out = weighted_sample_per_group(
+        spark.createDataFrame(mixed, ["doc_id", "source", "w"]), "source", "w", k=20
+    ).collect()
+    heavy = sum(1 for r in out if r.doc_id < 20)
+    assert heavy >= 14, f"only {heavy}/20 heavy winners at w=1e9"

@@ -237,3 +237,40 @@ def test_retract_all_null_delete_batch_keeps_group(spark):
     ).collect()
     assert len(out) == 1
     assert (out[0].n_rows, out[0].sum_value) == (2, 3.0)
+
+
+def test_retract_keeps_group_whose_remaining_rows_are_all_null(spark):
+    """Deleting every non-null value while null-valued rows remain must
+    keep the group with n=0 (matching a one-shot GROUP BY over the
+    survivors), not drop it (regression: _st_n-based liveness)."""
+    from data_pipeline_project_spark.operators.incremental import (
+        aggregate_state,
+        finalize_aggregate_state,
+        repair_aggregate_state,
+        retract_aggregate_state,
+    )
+
+    facts = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", None), ("b", 5.0)],
+        "k string, v double",
+    )
+    deletes = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    remaining = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 5.0)], "k string, v double"
+    )
+    adjusted = retract_aggregate_state(
+        aggregate_state(facts, ["k"], "v"), aggregate_state(deletes, ["k"], "v")
+    )
+    # group a survives (2 null rows remain) and is flagged stale: its
+    # only value was also its min, so repair must null out the stats
+    by_k = {r.k: r for r in adjusted.collect()}
+    assert set(by_k) == {"a", "b"}
+    assert by_k["a"]._st_minmax_stale and by_k["a"]._st_rows == 2
+    out = {
+        r.k: (r.n_rows, r.sum_value, r.min_value, r.max_value, r.avg_value)
+        for r in finalize_aggregate_state(
+            repair_aggregate_state(adjusted, remaining, "v")
+        ).collect()
+    }
+    assert out["a"] == (0, None, None, None, None)
+    assert out["b"] == (1, 5.0, 5.0, 5.0, 5.0)

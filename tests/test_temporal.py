@@ -266,3 +266,14 @@ def test_interval_overlap_guard_and_collision(spark):
             left, left.withColumnRenamed("l_id", "x_id"),
             "l_s", "l_e", "l_s", "l_e", on="k",
         )
+    # inputs carrying the internal helper names must error, not corrupt
+    with _pytest.raises(ValueError, match="reserved"):
+        interval_overlap_join(
+            left.withColumn("_ov_l_lo", F.lit(0)), right,
+            "l_s", "l_e", "r_s", "r_e", on="k",
+        )
+    with _pytest.raises(ValueError, match="reserved"):
+        interval_overlap_join(
+            left, right.withColumn("_rj_bucket", F.lit(0)),
+            "l_s", "l_e", "r_s", "r_e", on="k",
+        )
