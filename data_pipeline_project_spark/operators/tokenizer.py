@@ -131,6 +131,30 @@ def train_bpe(
     return merges
 
 
+def save_bpe(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge list as an ordered parquet table
+    ``(merge_idx, a, b)`` so the tokenizer can be versioned and reloaded
+    by a later pipeline run (a tokenizer that dies with the driver is
+    not an artifact). ``merge_idx`` is the replay order — BPE merges
+    are order-sensitive, so the loader sorts on it rather than trusting
+    file order. One tiny file; coalesce(1) keeps the artifact atomic
+    and cheap to ship to executors as a closure later."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(
+        rows, "merge_idx int, a string, b string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge list written by :func:`save_bpe`, in training
+    order. The table is vocab-sized (hundreds to tens of thousands of
+    rows), so the driver collect is bounded by construction."""
+    return [
+        (r.a, r.b)
+        for r in spark.read.parquet(path).orderBy("merge_idx").collect()
+    ]
+
+
 def bpe_segment(col: F.Column, merges: list[tuple[str, str]]) -> F.Column:
     """Segment a WORD column into learned subword symbols by replaying
     the merge list in order (Arrow-batched; the merge list rides into

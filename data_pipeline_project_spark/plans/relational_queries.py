@@ -1384,13 +1384,20 @@ def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     key uniqueness, and a thresholded tolerance rule — folded into ONE
     aggregate scan of lineitem (Deequ's shape). The synthetic data
     genuinely fails the uniqueness and strict-bounds rules, so the
-    report exercises both verdicts."""
+    report exercises both verdicts.
+
+    Uniqueness goes through :func:`expect_unique_auto`: exact
+    count_distinct below 2M rows (which is what the sf0.01 oracle run
+    exercises — identical to the SQL oracle), HLL above it (the 100x
+    scale sweep showed the exact struct-distinct is the engine's worst
+    scaling term at 6.5x wall per 10x rows; the sketch keeps the suite
+    one scan-bound map-side aggregate at any size)."""
     from data_pipeline_project_spark.operators.expectations import (
         expect_between,
         expect_in,
         expect_not_null,
         expect_regex,
-        expect_unique,
+        expect_unique_auto,
         expectation_report,
     )
 
@@ -1402,7 +1409,7 @@ def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             expect_between("l_quantity", 1, 50),
             expect_in("l_returnflag", ["A", "N", "R"]),
             expect_regex("l_linestatus", "^[OF]$"),
-            expect_unique(["l_orderkey", "l_linenumber"]),
+            expect_unique_auto(li, ["l_orderkey", "l_linenumber"]),
             expect_between("l_discount", 0.0, 0.08, threshold=0.8),
         ],
     )

@@ -155,3 +155,30 @@ def test_approx_unique_tracks_exact_within_rsd(spark):
     approx = out["approx_unique_k"].metric
     assert abs(approx - exact) / exact < 0.05, (exact, approx)
     assert out["approx_unique_k"].passed
+
+
+def test_expect_unique_auto_picks_exact_then_sketch(spark):
+    """Below the cutoff the auto rule IS the exact rule (same name,
+    same metric); above it the HLL rule with a sketch-safe threshold."""
+    from data_pipeline_project_spark.operators.expectations import (
+        expect_unique_auto,
+        expectation_report,
+    )
+
+    small = spark.range(0, 100).selectExpr("id as k", "id % 7 as v")
+    r = expect_unique_auto(small, ["k"], exact_max_rows=1000)
+    assert r.name == "unique_k" and r.threshold == 1.0
+
+    big = spark.range(0, 5000).selectExpr("id as k")
+    r2 = expect_unique_auto(big, ["k"], exact_max_rows=1000, rsd=0.01)
+    assert r2.name == "approx_unique_k"
+    # strict 1.0 gate is capped below 1 - 3*rsd on the sketch path
+    assert abs(r2.threshold - 0.97) < 1e-9
+
+    rep = {
+        row.rule_name: row
+        for row in expectation_report(big, [r2]).collect()
+    }
+    row = rep["approx_unique_k"]
+    # HLL at rsd=0.01 on a true key: estimate within a few % of 1.0
+    assert row.passed and 0.9 <= row.metric <= 1.1

@@ -110,3 +110,36 @@ def test_bpe_segment_replays_training_state(spark):
     # and the reference's final vocab states are exactly the multiset of
     # per-word segmentations
     assert set(map(tuple, got.values())) == set(ref_vocab.keys())
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    """Train -> save -> load must reproduce the exact merge list AND
+    identical segmentations (merges are order-sensitive, so the loader
+    must replay training order, not file order)."""
+    from data_pipeline_project_spark.operators.tokenizer import (
+        bpe_segment,
+        load_bpe,
+        save_bpe,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newer newest wide widest " * 3) for i in range(4)],
+        ["doc_id", "text"],
+    )
+    merges = train_bpe(docs, num_merges=12)
+    assert merges, "training produced no merges"
+
+    path = str(tmp_path / "bpe_merges")
+    save_bpe(spark, merges, path)
+    reloaded = load_bpe(spark, path)
+    assert reloaded == merges
+
+    words = spark.createDataFrame(
+        [("lowest",), ("newer",), ("unseen",)], ["word"]
+    )
+    a = {r.word: list(r.syms) for r in words.select(
+        "word", bpe_segment(F.col("word"), merges).alias("syms")).collect()}
+    b = {r.word: list(r.syms) for r in words.select(
+        "word", bpe_segment(F.col("word"), reloaded).alias("syms")).collect()}
+    assert a == b
