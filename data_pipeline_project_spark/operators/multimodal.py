@@ -8,14 +8,18 @@ Arrow batches so the Python boundary is crossed once per batch, not
 per row, and the operator composes with repartitioning upstream
 (e.g. salt by byte-size so huge videos don't skew a partition).
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-``decode_media`` is a clearly-marked stub: real byte-level plumbing
-(schema, batching, signatures) with a deterministic fake "decode" in
-place of the codec call. Swap ``_fake_decode`` for the real library on
-a cluster with codec images.
+Codec availability is a CAPABILITY FLAG, probed on the worker at
+kernel start (:func:`_pil_image`): where Pillow is installed the image
+operators decode/resize real bytes; where it is not (this container),
+they fall back to the deterministic fake so every Spark-side contract
+(schema, batching, signatures, partitioning) stays testable. Audio /
+video codecs (librosa / pyav) follow the same pattern and remain
+fake-only here.
 """
 
 from __future__ import annotations
+
+import io
 
 from collections.abc import Iterator
 
@@ -24,6 +28,32 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _pil_image():
+    """Worker-side capability probe: the PIL Image module, or None.
+
+    Called INSIDE the pandas kernels (not at plan-build time on the
+    driver) so a heterogeneous cluster decides per-executor — the
+    driver lacking Pillow must not disable a codec the executors have,
+    and vice versa. import is memoized by sys.modules, so the per-batch
+    cost is a dict hit."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _is_codec_image(media_type) -> bool:
+    """Real-image MIME types take the codec path; the synthetic
+    ``*/fake`` types always use the deterministic stub."""
+    return (
+        isinstance(media_type, str)
+        and media_type.startswith("image/")
+        and not media_type.endswith("/fake")
+    )
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -58,27 +88,60 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """STUB — stands in for the real codec (PIL.Image.open /
-    librosa.load). Deterministic: 'width'/'height' are the first two
-    payload bytes. Raises on empty payload like a real decoder would.
-
-    Real implementation sketch::
-
-        from PIL import Image          # not installed in this container
-        img = Image.open(io.BytesIO(payload))
-        return img.width, img.height
-    """
+    """Fallback "decode" where no codec is installed. Deterministic:
+    'width'/'height' are the first two payload bytes. Raises on empty
+    payload like a real decoder would."""
     if not payload:
         raise NotImplementedError("empty payload: nothing to decode")
     return int(payload[0]), int(payload[1]) if len(payload) > 1 else 0
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+def _decode_with(image_mod, media_type, payload) -> tuple[int, int]:
+    """Decode one payload's (width, height): the codec path when
+    ``image_mod`` (a PIL.Image-shaped module) is given and the MIME is
+    a real image, else the deterministic fake. Module-level so the
+    codec branch is unit-testable without a Spark worker."""
+    p = bytes(payload)
+    if image_mod is not None and _is_codec_image(media_type):
+        img = image_mod.open(io.BytesIO(p))
+        return int(img.width), int(img.height)
+    return _fake_decode(p)
+
+
+def _resize_with(image_mod, media_type, payload, width: int, height: int) -> bytes:
+    """Resize one payload: PIL decode -> resize -> PNG re-encode on the
+    codec path, truncate/pad to width*height bytes on the fallback."""
+    p = bytes(payload)
+    if image_mod is not None and _is_codec_image(media_type):
+        img = image_mod.open(io.BytesIO(p)).resize((width, height))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+    return p[: width * height].ljust(width * height, b"\0")
+
+
+def extract_media_features(media: DataFrame, use_codec: bool | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``use_codec``: None (default) probes Pillow on each worker and
+    decodes real ``image/*`` payloads with it when present, falling
+    back to the deterministic fake otherwise; True requires the codec
+    (raises on workers without it — for clusters that must not
+    silently emit fake dims); False forces the fake everywhere
+    (hermetic tests)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _pil_image() if use_codec in (None, True) else None
+        if use_codec is True and image_mod is None:
+            raise ImportError(
+                "use_codec=True but Pillow is not installed on this worker"
+            )
+
         for pdf in batches:
-            dims = pdf["payload"].map(_fake_decode)
+            dims = [
+                _decode_with(image_mod, mt, p)
+                for mt, p in zip(pdf["media_type"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -115,20 +178,32 @@ FRAME_SIZE = 16
 MAX_FRAMES = 4
 
 
-def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Resize stub: same mapInPandas shape as a real thumbnailer
-    (PIL.Image.resize / ffmpeg scale), with a deterministic fake —
-    payload truncated/padded to width*height bytes. Output partitioning
-    follows input; at scale repartition by byte-size first so a few
-    huge payloads don't skew one partition."""
-
-    target = width * height
+def resize_media(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    use_codec: bool | None = None,
+) -> DataFrame:
+    """Thumbnailer: where Pillow is present (worker-probed, see
+    :func:`extract_media_features` for the ``use_codec`` contract) real
+    ``image/*`` payloads are decoded, resized to (width, height), and
+    re-encoded as PNG; otherwise the deterministic fake truncates/pads
+    the payload to width*height bytes. Output partitioning follows
+    input; at scale repartition by byte-size first so a few huge
+    payloads don't skew one partition."""
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            resized = pdf["payload"].map(
-                lambda p: bytes(p[:target]).ljust(target, b"\0")
+        image_mod = _pil_image() if use_codec in (None, True) else None
+        if use_codec is True and image_mod is None:
+            raise ImportError(
+                "use_codec=True but Pillow is not installed on this worker"
             )
+
+        for pdf in batches:
+            resized = [
+                _resize_with(image_mod, mt, p, width, height)
+                for mt, p in zip(pdf["media_type"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
