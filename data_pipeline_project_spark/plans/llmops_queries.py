@@ -174,9 +174,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- n-gram Jaccard quadratic baseline -------------------------------------
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# Deregistered in round 6 (driver board slot ceded to the corpus tier);
+# full oracle parity continues via tests/conftest.py EXTRA_ORACLE_QUERIES.
+NGRAM_JACCARD_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id, {SQL_TOKENS} AS toks FROM documents WHERE doc_id < 500
 ),
@@ -190,8 +190,9 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
             / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
-""",
-)
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact pairwise baseline minhash approximates: all-pairs
     3-gram-shingle Jaccard on a bounded doc-id prefix window (500 docs
@@ -1136,6 +1137,7 @@ GROUP BY t.doc_id
 """
 
 
+@register("decontamination_overlap", oracle=DECONTAMINATION_ORACLE)
 def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/corpus.contaminated_docs):
     training docs sharing any word-trigram shingle with the eval set,
@@ -1551,6 +1553,7 @@ FROM spans WHERE length_tokens >= {_DP_MIN}
 """
 
 
+@register("duplicate_passages", oracle=DUPLICATE_PASSAGES_ORACLE)
 def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup (operators/corpus.duplicate_passages):
     maximal verbatim token spans shared between document pairs via

@@ -517,14 +517,15 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- preprocessing equivalents (reference P1-P10) ---------------------------
 
-@register(
-    "preprocess_rename_project_dropna",
-    oracle="""
+# Deregistered in round 6 (driver board slot ceded to the corpus tier);
+# full oracle parity continues via tests/conftest.py EXTRA_ORACLE_QUERIES.
+PREPROCESS_RENAME_ORACLE = """
 SELECT event_id AS record_id, ts AS event_time, value AS reading
 FROM events
 WHERE ts IS NOT NULL AND value IS NOT NULL
-""",
-)
+"""
+
+
 def preprocess_rename_project_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2/P8 — the Kaggle preprocessor's rename -> project -> dropna
     (preprocessing_kaggle_dataset.py:25-46) as pure projections."""
@@ -536,17 +537,18 @@ def preprocess_rename_project_dropna(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@register(
-    "round_robin_synthetic_key",
-    oracle="""
+# Deregistered in round 6 (driver board slot ceded to the corpus tier);
+# full oracle parity continues via tests/conftest.py EXTRA_ORACLE_QUERIES.
+ROUND_ROBIN_KEY_ORACLE = """
 SELECT event_id,
        CASE (ROW_NUMBER() OVER (ORDER BY event_id) - 1) % 3
             WHEN 0 THEN 'Kaggle_Weather_01'
             WHEN 1 THEN 'Kaggle_Weather_02'
             ELSE 'Kaggle_Weather_03' END AS sensor_id
 FROM events
-""",
-)
+"""
+
+
 def round_robin_synthetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 — round-robin synthetic key by deterministic row position
     (preprocessing_kaggle_dataset.py:36; order pinned to event_id since
@@ -1319,6 +1321,7 @@ GROUP BY o_custkey
 """
 
 
+@register("incremental_agg_merge", oracle=INCREMENTAL_AGG_ORACLE)
 def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance
     (operators/incremental.aggregate_state / merge_aggregate_states):

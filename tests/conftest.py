@@ -36,7 +36,6 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "feature_zscore", "FEATURE_ZSCORE_ORACLE"),
     ("relational_queries", "winsorize_values", "WINSORIZE_ORACLE"),
     ("llmops_queries", "ivf_ann_recall", "IVF_ANN_RECALL_ORACLE"),
-    ("llmops_queries", "decontamination_overlap", "DECONTAMINATION_ORACLE"),
     ("llmops_queries", "repetition_quality_flags", "REPETITION_ORACLE"),
     ("llmops_queries", "unigram_logprob_score", "UNIGRAM_LOGPROB_ORACLE"),
     ("llmops_queries", "sequence_packing", "SEQUENCE_PACKING_ORACLE"),
@@ -46,14 +45,18 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "count_min_term_counts", "COUNT_MIN_ORACLE"),
     ("relational_queries", "skew_salted_agg", "SKEW_SALTED_AGG_ORACLE"),
     ("relational_queries", "table_profile", "TABLE_PROFILE_ORACLE"),
-    ("relational_queries", "incremental_agg_merge", "INCREMENTAL_AGG_ORACLE"),
-    ("llmops_queries", "duplicate_passages", "DUPLICATE_PASSAGES_ORACLE"),
     ("relational_queries", "data_expectations", "DATA_EXPECTATIONS_ORACLE"),
     ("llmops_queries", "corpus_mixture_sample", "CORPUS_MIXTURE_ORACLE"),
     ("temporal_queries", "interval_overlap_windows", "INTERVAL_OVERLAP_ORACLE"),
     ("relational_queries", "incremental_agg_retract", "INCREMENTAL_RETRACT_ORACLE"),
     ("relational_queries", "feature_rank_normalize", "FEATURE_RANK_ORACLE"),
     ("llmops_queries", "weighted_sample_docs", "WEIGHTED_SAMPLE_ORACLE"),
+    # Round-6 registry swap: these three ceded their driver-board slots
+    # to the corpus tier (duplicate_passages, incremental_agg_merge,
+    # decontamination_overlap) and keep full parity here instead.
+    ("llmops_queries", "dedup_ngram_jaccard", "NGRAM_JACCARD_ORACLE"),
+    ("relational_queries", "preprocess_rename_project_dropna", "PREPROCESS_RENAME_ORACLE"),
+    ("relational_queries", "round_robin_synthetic_key", "ROUND_ROBIN_KEY_ORACLE"),
 ]
 
 

@@ -17,7 +17,31 @@ from tests.conftest import SF_ORACLE
 
 
 def plan_of(spark, name: str) -> str:
-    df = get_queries()[name](spark, SF_ORACLE)
+    """Formatted physical plan of a query — registry first, then the
+    plans modules (covers queries deregistered from the 50-slot driver
+    board that still have dedicated plan tests here)."""
+    queries = get_queries()
+    if name in queries:
+        fn = queries[name]
+    else:
+        import importlib
+
+        from data_pipeline_project_spark.functions.persist_scope import (
+            release_scoped_persists,
+        )
+
+        release_scoped_persists()
+        fn = None
+        for mod_name in ("relational_queries", "llmops_queries", "temporal_queries"):
+            mod = importlib.import_module(
+                f"data_pipeline_project_spark.plans.{mod_name}"
+            )
+            if hasattr(mod, name):
+                fn = getattr(mod, name)
+                break
+        if fn is None:
+            raise KeyError(name)
+    df = fn(spark, SF_ORACLE)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -197,7 +221,6 @@ def test_range_join_bucketed_equi_rewrite(spark):
 # Queries whose physical plan legitimately contains a broadcast
 # nested-loop join: each broadcasts a bounded side by design.
 _BNLJ_BY_DESIGN = {
-    "dedup_ngram_jaccard",        # sampled quadratic baseline — the cross join IS the op
     "similarity_topk_bruteforce", # bounded query set broadcast against the corpus scan
     "tfidf_top_terms",            # single-row corpus-size scalar cross join
 }
@@ -212,9 +235,6 @@ _SINGLE_PARTITION_BY_DESIGN = {
     "set_union_intersect_except",  # 3-row set-op cardinality summary
     "subquery_scalar_avg",         # scalar AVG subquery value
     "tfidf_top_terms",             # single-row corpus-size scalar
-    "round_robin_synthetic_key",   # prefix-sum window over the per-bucket
-                                   # aggregate: <= 65536 rows by construction
-                                   # (pinned by its dedicated plan test above)
 }
 
 
@@ -260,6 +280,7 @@ def test_deregistered_query_plan_sweep(spark):
         "heavy_hitter_terms",
         "referential_integrity_audit",
         "unigram_logprob_score",  # corpus-size scalar onto the vocab agg
+        "dedup_ngram_jaccard",  # sampled quadratic baseline — the cross join IS the op
     }
     single_ok = {
         "heavy_hitter_terms",
@@ -267,6 +288,9 @@ def test_deregistered_query_plan_sweep(spark):
         "unigram_logprob_score",
         "table_profile",  # one bounded global aggregate IS the query
         "data_expectations",  # same shape: one bounded global aggregate
+        "round_robin_synthetic_key",  # prefix-sum window over the per-bucket
+                                      # aggregate: <= 65536 rows by construction
+                                      # (pinned by its dedicated plan test)
     }
 
     from data_pipeline_project_spark.functions.persist_scope import (

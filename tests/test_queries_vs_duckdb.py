@@ -24,7 +24,11 @@ def test_query_matches_oracle(spark, duck, name):
 def test_ngram_jaccard_not_vacuous(spark):
     """The exact-baseline check is only evidence if it finds the planted
     near-dups at the oracle SF — 0 rows == 0 rows proves nothing."""
-    n = get_queries()["dedup_ngram_jaccard"](spark, SF_ORACLE).count()
+    from data_pipeline_project_spark.plans.llmops_queries import (
+        dedup_ngram_jaccard,
+    )
+
+    n = dedup_ngram_jaccard(spark, SF_ORACLE).count()
     assert n > 0
 
 
