@@ -121,3 +121,75 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
     )
+
+
+WATERMARK_DELAY_MIN = 15
+ARRIVAL_JITTER = 64
+
+
+@register(
+    "watermark_late_events",
+    oracle=f"""
+WITH arr AS (
+    SELECT event_id, ts,
+           event_id + (('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+                       % {ARRIVAL_JITTER}) AS arrival_key
+    FROM events
+), w AS (
+    SELECT ts,
+           max(ts) OVER (ORDER BY arrival_key, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS wm_base
+    FROM arr
+)
+SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+       count(*) AS n_events,
+       count(CASE WHEN wm_base IS NOT NULL
+                   AND ts < wm_base - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+             THEN 1 END) AS n_late_dropped,
+       count(CASE WHEN wm_base IS NULL
+                   OR ts >= wm_base - INTERVAL {WATERMARK_DELAY_MIN} MINUTE
+             THEN 1 END) AS n_kept
+FROM w
+GROUP BY 1
+""",
+)
+def watermark_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, batch-expressible and therefore
+    oracle-checkable (streaming/event_windows.watermark_late_flags):
+    events replay in a deterministically hash-jittered arrival order
+    (each event displaced up to 64 positions — simulated network
+    reordering both engines compute identically), and an event is
+    DROPPED iff its event time trails the running max event time of
+    everything that arrived before it by more than 15 minutes — exactly
+    ``withWatermark('ts', '15 minutes')``'s drop rule. Output is
+    per-hour kept/dropped counts. The oracle's single sequential window
+    is the semantics; the Spark side runs the bucketed two-phase
+    prefix-max decomposition (the only single-partition step is over
+    <= 4096 per-bucket aggregate rows), so parity also proves the
+    decomposition equals the sequential running max."""
+    from data_pipeline_project_spark.operators.text import token_hash
+    from data_pipeline_project_spark.streaming.event_windows import (
+        watermark_late_flags,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts")
+    arrival = F.col("event_id") + (
+        token_hash(F.col("event_id").cast("string")) % ARRIVAL_JITTER
+    )
+    flagged = watermark_late_flags(
+        ev,
+        ts_col="ts",
+        arrival_col=arrival,
+        tiebreak_col="event_id",
+        delay_seconds=WATERMARK_DELAY_MIN * 60,
+    )
+    return (
+        flagged.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("is_late"), 1)).alias("n_late_dropped"),
+            F.count(F.when(~F.col("is_late"), 1)).alias("n_kept"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_late_dropped", "n_kept")
+    )

@@ -114,3 +114,85 @@ def stream_stream_window_join(
         & (rw[right_ts] <= F.col(left_ts))
     )
     return lw.join(rw, cond, "inner").drop(rw[on])
+
+
+def watermark_late_flags(
+    events: DataFrame,
+    ts_col: str = "ts",
+    arrival_col: str | F.Column = "event_id",
+    tiebreak_col: str = "event_id",
+    delay_seconds: int = 600,
+    n_buckets: int = 4096,
+    late_col: str = "is_late",
+) -> DataFrame:
+    """BATCH twin of Structured Streaming's watermark drop rule: flag
+    each event as late iff its event time is more than
+    ``delay_seconds`` behind the maximum event time of everything that
+    ARRIVED strictly before it (``withWatermark(ts, delay)`` drops
+    exactly these rows, modulo micro-batch boundaries — the streaming
+    watermark only advances between batches, so the batch flag is the
+    tightest per-row refinement of it). Batch-expressible means
+    oracle-checkable: a SQL window over arrival order pins the
+    semantics the streaming path is trusted with.
+
+    ``arrival_col`` is the arrival-order key (a column name or
+    expression — e.g. a hash-jittered event id to replay network
+    reordering deterministically); ties break on ``tiebreak_col``,
+    which must make the pair unique.
+
+    Scale shape: the naive form is ONE global window over arrival
+    order — a single-partition sort of the whole table. This runs the
+    two-phase decomposition instead (same trick as
+    functions/positions.with_row_position): range-bucket the arrival
+    key (one bounded min/max job), take per-bucket max event time, run
+    the prefix max over the <= ``n_buckets`` AGGREGATE rows (the only
+    single-partition step, bounded by bucket count, never data), and
+    combine with a per-bucket running max (hash-partitioned, parallel).
+    greatest(prefix-of-previous-buckets, running-max-within-bucket) is
+    exactly the sequential running max.
+    """
+    from data_pipeline_project_spark.operators.temporal import _epoch_us
+
+    arr = (
+        F.col(arrival_col) if isinstance(arrival_col, str) else arrival_col
+    ).cast("bigint")
+    keyed = events.withColumn("_wm_arr", arr).withColumn(
+        "_wm_ts", _epoch_us(F.col(ts_col))
+    )
+
+    stats = keyed.agg(
+        F.min("_wm_arr").alias("lo"), F.max("_wm_arr").alias("hi")
+    ).first()
+    if stats is None or stats["lo"] is None:
+        return events.withColumn(late_col, F.lit(False))
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    width = max(1, (hi - lo) // n_buckets + 1)
+    keyed = keyed.withColumn(
+        "_wm_bucket", ((F.col("_wm_arr") - F.lit(lo)) / F.lit(width)).cast("bigint")
+    )
+
+    from pyspark.sql import Window
+
+    bmax = keyed.groupBy("_wm_bucket").agg(F.max("_wm_ts").alias("_wm_bmax"))
+    w_prev_buckets = Window.orderBy("_wm_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = bmax.select(
+        "_wm_bucket", F.max("_wm_bmax").over(w_prev_buckets).alias("_wm_prev")
+    )
+
+    w_in_bucket = (
+        Window.partitionBy("_wm_bucket")
+        .orderBy("_wm_arr", tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    joined = keyed.join(F.broadcast(prev), "_wm_bucket")
+    # greatest() skips nulls: null only when NOTHING arrived before
+    # (the first event overall), which is never late by definition.
+    wm_base = F.greatest(F.max("_wm_ts").over(w_in_bucket), F.col("_wm_prev"))
+    late = wm_base.isNotNull() & (
+        F.col("_wm_ts") < wm_base - F.lit(int(delay_seconds) * 1_000_000)
+    )
+    return joined.withColumn(late_col, late).drop(
+        "_wm_arr", "_wm_ts", "_wm_bucket", "_wm_prev"
+    )

@@ -233,8 +233,9 @@ _BNLJ_BY_DESIGN = {
 _SINGLE_PARTITION_BY_DESIGN = {
     "q14_promo_revenue",           # single-row promo-revenue ratio
     "set_union_intersect_except",  # 3-row set-op cardinality summary
-    "subquery_scalar_avg",         # scalar AVG subquery value
     "tfidf_top_terms",             # single-row corpus-size scalar
+    "watermark_late_events",       # prefix max over the per-bucket
+                                   # aggregate: <= 4096 rows by construction
 }
 
 
@@ -291,6 +292,7 @@ def test_deregistered_query_plan_sweep(spark):
         "round_robin_synthetic_key",  # prefix-sum window over the per-bucket
                                       # aggregate: <= 65536 rows by construction
                                       # (pinned by its dedicated plan test)
+        "subquery_scalar_avg",  # scalar AVG subquery value
     }
 
     from data_pipeline_project_spark.functions.persist_scope import (

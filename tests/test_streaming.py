@@ -467,3 +467,38 @@ def test_streaming_session_windows(spark, tmp_path):
         (2, "2024-01-01T10:05:00", "2024-01-01T10:35:00"): (1, 10.0),
         (1, "2024-01-01T12:00:00", "2024-01-01T12:30:00"): (1, 4.0),
     }, rows
+
+
+def test_watermark_late_flags_planted_late_event(spark):
+    """Deterministic micro-case: an event arriving after the stream has
+    advanced more than the delay past its event time is flagged; one
+    inside the delay is not; the first arrival never is."""
+    from datetime import datetime
+
+    from data_pipeline_project_spark.streaming.event_windows import (
+        watermark_late_flags,
+    )
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # (arrival_order, event_time_minute_offset)
+        (1, 0),    # first arrival: never late
+        (2, 60),   # advances the max to +60min
+        (3, 55),   # 5 min behind max: inside 10-min delay -> kept
+        (4, 30),   # 30 min behind max: late -> dropped
+        (5, 61),   # new max
+    ]
+    from datetime import timedelta
+
+    df = spark.createDataFrame(
+        [(a, base + timedelta(minutes=m)) for a, m in rows],
+        "arr long, ts timestamp",
+    )
+    out = {
+        r.arr: r.is_late
+        for r in watermark_late_flags(
+            df, ts_col="ts", arrival_col="arr", tiebreak_col="arr",
+            delay_seconds=600, n_buckets=2,
+        ).collect()
+    }
+    assert out == {1: False, 2: False, 3: False, 4: True, 5: False}
