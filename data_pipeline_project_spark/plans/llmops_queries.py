@@ -1646,3 +1646,76 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
     )
     return weighted_sample_per_group(d, "source", "n_tokens", k=5)
+
+
+# ---- leakage-safe train/val/test split (deregistered-parity) ---------------
+
+LEAKAGE_SPLIT_ORACLE = "WITH RECURSIVE " + _minhash_ctes() + f""",
+sym AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+    SELECT DISTINCT src, src FROM sym
+    UNION
+    SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+),
+cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+asg AS (
+    SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+),
+b AS (
+    SELECT doc_id, cluster_id,
+           {SQL_HASH.format(v="'split:' || cluster_id::VARCHAR")} % 100 AS bucket
+    FROM asg
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       count(DISTINCT cluster_id) AS n_clusters
+FROM b GROUP BY 1
+"""
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split WITHOUT near-duplicate leakage: the split
+    is decided per DEDUP CLUSTER, not per document — every member of a
+    MinHash near-dup cluster (connected component over the verified
+    pair graph, singletons are their own cluster) hashes into the same
+    split, so an edited copy of a training document can never land in
+    the test set (the contamination mode Lee et al. 2021 measure;
+    plain per-doc hashing guarantees it happens). Split choice is the
+    same salted content-independent hash as train_val_test_split,
+    applied to the cluster representative.
+
+    Scale: the pair graph comes from the banded LSH join (work tracks
+    true near-dup density), components converge in O(log diameter)
+    pointer-jumping rounds, and the split itself is a pure projection
+    + one aggregate. No step touches pairwise corpus scale.
+    """
+    from data_pipeline_project_spark.operators.dedup import connected_components
+    from data_pipeline_project_spark.operators.text import token_hash
+
+    d = load_table(spark, "documents", sf_dir)
+    clusters = connected_components(
+        minhash_lsh_pairs(d, threshold=0.5), pointer_jumping=True
+    )
+    assigned = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    bucket = (
+        token_hash(F.concat(F.lit("split:"), F.col("cluster_id").cast("string")))
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return assigned.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    )

@@ -295,3 +295,66 @@ def test_semantic_dedup_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "cluster_id" in plan, plan
+
+
+def test_leakage_safe_split_no_pair_straddles_splits(spark):
+    """The whole point of the cluster-aware split: every near-dup pair
+    lands in ONE split, while the plain per-doc hash split (at the same
+    corpus) does let pairs straddle — proving the guard is non-vacuous.
+    Singleton docs keep the exact split the plain hash gives them."""
+    from data_pipeline_project_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from data_pipeline_project_spark.operators.text import token_hash
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    d = load_table(spark, "documents", sf)
+    pairs = minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+    clusters = connected_components(pairs, pointer_jumping=True)
+    assigned = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+
+    def split_of(key_col):
+        b = token_hash(F.concat(F.lit("split:"), key_col.cast("string"))) % 100
+        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+    by_cluster = assigned.select(
+        "doc_id", split_of(F.col("cluster_id")).alias("split")
+    )
+
+    # no pair straddles cluster-keyed splits
+    a = by_cluster.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "split_a")
+    b = by_cluster.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "split_b")
+    straddle = pairs.join(a, "id_a").join(b, "id_b").where(
+        F.col("split_a") != F.col("split_b")
+    )
+    assert straddle.count() == 0
+
+    # the naive per-doc split DOES straddle on this corpus (non-vacuous)
+    by_doc = assigned.select("doc_id", split_of(F.col("doc_id")).alias("split"))
+    a2 = by_doc.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "split_a")
+    b2 = by_doc.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "split_b")
+    naive_straddle = pairs.join(a2, "id_a").join(b2, "id_b").where(
+        F.col("split_a") != F.col("split_b")
+    )
+    assert naive_straddle.count() > 0
+
+    # singletons (docs in no pair) get the plain per-doc split
+    singles = assigned.where(F.col("cluster_id") == F.col("doc_id")).join(
+        pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+            pairs.select(F.col("id_b").alias("doc_id"))
+        ).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    mism = singles.select(
+        "doc_id",
+        split_of(F.col("cluster_id")).alias("s1"),
+        split_of(F.col("doc_id")).alias("s2"),
+    ).where(F.col("s1") != F.col("s2"))
+    assert mism.count() == 0
