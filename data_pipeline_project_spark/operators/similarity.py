@@ -545,3 +545,68 @@ def semantic_dedup(
             (F.coalesce(F.col("n_lower_dups"), F.lit(0)) > 0).alias("is_removed"),
         )
     )
+
+
+def _jl_sign_matrix(d: int, k: int) -> "np.ndarray":
+    """Deterministic +-1 projection matrix: sign(i, j) from
+    md5('jl:<i>:<j>') (1-based, the exact formula the DuckDB oracle
+    evaluates in SQL), so the projection is reproducible across runs,
+    engines, and cluster sizes without shipping a matrix artifact.
+    d*k md5 calls on the driver — microseconds for any practical k."""
+    import hashlib
+
+    m = np.empty((d, k), dtype=np.float64)
+    for i in range(1, d + 1):
+        for j in range(1, k + 1):
+            h = int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:15], 16)
+            m[i - 1, j - 1] = 1.0 if h % 2 == 0 else -1.0
+    return m
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    id_col: str = "vec_id",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson-Lindenstrauss embedding compression: project D-dim
+    vectors onto k dims with a deterministic +-1 sign matrix, scaled by
+    1/sqrt(k) (Achlioptas 2001 — the database-friendly JL transform:
+    pairwise distances are preserved within (1 +- eps) w.h.p., so ANN
+    candidate generation can run on 4x-smaller vectors and rerank on
+    the originals). Composes with build_ivf_index/cosine_topk.
+
+    Scale: one narrow scan, zero shuffles — the sign matrix rides into
+    the Arrow kernel closure (k*D doubles, KBs). The kernel folds input
+    dims SEQUENTIALLY (vectorized across rows) so every IEEE rounding
+    step matches the oracle's list_sum order — same trick as _fold_dot.
+    Returns (id, out_col array<double>) UNROUNDED; callers round for
+    cross-engine hashing.
+    """
+
+    def make_kernel(sign: "np.ndarray", kk: int):
+        def kernel(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype=object)
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            acc = np.zeros((m.shape[0], kk), dtype=np.float64)
+            for i in range(m.shape[1]):  # sequential over dims = SQL fold order
+                acc = acc + m[:, i : i + 1] * sign[i]
+            out = acc / np.sqrt(float(kk))
+            return pd.Series([row for row in out])
+
+        return kernel
+
+    # Dimension from one row (bounded driver read; at 100 TB the dim is
+    # catalog metadata — the probe is a limit-1 scan, not a pass).
+    first = df.select(F.size(vec_col).alias("d")).limit(1).first()
+    if first is None:
+        return df.select(id_col).withColumn(out_col, F.lit(None).cast("array<double>"))
+    sign = _jl_sign_matrix(int(first["d"]), k)
+    return df.select(
+        id_col,
+        _udf(f"jl_proj_{k}_{int(first['d'])}", make_kernel(sign, k), "array<double>")(
+            _as_double(F.col(vec_col))
+        ).alias(out_col),
+    )

@@ -1719,3 +1719,44 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("cluster_id").alias("n_clusters"),
     )
+
+
+# ---- JL random-projection compression (deregistered-parity) ----------------
+
+_JL_K = 16
+
+RANDOM_PROJECTION_ORACLE = f"""
+WITH p AS (
+    SELECT vec_id, j,
+           round(list_sum([embedding[i]::DOUBLE *
+                 (CASE WHEN ('0x' || substr(md5('jl:' || i::VARCHAR || ':' ||
+                                             j::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                       THEN 1.0 ELSE -1.0 END)
+                 for i in range(1, len(embedding) + 1)])
+                 / sqrt({_JL_K}.0), 6) AS value
+    FROM embeddings, range(1, {_JL_K} + 1) t(j)
+)
+SELECT vec_id, j AS dim_idx, value FROM p
+"""
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss compression
+    (operators/similarity.random_projection): 64-dim embeddings onto 16
+    dims with a deterministic md5-sign matrix — the candidate-
+    generation representation for ANN at 100 TB (4x less shuffle and
+    cache per vector; rerank on the originals). Output is exploded to
+    (vec_id, dim_idx, value) scalars so the driver hash checks every
+    projected coordinate; the oracle recomputes the identical signs and
+    sequential fold in SQL."""
+    from data_pipeline_project_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = random_projection(emb, vec_col="embedding", k=_JL_K)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("pos", "raw")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("dim_idx"),
+        F.round(F.col("raw"), 6).alias("value"),
+    )

@@ -111,3 +111,55 @@ def test_int8_quantized_vectors_keep_ann_recall(spark, tmp_path):
     }
     recall = len(full & quant) / len(full)
     assert recall >= 0.8, f"int8 recall {recall:.2f}"
+
+
+def test_random_projection_preserves_distances_jl_bound(spark):
+    """Achlioptas sign-JL at k=16 from 64 dims: squared pairwise
+    distances preserved within the loose eps the bound promises at
+    this k — >=95% of sampled pairs inside relative error 0.75,
+    median error well under the eps ~ sqrt(8/k) regime."""
+    import numpy as np
+
+    from data_pipeline_project_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01").where(
+        F.col("vec_id") < 100
+    )
+    V = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in emb.collect()}
+    P = {
+        r.vec_id: np.asarray(r.proj, dtype=float)
+        for r in random_projection(emb, k=16).collect()
+    }
+    ids = sorted(V)
+    errs = []
+    for i in range(0, len(ids) - 1, 3):
+        for j in range(i + 1, len(ids), 7):
+            d0 = float(np.sum((V[ids[i]] - V[ids[j]]) ** 2))
+            d1 = float(np.sum((P[ids[i]] - P[ids[j]]) ** 2))
+            if d0 > 0:
+                errs.append(abs(d1 - d0) / d0)
+    errs = np.asarray(errs)
+    assert (errs <= 0.75).mean() >= 0.95, (errs <= 0.75).mean()
+    assert np.median(errs) <= 0.40, np.median(errs)
+
+
+def test_random_projection_candidate_generation_contains_true_topk(spark):
+    """The serving pattern: generate candidates on 32-dim projections,
+    rerank on the originals. The 100-candidate projected top list must
+    contain >=65% of the true 64-dim top-10 (measured 0.775)."""
+    from data_pipeline_project_spark.operators.similarity import (
+        cosine_topk,
+        random_projection,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=10).collect()
+    }
+    proj = random_projection(emb, k=32).withColumnRenamed("proj", "embedding")
+    cands = cosine_topk(proj, proj.where(F.col("vec_id") < 20), k=100)
+    cand_set = {(r.query_id, r.neighbor_id) for r in cands.collect()}
+    assert len(exact & cand_set) / len(exact) >= 0.65
