@@ -1760,3 +1760,68 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("bigint").alias("dim_idx"),
         F.round(F.col("raw"), 6).alias("value"),
     )
+
+
+# ---- training-shard mixing quality (deregistered-parity) -------------------
+
+SHARD_MIXING_ORACLE = f"""
+WITH a AS (
+    SELECT {SQL_HASH.format(v='doc_id::VARCHAR')} % 16 AS shard, source
+    FROM documents
+),
+c AS (SELECT shard, source, count(*) AS n FROM a GROUP BY 1, 2),
+t AS (SELECT shard, sum(n) AS shard_n FROM c GROUP BY 1),
+g AS (SELECT source, sum(n) AS src_n FROM c GROUP BY 1),
+tot AS (SELECT sum(n) AS total FROM c)
+SELECT c.shard,
+       t.shard_n::BIGINT AS n_docs,
+       round(sum(pow(c.n::DOUBLE - (t.shard_n::DOUBLE * g.src_n::DOUBLE
+                                    / tot.total::DOUBLE), 2)
+                 / (t.shard_n::DOUBLE * g.src_n::DOUBLE / tot.total::DOUBLE)),
+             6) AS chi2
+FROM c
+JOIN t USING (shard)
+JOIN g USING (source), tot
+GROUP BY c.shard, t.shard_n
+"""
+
+
+def shard_mixing_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-mixing audit for training-shard writers: per shard, the
+    chi-square statistic of its source composition against the global
+    source distribution — the number a data-loading team alarms on
+    when a shard assignment stops mixing well (a skewed shard trains
+    on a skewed mixture for its whole pass). Uses the same hash-mod-16
+    assignment as training_shard_assignment, so this is the QA query
+    for that writer.
+
+    Scale: one narrow scan into a (shard x source) count table
+    (bounded by 16 * |sources|), then joins of tiny aggregates — the
+    single-row total rides a broadcast cross join (same documented
+    pattern as tfidf's corpus-size scalar)."""
+    from data_pipeline_project_spark.operators.text import token_hash
+
+    d = load_table(spark, "documents", sf_dir).select(
+        (token_hash(F.col("doc_id").cast("string")) % 16).alias("shard"),
+        "source",
+    )
+    c = d.groupBy("shard", "source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("shard").agg(F.sum("n").alias("shard_n"))
+    g = c.groupBy("source").agg(F.sum("n").alias("src_n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    exp = (
+        F.col("shard_n").cast("double")
+        * F.col("src_n").cast("double")
+        / F.col("total").cast("double")
+    )
+    return (
+        c.join(t, "shard")
+        .join(F.broadcast(g), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("shard", F.col("shard_n").cast("bigint").alias("n_docs"))
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("n").cast("double") - exp, 2) / exp), 6
+            ).alias("chi2")
+        )
+    )

@@ -60,6 +60,7 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "subquery_scalar_avg", "SUBQUERY_SCALAR_AVG_ORACLE"),
     ("llmops_queries", "leakage_safe_split", "LEAKAGE_SPLIT_ORACLE"),
     ("llmops_queries", "embedding_random_projection", "RANDOM_PROJECTION_ORACLE"),
+    ("llmops_queries", "shard_mixing_quality", "SHARD_MIXING_ORACLE"),
 ]
 
 

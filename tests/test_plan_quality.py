@@ -282,6 +282,7 @@ def test_deregistered_query_plan_sweep(spark):
         "referential_integrity_audit",
         "unigram_logprob_score",  # corpus-size scalar onto the vocab agg
         "dedup_ngram_jaccard",  # sampled quadratic baseline — the cross join IS the op
+        "shard_mixing_quality",  # single-row corpus-total scalar cross join
     }
     single_ok = {
         "heavy_hitter_terms",
@@ -293,6 +294,7 @@ def test_deregistered_query_plan_sweep(spark):
                                       # aggregate: <= 65536 rows by construction
                                       # (pinned by its dedicated plan test)
         "subquery_scalar_avg",  # scalar AVG subquery value
+        "shard_mixing_quality",  # bounded (shard x source) aggregate total
     }
 
     from data_pipeline_project_spark.functions.persist_scope import (
