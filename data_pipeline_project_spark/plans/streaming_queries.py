@@ -168,6 +168,9 @@ def watermark_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-max decomposition (the only single-partition step is over
     <= 4096 per-bucket aggregate rows), so parity also proves the
     decomposition equals the sequential running max."""
+    import os
+
+    from data_pipeline_project_spark.functions.positions import parquet_key_stats
     from data_pipeline_project_spark.operators.text import token_hash
     from data_pipeline_project_spark.streaming.event_windows import (
         watermark_late_flags,
@@ -177,12 +180,24 @@ def watermark_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival = F.col("event_id") + (
         token_hash(F.col("event_id").cast("string")) % ARRIVAL_JITTER
     )
+    # Footer statistics give a COVERING arrival range for free (the
+    # jitter only ever displaces forward, by < ARRIVAL_JITTER), which
+    # removes the min/max job ahead of the main query.
+    stats = parquet_key_stats(
+        os.path.join(sf_dir, "events.parquet"), "event_id"
+    )
+    bounds = (
+        (int(stats[0]), int(stats[1]) + ARRIVAL_JITTER)
+        if stats is not None and stats[0] is not None
+        else None
+    )
     flagged = watermark_late_flags(
         ev,
         ts_col="ts",
         arrival_col=arrival,
         tiebreak_col="event_id",
         delay_seconds=WATERMARK_DELAY_MIN * 60,
+        arrival_bounds=bounds,
     )
     return (
         flagged.groupBy(F.window("ts", "1 hour").alias("w"))

@@ -124,6 +124,7 @@ def watermark_late_flags(
     delay_seconds: int = 600,
     n_buckets: int = 4096,
     late_col: str = "is_late",
+    arrival_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """BATCH twin of Structured Streaming's watermark drop rule: flag
     each event as late iff its event time is more than
@@ -150,6 +151,11 @@ def watermark_late_flags(
     combine with a per-bucket running max (hash-partitioned, parallel).
     greatest(prefix-of-previous-buckets, running-max-within-bucket) is
     exactly the sequential running max.
+
+    ``arrival_bounds``: optional (lo, hi) COVERING range of the arrival
+    key (inclusive; wider is fine — only bucket granularity changes,
+    never correctness) — e.g. from parquet footer statistics. Supplying
+    it removes the min/max job ahead of the main query.
     """
     from data_pipeline_project_spark.operators.temporal import _epoch_us
 
@@ -160,12 +166,15 @@ def watermark_late_flags(
         "_wm_ts", _epoch_us(F.col(ts_col))
     )
 
-    stats = keyed.agg(
-        F.min("_wm_arr").alias("lo"), F.max("_wm_arr").alias("hi")
-    ).first()
-    if stats is None or stats["lo"] is None:
-        return events.withColumn(late_col, F.lit(False))
-    lo, hi = int(stats["lo"]), int(stats["hi"])
+    if arrival_bounds is not None:
+        lo, hi = int(arrival_bounds[0]), int(arrival_bounds[1])
+    else:
+        stats = keyed.agg(
+            F.min("_wm_arr").alias("lo"), F.max("_wm_arr").alias("hi")
+        ).first()
+        if stats is None or stats["lo"] is None:
+            return events.withColumn(late_col, F.lit(False))
+        lo, hi = int(stats["lo"]), int(stats["hi"])
     width = max(1, (hi - lo) // n_buckets + 1)
     keyed = keyed.withColumn(
         "_wm_bucket", ((F.col("_wm_arr") - F.lit(lo)) / F.lit(width)).cast("bigint")
