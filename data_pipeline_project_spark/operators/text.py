@@ -250,3 +250,54 @@ def pii_flags(col: Column) -> Column:
             for name, pat, _ in SCRUB_PATTERNS
         ]
     )
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization via an Arrow kernel (Python
+    ``unicodedata`` implements the same Unicode standard DuckDB's
+    ``nfc_normalize`` does, so the outputs hash-match cross-engine).
+    The corpus-prep step that makes byte-level dedup see 'café'
+    (precomposed) and 'café' (combining accent) as the same document.
+    JVM Spark has no NFC builtin, so this is the legitimate
+    pandas-UDF case: per-string library call, Arrow-batched."""
+    from data_pipeline_project_spark.operators.similarity import _udf
+
+    def kernel(texts):
+        import unicodedata
+
+        import pandas as pd
+
+        return pd.Series(
+            [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in texts
+            ]
+        )
+
+    return _udf("nfc_normalize", kernel, "string")(col)
+
+
+def encoding_stats(col: Column) -> Column:
+    """Struct of mojibake/encoding-health signals, all JVM-side:
+    ``n_replacement`` (U+FFFD count — the scar UTF-8 decoding leaves on
+    bytes it couldn't parse), ``n_control`` (C0 control chars except
+    tab/newline/CR — binary-in-text contamination), ``ascii_ratio``
+    (rounded to 6). The triage columns a corpus-prep pipeline filters
+    on before spending tokenizer cycles."""
+    n = F.length(col)
+    n_repl = n - F.length(F.replace(col, F.lit("�"), F.lit("")))
+    n_ctrl = n - F.length(
+        F.regexp_replace(col, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+    )
+    ascii_ratio = F.when(n > 0,
+        F.round(
+            F.length(F.regexp_replace(col, "[^\\x00-\\x7F]", "")).cast("double")
+            / n,
+            6,
+        ),
+    ).otherwise(F.lit(1.0))
+    return F.struct(
+        n_repl.cast("bigint").alias("n_replacement"),
+        n_ctrl.cast("bigint").alias("n_control"),
+        ascii_ratio.alias("ascii_ratio"),
+    )

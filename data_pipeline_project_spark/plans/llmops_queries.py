@@ -1825,3 +1825,58 @@ def shard_mixing_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2")
         )
     )
+
+
+# ---- unicode normalization + encoding health (deregistered-parity) ---------
+
+TEXT_NORMALIZATION_ORACLE = """
+WITH planted AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 7 = 0 THEN ' cafe' || chr(769)
+                        WHEN doc_id % 11 = 0 THEN chr(65533) || chr(7)
+                        ELSE '' END AS t
+    FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(t) <> t AS nfc_changed,
+       (length(t) - length(replace(t, chr(65533), '')))::BIGINT AS n_replacement,
+       (length(t) - length(regexp_replace(t,
+            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')))::BIGINT AS n_control,
+       CASE WHEN length(t) > 0
+            THEN round(length(regexp_replace(t, '[^\\x00-\\x7F]', '', 'g'))::DOUBLE
+                       / length(t), 6)
+            ELSE 1.0 END AS ascii_ratio
+FROM planted
+"""
+
+
+def text_normalization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-health triage (operators/text.nfc_normalize /
+    encoding_stats): NFC-divergence flag, U+FFFD replacement-char
+    count (UTF-8 decode scars), C0 control-char count, and ASCII ratio
+    per document. The synthetic corpus is clean ASCII, so the query
+    PLANTS deterministic contamination (a combining-accent suffix on
+    every 7th doc, a replacement char + BEL on every 11th) — both
+    engines plant identically, making every code path non-vacuous.
+    Python unicodedata and DuckDB nfc_normalize implement the same
+    Unicode standard, so even the normalized-text comparison
+    hash-matches."""
+    from data_pipeline_project_spark.operators.text import (
+        encoding_stats,
+        nfc_normalize,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    t = F.concat(
+        F.col("text"),
+        # explicit combining acute (e + U+0301), NOT precomposed é —
+        # NFC must have something to do; escape-proofed against editors
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" cafe\u0301"))
+        .when(F.col("doc_id") % 11 == 0, F.lit("�\x07"))
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        (nfc_normalize(t) != t).alias("nfc_changed"),
+        encoding_stats(t).alias("s"),
+    ).select("doc_id", "nfc_changed", "s.*")

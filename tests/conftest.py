@@ -61,6 +61,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "leakage_safe_split", "LEAKAGE_SPLIT_ORACLE"),
     ("llmops_queries", "embedding_random_projection", "RANDOM_PROJECTION_ORACLE"),
     ("llmops_queries", "shard_mixing_quality", "SHARD_MIXING_ORACLE"),
+    ("llmops_queries", "text_normalization_stats", "TEXT_NORMALIZATION_ORACLE"),
 ]
 
 
