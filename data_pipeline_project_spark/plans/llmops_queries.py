@@ -1880,3 +1880,138 @@ def text_normalization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nfc_normalize(t) != t).alias("nfc_changed"),
         encoding_stats(t).alias("s"),
     ).select("doc_id", "nfc_changed", "s.*")
+
+
+# ---- temperature-balanced mixture budgets (deregistered-parity) ------------
+
+_MIX_TEMPERATURE = 0.7
+_MIX_TOTAL_BUDGET = 100_000
+
+TEMPERATURE_MIXTURE_ORACLE = f"""
+WITH s AS (
+    SELECT source, sum(len({SQL_TOKENS}))::BIGINT AS n_tokens
+    FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_tokens) AS total FROM s),
+p AS (
+    SELECT source, n_tokens,
+           n_tokens::DOUBLE / tot.total::DOUBLE AS share,
+           pow(n_tokens::DOUBLE / tot.total::DOUBLE, {_MIX_TEMPERATURE}) AS pa
+    FROM s, tot
+),
+z AS (SELECT sum(pa) AS zsum FROM p)
+SELECT source,
+       n_tokens,
+       round(share, 6) AS share6,
+       round(pa / z.zsum, 6) AS adj_share6,
+       round(pa / z.zsum * {_MIX_TOTAL_BUDGET})::BIGINT AS budget_tokens
+FROM p, z
+"""
+
+
+def temperature_mixture_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source budgets (the multilingual-LM mixing
+    rule of mBERT/XLM-R: q_l = p_l^alpha / sum p^alpha, alpha < 1 —
+    up-samples tail sources, down-samples the head, without the
+    all-sources-equal distortion of uniform mixing). The output budget
+    column is exactly what operators/corpus.mixture_sample takes as its
+    per-source budget dict, so this query IS the policy half of the
+    sampling pipeline — collect it (bounded by the source count) and
+    feed the sampler.
+
+    Scale: one scan into a per-source aggregate; the corpus-total and
+    normalizer are single-row aggregates over the SOURCE table riding
+    broadcast cross joins (the documented bounded-scalar pattern)."""
+    from data_pipeline_project_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    s = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens")
+    )
+    tot = s.agg(F.sum("n_tokens").alias("total"))
+    p = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+        F.pow(
+            F.col("n_tokens").cast("double") / F.col("total").cast("double"),
+            _MIX_TEMPERATURE,
+        ).alias("pa"),
+    )
+    z = p.agg(F.sum("pa").alias("zsum"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round("share", 6).alias("share6"),
+        F.round(F.col("pa") / F.col("zsum"), 6).alias("adj_share6"),
+        F.round(F.col("pa") / F.col("zsum") * _MIX_TOTAL_BUDGET)
+        .cast("bigint")
+        .alias("budget_tokens"),
+    )
+
+
+# ---- quality-aware dedup keeper (deregistered-parity) ----------------------
+
+KEEP_BEST_QUALITY_ORACLE = "WITH RECURSIVE " + _minhash_ctes() + f""",
+sym AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+    SELECT DISTINCT src, src FROM sym
+    UNION
+    SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+),
+cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+scored AS (
+    SELECT cl.cluster_id, cl.doc_id, len({SQL_TOKENS}) AS n_tokens
+    FROM cl JOIN documents USING (doc_id)
+),
+ranked AS (
+    SELECT cluster_id, doc_id, n_tokens,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, doc_id) AS rk,
+           count(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM scored
+)
+SELECT cluster_id, doc_id AS keeper_doc_id, n_tokens AS keeper_tokens,
+       n_members
+FROM ranked WHERE rk = 1
+"""
+
+
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection by QUALITY, not id: within each near-dup
+    cluster keep the doc with the most tokens (tie -> lowest id) —
+    what a real dedup pipeline wants, since the min-id keeper of
+    dedup_clusters happily keeps a truncated copy and drops the full
+    document. One window per cluster over cluster-sized groups."""
+    from data_pipeline_project_spark.operators.dedup import connected_components
+    from data_pipeline_project_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    clusters = connected_components(
+        minhash_lsh_pairs(d, threshold=0.5), pointer_jumping=True
+    )
+    scored = clusters.join(
+        d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_tokens").alias("keeper_tokens"),
+            "n_members",
+        )
+    )

@@ -62,6 +62,8 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "embedding_random_projection", "RANDOM_PROJECTION_ORACLE"),
     ("llmops_queries", "shard_mixing_quality", "SHARD_MIXING_ORACLE"),
     ("llmops_queries", "text_normalization_stats", "TEXT_NORMALIZATION_ORACLE"),
+    ("llmops_queries", "temperature_mixture_budgets", "TEMPERATURE_MIXTURE_ORACLE"),
+    ("llmops_queries", "dedup_keep_best_quality", "KEEP_BEST_QUALITY_ORACLE"),
 ]
 
 

@@ -283,6 +283,7 @@ def test_deregistered_query_plan_sweep(spark):
         "unigram_logprob_score",  # corpus-size scalar onto the vocab agg
         "dedup_ngram_jaccard",  # sampled quadratic baseline — the cross join IS the op
         "shard_mixing_quality",  # single-row corpus-total scalar cross join
+        "temperature_mixture_budgets",  # two bounded scalar cross joins
     }
     single_ok = {
         "heavy_hitter_terms",
@@ -295,6 +296,7 @@ def test_deregistered_query_plan_sweep(spark):
                                       # (pinned by its dedicated plan test)
         "subquery_scalar_avg",  # scalar AVG subquery value
         "shard_mixing_quality",  # bounded (shard x source) aggregate total
+        "temperature_mixture_budgets",  # source-count-bounded normalizer
     }
 
     from data_pipeline_project_spark.functions.persist_scope import (
