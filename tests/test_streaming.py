@@ -502,3 +502,45 @@ def test_watermark_late_flags_planted_late_event(spark):
         ).collect()
     }
     assert out == {1: False, 2: False, 3: False, 4: True, 5: False}
+
+
+def test_stateful_dedup_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState TTL dedup: duplicates within a batch AND
+    across micro-batches emit exactly once; distinct texts all pass."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_project_spark.streaming.stateful_dedup import (
+        dedup_stream_first_seen,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    b1 = pd.DataFrame({"doc_id": [3, 1, 2], "text": ["alpha", "alpha", "beta"]})
+    b2 = pd.DataFrame({"doc_id": [4, 5], "text": ["alpha", "gamma"]})
+    pq.write_table(pa.Table.from_pandas(b1), str(src / "b1.parquet"))
+    pq.write_table(pa.Table.from_pandas(b2), str(src / "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = dedup_stream_first_seen(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("select * from dedup_out").collect()
+    by_text = {r.text: r.doc_id for r in rows}
+    assert len(rows) == 3, rows          # alpha, beta, gamma — once each
+    assert by_text["beta"] == 2 and by_text["gamma"] == 5
+    # 'alpha' won by the lowest id in whichever batch arrived first
+    assert by_text["alpha"] in (1, 4)
