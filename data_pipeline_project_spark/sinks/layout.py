@@ -144,3 +144,47 @@ def overlap_fraction(
         return 0.0
     hit = sum(1 for _, mn, mx in zone_maps if not (mx < lo or mn > hi))
     return hit / len(zone_maps)
+
+
+def prune_files(
+    zone_maps: list[tuple[str, object, object]], lo, hi
+) -> list[str]:
+    """File list a range scan must read: files whose footer [min,max]
+    can intersect [lo, hi]. A file with missing stats can never be
+    skipped (prune must degrade to reading, never to guessing)."""
+    return [
+        f
+        for f, mn, mx in zone_maps
+        if mn is None or mx is None or not (mx < lo or mn > hi)
+    ]
+
+
+def read_pruned(
+    spark,
+    duck,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    duck_type: str = "BIGINT",
+):
+    """Statistics-driven file-level pruning: list the parquet files
+    whose footer zone maps can contain ``col`` in [lo, hi] and scan
+    ONLY those, with the residual predicate still applied (the stats
+    prune is an optimization; the filter remains the truth — same
+    contract as an engine's partition pruning). On a range-clustered
+    or z-ordered layout this reads O(selectivity) of the files; on a
+    random layout it degrades to a full scan, never a wrong answer.
+
+    This is the manual twin of what a catalog-backed engine does with
+    table-level zone maps; exposed as an operator because plain
+    ``spark.read.parquet(dir)`` consults footers only per ROW GROUP
+    after listing + opening every file — at 100 TB the listing itself
+    is the cost a file-level prune avoids."""
+    zone_maps = file_zone_maps(duck, path, col, duck_type)
+    files = prune_files(zone_maps, lo, hi)
+    pred = F.col(col).between(F.lit(lo), F.lit(hi))
+    if not files:
+        # preserve schema: empty frame from the full layout
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*files).where(pred)

@@ -129,3 +129,37 @@ def test_zorder_key_interleaves(spark):
     assert got[(3, 0)] == 0b0101
     assert got[(0, 3)] == 0b1010
     assert got[(3, 3)] == 0b1111
+
+
+def test_read_pruned_scans_only_overlapping_files(spark, duck, tmp_path):
+    """read_pruned on a range-clustered layout: answers identical to a
+    full-scan filter while actually OPENING only the slice's files
+    (df.inputFiles() is the proof); missing-stats files never pruned."""
+    from data_pipeline_project_spark.sinks.layout import (
+        prune_files,
+        read_pruned,
+        write_range_clustered,
+    )
+
+    tidy = str(tmp_path / "tidy")
+    ev = _events(spark)
+    write_range_clustered(ev, tidy, "event_ts", N_FILES)
+
+    lo, hi = 1000, 2999
+    pruned = read_pruned(spark, duck, tidy, "event_ts", lo, hi)
+    expect = spark.read.parquet(tidy).where(
+        F.col("event_ts").between(lo, hi)
+    )
+    assert sorted((r.id, r.event_ts) for r in pruned.collect()) == sorted(
+        (r.id, r.event_ts) for r in expect.collect()
+    )
+    assert 0 < len(pruned.inputFiles()) <= 2  # the slice's file(s) only
+    assert len(expect.inputFiles()) == N_FILES
+
+    # degenerate range below the key space: no files, empty result,
+    # schema preserved
+    empty = read_pruned(spark, duck, tidy, "event_ts", -100, -1)
+    assert empty.count() == 0 and empty.columns == expect.columns
+
+    # missing stats -> must read (never guess)
+    assert prune_files([("f.parquet", None, None)], 0, 1) == ["f.parquet"]
