@@ -2015,3 +2015,67 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# ---- embedding QA: per-label centroid statistics (deregistered-parity) -----
+
+EMBEDDING_CENTROID_ORACLE = """
+WITH e AS (
+    SELECT label, vec_id, u.x['dim'] AS dim, u.x['val'] AS val
+    FROM embeddings,
+         unnest([{'dim': i, 'val': embedding[i]::DOUBLE}
+                 for i in range(1, len(embedding) + 1)]) u(x)
+),
+cent AS (
+    SELECT label, dim, round(avg(val), 6) AS c
+    FROM e GROUP BY 1, 2
+),
+cn AS (
+    SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
+    FROM cent GROUP BY 1
+),
+vn AS (
+    SELECT label, vec_id, round(sqrt(sum(val * val)), 6) AS vnorm
+    FROM e GROUP BY 1, 2
+),
+an AS (
+    SELECT label, count(*) AS n_vecs, round(avg(vnorm), 6) AS avg_vec_norm
+    FROM vn GROUP BY 1
+)
+SELECT an.label, an.n_vecs, cn.centroid_norm, an.avg_vec_norm
+FROM an JOIN cn USING (label)
+"""
+
+
+def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA before it feeds ANN/SemDeDup: per label,
+    vector count, the NORM of the label centroid (near-zero when a
+    label's vectors cancel — the classic symptom of mixed-up labels or
+    unnormalized averaging), and the mean per-vector norm (drift from
+    the unit sphere breaks cosine assumptions). The exploded
+    (vec_id, dim, val) representation keeps everything in plain
+    aggregates — no array kernels, no driver math, shuffles bounded by
+    labels x dims and vectors. Rounding points (centroid at 6, then
+    norms at 6) are identical in both engines so the floats hash."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    ).select("label", "vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    cent = e.groupBy("label", "dim").agg(F.round(F.avg("val"), 6).alias("c"))
+    cn = cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm")
+    )
+    vn = e.groupBy("label", "vec_id").agg(
+        F.round(F.sqrt(F.sum(F.col("val") * F.col("val"))), 6).alias("vnorm")
+    )
+    an = vn.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("vnorm"), 6).alias("avg_vec_norm"),
+    )
+    return an.join(cn, "label").select(
+        "label", "n_vecs", "centroid_norm", "avg_vec_norm"
+    )

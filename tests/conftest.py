@@ -64,6 +64,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "text_normalization_stats", "TEXT_NORMALIZATION_ORACLE"),
     ("llmops_queries", "temperature_mixture_budgets", "TEMPERATURE_MIXTURE_ORACLE"),
     ("llmops_queries", "dedup_keep_best_quality", "KEEP_BEST_QUALITY_ORACLE"),
+    ("llmops_queries", "embedding_centroid_stats", "EMBEDDING_CENTROID_ORACLE"),
 ]
 
 
