@@ -1493,3 +1493,170 @@ def feature_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
         (F.cume_dist().over(w) <= 0.25).alias("bottom_quartile"),
     )
+
+
+# ---- cohort retention (deregistered-parity) ---------------------------------
+
+COHORT_RETENTION_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY 1
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+    FROM events
+)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', f.cohort_week, a.active_week) / 7)::BIGINT AS week_offset,
+       count(DISTINCT a.user_id) AS n_active
+FROM firsts f JOIN activity a USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by the week of
+    their first event; per (cohort, week offset), how many are still
+    active. Two narrow aggregates + one join keyed by user — shuffle
+    bounded by |users|, never |events|, and the matrix itself is
+    weeks x weeks rows."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            # formatted string: dates cross the pandas/DuckDB hash
+            # boundary as objects vs datetime64 otherwise
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+# ---- funnel conversion (deregistered-parity) --------------------------------
+
+FUNNEL_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+    GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY 1
+)
+SELECT 'step1_view' AS step, count(*) AS n_users FROM s1
+UNION ALL SELECT 'step2_click', count(*) FROM s2
+UNION ALL SELECT 'step3_purchase', count(*) FROM s3
+"""
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user converts at
+    step N only with an event strictly AFTER their previous step's
+    first event (the ordering is the analysis — unordered presence
+    counting over-reports). Each stage is one filtered aggregate plus a
+    user-keyed join: shuffles bounded by |users|."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_type")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("step1_view").alias("step"), "n_users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("step2_click").alias("step"), "n_users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("step3_purchase").alias("step"), "n_users"
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+# ---- trailing-window anomaly z-score (deregistered-parity) ------------------
+
+ANOMALY_ZSCORE_ORACLE = """
+WITH w AS (
+    SELECT event_id, user_id, value, ts,
+           avg(value) OVER tw AS mu,
+           stddev_samp(value) OVER tw AS sigma,
+           count(*) OVER tw AS n_prev
+    FROM events
+    WINDOW tw AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                            AND INTERVAL 1 MICROSECOND PRECEDING)
+)
+SELECT event_id,
+       round((value - mu) / sigma, 6) AS zscore
+FROM w
+WHERE n_prev >= 3 AND sigma > 0
+"""
+
+
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event anomaly score against the SAME USER's trailing hour
+    (exclusive of the current event): the streaming-monitor shape a
+    sensor pipeline alarms on. RANGE frame over event-time per user —
+    per-key parallel windows, no global sort; events with fewer than 3
+    trailing points or zero variance are unscored rather than
+    fake-scored."""
+    from pyspark.sql import Window
+
+    from data_pipeline_project_spark.operators.temporal import _epoch_us
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value", "ts"
+    )
+    us = _epoch_us(F.col("ts"))
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy(us.cast("bigint"))
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    w = ev.select(
+        "event_id",
+        "value",
+        F.avg("value").over(tw).alias("mu"),
+        F.stddev_samp("value").over(tw).alias("sigma"),
+        F.count(F.lit(1)).over(tw).alias("n_prev"),
+    )
+    return w.where((F.col("n_prev") >= 3) & (F.col("sigma") > 0)).select(
+        "event_id",
+        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+    )

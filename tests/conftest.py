@@ -65,6 +65,9 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "temperature_mixture_budgets", "TEMPERATURE_MIXTURE_ORACLE"),
     ("llmops_queries", "dedup_keep_best_quality", "KEEP_BEST_QUALITY_ORACLE"),
     ("llmops_queries", "embedding_centroid_stats", "EMBEDDING_CENTROID_ORACLE"),
+    ("relational_queries", "cohort_retention", "COHORT_RETENTION_ORACLE"),
+    ("relational_queries", "funnel_conversion", "FUNNEL_ORACLE"),
+    ("relational_queries", "event_anomaly_zscore", "ANOMALY_ZSCORE_ORACLE"),
 ]
 
 

@@ -297,6 +297,8 @@ def test_deregistered_query_plan_sweep(spark):
         "subquery_scalar_avg",  # scalar AVG subquery value
         "shard_mixing_quality",  # bounded (shard x source) aggregate total
         "temperature_mixture_budgets",  # source-count-bounded normalizer
+        "funnel_conversion",  # three global step COUNTS: only map-side
+                              # partial-agg rows reach the final agg
     }
 
     from data_pipeline_project_spark.functions.persist_scope import (
