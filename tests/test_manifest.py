@@ -1,0 +1,52 @@
+"""Snapshot manifests (sinks/manifest.py): reads pinned to a file set,
+immune to concurrent appends, loud on deletion, auditable offline."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.sinks.manifest import (
+    read_snapshot,
+    verify_snapshot,
+    write_manifest,
+)
+
+
+def test_snapshot_read_ignores_later_appends(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("v1").alias("tag")
+    ).repartition(4).write.parquet(path)
+
+    manifest = write_manifest(path)
+    assert manifest["total_rows"] == 100 and manifest["n_files"] == 4
+
+    # concurrent ingest appends more rows AFTER the snapshot
+    spark.range(100, 150).select(
+        F.col("id").alias("doc_id"), F.lit("v2").alias("tag")
+    ).repartition(2).write.mode("append").parquet(path)
+
+    assert spark.read.parquet(path).count() == 150       # live view grew
+    snap = read_snapshot(spark, manifest)
+    assert snap.count() == 100                            # snapshot didn't
+    assert {r.tag for r in snap.select("tag").distinct().collect()} == {"v1"}
+
+    # the manifest file itself round-trips
+    snap2 = read_snapshot(spark, os.path.join(path, "_manifest.json"))
+    assert snap2.count() == 100
+
+
+def test_snapshot_fails_loudly_on_deleted_file_and_audits(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "corpus")
+    spark.range(0, 40).toDF("doc_id").repartition(4).write.parquet(path)
+    manifest = write_manifest(path)
+    assert verify_snapshot(manifest) == []
+
+    victim = os.path.join(path, manifest["files"][0]["path"])
+    os.remove(victim)
+    problems = verify_snapshot(manifest)
+    assert len(problems) == 1 and problems[0].startswith("missing:")
+    with pytest.raises(FileNotFoundError, match="unreproducible"):
+        read_snapshot(spark, manifest)
