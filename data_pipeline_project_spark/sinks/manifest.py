@@ -112,3 +112,93 @@ def verify_snapshot(manifest: dict | str) -> list[str]:
                 f"{os.path.getsize(f)} != {entry['bytes']}"
             )
     return problems
+
+
+def delete_rows_targeted(
+    spark,
+    duck,
+    path: str,
+    key_col: str,
+    keys_df: DataFrame,
+    duck_type: str = "BIGINT",
+) -> dict:
+    """Targeted row deletion (the GDPR/right-to-be-forgotten shape):
+    rewrite ONLY the parquet files whose footer zone maps can contain a
+    key from ``keys_df``; every other file stays byte-identical. At
+    100 TB with clustered layout this touches O(selectivity) files —
+    the difference between a delete costing minutes and a full-table
+    rewrite costing a day.
+
+    Protocol (crash-safe in the same sense as compaction: every step
+    is either additive or an atomic rename):
+
+    1. zone-map prune: candidate files = those whose [min,max] overlaps
+       any requested key (file-level, metadata only);
+    2. rewrite each candidate file's survivors to a new file beside it
+       (left_anti join against the BROADCAST key set — deletes are
+       assumed human-scale, millions not billions);
+    3. atomically swap: remove originals only after the replacement is
+       fully written.
+
+    Returns {files_total, files_rewritten, rows_deleted}. Keys absent
+    from the table are a no-op. Not transactional across files (a
+    crash mid-swap leaves some files deleted-from and others not —
+    rerunning converges, since the operation is idempotent); pair with
+    write_manifest for an auditable before/after."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_spark.sinks.layout import file_zone_maps
+
+    keys = [r[0] for r in keys_df.select(key_col).distinct().collect()]
+    if not keys:
+        return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
+    lo, hi = min(keys), max(keys)
+    zone_maps = file_zone_maps(duck, path, key_col, duck_type)
+    key_set = set(keys)
+    candidates = [
+        f
+        for f, mn, mx in zone_maps
+        if mn is None
+        or mx is None
+        or any(mn <= k <= mx for k in key_set if lo <= k <= hi)
+    ]
+    rows_deleted = 0
+    rewritten = 0
+    kdf = F.broadcast(keys_df.select(F.col(key_col)).distinct())
+    for f in candidates:
+        src = spark.read.parquet(f)
+        before = src.count()
+        survivors = src.join(kdf, key_col, "left_anti")
+        after = survivors.count()
+        if after == before:
+            continue  # zone map said maybe; the data says no match
+        rows_deleted += before - after
+        rewritten += 1
+        tmp_dir = f + ".rewrite"
+        survivors.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        part = [
+            p
+            for p in os.listdir(tmp_dir)
+            if p.endswith(".parquet") and not p.startswith((".", "_"))
+        ]
+        os.replace(os.path.join(tmp_dir, part[0]), f)
+        # Hadoop's local FS keeps .<name>.crc checksum sidecars keyed by
+        # file name: carry the NEW file's checksum to the target name
+        # (a stale sidecar makes every later read fail ChecksumException).
+        d, base = os.path.split(f)
+        old_crc = os.path.join(d, f".{base}.crc")
+        if os.path.exists(old_crc):
+            os.remove(old_crc)
+        new_crc = os.path.join(tmp_dir, f".{part[0]}.crc")
+        if os.path.exists(new_crc):
+            os.replace(new_crc, old_crc)
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return {
+        "files_total": len(zone_maps),
+        "files_rewritten": rewritten,
+        "rows_deleted": rows_deleted,
+    }

@@ -50,3 +50,52 @@ def test_snapshot_fails_loudly_on_deleted_file_and_audits(spark, tmp_path):
     assert len(problems) == 1 and problems[0].startswith("missing:")
     with pytest.raises(FileNotFoundError, match="unreproducible"):
         read_snapshot(spark, manifest)
+
+
+def test_targeted_delete_rewrites_only_touched_files(spark, duck, tmp_path):
+    """GDPR-shape delete on a range-clustered layout: rows gone, every
+    file whose zone map excludes the keys stays BYTE-IDENTICAL, and a
+    rerun of the same delete is a no-op (idempotent)."""
+    import hashlib
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import delete_rows_targeted
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 97).alias("v")
+    )
+    write_range_clustered(df, path, "user_id", 10)
+
+    def snap():
+        return {
+            e["path"]: hashlib.md5(
+                open(os.path.join(path, e["path"]), "rb").read()
+            ).hexdigest()
+            for e in write_manifest(path)["files"]
+        }
+
+    before = snap()
+    # keys clustered in one file's range (plus one far key -> 2 files)
+    keys = spark.createDataFrame(
+        [(5,), (17,), (42,), (9_500,)], ["user_id"]
+    )
+    stats = delete_rows_targeted(spark, duck, path, "user_id", keys)
+    assert stats["rows_deleted"] == 4
+    assert 1 <= stats["files_rewritten"] <= 2
+
+    after = snap()
+    unchanged = [f for f in before if before[f] == after.get(f)]
+    assert len(unchanged) >= len(before) - 2   # untouched files byte-identical
+    assert spark.read.parquet(path).count() == 9_996
+    assert (
+        spark.read.parquet(path)
+        .where(F.col("user_id").isin([5, 17, 42, 9_500]))
+        .count()
+        == 0
+    )
+
+    # idempotent rerun: nothing to delete, nothing rewritten
+    stats2 = delete_rows_targeted(spark, duck, path, "user_id", keys)
+    assert stats2["rows_deleted"] == 0 and stats2["files_rewritten"] == 0
+    assert snap() == after
