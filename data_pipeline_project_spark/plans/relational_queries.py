@@ -1660,3 +1660,75 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
     )
+
+
+# ---- join-key skew diagnosis (deregistered-parity) ---------------------------
+
+JOIN_SKEW_ORACLE = """
+WITH f AS (
+    SELECT o_custkey AS key, count(*) AS n FROM orders
+    WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+s AS (
+    SELECT count(*) AS n_keys, sum(n)::BIGINT AS n_rows,
+           max(n) AS max_n,
+           round(avg(n::DOUBLE), 6) AS mean_n,
+           round(quantile_cont(n, 0.99), 6) AS p99_n
+    FROM f
+),
+top AS (
+    SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rk FROM f
+)
+SELECT t.rk AS hot_rank, t.key AS hot_key, t.n AS hot_rows,
+       s.n_keys, s.n_rows,
+       round(t.n::DOUBLE / s.mean_n, 6) AS x_mean,
+       round(t.n::DOUBLE * s.n_keys / s.n_rows, 6) AS share_x_keys,
+       t.n::DOUBLE > 4.0 * s.p99_n AS needs_salt
+FROM top t, s
+WHERE t.rk <= 10
+"""
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew diagnosis for a join/agg key: the top-10 hottest
+    key values with their multiple of the mean and a needs-salt verdict
+    (hot row count > 4x the p99 key count — the shape AQE's runtime
+    skew split handles, but that a planner wants to know BEFORE
+    shuffling 100 TB; feed flagged keys to functions/skew.salted_sum).
+    One key-count aggregate, then window + scalar join over the
+    key-count table — the raw table is scanned once."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    f = (
+        o.where(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = f.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.round(F.avg(F.col("n").cast("double")), 6).alias("mean_n"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_n"),
+    )
+    # top-10 via orderBy+limit compiles to TakeOrderedAndProject (a
+    # per-partition heap + driver merge of 10-row tops) — no global
+    # sort, no full-key-table single-partition window; the rank window
+    # then runs over exactly 10 rows.
+    top10 = f.orderBy(F.desc("n"), F.asc("key")).limit(10)
+    top = top10.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("key")))
+    )
+    return top.crossJoin(F.broadcast(s)).select(
+        F.col("rk").alias("hot_rank"),
+        F.col("key").alias("hot_key"),
+        F.col("n").alias("hot_rows"),
+        "n_keys",
+        "n_rows",
+        F.round(F.col("n").cast("double") / F.col("mean_n"), 6).alias("x_mean"),
+        F.round(
+            F.col("n").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+        ).alias("share_x_keys"),
+        (F.col("n").cast("double") > 4.0 * F.col("p99_n")).alias("needs_salt"),
+    )

@@ -68,6 +68,7 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "cohort_retention", "COHORT_RETENTION_ORACLE"),
     ("relational_queries", "funnel_conversion", "FUNNEL_ORACLE"),
     ("relational_queries", "event_anomaly_zscore", "ANOMALY_ZSCORE_ORACLE"),
+    ("relational_queries", "join_skew_report", "JOIN_SKEW_ORACLE"),
 ]
 
 

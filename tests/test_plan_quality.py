@@ -283,6 +283,7 @@ def test_deregistered_query_plan_sweep(spark):
         "unigram_logprob_score",  # corpus-size scalar onto the vocab agg
         "dedup_ngram_jaccard",  # sampled quadratic baseline — the cross join IS the op
         "shard_mixing_quality",  # single-row corpus-total scalar cross join
+        "join_skew_report",  # 10-row top-keys x 1-row stats cross join
         "temperature_mixture_budgets",  # two bounded scalar cross joins
     }
     single_ok = {
@@ -299,6 +300,8 @@ def test_deregistered_query_plan_sweep(spark):
         "temperature_mixture_budgets",  # source-count-bounded normalizer
         "funnel_conversion",  # three global step COUNTS: only map-side
                               # partial-agg rows reach the final agg
+        "join_skew_report",  # scalar stats row + rank window over the
+                             # 10-row TakeOrdered result
     }
 
     from data_pipeline_project_spark.functions.persist_scope import (
