@@ -202,3 +202,48 @@ def delete_rows_targeted(
         "files_rewritten": rewritten,
         "rows_deleted": rows_deleted,
     }
+
+
+def write_versioned_manifest(path: str) -> dict:
+    """Append-only snapshot history: write the manifest as
+    ``_manifests/v{N}.json`` (N = 1 + highest existing version) and
+    update ``_manifests/latest.json`` last — the minimal time-travel
+    log (Delta/Iceberg's snapshot chain, minus compaction of the log
+    itself). Returns the manifest with its ``version`` field set."""
+    mdir = os.path.join(path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    existing = [
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    ]
+    version = (max(existing) + 1) if existing else 1
+    manifest = write_manifest(path, os.path.join(mdir, f"v{version}.json"))
+    manifest["version"] = version
+    with open(os.path.join(mdir, f"v{version}.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    tmp = os.path.join(mdir, "latest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(mdir, "latest.json"))
+    return manifest
+
+
+def snapshot_versions(path: str) -> list[int]:
+    mdir = os.path.join(path, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    )
+
+
+def read_version(spark, path: str, version: int | None = None) -> DataFrame:
+    """Time travel: read the dataset as of snapshot ``version`` (None =
+    latest). A version whose files were since compacted away fails
+    loudly via read_snapshot's missing-file check."""
+    mdir = os.path.join(path, "_manifests")
+    name = "latest.json" if version is None else f"v{version}.json"
+    return read_snapshot(spark, os.path.join(mdir, name))

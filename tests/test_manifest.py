@@ -99,3 +99,27 @@ def test_targeted_delete_rewrites_only_touched_files(spark, duck, tmp_path):
     stats2 = delete_rows_targeted(spark, duck, path, "user_id", keys)
     assert stats2["rows_deleted"] == 0 and stats2["files_rewritten"] == 0
     assert snap() == after
+
+
+def test_versioned_snapshots_time_travel(spark, tmp_path):
+    """v1 written, data appended, v2 written: reading v1 returns the
+    old corpus, v2/latest the new one; versions enumerate in order."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        read_version,
+        snapshot_versions,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 60).toDF("doc_id").repartition(2).write.parquet(path)
+    m1 = write_versioned_manifest(path)
+    spark.range(60, 100).toDF("doc_id").repartition(2).write.mode(
+        "append"
+    ).parquet(path)
+    m2 = write_versioned_manifest(path)
+
+    assert (m1["version"], m2["version"]) == (1, 2)
+    assert snapshot_versions(path) == [1, 2]
+    assert read_version(spark, path, 1).count() == 60
+    assert read_version(spark, path, 2).count() == 100
+    assert read_version(spark, path).count() == 100  # latest
