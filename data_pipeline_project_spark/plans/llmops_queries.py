@@ -2079,3 +2079,82 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.join(cn, "label").select(
         "label", "n_vecs", "centroid_norm", "avg_vec_norm"
     )
+
+
+# ---- distribution drift: population stability index (deregistered) ---------
+
+_PSI_EDGES = [0, 25, 50, 100, 200, 400, 800]  # n_tokens bucket edges
+
+DRIFT_PSI_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'reference' ELSE 'current' END AS run,
+           len({SQL_TOKENS}) AS m
+    FROM documents
+),
+bucketed AS (
+    SELECT run,
+           CASE
+               WHEN m < 25 THEN 0 WHEN m < 50 THEN 1 WHEN m < 100 THEN 2
+               WHEN m < 200 THEN 3 WHEN m < 400 THEN 4 WHEN m < 800 THEN 5
+               ELSE 6
+           END AS bucket
+    FROM scored
+),
+counts AS (
+    SELECT bucket,
+           count(CASE WHEN run = 'reference' THEN 1 END) AS n_ref,
+           count(CASE WHEN run = 'current' THEN 1 END) AS n_cur
+    FROM bucketed GROUP BY 1
+),
+tot AS (SELECT sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur FROM counts)
+SELECT c.bucket, c.n_ref::BIGINT AS n_ref, c.n_cur::BIGINT AS n_cur,
+       round(((c.n_cur + 0.5) / (t.t_cur + 0.5)
+              - (c.n_ref + 0.5) / (t.t_ref + 0.5))
+             * ln(((c.n_cur + 0.5) / (t.t_cur + 0.5))
+                  / ((c.n_ref + 0.5) / (t.t_ref + 0.5))), 6) AS psi_term
+FROM counts c, tot t
+"""
+
+
+def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    corpus slice (doc_id parity stands in for two ingest runs): per
+    token-count bucket, both runs' counts and the PSI contribution
+    ``(q - p) * ln(q / p)`` with add-half smoothing so an empty bucket
+    contributes a finite term instead of infinity. Sum of psi_term > 0.2
+    is the classic retrain/alarm threshold. FIXED bucket edges — data-
+    derived quantile edges would make the monitor chase the drift it is
+    supposed to measure (and exact quantiles differ across engines).
+
+    Scale: one scan -> bucket projection -> 7-row aggregate; the totals
+    ride a broadcast cross join of a 1-row aggregate."""
+    d = load_table(spark, "documents", sf_dir)
+    from data_pipeline_project_spark.operators.text import tokens
+
+    m = F.size(tokens(F.col("text")))
+    bucket = (
+        F.when(m < 25, 0).when(m < 50, 1).when(m < 100, 2)
+        .when(m < 200, 3).when(m < 400, 4).when(m < 800, 5).otherwise(6)
+    )
+    run = F.when(F.col("doc_id") % 2 == 0, "reference").otherwise("current")
+    counts = (
+        d.select(run.alias("run"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("run") == "reference", 1)).alias("n_ref"),
+            F.count(F.when(F.col("run") == "current", 1)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5)
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+    )

@@ -69,6 +69,7 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "funnel_conversion", "FUNNEL_ORACLE"),
     ("relational_queries", "event_anomaly_zscore", "ANOMALY_ZSCORE_ORACLE"),
     ("relational_queries", "join_skew_report", "JOIN_SKEW_ORACLE"),
+    ("llmops_queries", "distribution_drift_psi", "DRIFT_PSI_ORACLE"),
 ]
 
 

@@ -284,6 +284,7 @@ def test_deregistered_query_plan_sweep(spark):
         "dedup_ngram_jaccard",  # sampled quadratic baseline — the cross join IS the op
         "shard_mixing_quality",  # single-row corpus-total scalar cross join
         "join_skew_report",  # 10-row top-keys x 1-row stats cross join
+        "distribution_drift_psi",  # 7-bucket x 1-row totals cross join
         "temperature_mixture_budgets",  # two bounded scalar cross joins
     }
     single_ok = {
@@ -302,6 +303,7 @@ def test_deregistered_query_plan_sweep(spark):
                               # partial-agg rows reach the final agg
         "join_skew_report",  # scalar stats row + rank window over the
                              # 10-row TakeOrdered result
+        "distribution_drift_psi",  # bounded 7-bucket aggregate totals
     }
 
     from data_pipeline_project_spark.functions.persist_scope import (
