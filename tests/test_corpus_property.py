@@ -218,3 +218,68 @@ def test_mixture_sample_matches_simulator(spark, rows, b0, b1):
         for r in mixture_sample(df, budgets).collect()
     }
     assert got == _mix_simulator(rows, budgets)
+
+
+# ---- watermark late-flag decomposition vs sequential simulator --------------
+
+# (arrival_key, event_time_seconds) — small domains force ties on
+# arrival (broken by the tiebreak id), equal timestamps, and bursts.
+_arrivals = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 5000)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _simulate_watermark(rows, delay_s):
+    """Sequential truth: iterate in (arrival_key, idx) order, flag rows
+    whose event time trails the running max of everything before by
+    more than the delay."""
+    ordered = sorted(
+        ((arr, idx, ts) for idx, (arr, ts) in enumerate(rows)),
+        key=lambda t: (t[0], t[1]),
+    )
+    out = {}
+    run_max = None
+    for _arr, idx, ts in ordered:
+        out[idx] = run_max is not None and ts < run_max - delay_s
+        run_max = ts if run_max is None else max(run_max, ts)
+    return out
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_arrivals, delay=st.integers(0, 600), buckets=st.integers(1, 5))
+def test_watermark_flags_match_sequential_simulator(spark, rows, delay, buckets):
+    """The bucketed two-phase prefix max must equal the sequential
+    running-max rule for ANY arrival order, delay, and bucket count —
+    including n_buckets=1 (everything in one bucket) and ties."""
+    from datetime import datetime, timedelta
+
+    from data_pipeline_project_spark.streaming.event_windows import (
+        watermark_late_flags,
+    )
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (idx, arr, base + timedelta(seconds=ts))
+            for idx, (arr, ts) in enumerate(rows)
+        ],
+        "idx long, arr long, ts timestamp",
+    )
+    got = {
+        r.idx: r.is_late
+        for r in watermark_late_flags(
+            df,
+            ts_col="ts",
+            arrival_col="arr",
+            tiebreak_col="idx",
+            delay_seconds=delay,
+            n_buckets=buckets,
+        ).collect()
+    }
+    assert got == _simulate_watermark(rows, delay)
