@@ -91,7 +91,9 @@ def read_snapshot(spark, manifest: dict | str) -> DataFrame:
             f"snapshot unreproducible: {len(missing)} manifest file(s) "
             f"gone, e.g. {missing[:3]}"
         )
-    return spark.read.parquet(*files)
+    # basePath keeps hive partition columns (shard=N/...) alive when
+    # reading an explicit file list instead of the directory.
+    return spark.read.option("basePath", root).parquet(*files)
 
 
 def verify_snapshot(manifest: dict | str) -> list[str]:

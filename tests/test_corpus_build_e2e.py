@@ -156,6 +156,18 @@ def _build(spark, tmp, tag):
     assert stats.files_after < stats.files_before
     assert spark.read.parquet(str(root / "train")).count() == before
 
+    # 5. version the finished corpus: the manifest pins the exact file
+    # set a training run would consume, and the pinned snapshot must
+    # read back the same rows even though compaction just rewrote files
+    from data_pipeline_project_spark.sinks.manifest import (
+        read_version,
+        write_versioned_manifest,
+    )
+
+    m = write_versioned_manifest(str(root / "train"))
+    assert m["version"] == 1
+    assert read_version(spark, str(root / "train"), 1).count() == before
+
     out = spark.read.parquet(str(root / "train"))
     return {
         s: sorted((r.doc_id, r.pack_seq, r.token_offset) for r in rows)

@@ -123,3 +123,21 @@ def test_versioned_snapshots_time_travel(spark, tmp_path):
     assert read_version(spark, path, 1).count() == 60
     assert read_version(spark, path, 2).count() == 100
     assert read_version(spark, path).count() == 100  # latest
+
+
+def test_snapshot_keeps_partition_columns(spark, tmp_path):
+    """Explicit-file-list reads must keep hive partition columns
+    (basePath) — a snapshot of a partitioned corpus that silently
+    drops `shard` would corrupt downstream writes."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        read_snapshot,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "p")
+    spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).alias("shard")
+    ).write.partitionBy("shard").parquet(path)
+    snap = read_snapshot(spark, write_manifest(path))
+    assert "shard" in snap.columns
+    assert snap.select("shard").distinct().count() == 4
