@@ -1732,3 +1732,132 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_x_keys"),
         (F.col("n").cast("double") > 4.0 * F.col("p99_n")).alias("needs_salt"),
     )
+
+
+# ---- TPC-H q8: national market share (deregistered-parity) ------------------
+
+Q8_MARKET_SHARE_ORACLE = """
+WITH volumes AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume,
+           n2.n_name AS supp_nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'EUROPE'
+      AND p_type = 'ECONOMY'
+      AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                           ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM volumes GROUP BY o_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adapted to the synthetic dims (reference scope: the
+    LLM-ops extension's relational tier): NATION_7's share of ECONOMY-
+    part revenue sold into EUROPE, by order year — the 8-table join
+    that exercises join ORDERING (the dims prune the fact before the
+    big joins when the optimizer orders them right) plus decimal-exact
+    conditional aggregation. All five dims broadcast; lineitem and
+    orders carry the only shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_natkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+
+    dec = "decimal(38,6)"
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+    volumes = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_natkey"))
+        .where(
+            F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast(dec)
+    return volumes.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+# ---- TPC-H q19: disjunctive predicate pushdown (deregistered-parity) --------
+
+Q19_DISJUNCTIVE_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 25 AND 50)
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's shape: a fact-dim join under a DISJUNCTION of
+    conjunctive predicate branches — the query pattern that punishes
+    engines which can't push the per-side residuals (p_* terms prune
+    the broadcast part side; the l_quantity envelope 1..50 subsumes all
+    branches so the fact filter stays post-join, exactly as TPC-H
+    intends)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(25, 50)
+        )
+    )
+    dec = "decimal(38,6)"
+    return j.where(cond).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

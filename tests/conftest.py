@@ -70,6 +70,8 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "event_anomaly_zscore", "ANOMALY_ZSCORE_ORACLE"),
     ("relational_queries", "join_skew_report", "JOIN_SKEW_ORACLE"),
     ("llmops_queries", "distribution_drift_psi", "DRIFT_PSI_ORACLE"),
+    ("relational_queries", "q8_market_share", "Q8_MARKET_SHARE_ORACLE"),
+    ("relational_queries", "q19_disjunctive_predicates", "Q19_DISJUNCTIVE_ORACLE"),
 ]
 
 

@@ -304,6 +304,8 @@ def test_deregistered_query_plan_sweep(spark):
         "join_skew_report",  # scalar stats row + rank window over the
                              # 10-row TakeOrdered result
         "distribution_drift_psi",  # bounded 7-bucket aggregate totals
+        "q19_disjunctive_predicates",  # single-row global revenue scalar:
+                                       # only partial-agg rows reach it
     }
 
     from data_pipeline_project_spark.functions.persist_scope import (
