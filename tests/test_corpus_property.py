@@ -283,3 +283,86 @@ def test_watermark_flags_match_sequential_simulator(spark, rows, delay, buckets)
         ).collect()
     }
     assert got == _simulate_watermark(rows, delay)
+
+
+# ---- funnel ordering vs sequential simulator ---------------------------------
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 8),              # user
+        st.integers(0, 40),             # ts (seconds; small domain forces ties)
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _simulate_funnel(rows):
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ts, et in rows:
+        by_user[u].append((ts, et))
+    counts = {"step1_view": 0, "step2_click": 0, "step3_purchase": 0}
+    for evs in by_user.values():
+        t1 = min((ts for ts, et in evs if et == "view"), default=None)
+        if t1 is None:
+            continue
+        counts["step1_view"] += 1
+        t2 = min((ts for ts, et in evs if et == "click" and ts > t1), default=None)
+        if t2 is None:
+            continue
+        counts["step2_click"] += 1
+        t3 = min(
+            (ts for ts, et in evs if et == "purchase" and ts > t2), default=None
+        )
+        if t3 is not None:
+            counts["step3_purchase"] += 1
+    return counts
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_funnel_events)
+def test_funnel_ordering_matches_simulator(spark, rows):
+    """Strict temporal ordering on randomized event streams — ties
+    (same-second view+click) must NOT convert, later steps before
+    earlier ones must NOT count."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    base = datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(u, base + timedelta(seconds=ts), et) for u, ts, et in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    got = {
+        "step1_view": s1.count(),
+        "step2_click": s2.count(),
+        "step3_purchase": s3.count(),
+    }
+    assert got == _simulate_funnel(rows)

@@ -333,3 +333,16 @@ def test_deregistered_query_plan_sweep(spark):
         if "SinglePartition" in plan and fn_name not in single_ok:
             problems.append(f"{fn_name}: SinglePartition exchange")
     assert not problems, problems
+
+
+def test_q8_all_dims_broadcast_one_exchange(spark):
+    """The 8-table q8 must resolve every dim join as a broadcast (no
+    SortMergeJoin at this scale) with filters pushed to the scans and
+    exactly one Exchange (the final year aggregate)."""
+    plan = plan_of(spark, "q8_market_share")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("p_type" in x for x in pushed), plan
+    assert any("o_orderdate" in x for x in pushed), plan
