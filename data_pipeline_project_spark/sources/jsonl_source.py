@@ -82,3 +82,22 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         FILE_COL, F.col(CORRUPT_COL).alias("raw_line")
     )
     return clean, quarantined
+
+
+def write_documents_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str = "gzip",
+    max_records_per_file: int | None = 100_000,
+) -> None:
+    """Corpus interchange export: gzip JSONL shards — the format every
+    external training-data consumer (and this module's own reader)
+    speaks. ``maxRecordsPerFile`` bounds shard size so downstream
+    loaders stream rather than slurp; writing distributes with the
+    frame's partitioning (repartition upstream to set shard count).
+    Round-trips through :func:`read_documents_jsonl` byte-faithfully
+    for the document schema (doc_id, text, meta)."""
+    w = df.write.mode("overwrite").option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.json(path)
