@@ -162,3 +162,67 @@ def interval_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="user_id",
         bucket_seconds=7200,
     )
+
+
+# ---- regular-grid resample + forward fill (deregistered-parity) -------------
+
+RESAMPLE_FFILL_ORACLE = """
+WITH obs AS (
+    SELECT user_id, ts, max(value) AS value
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+    FROM obs GROUP BY 1
+),
+grid AS (
+    SELECT b.user_id, g.grid_ts
+    FROM bounds b,
+         LATERAL (SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 6 HOUR))
+                  AS grid_ts) g
+)
+SELECT grid.user_id, grid.grid_ts, obs.value AS value_ffill
+FROM grid ASOF LEFT JOIN obs
+  ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ts
+"""
+
+
+def resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor-series resampling: per key, a regular 6-hour grid from
+    the first observation's hour to the last observation, each grid
+    point carrying the last observed value at or before it (LOCF) —
+    null before the first observation, never fabricated. The dashboard/
+    feature-store shape the reference's weather domain implies but its
+    row-loop could never do at scale.
+
+    Composition, not new machinery: the grid is a per-key
+    ``sequence()`` explode (rows = time-span/step, independent of event
+    count), and the fill is exactly :func:`operators.temporal.asof_join`
+    backward — one shuffle of grid + observations, per-key windows.
+    Observations are pre-reduced to (key, ts, max(value)) so ties at
+    identical timestamps are deterministic in both engines."""
+    from data_pipeline_project_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    obs = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    bounds = obs.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS"))
+        ).alias("grid_ts"),
+    )
+    out = asof_join(
+        grid,
+        obs,
+        on="user_id",
+        left_ts="grid_ts",
+        right_ts="ts",
+        right_cols=["value"],
+        direction="backward",
+        prefix="",
+        ts_out="_obs_ts",
+    )
+    return out.select("user_id", "grid_ts", F.col("value").alias("value_ffill"))

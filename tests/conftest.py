@@ -72,6 +72,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "distribution_drift_psi", "DRIFT_PSI_ORACLE"),
     ("relational_queries", "q8_market_share", "Q8_MARKET_SHARE_ORACLE"),
     ("relational_queries", "q19_disjunctive_predicates", "Q19_DISJUNCTIVE_ORACLE"),
+    ("temporal_queries", "resample_forward_fill", "RESAMPLE_FFILL_ORACLE"),
 ]
 
 
