@@ -2158,3 +2158,105 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cur").cast("bigint").alias("n_cur"),
         F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
     )
+
+
+# ---- hard-negative mining for contrastive training (deregistered) ----------
+
+def _hard_negative_oracle() -> str:
+    dot_qc = SQL_DOT.format(a="q.embedding", b="c.embedding")
+    dot_qq = SQL_DOT.format(a="q.embedding", b="q.embedding")
+    dot_cc = SQL_DOT.format(a="c.embedding", b="c.embedding")
+    return f"""
+WITH sims AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           c.vec_id AS negative_id,
+           round(({dot_qc}) / (sqrt({dot_qq}) * sqrt({dot_cc})), 6) AS cosine_sim
+    FROM embeddings q JOIN embeddings c
+      ON q.vec_id < 10 AND c.label != q.label
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, negative_id) AS rank
+    FROM sims
+)
+SELECT query_id, query_label, negative_id, cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+HARD_NEGATIVES_ORACLE = _hard_negative_oracle()
+
+
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-5 most-similar vectors with a DIFFERENT label — the negatives
+    that actually move an embedding model (random negatives are mostly
+    trivial). Same broadcast-queries + Arrow cosine kernel + per-query
+    window as the brute-force top-k, with the cross-label predicate
+    inside the join; swap the corpus scan for the IVF index at scale
+    (candidates from probed lists, label filter in the rerank)."""
+    from data_pipeline_project_spark.operators.similarity import _as_double, cosine
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("c_label"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("c_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id")
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 5
+    )
+
+
+# ---- keyed PII pseudonymization (deregistered-parity) -----------------------
+
+PSEUDONYMIZE_ORACLE = """
+WITH p AS (
+    SELECT substr(sha256('pepper-v1' || user_id::VARCHAR), 1, 16) AS user_pseudo,
+           event_id
+    FROM events WHERE user_id IS NOT NULL
+)
+SELECT user_pseudo, count(*) AS n_events,
+       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+FROM p GROUP BY 1
+"""
+
+
+def pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization of a direct identifier: user ids become
+    sha256(secret || id) prefixes — deterministic, so joins and
+    group-bys still work across tables pseudonymized with the same
+    key, but the mapping is irreversible without the secret (rotate
+    the secret to break linkage between releases). The secret is a
+    literal here; in production it is config-injected like the
+    validation bounds. Grouping by the pseudonym IS the proof that
+    join-preservation survived the transform."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id").isNotNull())
+    pseudo = F.substring(
+        F.sha2(F.concat(F.lit("pepper-v1"), F.col("user_id").cast("string")), 256),
+        1,
+        16,
+    )
+    return ev.groupBy(pseudo.alias("user_pseudo")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )

@@ -73,6 +73,8 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "q8_market_share", "Q8_MARKET_SHARE_ORACLE"),
     ("relational_queries", "q19_disjunctive_predicates", "Q19_DISJUNCTIVE_ORACLE"),
     ("temporal_queries", "resample_forward_fill", "RESAMPLE_FFILL_ORACLE"),
+    ("llmops_queries", "hard_negatives_topk", "HARD_NEGATIVES_ORACLE"),
+    ("llmops_queries", "pii_pseudonymize", "PSEUDONYMIZE_ORACLE"),
 ]
 
 

@@ -284,6 +284,8 @@ def test_deregistered_query_plan_sweep(spark):
         "dedup_ngram_jaccard",  # sampled quadratic baseline — the cross join IS the op
         "shard_mixing_quality",  # single-row corpus-total scalar cross join
         "join_skew_report",  # 10-row top-keys x 1-row stats cross join
+        "hard_negatives_topk",  # bounded query-set broadcast, same as
+                                # similarity_topk_bruteforce
         "distribution_drift_psi",  # 7-bucket x 1-row totals cross join
         "temperature_mixture_budgets",  # two bounded scalar cross joins
     }
