@@ -610,3 +610,38 @@ def random_projection(
             _as_double(F.col(vec_col))
         ).alias(out_col),
     )
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance: assign NEW vectors to the
+    EXISTING centroids and append them to their list partitions —
+    ingest-sized work (one Arrow assignment pass over the batch, an
+    append write into the touched ``list_id=k/`` directories), never a
+    retrain or corpus rescan. Centroids drift as the distribution
+    drifts; rebuild on a cadence (or when
+    :func:`plans.llmops_queries.distribution_drift_psi` alarms), append
+    between rebuilds — the standard serving pattern. Returns the number
+    of vectors appended.
+
+    Append visibility relies on the reader listing files at query time
+    (query_ivf_index reads the directory per query) — a pinned
+    :mod:`sinks.manifest` snapshot deliberately would NOT see appends.
+    """
+    spark = new_vectors.sparkSession
+    cents = [
+        r.centroid
+        for r in spark.read.parquet(f"{path}/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    ]
+    assigned = new_vectors.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "list_id", F.element_at(ivf_lists(F.col(vec_col), cents, 1), 1)
+    )
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("list_id").parquet(f"{path}/lists")
+    return n

@@ -163,3 +163,31 @@ def test_random_projection_candidate_generation_contains_true_topk(spark):
     cands = cosine_topk(proj, proj.where(F.col("vec_id") < 20), k=100)
     cand_set = {(r.query_id, r.neighbor_id) for r in cands.collect()}
     assert len(exact & cand_set) / len(exact) >= 0.65
+
+
+def test_append_to_index_equals_rebuild(spark, tmp_path):
+    """Appending a batch to a built index must serve the same top-k as
+    an index REBUILT over the union with the same centroids — and the
+    append must not touch untouched list partitions' existing files."""
+    from data_pipeline_project_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+
+    p1 = str(tmp_path / "incremental")
+    cents = build_ivf_index(base, p1, n_list=8)
+    appended = append_to_ivf_index(batch, p1)
+    assert appended == batch.count()
+
+    p2 = str(tmp_path / "rebuilt")
+    build_ivf_index(emb, p2, n_list=8, centroids=cents)
+
+    q = emb.where(F.col("vec_id") < 8)
+    a = _rows(query_ivf_index(spark, p1, q, k=5, n_probe=8))
+    b = _rows(query_ivf_index(spark, p2, q, k=5, n_probe=8))
+    assert a == b
