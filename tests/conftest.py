@@ -75,6 +75,24 @@ EXTRA_ORACLE_QUERIES = [
     ("temporal_queries", "resample_forward_fill", "RESAMPLE_FFILL_ORACLE"),
     ("llmops_queries", "hard_negatives_topk", "HARD_NEGATIVES_ORACLE"),
     ("llmops_queries", "pii_pseudonymize", "PSEUDONYMIZE_ORACLE"),
+    # TPC-H completion tier (round 6): the remaining classic shapes,
+    # adapted to the synthetic schema (see the section comment in
+    # plans/relational_queries.py).
+    ("relational_queries", "q2_min_cost_supplier", "Q2_MIN_COST_SUPPLIER_ORACLE"),
+    ("relational_queries", "q4_order_priority", "Q4_ORDER_PRIORITY_ORACLE"),
+    ("relational_queries", "q6_forecast_revenue", "Q6_FORECAST_REVENUE_ORACLE"),
+    ("relational_queries", "q7_volume_shipping", "Q7_VOLUME_SHIPPING_ORACLE"),
+    ("relational_queries", "q9_product_profit", "Q9_PRODUCT_PROFIT_ORACLE"),
+    ("relational_queries", "q11_important_stock", "Q11_IMPORTANT_STOCK_ORACLE"),
+    ("relational_queries", "q12_late_shipments", "Q12_LATE_SHIPMENTS_ORACLE"),
+    ("relational_queries", "q13_customer_distribution", "Q13_CUSTOMER_DISTRIBUTION_ORACLE"),
+    ("relational_queries", "q15_top_supplier", "Q15_TOP_SUPPLIER_ORACLE"),
+    ("relational_queries", "q16_supplier_part_count", "Q16_SUPPLIER_PART_COUNT_ORACLE"),
+    ("relational_queries", "q17_small_qty_revenue", "Q17_SMALL_QTY_REVENUE_ORACLE"),
+    ("relational_queries", "q18_large_volume_customer", "Q18_LARGE_VOLUME_CUSTOMER_ORACLE"),
+    ("relational_queries", "q20_excess_suppliers", "Q20_EXCESS_SUPPLIERS_ORACLE"),
+    ("relational_queries", "q21_waiting_suppliers", "Q21_WAITING_SUPPLIERS_ORACLE"),
+    ("relational_queries", "q22_global_sales", "Q22_GLOBAL_SALES_ORACLE"),
 ]
 
 

@@ -288,6 +288,9 @@ def test_deregistered_query_plan_sweep(spark):
                                 # similarity_topk_bruteforce
         "distribution_drift_psi",  # 7-bucket x 1-row totals cross join
         "temperature_mixture_budgets",  # two bounded scalar cross joins
+        "q11_important_stock",  # 1-row grand-total scalar cross join
+        "q15_top_supplier",  # 1-row max-revenue scalar cross join
+        "q22_global_sales",  # 1-row cohort-average scalar cross join
     }
     single_ok = {
         "heavy_hitter_terms",
@@ -308,6 +311,11 @@ def test_deregistered_query_plan_sweep(spark):
         "distribution_drift_psi",  # bounded 7-bucket aggregate totals
         "q19_disjunctive_predicates",  # single-row global revenue scalar:
                                        # only partial-agg rows reach it
+        "q6_forecast_revenue",  # single-row global revenue scalar
+        "q11_important_stock",  # 1-row grand total off the persisted agg
+        "q15_top_supplier",  # 1-row max off the persisted revenue agg
+        "q17_small_qty_revenue",  # single-row global revenue scalar
+        "q22_global_sales",  # 1-row cohort average off the persisted cohort
     }
 
     from data_pipeline_project_spark.functions.persist_scope import (
