@@ -2260,3 +2260,106 @@ def pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+# ---- RefinedWeb line-level boilerplate dedup (deregistered-parity) ----------
+
+BOILERPLATE_LINE_ORACLE = """
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'copyright 2026 example corp' || chr(10) || 'home about contact'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'rare line ' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+),
+parts AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM aug),
+lines AS (
+  SELECT doc_id, u.x['pos'] AS pos, trim(u.x['line']) AS line
+  FROM parts, unnest([{'pos': i - 1, 'line': p[i]} for i in range(1, len(p) + 1)]) u(x)
+),
+boiler AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)),
+rebuilt AS (
+  SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text,
+         count(*) AS n_kept FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, len(string_split(text, chr(10))) AS total FROM aug)
+SELECT t.doc_id, coalesce(r.text, '') AS text,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(t.total - coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_dropped
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style cross-document LINE deduplication
+    (operators/corpus.drop_boilerplate_lines): a line appearing in >= 5
+    distinct documents is boilerplate (cookie banners, nav bars,
+    footers) and is removed from every document, preserving the order
+    of surviving lines. The synthetic corpus is single-line, so the
+    harness plants the boilerplate deterministically in BOTH engines:
+    every third document gains a two-line footer, every fifth a unique
+    'rare line' (which must survive). The operator's scale shape: one
+    df-count shuffle on the line table, the (tiny) above-threshold
+    boilerplate set broadcast back as an anti join, one reassembly
+    shuffle on doc_id."""
+    from data_pipeline_project_spark.operators.corpus import drop_boilerplate_lines
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    footer = F.concat(
+        F.lit("\n"), F.lit("copyright 2026 example corp"), F.lit("\n"), F.lit("home about contact")
+    )
+    rare = F.concat(F.lit("\nrare line "), F.col("doc_id").cast("string"))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, footer).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, rare).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return drop_boilerplate_lines(aug, text_col="text", id_col="doc_id", min_df=5)
+
+
+# ---- Inverted index / posting lists (deregistered-parity) -------------------
+
+INVERTED_INDEX_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, u.x AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), unnest(toks) u(x)
+)
+SELECT term, count(*) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id)[1:20], ',') AS postings
+FROM pairs GROUP BY term
+"""
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the core build step of distributed
+    text search (and of the (doc,term) statistics behind tf-idf): per
+    term, the document frequency and the posting list of matching doc
+    ids, sorted ascending, CAPPED at the first 20 entries so a stop
+    word cannot materialize a corpus-sized array in one row, and
+    emitted comma-joined (the cross-engine compare hashes scalars, not
+    arrays). The
+    distinct (term, doc) pair table is ONE shuffle; the posting
+    aggregate is a second, keyed by term. At 100 TB postings are
+    segmented (one row per (term, doc_id_bucket)) instead of capped —
+    same plan with one more group key; the cap here keeps the oracle
+    row bounded. sort_array + slice makes the output deterministic
+    under any partitioning (collect_list order is not)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .distinct()
+    )
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+        ).alias("postings"),
+    )

@@ -2590,3 +2590,38 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(dec)).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---- Multiset (ALL) set operations (deregistered-parity) --------------------
+
+SET_OPS_ALL_ORACLE = """
+WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+SELECT 'union_all' AS op, count(*) AS n FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+UNION ALL
+SELECT 'intersect_all' AS op, count(*) AS n FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+UNION ALL
+SELECT 'except_all' AS op, count(*) AS n FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+"""
+
+
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) semantics for the set operators — UNION ALL /
+    INTERSECT ALL / EXCEPT ALL — beside the DISTINCT variants already
+    covered by set_union_intersect_except. INTERSECT ALL and EXCEPT ALL
+    preserve duplicate MULTIPLICITY (min / left-minus-right of per-row
+    counts), which Spark plans as a count-aggregated join, not a
+    distinct — the semantics ETL dedup logic gets wrong most often.
+    Summarized as counts so the result is scale-stable."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    rows = [
+        a.unionAll(b).agg(F.count(F.lit(1)).alias("n")).select(F.lit("union_all").alias("op"), "n"),
+        a.intersectAll(b).agg(F.count(F.lit(1)).alias("n")).select(F.lit("intersect_all").alias("op"), "n"),
+        a.exceptAll(b).agg(F.count(F.lit(1)).alias("n")).select(F.lit("except_all").alias("op"), "n"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

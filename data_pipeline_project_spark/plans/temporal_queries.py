@@ -10,7 +10,7 @@ answer, shuffle-bounded plan).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_project_spark.operators.temporal import (
@@ -226,3 +226,87 @@ def resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_out="_obs_ts",
     )
     return out.select("user_id", "grid_ts", F.col("value").alias("value_ffill"))
+
+
+# ---- Sensor gap detection (deregistered-parity) -----------------------------
+
+SENSOR_GAP_ORACLE = """
+WITH seq AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+)
+SELECT user_id,
+       strftime(prev_ts, '%Y-%m-%d %H:%M:%S') AS gap_start,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS gap_end,
+       CAST(date_diff('second', prev_ts, ts) // 60 AS BIGINT) AS gap_minutes
+FROM seq
+WHERE prev_ts IS NOT NULL AND date_diff('second', prev_ts, ts) // 60 > 1440
+"""
+
+
+def sensor_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-gap detection over the event stream — the monitoring query
+    every sensor/ingest pipeline runs ("which feeds went silent, and
+    for how long"): per user, consecutive-event pairs more than 24h
+    apart, with the gap's endpoints and its length in minutes. One
+    window shuffle on user_id (full tie-break on (ts, event_id) — ts
+    alone is not a total order). Timestamps are emitted as formatted
+    strings, and the minute difference is floor(elapsed-seconds / 60)
+    spelled explicitly in BOTH engines — DuckDB's date_diff('minute')
+    counts minute-BOUNDARY crossings, not elapsed minutes, and the two
+    disagree by one for sub-minute offsets."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gap_min = F.expr(
+        "(unix_timestamp(ts) - unix_timestamp(prev_ts)) div 60"
+    )
+    return (
+        seq.where(F.col("prev_ts").isNotNull() & (gap_min > 1440))
+        .select(
+            "user_id",
+            F.date_format("prev_ts", "yyyy-MM-dd HH:mm:ss").alias("gap_start"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("gap_end"),
+            gap_min.alias("gap_minutes"),
+        )
+    )
+
+
+# ---- State-change compression (deregistered-parity) -------------------------
+
+STATE_CHANGE_ORACLE = """
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (prev_type IS NULL OR event_type <> prev_type) AS BIGINT)
+           AS n_changes
+FROM seq GROUP BY user_id
+"""
+
+
+def state_change_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length (state-change) compression of an event stream: keep
+    only rows where the state differs from the user's previous state —
+    the CDC change-detection shape that turns an append-only reading
+    log into a compact transition log (at 100 TB, repeated-state
+    readings are the bulk of sensor data and this is the standard
+    pre-aggregation compression). Summarized per user as total events
+    vs surviving transitions; one window + one aggregate, both keyed on
+    user_id so the second shuffle is elided (same partitioning)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    is_change = F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(is_change, 1).otherwise(0)).cast("bigint").alias("n_changes"),
+    )

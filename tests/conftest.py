@@ -93,6 +93,12 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "q20_excess_suppliers", "Q20_EXCESS_SUPPLIERS_ORACLE"),
     ("relational_queries", "q21_waiting_suppliers", "Q21_WAITING_SUPPLIERS_ORACLE"),
     ("relational_queries", "q22_global_sales", "Q22_GLOBAL_SALES_ORACLE"),
+    # Round-6 second extension batch.
+    ("llmops_queries", "boilerplate_line_dedup", "BOILERPLATE_LINE_ORACLE"),
+    ("llmops_queries", "inverted_index_postings", "INVERTED_INDEX_ORACLE"),
+    ("relational_queries", "set_ops_all_variants", "SET_OPS_ALL_ORACLE"),
+    ("temporal_queries", "sensor_gap_report", "SENSOR_GAP_ORACLE"),
+    ("temporal_queries", "state_change_compress", "STATE_CHANGE_ORACLE"),
 ]
 
 

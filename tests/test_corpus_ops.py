@@ -307,3 +307,56 @@ def test_weighted_sample_large_weights_stay_weight_proportional(spark):
     ).collect()
     heavy = sum(1 for r in out if r.doc_id < 20)
     assert heavy >= 14, f"only {heavy}/20 heavy winners at w=1e9"
+
+
+def test_drop_boilerplate_lines_semantics(spark):
+    from data_pipeline_project_spark.operators.corpus import drop_boilerplate_lines
+
+    footer = "copyright 2026 example corp"
+    nav = "home | about | contact"
+    rows = []
+    for i in range(10):
+        body = f"unique body line {i}\nsecond unique line {i}"
+        text = f"{body}\n{footer}\n{nav}" if i < 8 else body
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = {
+        r.doc_id: r
+        for r in drop_boilerplate_lines(docs, min_df=5).collect()
+    }
+    assert len(out) == 10
+    for i in range(8):
+        # Footer lines (df=8 >= 5) dropped everywhere; unique lines and
+        # their order survive.
+        assert out[i].text == f"unique body line {i}\nsecond unique line {i}"
+        assert out[i].n_lines_kept == 2 and out[i].n_lines_dropped == 2
+    for i in (8, 9):
+        assert out[i].n_lines_dropped == 0 and out[i].n_lines_kept == 2
+
+
+def test_drop_boilerplate_lines_all_boilerplate_doc_survives_empty(spark):
+    from data_pipeline_project_spark.operators.corpus import drop_boilerplate_lines
+
+    # Doc 99 consists ONLY of boilerplate: it must come back with empty
+    # text, not vanish (dropping docs is the caller's policy decision).
+    rows = [(i, "same line everywhere") for i in range(6)] + [
+        (99, "same line everywhere"),
+        (100, "a genuinely unique line"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in drop_boilerplate_lines(docs, min_df=5).collect()}
+    assert len(out) == 8
+    assert out[99].text == "" and out[99].n_lines_kept == 0
+    assert out[100].text == "a genuinely unique line"
+
+
+def test_drop_boilerplate_trims_before_matching(spark):
+    from data_pipeline_project_spark.operators.corpus import drop_boilerplate_lines
+
+    # The same footer with varying indentation is ONE boilerplate line.
+    rows = [(i, f"body {i}\n   cookie banner   ") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = drop_boilerplate_lines(docs, min_df=5).collect()
+    assert all(r.n_lines_dropped == 1 for r in out)
+    assert all(r.text == f"body {r.doc_id}" for r in out)

@@ -316,6 +316,8 @@ def test_deregistered_query_plan_sweep(spark):
         "q15_top_supplier",  # 1-row max off the persisted revenue agg
         "q17_small_qty_revenue",  # single-row global revenue scalar
         "q22_global_sales",  # 1-row cohort average off the persisted cohort
+        "set_ops_all_variants",  # three global scalar counts (one per set op):
+                                 # only partial-agg rows reach each final agg
     }
 
     from data_pipeline_project_spark.functions.persist_scope import (
