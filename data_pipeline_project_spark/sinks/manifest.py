@@ -249,3 +249,119 @@ def read_version(spark, path: str, version: int | None = None) -> DataFrame:
     mdir = os.path.join(path, "_manifests")
     name = "latest.json" if version is None else f"v{version}.json"
     return read_snapshot(spark, os.path.join(mdir, name))
+
+
+def merge_upsert(
+    spark,
+    duck,
+    path: str,
+    key_col: str,
+    updates_df: DataFrame,
+    duck_type: str = "BIGINT",
+) -> dict:
+    """Copy-on-write MERGE INTO (the lakehouse upsert: Delta/Iceberg's
+    ``whenMatched update-all whenNotMatched insert``): rows of
+    ``updates_df`` REPLACE target rows with the same key and rows with
+    new keys are appended — rewriting ONLY the parquet files whose
+    footer zone maps can contain a matched key. At 100 TB with
+    key-clustered layout (sinks/layout.py) an upsert touches
+    O(selectivity) files, not the table.
+
+    Protocol (each step additive or an atomic remove, crash-rerunnable):
+
+    1. zone-map prune: candidate files whose [min,max] overlaps an
+       update key (metadata only);
+    2. per candidate, write the survivors (broadcast left_anti against
+       the update keys) to a NEW file name ``<stem>.m{version}.parquet``
+       and remove the original — a stale older snapshot then fails
+       LOUDLY on its missing file instead of silently reading rewritten
+       bytes (read_snapshot checks existence, not content);
+    3. append ALL update rows (replacements + inserts) as new data
+       files;
+    4. pin the post-merge file set with write_versioned_manifest.
+
+    Update keys must be unique (MERGE on duplicate source keys is
+    nondeterministic — raises ValueError, matching ANSI MERGE's
+    "cardinality violation" rather than picking a winner silently) and
+    the update schema must equal the target schema by name. Returns
+    {version, files_rewritten, rows_updated, rows_inserted}.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_spark.sinks.layout import file_zone_maps
+
+    target_cols = [f.name for f in spark.read.parquet(path).schema.fields]
+    if sorted(updates_df.columns) != sorted(target_cols):
+        raise ValueError(
+            f"merge schema mismatch: updates {sorted(updates_df.columns)} "
+            f"!= target {sorted(target_cols)}"
+        )
+    n_updates = updates_df.count()
+    n_keys = updates_df.select(key_col).distinct().count()
+    if n_keys != n_updates:
+        raise ValueError(
+            f"MERGE cardinality violation: {n_updates} update rows carry "
+            f"only {n_keys} distinct {key_col!r} values"
+        )
+
+    keys = [r[0] for r in updates_df.select(key_col).distinct().collect()]
+    lo, hi = min(keys), max(keys)
+    key_set = set(keys)
+    zone_maps = file_zone_maps(duck, path, key_col, duck_type)
+    candidates = [
+        f
+        for f, mn, mx in zone_maps
+        if mn is None
+        or mx is None
+        or any(mn <= k <= mx for k in key_set if lo <= k <= hi)
+    ]
+
+    pending = snapshot_versions(path)
+    version = (pending[-1] + 1) if pending else 1
+    kdf = F.broadcast(updates_df.select(F.col(key_col)).distinct())
+    rows_updated = 0
+    rewritten = 0
+    for i, f in enumerate(candidates):
+        src = spark.read.parquet(f)
+        before = src.count()
+        survivors = src.join(kdf, key_col, "left_anti")
+        after = survivors.count()
+        if after == before:
+            continue  # zone map said maybe; the data says no match
+        rows_updated += before - after
+        rewritten += 1
+        d, base = os.path.split(f)
+        new_name = os.path.join(d, f"{base[:-len('.parquet')]}.m{version}.parquet")
+        tmp_dir = f + ".rewrite"
+        survivors.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        part = [
+            p
+            for p in os.listdir(tmp_dir)
+            if p.endswith(".parquet") and not p.startswith((".", "_"))
+        ]
+        os.replace(os.path.join(tmp_dir, part[0]), new_name)
+        src_crc = os.path.join(tmp_dir, f".{part[0]}.crc")
+        if os.path.exists(src_crc):
+            os.replace(
+                src_crc,
+                os.path.join(d, f".{os.path.basename(new_name)}.crc"),
+            )
+        os.remove(f)
+        old_crc = os.path.join(d, f".{base}.crc")
+        if os.path.exists(old_crc):
+            os.remove(old_crc)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    # Append every update row (replacement or insert) in target column
+    # order as new data files under the table root.
+    updates_df.select(*target_cols).write.mode("append").parquet(path)
+
+    manifest = write_versioned_manifest(path)
+    return {
+        "version": manifest["version"],
+        "files_rewritten": rewritten,
+        "rows_updated": rows_updated,
+        "rows_inserted": n_updates - rows_updated,
+    }

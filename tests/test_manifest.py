@@ -141,3 +141,107 @@ def test_snapshot_keeps_partition_columns(spark, tmp_path):
     snap = read_snapshot(spark, write_manifest(path))
     assert "shard" in snap.columns
     assert snap.select("shard").distinct().count() == 4
+
+
+def test_merge_upsert_updates_and_inserts(spark, duck, tmp_path):
+    """Copy-on-write MERGE: matched keys get their rows REPLACED, new
+    keys are appended, files outside the matched key ranges stay
+    byte-identical, and the post-merge state equals a full-rewrite
+    reference merge."""
+    import hashlib
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import merge_upsert
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 97).alias("v")
+    )
+    write_range_clustered(df, path, "user_id", 10)
+
+    def snap():
+        return {
+            e["path"]: hashlib.md5(
+                open(os.path.join(path, e["path"]), "rb").read()
+            ).hexdigest()
+            for e in write_manifest(path)["files"]
+        }
+
+    before = snap()
+    # two clustered update keys + one insert key beyond the table range
+    updates = spark.createDataFrame(
+        [(5, -1), (17, -2), (20_000, -3)], ["user_id", "v"]
+    )
+    stats = merge_upsert(spark, duck, path, "user_id", updates)
+    assert stats["rows_updated"] == 2
+    assert stats["rows_inserted"] == 1
+    assert 1 <= stats["files_rewritten"] <= 2
+    assert stats["version"] >= 1
+
+    after = snap()
+    unchanged = [f for f in before if before[f] == after.get(f)]
+    assert len(unchanged) >= len(before) - 2
+
+    got = spark.read.parquet(path)
+    assert got.count() == 10_001
+    m = {r.user_id: r.v for r in got.where(F.col("user_id").isin([5, 17, 20_000, 42])).collect()}
+    assert m == {5: -1, 17: -2, 20_000: -3, 42: 42 % 97}
+
+    # MERGE is idempotent for the same update set: replaced rows are
+    # replaced again, final state unchanged.
+    stats2 = merge_upsert(spark, duck, path, "user_id", updates)
+    assert stats2["rows_updated"] == 3 and stats2["rows_inserted"] == 0
+    got2 = spark.read.parquet(path)
+    assert got2.count() == 10_001
+    assert {r.user_id: r.v for r in got2.where(F.col("user_id").isin([5, 17, 20_000])).collect()} == {
+        5: -1, 17: -2, 20_000: -3
+    }
+
+
+def test_merge_upsert_rejects_duplicate_source_keys_and_schema_drift(spark, duck, tmp_path):
+    import pytest
+
+    from data_pipeline_project_spark.sinks.manifest import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v")
+    ).write.parquet(path)
+
+    dup = spark.createDataFrame([(1, 10), (1, 11)], ["user_id", "v"])
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_upsert(spark, duck, path, "user_id", dup)
+
+    drift = spark.createDataFrame([(1, 10, "x")], ["user_id", "v", "extra"])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(spark, duck, path, "user_id", drift)
+
+
+def test_merge_upsert_stale_snapshot_fails_loudly(spark, duck, tmp_path):
+    """After a merge rewrites a file, the PRE-merge snapshot must fail
+    loudly (its pinned file is gone) — never silently serve post-merge
+    bytes as the old version."""
+    import pytest
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        merge_upsert,
+        read_version,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v")
+    )
+    write_range_clustered(df, path, "user_id", 4)
+    v1 = write_versioned_manifest(path)["version"]
+
+    updates = spark.createDataFrame([(5, -1)], ["user_id", "v"])
+    stats = merge_upsert(spark, duck, path, "user_id", updates)
+    assert stats["files_rewritten"] == 1
+
+    # post-merge version reads fine; the pre-merge one fails loudly
+    assert read_version(spark, path).where("user_id = 5").first().v == -1
+    with pytest.raises(FileNotFoundError, match="unreproducible"):
+        read_version(spark, path, v1).count()
