@@ -2491,31 +2491,31 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late), both keyed on l_orderkey with the supplier-inequality and
     lateness residuals riding the join. Lateness is l_shipdate >
     o_orderdate + 60 days (the synthetic schema's stand-in for
-    receipt-after-commit). Each side of the semi/anti pair is the same
-    pre-filtered lineitem projection, so the three scans the SQL
-    implies collapse to cheap reuse; the two join shuffles share the
+    receipt-after-commit). The SQL implies THREE lineitem scans and two
+    lineitem-orders joins; the plan materializes the late-lines table
+    ONCE (scoped persist — it is small: only late lines survive) and
+    derives both the probe side (status-F lines) and the anti side from
+    it, so the fact join runs once and the semi/anti shuffles share the
     l_orderkey key."""
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_4")
 
-    l1 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
+
+    late = scoped_persist(
+        li.join(_t(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey"))
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
+        .select("l_orderkey", "l_suppkey", "o_orderstatus")
     )
+    l1 = late.where(F.col("o_orderstatus") == "F").select("l_orderkey", "l_suppkey")
     # Any line of the order by a different supplier (order status is a
     # property of the order, so l2 needs no orders join).
     l2 = li.select(
         F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
     )
     # A DIFFERENT supplier's line on the same order that was ALSO late.
-    l3 = (
-        li.join(_t(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey"))
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3"))
-    )
+    l3 = late.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3"))
     waiting = (
         l1.join(
             l2,
@@ -2625,3 +2625,142 @@ def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---- Window value functions (deregistered-parity) ---------------------------
+
+WINDOW_VALUE_FUNCTIONS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER w AS quartile,
+       first_value(amt IGNORE NULLS) OVER wf AS first_amt,
+       last_value(amt IGNORE NULLS) OVER wf AS last_amt,
+       nth_value(amt, 2 IGNORE NULLS) OVER wf AS second_amt
+FROM (SELECT *, CASE WHEN o_orderstatus = 'P' THEN NULL
+                     ELSE o_totalprice END AS amt FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE window-function family beside the rank family
+    (window_topk_per_group) and frames (window_range_frame): ntile
+    bucketing, first_value / last_value / nth_value with IGNORE NULLS
+    over an explicit full-partition ROWS frame. The null-skipping
+    variants are the ones reporting code reaches for ("latest non-null
+    reading per key") and the classic trap is last_value under the
+    DEFAULT frame (RANGE ... CURRENT ROW — returns the current row, not
+    the partition's last): the frame is spelled explicitly in both
+    engines. One shuffle on o_custkey shared by both window specs; the
+    full tie-break (o_orderdate, o_orderkey) makes ntile's bucket
+    boundaries engine-independent."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "amt",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("amt", ignorenulls=True).over(wf).alias("first_amt"),
+        F.last("amt", ignorenulls=True).over(wf).alias("last_amt"),
+        F.nth_value("amt", 2, ignoreNulls=True).over(wf).alias("second_amt"),
+    )
+
+
+# ---- Array higher-order functions (deregistered-parity) ---------------------
+
+ARRAY_FUNCTIONS_ORACLE = """
+WITH qs AS (
+  SELECT l_orderkey, list_sort(list(l_quantity)) AS q
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, len(q) AS n_items,
+       CAST(list_aggregate(q, 'sum') AS DOUBLE) AS qty_total,
+       CAST(len(list_filter(q, x -> x >= 25)) AS BIGINT) AS n_big,
+       list_contains(q, 40.0) AS has_forty,
+       q[-1] - q[1] AS spread
+FROM qs
+"""
+
+
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array / higher-order-function surface (SURVEY §1.3's
+    array-typed columns beyond embeddings): per order, the sorted
+    quantity array is folded (aggregate), filtered (filter + size),
+    probed (array_contains), and indexed from both ends (element_at
+    with a negative index). Everything after the one collect_list
+    shuffle is JVM-side codegen over the array — zero Python, zero
+    extra exchange; the array_sort makes the collect_list order
+    irrelevant (the only way a collected array is deterministic under
+    partitioning). Quantities are integer-valued doubles, so the fold
+    sum is exact cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("q")
+    )
+    return qs.select(
+        "l_orderkey",
+        F.size("q").alias("n_items"),
+        F.aggregate(
+            "q", F.lit(0.0), lambda acc, x: acc + x
+        ).alias("qty_total"),
+        F.size(F.filter("q", lambda x: x >= 25)).cast("bigint").alias("n_big"),
+        F.array_contains("q", 40.0).alias("has_forty"),
+        (F.element_at("q", -1) - F.element_at("q", 1)).alias("spread"),
+    )
+
+
+# ---- Null-semantics contract (deregistered-parity) --------------------------
+
+NULL_SEMANTICS_ORACLE = """
+WITH t AS (
+  SELECT nullif(o_orderstatus, 'P') AS x, nullif(o_orderstatus, 'F') AS y
+  FROM orders
+)
+SELECT coalesce(x, '<null>') AS grp,
+       count(*) AS n_rows, count(y) AS n_y,
+       count(DISTINCT y) AS n_distinct_y,
+       CAST(sum(CASE WHEN x IS NOT DISTINCT FROM y THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nullsafe_eq
+FROM t GROUP BY x
+"""
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null-handling contract in one query — the semantics ETL
+    bugs live in: count(*) vs count(col) (null-skipping), DISTINCT
+    skipping nulls, GROUP BY producing a NULL group (displayed via
+    coalesce AFTER grouping on the nullable key), and null-safe
+    equality (Spark's <=> / ANSI IS NOT DISTINCT FROM) vs plain = —
+    which returns NULL, not false, when either side is null, silently
+    dropping rows from a WHERE. Pinning these cross-engine guards the
+    exact traps a migration from the reference's pandas semantics
+    (NaN-skipping) would hit."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("x"),
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("y"),
+    )
+    return (
+        o.groupBy("x")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("y").alias("n_y"),
+            F.countDistinct("y").alias("n_distinct_y"),
+            F.sum(F.when(F.col("x").eqNullSafe(F.col("y")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nullsafe_eq"),
+        )
+        .select(
+            F.coalesce(F.col("x"), F.lit("<null>")).alias("grp"),
+            "n_rows",
+            "n_y",
+            "n_distinct_y",
+            "n_nullsafe_eq",
+        )
+    )

@@ -99,6 +99,9 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "set_ops_all_variants", "SET_OPS_ALL_ORACLE"),
     ("temporal_queries", "sensor_gap_report", "SENSOR_GAP_ORACLE"),
     ("temporal_queries", "state_change_compress", "STATE_CHANGE_ORACLE"),
+    ("relational_queries", "window_value_functions", "WINDOW_VALUE_FUNCTIONS_ORACLE"),
+    ("relational_queries", "array_functions_suite", "ARRAY_FUNCTIONS_ORACLE"),
+    ("relational_queries", "null_semantics", "NULL_SEMANTICS_ORACLE"),
 ]
 
 
