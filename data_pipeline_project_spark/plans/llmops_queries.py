@@ -2363,3 +2363,79 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
         ).alias("postings"),
     )
+
+
+# ---- MinHash-LSH recall contract (deregistered-parity) ----------------------
+
+def _minhash_recall_oracle() -> str:
+    true_pairs = NGRAM_JACCARD_ORACLE.replace(">= 0.3", ">= 0.5").strip()
+    return (
+        "WITH "
+        + _minhash_ctes()
+        + f""",
+true_pairs AS ({true_pairs}),
+found AS (
+    SELECT p.id_a, p.id_b FROM pairs p
+    JOIN true_pairs t ON t.id_a = p.id_a AND t.id_b = p.id_b
+)
+SELECT (SELECT count(*) FROM true_pairs) AS n_true,
+       (SELECT count(*) FROM found) AS n_caught,
+       round((SELECT count(*) FROM found)::DOUBLE
+             / (SELECT count(*) FROM true_pairs), 6) AS recall,
+       (SELECT count(*) FROM found)::DOUBLE
+           / (SELECT count(*) FROM true_pairs) >= 0.9 AS meets_floor
+"""
+    )
+
+
+MINHASH_LSH_RECALL_ORACLE = _minhash_recall_oracle()
+
+
+def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-dedup twin of ivf_ann_recall: measured recall of the
+    banded MinHash-LSH candidate path against the EXACT pairwise
+    Jaccard truth on the bounded 500-doc window, with a >= 0.9 floor.
+    The corpus's true near-dups are near-identical (jaccard >= 0.9),
+    where the 4x4 banding's catch probability is ~1 - (1-j^4)^4 >
+    0.995 — so a recall miss means the pipeline (shingles, signatures,
+    banding, verification) broke, not that the corpus drifted. Both
+    engines rebuild identical buckets bit-for-bit, so even the
+    approximate path's counts hash-check exactly."""
+    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
+    from data_pipeline_project_spark.operators.dedup import (
+        jaccard,
+        minhash_lsh_pairs,
+        shingle_hashes,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    prefix = d.where(F.col("doc_id") < 500)
+    base = scoped_persist(
+        prefix.select("doc_id", shingle_hashes(F.col("text")).alias("sh")).where(
+            F.size("sh") > 0
+        )
+    )
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    true_pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard("sh_a", "sh_b").alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    found = (
+        minhash_lsh_pairs(d, threshold=0.5)
+        .select("id_a", "id_b")
+        .join(true_pairs, ["id_a", "id_b"], "left_semi")
+    )
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    n_caught = found.agg(F.count(F.lit(1)).alias("n_caught"))
+    return (
+        n_true.crossJoin(F.broadcast(n_caught))
+        .select(
+            "n_true",
+            "n_caught",
+            F.round(F.col("n_caught") / F.col("n_true"), 6).alias("recall"),
+            (F.col("n_caught") / F.col("n_true") >= 0.9).alias("meets_floor"),
+        )
+    )

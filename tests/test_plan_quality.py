@@ -291,6 +291,9 @@ def test_deregistered_query_plan_sweep(spark):
         "q11_important_stock",  # 1-row grand-total scalar cross join
         "q15_top_supplier",  # 1-row max-revenue scalar cross join
         "q22_global_sales",  # 1-row cohort-average scalar cross join
+        "minhash_lsh_recall",  # bounded 500-doc exact-truth window (the
+                               # same deliberate quadratic as
+                               # dedup_ngram_jaccard) + 1-row scalar join
     }
     single_ok = {
         "heavy_hitter_terms",
@@ -318,6 +321,7 @@ def test_deregistered_query_plan_sweep(spark):
         "q22_global_sales",  # 1-row cohort average off the persisted cohort
         "set_ops_all_variants",  # three global scalar counts (one per set op):
                                  # only partial-agg rows reach each final agg
+        "minhash_lsh_recall",  # two scalar pair counts
     }
 
     from data_pipeline_project_spark.functions.persist_scope import (
