@@ -120,7 +120,11 @@ def file_zone_maps(
     footers (no data read) — the pruning metadata any engine consults.
     Used by tests to prove layout quality; handy as an ops probe.
     DuckDB surfaces footer stats as strings; ``duck_type`` casts them
-    so min/max aggregate over row groups in value order."""
+    so min/max aggregate over row groups in value order. Files under
+    underscore-prefixed directories (_manifests/, _removed/ tombstones)
+    are excluded — DuckDB's glob does not share Spark's hidden-path
+    convention, and treating a retention tombstone as live data would
+    double-count it."""
     rows = duck.execute(
         f"""
         SELECT file_name,
@@ -132,7 +136,15 @@ def file_zone_maps(
         """,
         [f"{path}/**/*.parquet", col],
     ).fetchall()
-    return [(f, lo, hi) for f, lo, hi in rows]
+    import os
+
+    def _hidden(f: str) -> bool:
+        rel = os.path.relpath(f, path)
+        return any(
+            seg.startswith(("_", ".")) for seg in rel.split(os.sep)
+        )
+
+    return [(f, lo, hi) for f, lo, hi in rows if not _hidden(f)]
 
 
 def overlap_fraction(

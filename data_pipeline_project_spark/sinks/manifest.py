@@ -31,7 +31,10 @@ from pyspark.sql import DataFrame
 
 def _data_files(path: str) -> list[str]:
     out = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # prune hidden dirs (_manifests/, _removed/ tombstones, .staging)
+        # — Spark's reader skips them, so the manifest must too.
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for f in sorted(files):
             if f.endswith(".parquet") and not f.startswith((".", "_")):
                 out.append(os.path.join(root, f))
@@ -76,6 +79,23 @@ def read_manifest(manifest_path: str) -> dict:
         return json.load(fh)
 
 
+REMOVED_DIR = "_removed"
+
+
+def _resolve_snapshot_file(root: str, relpath: str) -> str | None:
+    """A manifest-pinned file lives either at its original path or —
+    after copy-on-write replaced it (merge_upsert) — under the hidden
+    ``_removed/`` retention area (underscore-prefixed, so directory
+    scans never see it). Returns the live path, or None if vacuumed."""
+    primary = os.path.join(root, relpath)
+    if os.path.exists(primary):
+        return primary
+    tomb = os.path.join(root, REMOVED_DIR, relpath)
+    if os.path.exists(tomb):
+        return tomb
+    return None
+
+
 def read_snapshot(spark, manifest: dict | str) -> DataFrame:
     """Read EXACTLY the files a manifest pins — appends since the
     snapshot are invisible, and a missing file fails loudly (the
@@ -84,7 +104,10 @@ def read_snapshot(spark, manifest: dict | str) -> DataFrame:
     if isinstance(manifest, str):
         manifest = read_manifest(manifest)
     root = manifest["root"]
-    files = [os.path.join(root, f["path"]) for f in manifest["files"]]
+    files = [
+        _resolve_snapshot_file(root, f["path"]) or os.path.join(root, f["path"])
+        for f in manifest["files"]
+    ]
     missing = [f for f in files if not os.path.exists(f)]
     if missing:
         raise FileNotFoundError(
@@ -105,8 +128,10 @@ def verify_snapshot(manifest: dict | str) -> list[str]:
     problems = []
     root = manifest["root"]
     for entry in manifest["files"]:
-        f = os.path.join(root, entry["path"])
-        if not os.path.exists(f):
+        # a copy-on-write merge may have tombstoned the file — resolve
+        # through _removed/ exactly like read_snapshot does.
+        f = _resolve_snapshot_file(root, entry["path"])
+        if f is None:
             problems.append(f"missing: {entry['path']}")
         elif os.path.getsize(f) != entry["bytes"]:
             problems.append(
@@ -248,7 +273,13 @@ def read_version(spark, path: str, version: int | None = None) -> DataFrame:
     loudly via read_snapshot's missing-file check."""
     mdir = os.path.join(path, "_manifests")
     name = "latest.json" if version is None else f"v{version}.json"
-    return read_snapshot(spark, os.path.join(mdir, name))
+    mpath = os.path.join(mdir, name)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"snapshot unreproducible: version manifest {name} does not "
+            f"exist (never written, or dropped by vacuum)"
+        )
+    return read_snapshot(spark, mpath)
 
 
 def merge_upsert(
@@ -348,10 +379,19 @@ def merge_upsert(
                 src_crc,
                 os.path.join(d, f".{os.path.basename(new_name)}.crc"),
             )
-        os.remove(f)
+        # Tombstone, don't delete: the replaced file moves to the hidden
+        # _removed/ retention area (directory scans skip underscore
+        # prefixes) so older snapshots stay readable until vacuum().
+        rel = os.path.relpath(f, path)
+        tomb = os.path.join(path, REMOVED_DIR, rel)
+        os.makedirs(os.path.dirname(tomb), exist_ok=True)
+        os.replace(f, tomb)
         old_crc = os.path.join(d, f".{base}.crc")
         if os.path.exists(old_crc):
-            os.remove(old_crc)
+            os.replace(
+                old_crc,
+                os.path.join(os.path.dirname(tomb), f".{base}.crc"),
+            )
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
     # Append every update row (replacement or insert) in target column
@@ -365,3 +405,155 @@ def merge_upsert(
         "rows_updated": rows_updated,
         "rows_inserted": n_updates - rows_updated,
     }
+
+
+def snapshot_diff(spark, path: str, v_from: int, v_to: int) -> dict:
+    """Audit what changed between two snapshot versions: rows added and
+    removed (multiset EXCEPT in both directions — an updated row counts
+    once on each side) plus the file-level delta straight from the two
+    manifests (no data read for that part). The row diff reads only the
+    NON-SHARED files of each version when both snapshots still resolve
+    — under copy-on-write (merge_upsert, compaction) shared files are
+    identical by construction, so the diff cost is proportional to the
+    churn, not the table. Returns {rows_added, rows_removed,
+    files_added, files_removed, files_shared}."""
+    mdir = os.path.join(path, "_manifests")
+    m_from = read_manifest(os.path.join(mdir, f"v{v_from}.json"))
+    m_to = read_manifest(os.path.join(mdir, f"v{v_to}.json"))
+    from_files = {f["path"] for f in m_from["files"]}
+    to_files = {f["path"] for f in m_to["files"]}
+    shared = from_files & to_files
+
+    def _read(manifest, only):
+        files = []
+        for f in manifest["files"]:
+            if f["path"] not in only:
+                continue
+            live = _resolve_snapshot_file(manifest["root"], f["path"])
+            if live is None:
+                raise FileNotFoundError(
+                    f"snapshot v-file vacuumed: {f['path']}"
+                )
+            files.append(live)
+        if not files:
+            return None
+        # no basePath: tombstoned files live outside the table root's
+        # partition structure; the diff is a row-level multiset compare.
+        return spark.read.parquet(*files)
+
+    old = _read(m_from, from_files - shared)
+    new = _read(m_to, to_files - shared)
+    if old is None and new is None:
+        rows_added = rows_removed = 0
+    elif old is None:
+        rows_added, rows_removed = new.count(), 0
+    elif new is None:
+        rows_added, rows_removed = 0, old.count()
+    else:
+        rows_added = new.exceptAll(old).count()
+        rows_removed = old.exceptAll(new).count()
+    return {
+        "rows_added": rows_added,
+        "rows_removed": rows_removed,
+        "files_added": len(to_files - shared),
+        "files_removed": len(from_files - shared),
+        "files_shared": len(shared),
+    }
+
+
+def checked_write(
+    df: DataFrame,
+    path: str,
+    rules,
+    mode: str = "append",
+) -> dict:
+    """Expectation-gated write (the write-audit-publish pattern): run
+    the declarative suite (operators/expectations.py — ONE aggregate
+    scan), and only if every rule passes write the data and pin a new
+    snapshot version. A failing batch writes NOTHING — no partial
+    files, no manifest bump — and the report says which rule failed.
+
+    The two scans (audit, then write) are the price of the gate without
+    staging; to pay one scan at 100 TB, write to a staging dir first
+    and promote on pass — same contract, same suite. Returns
+    {passed, version (when written), report: [(rule, metric, ok)]}.
+    """
+    from data_pipeline_project_spark.operators.expectations import (
+        expectation_report,
+    )
+
+    report = [
+        (r.rule_name, r.metric, r.passed)
+        for r in expectation_report(df, rules).collect()
+    ]
+    if not all(ok for _, _, ok in report):
+        return {"passed": False, "report": report}
+    df.write.mode(mode).parquet(path)
+    manifest = write_versioned_manifest(path)
+    return {"passed": True, "version": manifest["version"], "report": report}
+
+
+def read_with_schema_evolution(
+    spark, path: str, renames: dict[str, str] | None = None
+) -> DataFrame:
+    """Read a dataset whose parquet files were written under EVOLVED
+    schemas: ``mergeSchema`` unions the physical schemas (a column
+    absent from older files reads as null — additive evolution), and
+    ``renames`` maps old physical names to their current logical name
+    (rename evolution), coalescing old and new physical columns into
+    ONE logical column — the read-side half of what Iceberg tracks with
+    field ids. Raises if a rename would collide with an existing
+    logical column that has live values in the same file set."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for old, new in (renames or {}).items():
+        if old not in df.columns:
+            continue
+        if new in df.columns:
+            df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+        else:
+            df = df.withColumnRenamed(old, new)
+    return df
+
+
+def vacuum(path: str, keep_versions: int = 2) -> dict:
+    """Reclaim retention space: keep the newest ``keep_versions``
+    snapshot manifests, delete older manifest JSONs, and delete every
+    ``_removed/`` tombstone file that no KEPT manifest references.
+    After vacuum, time travel to a dropped version fails loudly
+    (read_snapshot's missing-file check) — the Delta VACUUM contract.
+    Returns {versions_dropped, tombstones_deleted}."""
+    import shutil
+
+    versions = snapshot_versions(path)
+    kept, dropped = versions[-keep_versions:], versions[:-keep_versions]
+    mdir = os.path.join(path, "_manifests")
+    referenced: set[str] = set()
+    for v in kept:
+        m = read_manifest(os.path.join(mdir, f"v{v}.json"))
+        referenced |= {f["path"] for f in m["files"]}
+    for v in dropped:
+        os.remove(os.path.join(mdir, f"v{v}.json"))
+
+    tomb_root = os.path.join(path, REMOVED_DIR)
+    deleted = 0
+    if os.path.isdir(tomb_root):
+        for root, _dirs, files in os.walk(tomb_root, topdown=False):
+            for f in files:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, tomb_root)
+                if f.startswith("."):  # checksum sidecar: follows its data file
+                    data_rel = os.path.join(
+                        os.path.dirname(rel), f[1:-len(".crc")]
+                    )
+                    if data_rel not in referenced:
+                        os.remove(full)
+                        continue
+                    continue
+                if rel not in referenced:
+                    os.remove(full)
+                    deleted += 1
+            if not os.listdir(root):
+                shutil.rmtree(root, ignore_errors=True)
+    return {"versions_dropped": len(dropped), "tombstones_deleted": deleted}

@@ -217,16 +217,20 @@ def test_merge_upsert_rejects_duplicate_source_keys_and_schema_drift(spark, duck
         merge_upsert(spark, duck, path, "user_id", drift)
 
 
-def test_merge_upsert_stale_snapshot_fails_loudly(spark, duck, tmp_path):
-    """After a merge rewrites a file, the PRE-merge snapshot must fail
-    loudly (its pinned file is gone) — never silently serve post-merge
-    bytes as the old version."""
+def test_merge_upsert_time_travel_until_vacuum(spark, duck, tmp_path):
+    """Replaced files are TOMBSTONED (moved to the hidden _removed/
+    area), so the pre-merge snapshot stays readable with its OLD values
+    — time travel across a merge — while directory reads see only the
+    post-merge state. vacuum() then reclaims the tombstones and the
+    dropped version fails loudly, never silently serving merged bytes
+    as the old version."""
     import pytest
 
     from data_pipeline_project_spark.sinks.layout import write_range_clustered
     from data_pipeline_project_spark.sinks.manifest import (
         merge_upsert,
         read_version,
+        vacuum,
         write_versioned_manifest,
     )
 
@@ -241,7 +245,102 @@ def test_merge_upsert_stale_snapshot_fails_loudly(spark, duck, tmp_path):
     stats = merge_upsert(spark, duck, path, "user_id", updates)
     assert stats["files_rewritten"] == 1
 
-    # post-merge version reads fine; the pre-merge one fails loudly
+    # post-merge latest sees the update; time travel to v1 sees the old
+    # value; the directory read sees exactly one row for the key.
     assert read_version(spark, path).where("user_id = 5").first().v == -1
+    assert read_version(spark, path, v1).where("user_id = 5").first().v == 5 % 7
+    assert spark.read.parquet(path).where("user_id = 5").count() == 1
+
+    # vacuum keeps only the newest version: v1 is gone and says so.
+    res = vacuum(path, keep_versions=1)
+    assert res["versions_dropped"] >= 1 and res["tombstones_deleted"] >= 1
     with pytest.raises(FileNotFoundError, match="unreproducible"):
         read_version(spark, path, v1).count()
+    # the surviving (latest) version still reads fine post-vacuum.
+    assert read_version(spark, path).where("user_id = 5").first().v == -1
+
+
+def test_snapshot_diff_counts_churn_only(spark, duck, tmp_path):
+    """Version diff after a merge: the row delta equals the merge's
+    updates+inserts, and shared (untouched) files are excluded from the
+    data read entirely."""
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        merge_upsert,
+        snapshot_diff,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 97).alias("v")
+    )
+    write_range_clustered(df, path, "user_id", 10)
+    v1 = write_versioned_manifest(path)["version"]
+
+    updates = spark.createDataFrame(
+        [(5, -1), (17, -2), (20_000, -3)], ["user_id", "v"]
+    )
+    stats = merge_upsert(spark, duck, path, "user_id", updates)
+    d = snapshot_diff(spark, path, v1, stats["version"])
+
+    # added: 3 update rows + survivors rewritten into new files;
+    # removed: the old versions of the same rewritten files. Net = +1.
+    assert d["rows_added"] - d["rows_removed"] == 1
+    # updated keys churn both sides: the 2 old rows removed, 2 new + 1
+    # inserted added (plus nothing else — survivors dedupe via exceptAll)
+    assert d["rows_removed"] == 2 and d["rows_added"] == 3
+    assert d["files_shared"] >= 8  # untouched clustered files
+    assert d["files_added"] >= 2 and d["files_removed"] >= 1
+
+
+def test_checked_write_gates_on_expectations(spark, tmp_path):
+    from data_pipeline_project_spark.operators.expectations import (
+        expect_between,
+        expect_not_null,
+    )
+    from data_pipeline_project_spark.sinks.manifest import checked_write
+
+    path = str(tmp_path / "t")
+    good = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("double").alias("v")
+    )
+    rules = [expect_not_null("v"), expect_between("v", 0, 4)]
+    res = checked_write(good, path, rules)
+    assert res["passed"] and res["version"] == 1
+    assert spark.read.parquet(path).count() == 100
+
+    bad = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(99.0).alias("v")
+    )
+    res2 = checked_write(bad, path, rules)
+    assert not res2["passed"]
+    failed = [name for name, _, ok in res2["report"] if not ok]
+    assert failed == ["between(v)"] or any("between" in f for f in failed)
+    # nothing written, no version bump
+    assert spark.read.parquet(path).count() == 100
+    from data_pipeline_project_spark.sinks.manifest import snapshot_versions
+
+    assert snapshot_versions(path) == [1]
+
+
+def test_read_with_schema_evolution_add_and_rename(spark, tmp_path):
+    from data_pipeline_project_spark.sinks.manifest import (
+        read_with_schema_evolution,
+    )
+
+    path = str(tmp_path / "t")
+    # era 1: (user_id, temp)  — old physical name
+    spark.createDataFrame([(1, 20.0), (2, 21.0)], ["user_id", "temp"]).write.mode(
+        "append"
+    ).parquet(path)
+    # era 2: renamed temp -> temperature, added humidity
+    spark.createDataFrame(
+        [(3, 22.5, 0.4)], ["user_id", "temperature", "humidity"]
+    ).write.mode("append").parquet(path)
+
+    got = read_with_schema_evolution(spark, path, renames={"temp": "temperature"})
+    rows = {r.user_id: (r.temperature, r.humidity) for r in got.collect()}
+    assert rows[1] == (20.0, None) and rows[2] == (21.0, None)
+    assert rows[3] == (22.5, 0.4)
+    assert set(got.columns) == {"user_id", "temperature", "humidity"}
