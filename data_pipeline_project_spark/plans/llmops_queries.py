@@ -2439,3 +2439,146 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_caught") / F.col("n_true") >= 0.9).alias("meets_floor"),
         )
     )
+
+
+# ---- reference-trained bigram LM score (deregistered-parity) ----------------
+
+BIGRAM_LOGPROB_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+),
+bg AS (
+    SELECT doc_id, u.x['w1'] AS w1, u.x['w2'] AS w2
+    FROM toks,
+         unnest([{{'w1': t[i-1], 'w2': t[i]}} for i in range(2, len(t) + 1)]) u(x)
+),
+train_tok AS (
+    SELECT unnest(t) AS term FROM toks WHERE doc_id % 2 = 0
+),
+uni AS (SELECT term, count(*) AS c FROM train_tok GROUP BY term),
+total AS (SELECT count(*) AS n FROM train_tok),
+big AS (
+    SELECT w1, w2, count(*) AS c12 FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2
+),
+big_lp AS (
+    SELECT big.w1, big.w2,
+           round(ln(0.7 * (c12::DOUBLE / u1.c)
+                    + 0.3 * (u2.c::DOUBLE / total.n)) * 1e6)::BIGINT AS lp6
+    FROM big
+    JOIN uni u1 ON u1.term = big.w1
+    JOIN uni u2 ON u2.term = big.w2, total
+),
+uni_lp AS (
+    SELECT term, round(ln(0.3 * (c::DOUBLE / n)) * 1e6)::BIGINT AS lp6
+    FROM uni, total
+),
+floor_lp AS (
+    SELECT round(ln(0.3 * 0.5 / n) * 1e6)::BIGINT AS lp6 FROM total
+),
+db AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY doc_id, w1, w2)
+SELECT db.doc_id,
+       sum(k)::BIGINT AS n_bigrams,
+       round(sum(k * coalesce(b.lp6, u.lp6, f.lp6))::DOUBLE
+             / (sum(k) * 1000000.0), 6) AS avg_logprob
+FROM db
+LEFT JOIN big_lp b ON b.w1 = db.w1 AND b.w2 = db.w2
+LEFT JOIN uni_lp u ON u.term = db.w2, floor_lp f
+GROUP BY db.doc_id
+"""
+
+
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's quality-scoring shape one order up from
+    unigram_logprob_score: mean per-bigram log probability under a
+    bigram LM trained on a REFERENCE SLICE of the corpus (doc_id % 2 =
+    0 — CCNet trains on Wikipedia for the same reason), scored with
+    Katz-style backoff: a bigram seen in training gets Jelinek-Mercer
+    interpolation P(w2|w1) = 0.7 c(w1,w2)/c(w1) + 0.3 c(w2)/N; an
+    unseen bigram backs off to 0.3 P(w2); an unseen WORD hits the
+    0.5-count floor. Training on the scored corpus itself is the trap
+    this design dodges (pinned by pytest): a self-trained conditional
+    gives singleton contexts P(w2|w1) = 1, scoring gibberish HIGH.
+
+    Plan: bigrams are a pure array HOF over the token array (no
+    positional self-join); the training aggregates are vocab-bounded
+    and broadcast; the per-(doc,bigram) counts left-join the LM tables
+    in backoff order. Log-probs are int64 microlog fixed-point, so
+    per-doc sums are order-independent — bit-stable cross-engine."""
+    from data_pipeline_project_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    # Spark's sequence(2, n) counts DOWN when n < 2 (DuckDB's range is
+    # empty there) — guard short docs explicitly.
+    idx = F.when(F.size("t") >= 2, F.sequence(F.lit(2), F.size("t"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("t", i - 1).alias("w1"),
+                    F.element_at("t", i).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+
+    is_train = F.col("doc_id") % 2 == 0
+    train_tok = toks.where(is_train).select(F.explode("t").alias("term"))
+    uni = train_tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = train_tok.agg(F.count(F.lit(1)).alias("n"))
+    big = bg.where(is_train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    big_lp = (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    0.7 * (F.col("c12").cast("double") / F.col("c1"))
+                    + 0.3 * (F.col("c2").cast("double") / F.col("n"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("lp6"),
+        )
+    )
+    uni_lp = uni.crossJoin(F.broadcast(total)).select(
+        F.col("term").alias("w2"),
+        F.round(F.log(0.3 * (F.col("c").cast("double") / F.col("n"))) * 1e6, 0)
+        .cast("bigint")
+        .alias("ulp6"),
+    )
+    floor_lp = total.select(
+        F.round(F.log(0.3 * 0.5 / F.col("n")) * 1e6, 0).cast("bigint").alias("flp6")
+    )
+
+    db = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    scored = (
+        db.join(big_lp, ["w1", "w2"], "left")
+        .join(F.broadcast(uni_lp), "w2", "left")
+        .crossJoin(F.broadcast(floor_lp))
+        .select(
+            "doc_id",
+            "k",
+            F.coalesce("lp6", "ulp6", "flp6").alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("k") * F.col("lp")).cast("double")
+            / (F.sum("k") * F.lit(1000000.0)),
+            6,
+        ).alias("avg_logprob"),
+    )

@@ -103,6 +103,7 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "array_functions_suite", "ARRAY_FUNCTIONS_ORACLE"),
     ("relational_queries", "null_semantics", "NULL_SEMANTICS_ORACLE"),
     ("llmops_queries", "minhash_lsh_recall", "MINHASH_LSH_RECALL_ORACLE"),
+    ("llmops_queries", "bigram_logprob_score", "BIGRAM_LOGPROB_ORACLE"),
 ]
 
 

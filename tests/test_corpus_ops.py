@@ -360,3 +360,46 @@ def test_drop_boilerplate_trims_before_matching(spark):
     out = drop_boilerplate_lines(docs, min_df=5).collect()
     assert all(r.n_lines_dropped == 1 for r in out)
     assert all(r.text == f"body {r.doc_id}" for r in out)
+
+
+def test_bigram_logprob_context_sensitivity(spark, tmp_path):
+    """The bigram LM separates what unigram CANNOT: a held-out doc
+    whose words are all modal but SHUFFLED out of their usual order
+    (novel bigrams -> unigram backoff) scores below a held-out doc in
+    the modal word ORDER (bigrams seen in the reference slice), while
+    unigram gives both the same score; unseen-WORD gibberish hits the
+    floor and ranks at the bottom. This ordering only holds because the
+    LM trains on the doc_id%2=0 reference slice — a SELF-trained
+    conditional gives singleton contexts P(w2|w1)=1 and scores
+    gibberish HIGH (the trap the design dodges)."""
+    common = "data table query join " * 10
+    scrambled = "join data query table " * 10  # same unigrams, other bigrams
+    docs = _docs(
+        spark,
+        [(i, common) for i in range(20)]  # evens land in the train slice
+        + [(91, scrambled), (99, "zyxq wvut srqp onml kjih")],  # held out
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from data_pipeline_project_spark.plans.llmops_queries import (
+        bigram_logprob_score,
+        unigram_logprob_score,
+    )
+
+    bi = {r.doc_id: r.avg_logprob for r in bigram_logprob_score(spark, str(tmp_path)).collect()}
+    uni = {r.doc_id: r.avg_logprob for r in unigram_logprob_score(spark, str(tmp_path)).collect()}
+    assert bi[99] < bi[91] < bi[1] < 0.0
+    assert abs(uni[91] - uni[1]) < 1e-6  # unigram is blind to word order
+
+
+def test_bigram_logprob_single_token_docs_dropped(spark, tmp_path):
+    """A 1-token doc has no bigrams: it must be absent from the result,
+    not crash or produce a phantom row (Spark's sequence(2, 1) counts
+    DOWN — the guard is what this pins)."""
+    docs = _docs(spark, [(0, "data table query join"), (1, "solo")])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from data_pipeline_project_spark.plans.llmops_queries import (
+        bigram_logprob_score,
+    )
+
+    rows = {r.doc_id for r in bigram_logprob_score(spark, str(tmp_path)).collect()}
+    assert rows == {0}

@@ -294,6 +294,7 @@ def test_deregistered_query_plan_sweep(spark):
         "minhash_lsh_recall",  # bounded 500-doc exact-truth window (the
                                # same deliberate quadratic as
                                # dedup_ngram_jaccard) + 1-row scalar join
+        "bigram_logprob_score",  # 1-row corpus-total (N) scalar cross joins
     }
     single_ok = {
         "heavy_hitter_terms",
@@ -322,6 +323,7 @@ def test_deregistered_query_plan_sweep(spark):
         "set_ops_all_variants",  # three global scalar counts (one per set op):
                                  # only partial-agg rows reach each final agg
         "minhash_lsh_recall",  # two scalar pair counts
+        "bigram_logprob_score",  # the 1-row N aggregate feeding the scalars
     }
 
     from data_pipeline_project_spark.functions.persist_scope import (
