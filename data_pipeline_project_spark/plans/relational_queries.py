@@ -2764,3 +2764,92 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nullsafe_eq",
         )
     )
+
+
+# ---- Statistical moments from exact sums (deregistered-parity) --------------
+
+STAT_MOMENTS_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxxx,
+         CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sxxxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxy,
+         CAST(median(l_quantity) AS DOUBLE) AS med
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           AS corr_qty_price,
+       round((sxxx / n - 3 * (sx / n) * (sxx / n) + 2 * (sx / n) * (sx / n) * (sx / n))
+             / pow(sxx / n - (sx / n) * (sx / n), 1.5), 6) AS skew_qty,
+       round((sxxxx / n - 4 * (sx / n) * (sxxx / n)
+              + 6 * (sx / n) * (sx / n) * (sxx / n)
+              - 3 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
+             / pow(sxx / n - (sx / n) * (sx / n), 2) - 3, 6) AS kurt_qty,
+       round(med, 6) AS median_qty
+FROM s
+"""
+
+
+def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments per group — Pearson correlation,
+    population skewness, excess kurtosis, exact median — computed FROM
+    DECIMAL-EXACT POWER SUMS with the textbook formulas spelled
+    identically in both engines, NOT from the engines' corr()/
+    skewness()/kurtosis() built-ins: those differ across engines in
+    bias correction (sample vs population) and in accumulation order,
+    which is exactly the cross-engine drift a migration must pin down.
+    Quantities are <= 50, so even the 4th-power sums are exact in
+    DECIMAL(38,6); the moment formulas then run on identical doubles.
+    One map-side-combinable aggregate; the median is the only
+    sort-requiring term (exact percentile per group — swap for
+    approx_percentile at 100 TB, the approx_quantile_accuracy query
+    pins that path's error contract)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,6)"
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast(dec)).cast("double").alias("sx"),
+        F.sum((q * q).cast(dec)).cast("double").alias("sxx"),
+        F.sum((q * q * q).cast(dec)).cast("double").alias("sxxx"),
+        F.sum((q * q * q * q).cast(dec)).cast("double").alias("sxxxx"),
+        F.sum(p.cast(dec)).cast("double").alias("sy"),
+        F.sum((p * p).cast(dec)).cast("double").alias("syy"),
+        F.sum((q * p).cast(dec)).cast("double").alias("sxy"),
+        F.percentile(q, F.lit(0.5)).alias("med"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sxxx, sxxxx = F.col("sxxx"), F.col("sxxxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    mu = sx / n
+    m2 = sxx / n - mu * mu
+    m3 = sxxx / n - 3 * mu * (sxx / n) + 2 * mu * mu * mu
+    m4 = (
+        sxxxx / n
+        - 4 * mu * (sxxx / n)
+        + 6 * mu * mu * (sxx / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skew_qty"),
+        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("kurt_qty"),
+        F.round(F.col("med"), 6).alias("median_qty"),
+    )

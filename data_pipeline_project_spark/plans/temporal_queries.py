@@ -310,3 +310,76 @@ def state_change_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(is_change, 1).otherwise(0)).cast("bigint").alias("n_changes"),
     )
+
+
+# ---- OHLC time bars (deregistered-parity) -----------------------------------
+
+OHLC_BARS_ORACLE = """
+WITH b AS (
+  SELECT user_id, CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP) AS bucket,
+         value,
+         row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '6 hours', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '6 hours', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       count(*) AS n_events,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close
+FROM b GROUP BY user_id, bucket
+"""
+
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation — the time-series downsampling every
+    metrics/trading pipeline runs: per (user, 6-hour bucket), the
+    first (open), max (high), min (low), and last (close) observed
+    value. First/last are defined by the FULL tie-broken event order
+    (ts, event_id) — "first value in the bucket" under a partial order
+    is nondeterministic, which is exactly the bug class this pins.
+    Implemented as two row_number windows sharing ONE (user, bucket)
+    shuffle with the bar aggregate, not per-row sorts; at scale this
+    is a single exchange keyed by the same columns the output groups
+    by."""
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.select(
+        "user_id",
+        F.window("ts", "6 hours").start.alias("bucket"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = b.select(
+        "user_id",
+        "bucket",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        marked.groupBy("user_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
+        )
+        .select(
+            "user_id",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )

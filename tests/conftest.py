@@ -104,6 +104,8 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "null_semantics", "NULL_SEMANTICS_ORACLE"),
     ("llmops_queries", "minhash_lsh_recall", "MINHASH_LSH_RECALL_ORACLE"),
     ("llmops_queries", "bigram_logprob_score", "BIGRAM_LOGPROB_ORACLE"),
+    ("temporal_queries", "ohlc_bars", "OHLC_BARS_ORACLE"),
+    ("relational_queries", "stat_moments", "STAT_MOMENTS_ORACLE"),
 ]
 
 
