@@ -557,3 +557,50 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
             if not os.listdir(root):
                 shutil.rmtree(root, ignore_errors=True)
     return {"versions_dropped": len(dropped), "tombstones_deleted": deleted}
+
+
+def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
+    """Row-level change feed between two snapshot versions (the CDC
+    export consumers subscribe to): each changed row tagged
+    ``_change_type`` 'insert' or 'delete' — an update under
+    copy-on-write MERGE appears as delete(old)+insert(new), exactly
+    Delta's change-data-feed convention without column-level merge
+    tracking. Reads only the two versions' NON-SHARED files (identical
+    shared files cannot contribute changes), so the feed costs
+    O(churn); the multiset exceptAll keeps duplicate-row cardinality
+    honest. Requires both versions to still resolve (tombstones live
+    until vacuum)."""
+    from pyspark.sql import functions as F
+
+    mdir = os.path.join(path, "_manifests")
+    m_from = read_manifest(os.path.join(mdir, f"v{v_from}.json"))
+    m_to = read_manifest(os.path.join(mdir, f"v{v_to}.json"))
+    from_files = {f["path"] for f in m_from["files"]}
+    to_files = {f["path"] for f in m_to["files"]}
+    shared = from_files & to_files
+
+    def _read(manifest, only):
+        files = []
+        for f in manifest["files"]:
+            if f["path"] not in only:
+                continue
+            live = _resolve_snapshot_file(manifest["root"], f["path"])
+            if live is None:
+                raise FileNotFoundError(f"snapshot v-file vacuumed: {f['path']}")
+            files.append(live)
+        return spark.read.parquet(*files) if files else None
+
+    old = _read(m_from, from_files - shared)
+    new = _read(m_to, to_files - shared)
+    if old is None and new is None:
+        # No churn: an empty frame still needs the table's schema.
+        any_df = _read(m_to, to_files) if to_files else None
+        base = any_df if any_df is not None else spark.range(0).select()
+        return base.limit(0).withColumn("_change_type", F.lit(""))
+    if old is None:
+        return new.withColumn("_change_type", F.lit("insert"))
+    if new is None:
+        return old.withColumn("_change_type", F.lit("delete"))
+    inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)

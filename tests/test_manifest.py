@@ -344,3 +344,32 @@ def test_read_with_schema_evolution_add_and_rename(spark, tmp_path):
     assert rows[1] == (20.0, None) and rows[2] == (21.0, None)
     assert rows[3] == (22.5, 0.4)
     assert set(got.columns) == {"user_id", "temperature", "humidity"}
+
+
+def test_snapshot_changes_cdc_feed(spark, duck, tmp_path):
+    """The row-level change feed across a merge: updates appear as
+    delete(old)+insert(new), inserts as insert — Delta CDF convention."""
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        merge_upsert,
+        snapshot_changes,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 97).alias("v")
+    )
+    write_range_clustered(df, path, "user_id", 10)
+    v1 = write_versioned_manifest(path)["version"]
+    updates = spark.createDataFrame(
+        [(5, -1), (17, -2), (20_000, -3)], ["user_id", "v"]
+    )
+    stats = merge_upsert(spark, duck, path, "user_id", updates)
+
+    feed = snapshot_changes(spark, path, v1, stats["version"]).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r._change_type, []).append((r.user_id, r.v))
+    assert sorted(by_type["insert"]) == [(5, -1), (17, -2), (20_000, -3)]
+    assert sorted(by_type["delete"]) == [(5, 5 % 97), (17, 17 % 97)]
