@@ -544,3 +544,67 @@ def test_stateful_dedup_first_seen_across_batches(spark, tmp_path):
     assert by_text["beta"] == 2 and by_text["gamma"] == 5
     # 'alpha' won by the lowest id in whichever batch arrived first
     assert by_text["alpha"] in (1, 4)
+
+
+def test_cdc_apply_stream_merges_and_replays_idempotently(spark, duck, tmp_path):
+    """Streaming CDC apply: change files stream in, each micro-batch
+    merges into the versioned table (last-write-wins within a batch),
+    and re-running the drained stream (same checkpoint) is a no-op."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import snapshot_versions
+    from data_pipeline_project_spark.streaming.cdc_apply import apply_cdc_stream
+
+    target = str(tmp_path / "t")
+    df = spark.range(0, 1_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v")
+    )
+    write_range_clustered(df, target, "user_id", 4)
+
+    drop = tmp_path / "changes"
+    drop.mkdir()
+    # two updates to the SAME key in one batch (seq decides) + an insert
+    with open(drop / "c1.jsonl", "w") as fh:
+        for rec in [
+            {"user_id": 5, "v": -1, "seq": 1},
+            {"user_id": 5, "v": -2, "seq": 2},
+            {"user_id": 2_000, "v": -3, "seq": 3},
+        ]:
+            fh.write(json.dumps(rec) + "\n")
+
+    schema = "user_id BIGINT, v BIGINT, seq BIGINT"
+    changes = (
+        spark.readStream.schema(schema).json(str(drop))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = apply_cdc_stream(
+        spark, duck, changes, target, "user_id", "seq", ckpt
+    )
+    q.awaitTermination(120)
+    assert q.applied_stats and q.applied_stats[0]["rows_updated"] == 1
+    assert q.applied_stats[0]["rows_inserted"] == 1
+
+    got = {r.user_id: r.v for r in spark.read.parquet(target).where(
+        F.col("user_id").isin([5, 2_000])).collect()}
+    assert got == {5: -2, 2_000: -3}  # seq=2 beat seq=1
+    v_after = snapshot_versions(target)[-1]
+
+    # drained replay with the same checkpoint: no new batch, no version
+    changes2 = spark.readStream.schema(schema).json(str(drop))
+    q2 = apply_cdc_stream(spark, duck, changes2, target, "user_id", "seq", ckpt)
+    q2.awaitTermination(120)
+    assert not q2.applied_stats
+    assert snapshot_versions(target)[-1] == v_after
+
+    # a second change file arrives: incremental batch applies on top
+    with open(drop / "c2.jsonl", "w") as fh:
+        fh.write(json.dumps({"user_id": 5, "v": -9, "seq": 4}) + "\n")
+    changes3 = spark.readStream.schema(schema).json(str(drop))
+    q3 = apply_cdc_stream(spark, duck, changes3, target, "user_id", "seq", ckpt)
+    q3.awaitTermination(120)
+    assert q3.applied_stats and q3.applied_stats[0]["rows_updated"] == 1
+    assert spark.read.parquet(target).where("user_id = 5").first().v == -9
+    assert spark.read.parquet(target).count() == 1_001
