@@ -492,3 +492,82 @@ def drop_boilerplate_lines(
             ),
         )
     )
+
+
+def _cdc_chunk_kernel(texts):
+    """Arrow kernel: per document, content-defined chunks as
+    (chunk_idx, n_tokens, chunk_hash) structs. Boundary rule: after
+    1-based token position i (i >= 3) iff the 60-bit md5 of the
+    3-token window ending at i is divisible by the divisor — the same
+    digest mechanism as the shingle kernels, so DuckDB replicates it
+    bit-for-bit. chunk_idx numbering skips an empty trailing segment
+    (boundary exactly at the document end) identically in both
+    engines."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    pat = re.compile("[^a-z0-9]+")
+    divisor = 64
+
+    def hash60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    out = []
+    for t in texts:
+        toks = [x for x in pat.split(t.lower()) if x] if t else []
+        bounds = [
+            i
+            for i in range(3, len(toks) + 1)
+            if hash60(" ".join(toks[i - 3 : i])) % divisor == 0
+        ]
+        chunks = []
+        starts = [1] + [b + 1 for b in bounds]
+        ends = bounds + [len(toks)]
+        for ci, (s0, e0) in enumerate(zip(starts, ends)):
+            if e0 < s0:
+                continue  # boundary at document end: empty tail segment
+            piece = " ".join(toks[s0 - 1 : e0])
+            chunks.append(
+                (ci, e0 - s0 + 1, hashlib.md5(piece.encode()).hexdigest())
+            )
+        out.append(chunks)
+    return pd.Series(out)
+
+
+def content_defined_chunks(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary rule, token
+    granularity): a chunk boundary falls wherever the rolling 3-token
+    hash is ≡ 0 mod 64, so boundaries are LOCAL PROPERTIES OF THE
+    CONTENT — insert a sentence at the top of a document and only the
+    chunks around the edit change their hashes, while every later
+    chunk (and its dedup-storage hit) survives. Fixed-size chunking
+    loses all of them (every boundary shifts). This is the chunking a
+    dedup STORE runs under the corpus (dedupe shared chunks across
+    near-identical documents at the byte/token level, below
+    document-level MinHash and above passage-level duplicate_passages).
+
+    Plan: one Arrow kernel pass per document (per-token md5 through
+    interpreted HOF expressions is the measured-slow path — see
+    shingle_hashes), one explode; no shuffle at all until whatever
+    aggregation the caller adds. Expected chunk length = divisor
+    tokens; pair with a (chunk_hash, count) aggregate for the
+    storage-dedup ratio."""
+    from data_pipeline_project_spark.operators.similarity import _udf
+
+    k = _udf(
+        "cdc_chunks",
+        _cdc_chunk_kernel,
+        "array<struct<chunk_idx:int,n_tokens:int,chunk_hash:string>>",
+    )
+    return docs.select(
+        id_col, F.explode(k(F.col(text_col))).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("_c.n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("_c.chunk_hash").alias("chunk_hash"),
+    )

@@ -2582,3 +2582,47 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_logprob"),
     )
+
+
+# ---- content-defined chunking (deregistered-parity) -------------------------
+
+CDC_CHUNKS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS t FROM documents
+),
+bp AS (
+  SELECT doc_id, t,
+         [i for i in range(3, len(t)+1)
+            if ('0x' || substr(md5(t[i-2] || ' ' || t[i-1] || ' ' || t[i]), 1, 15))::BIGINT % 64 = 0] AS b
+  FROM toks
+),
+seg AS (
+  SELECT doc_id, t, b, u.i AS ci,
+         CASE WHEN u.i = 0 THEN 1 ELSE b[u.i] + 1 END AS strt,
+         CASE WHEN u.i = len(b) THEN len(t) ELSE b[u.i + 1] END AS nd
+  FROM bp, unnest(range(0, len(b)+1)) u(i)
+),
+nonempty AS (
+  SELECT doc_id, strt, nd,
+         row_number() OVER (PARTITION BY doc_id ORDER BY strt) - 1 AS chunk_idx
+  FROM seg WHERE nd >= strt
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(nd - strt + 1 AS BIGINT) AS n_tokens,
+       md5(array_to_string(t[strt:nd], ' ')) AS chunk_hash
+FROM nonempty JOIN toks USING (doc_id)
+"""
+
+
+def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the corpus
+    (operators/corpus.content_defined_chunks): rolling-3-gram-hash
+    boundaries (≡ 0 mod 64), each chunk emitted with its index, token
+    length, and md5 — the dedup-STORAGE layer below document-level
+    MinHash and passage-level duplicate_passages. The boundary is a
+    local property of the content, so edits only re-chunk their
+    neighborhood (shift-invariance — pinned by pytest; the property
+    fixed-size chunking lacks). Arrow kernel + explode, shuffle-free."""
+    from data_pipeline_project_spark.operators.corpus import content_defined_chunks
+
+    return content_defined_chunks(load_table(spark, "documents", sf_dir))

@@ -106,6 +106,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "bigram_logprob_score", "BIGRAM_LOGPROB_ORACLE"),
     ("temporal_queries", "ohlc_bars", "OHLC_BARS_ORACLE"),
     ("relational_queries", "stat_moments", "STAT_MOMENTS_ORACLE"),
+    ("llmops_queries", "cdc_chunking", "CDC_CHUNKS_ORACLE"),
 ]
 
 

