@@ -604,3 +604,64 @@ def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
     inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
     return inserts.unionByName(deletes)
+
+
+def compact_snapshot(
+    spark, path: str, small_bytes: int = 32 * 1024 * 1024
+) -> dict:
+    """Incremental small-file compaction under the snapshot model: data
+    files smaller than ``small_bytes`` are merged into one new file,
+    the originals are TOMBSTONED (not deleted — pre-compaction versions
+    stay readable until vacuum), and the post-state is pinned as a new
+    version. Files already at target size are untouched byte-for-byte,
+    so the cost is proportional to the fragmentation, not the table.
+    Complements sinks/compact.py's partition-directory compactor: this
+    one is manifest-native (every maintenance op is a version) and is
+    what the streaming CDC/ingest paths should run periodically —
+    their micro-batch appends are exactly the small files this merges.
+
+    Returns {version, files_compacted, rows_compacted}; a no-op (fewer
+    than two small files) returns {"files_compacted": 0} without a
+    version bump."""
+    import shutil
+
+    small = [
+        f
+        for f in _data_files(path)
+        if os.path.getsize(f) < small_bytes
+    ]
+    if len(small) < 2:
+        return {"files_compacted": 0, "rows_compacted": 0}
+
+    merged = spark.read.parquet(*small)
+    rows = merged.count()
+    pending = snapshot_versions(path)
+    version = (pending[-1] + 1) if pending else 1
+    tmp_dir = os.path.join(path, f".compact_v{version}")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+    parts = [
+        p
+        for p in os.listdir(tmp_dir)
+        if p.endswith(".parquet") and not p.startswith((".", "_"))
+    ]
+    target = os.path.join(path, f"part-compact-v{version}.parquet")
+    os.replace(os.path.join(tmp_dir, parts[0]), target)
+    crc = os.path.join(tmp_dir, f".{parts[0]}.crc")
+    if os.path.exists(crc):
+        os.replace(crc, os.path.join(path, f".{os.path.basename(target)}.crc"))
+    for f in small:
+        rel = os.path.relpath(f, path)
+        tomb = os.path.join(path, REMOVED_DIR, rel)
+        os.makedirs(os.path.dirname(tomb), exist_ok=True)
+        os.replace(f, tomb)
+        d, base = os.path.split(f)
+        old_crc = os.path.join(d, f".{base}.crc")
+        if os.path.exists(old_crc):
+            os.replace(old_crc, os.path.join(os.path.dirname(tomb), f".{base}.crc"))
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    manifest = write_versioned_manifest(path)
+    return {
+        "version": manifest["version"],
+        "files_compacted": len(small),
+        "rows_compacted": rows,
+    }

@@ -373,3 +373,36 @@ def test_snapshot_changes_cdc_feed(spark, duck, tmp_path):
         by_type.setdefault(r._change_type, []).append((r.user_id, r.v))
     assert sorted(by_type["insert"]) == [(5, -1), (17, -2), (20_000, -3)]
     assert sorted(by_type["delete"]) == [(5, 5 % 97), (17, 17 % 97)]
+
+
+def test_compact_snapshot_merges_small_files_with_time_travel(spark, tmp_path):
+    """Micro-batch appends fragment the table; compact_snapshot merges
+    the small files into one, the pre-compaction version still reads
+    (tombstones), the data is unchanged, and a rerun is a no-op."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        compact_snapshot,
+        read_version,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    # 6 tiny appended files (micro-batch shape)
+    for i in range(6):
+        spark.range(i * 100, (i + 1) * 100).toDF("k").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    v1 = write_versioned_manifest(path)["version"]
+    assert len([f for f in os.listdir(path) if f.endswith(".parquet")]) >= 6
+
+    stats = compact_snapshot(spark, path)
+    assert stats["files_compacted"] >= 6 and stats["rows_compacted"] == 600
+
+    live = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(live) == 1 and live[0].startswith("part-compact-")
+    assert spark.read.parquet(path).count() == 600
+    assert read_version(spark, path, v1).count() == 600  # time travel OK
+    assert read_version(spark, path).count() == 600
+
+    # idempotent: one big file left -> nothing to do, no version bump
+    stats2 = compact_snapshot(spark, path)
+    assert stats2["files_compacted"] == 0
