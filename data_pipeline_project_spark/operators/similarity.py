@@ -645,3 +645,178 @@ def append_to_ivf_index(
     n = assigned.count()
     assigned.write.mode("append").partitionBy("list_id").parquet(f"{path}/lists")
     return n
+
+
+# ---- product quantization (PQ) ---------------------------------------------
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    iters: int = 12,
+) -> list:
+    """Product-quantization codebooks (Jégou et al. 2011 — the FAISS
+    compression tier beyond int8/JL): the L2-normalized vector is split
+    into ``m`` subvectors and each subspace gets its own ``n_codes``
+    k-means codebook, so a d-dim float vector compresses to m code
+    bytes (m * log2(n_codes) bits) while asymmetric-distance search
+    stays accurate. Trained like the IVF centroids: bounded
+    hash-order-deterministic sample, driver-side Lloyd on ~1 MB
+    regardless of corpus size, LCG-seeded k-means++ — identical
+    codebooks on any cluster/partitioning. Returns an (m, n_codes,
+    d/m) nested list."""
+    sample = (
+        corpus.select(
+            _as_double(F.col(vec_col)).alias("v"),
+            F.xxhash64(F.col(id_col)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(sample_size)
+        .select("v")
+    )
+    x = np.vstack([r["v"] for r in sample.collect()]).astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    state = 0x51ED2701A63C1D1F
+
+    def nxt():
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (state >> 11) / float(1 << 53)
+
+    books = []
+    for j in range(m):
+        xs = np.ascontiguousarray(x[:, j * dsub : (j + 1) * dsub])
+        cents = [xs[int(nxt() * len(xs))]]
+        for _ in range(1, n_codes):
+            d2 = np.min(
+                [((xs - c) ** 2).sum(axis=1) for c in cents], axis=0
+            )
+            tot = d2.sum()
+            probs = d2 / tot if tot > 0 else np.full(len(xs), 1.0 / len(xs))
+            cents.append(xs[int(np.searchsorted(np.cumsum(probs), nxt()))])
+        c = np.vstack(cents)
+        for _ in range(iters):
+            dist = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(dist, axis=1)
+            for q in range(n_codes):
+                members = xs[assign == q]
+                if len(members):
+                    c[q] = members.mean(axis=0)
+        books.append(c.tolist())
+    return books
+
+
+def _pq_encode_kernel_factory(codebooks: list):
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
+    m, _n_codes, dsub = books.shape
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        x = _mat(vecs)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * dsub : (j + 1) * dsub]
+            # (B, n_codes) squared distances to this subspace's codebook
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return kernel
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Attach the PQ code word (array<int>, length m) — a pure Arrow
+    kernel projection, no shuffle; the compressed column is what a
+    100 TB ANN serving layer stores and scans instead of raw floats
+    (64-dim float32 -> 8 bytes here: 32x)."""
+    k = _udf(
+        f"pq_encode_{id(codebooks) & 0xffff}",
+        _pq_encode_kernel_factory(codebooks),
+        "array<int>",
+    )
+    return df.withColumn(out_col, k(F.col(vec_col)))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays FULL PRECISION
+    and each subspace's distances to the query build a (m, n_codes)
+    lookup table, so scoring a database vector is m table lookups on
+    its code word — no float vector is read at scan time. The query
+    set is collected and closed over by the Arrow kernel (bounded, the
+    same contract as cosine_topk's broadcast); the corpus side streams
+    through the kernel and a per-query window rank keeps k. On unit
+    vectors L2² = 2 - 2·cos, so ADC ranking approximates cosine
+    ranking; rerank the shortlist with exact cosine when recall
+    matters (pq_topk_reranked in the tests does exactly that)."""
+    qrows = queries.select(id_col, _as_double(F.col(vec_col)).alias("v")).collect()
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    q_ids = [r[id_col] for r in qrows]
+    qmat = np.vstack([r["v"] for r in qrows]).astype(np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # per query: (m, n_codes) LUT of subspace squared distances
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    ((books[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+                    for j in range(m)
+                ]
+            )
+            for q in qmat
+        ]
+    )  # (Q, m, n_codes)
+
+    def kernel(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="object")
+        cm = np.vstack([np.asarray(c, dtype=np.int64) for c in codes])  # (B, m)
+        # vectorized gather: acc[b, q] = sum_j luts[q, j, cm[b, j]]
+        acc = np.zeros((cm.shape[0], luts.shape[0]), dtype=np.float64)
+        for j in range(m):  # m is small (8); each step is a full-batch gather
+            acc += luts[:, j, cm[:, j]].T
+        return pd.Series([row.tolist() for row in acc])
+
+    kd = _udf(f"pq_adc_{id(codebooks) & 0xffff}", kernel, "array<double>")
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"), kd(F.col(code_col)).alias("_d")
+    ).select(
+        "neighbor_id",
+        F.posexplode("_d").alias("_qi", "approx_dist"),
+    )
+    qmap = F.array(*[F.lit(i) for i in q_ids])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_qi").orderBy("approx_dist", "neighbor_id")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            F.element_at(qmap, F.col("_qi") + 1).alias("query_id"),
+            "neighbor_id",
+            F.round("approx_dist", 6).alias("approx_dist"),
+        )
+    )

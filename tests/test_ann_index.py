@@ -191,3 +191,81 @@ def test_append_to_index_equals_rebuild(spark, tmp_path):
     a = _rows(query_ivf_index(spark, p1, q, k=5, n_probe=8))
     b = _rows(query_ivf_index(spark, p2, q, k=5, n_probe=8))
     assert a == b
+
+
+# ---- product quantization ---------------------------------------------------
+
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    from data_pipeline_project_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+    from data_pipeline_project_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    b1 = train_pq_codebooks(emb, m=8, n_codes=16)
+    b2 = train_pq_codebooks(emb.repartition(7), m=8, n_codes=16)
+    assert b1 == b2  # partitioning-invariant training
+    import numpy as np
+
+    arr = np.asarray(b1)
+    assert arr.shape == (8, 16, 8)  # 64-dim / 8 subspaces
+
+
+def test_pq_adc_recall_and_reranked_recall(spark):
+    """ADC over 8-byte codes must rank far better than random, and an
+    ADC-shortlist + exact-cosine rerank must recover most of the true
+    top-10 — the standard two-stage PQ serving pattern."""
+    from data_pipeline_project_spark.operators.similarity import (
+        cosine,
+        cosine_topk,
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from data_pipeline_project_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    queries = emb.where(F.col("vec_id") < 5)
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    coded = pq_encode(emb, books)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+
+    # stage 1: ADC shortlist of 50 per query
+    short = pq_adc_topk(coded, queries, books, k=50)
+    short_pairs = {(r.query_id, r.neighbor_id) for r in short.collect()}
+    shortlist_recall = len(exact & short_pairs) / len(exact)
+    assert shortlist_recall >= 0.7, shortlist_recall
+
+    # stage 2: exact rerank of the shortlist -> top-10
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    ev = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    reranked = (
+        short.where(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(qv), "query_id")
+        .join(ev, "neighbor_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    top = (
+        reranked.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 10")
+        .select("query_id", "neighbor_id")
+    )
+    rr_pairs = {(r.query_id, r.neighbor_id) for r in top.collect()}
+    rr_recall = len(exact & rr_pairs) / len(exact)
+    assert rr_recall >= shortlist_recall  # rerank can only refine
+    assert rr_recall >= 0.7, rr_recall
+
+    # compression accounting: 8 int8-sized codes vs 64 float32
+    row = coded.select("pq_codes").first()
+    assert len(row.pq_codes) == 8 and all(0 <= c < 16 for c in row.pq_codes)
