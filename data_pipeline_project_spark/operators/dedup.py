@@ -449,3 +449,57 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def banded_hamming_pairs(
+    fp_df: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Generic banded Hamming-neighbor search over ANY precomputed
+    bit-fingerprint column (simhash, perceptual image hash, audio
+    fingerprint): band the ``bits``-bit fingerprint into ``bands``
+    chunks, equi-join on (band, chunk), verify with bit_count(xor).
+    Pigeonhole guarantees completeness for distance <= bands - 1;
+    callers wanting larger radii raise ``bands`` (recall) at the cost
+    of hotter buckets. Same plan shape as simhash_near_pairs: one
+    shuffle on (band, key), bucket sizes bounded by fingerprint
+    entropy."""
+    chunk = bits // bands
+    bands_df = fp_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(fp_col).alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(fp_col), b * chunk)
+                        .bitwiseAND((1 << chunk) - 1)
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", "bk.band", "bk.key")
+
+    left, right = bands_df.alias("l"), bands_df.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

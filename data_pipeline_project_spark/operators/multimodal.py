@@ -245,3 +245,108 @@ def sample_frames(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(do_sample, schema=FRAME_SCHEMA)
+
+
+# ---- perceptual hashing (image near-dup) ------------------------------------
+
+PHASH_BITS = 60  # matches the dedup tier's banding (4x15-bit chunks)
+
+
+def _pixels_from_payload(image_mod, media_type, payload, size: int = 32):
+    """32x32 grayscale pixel grid for hashing. Codec path (real image
+    MIME + PIL present): decode -> grayscale -> resize. Stub path
+    (``*/fake`` or no codec): the payload bytes tile the grid directly
+    — deterministic, and LOCAL byte edits perturb only local pixels,
+    so near-dup semantics are real even on the stub."""
+    import numpy as np
+
+    if image_mod is not None and _is_codec_image(media_type):
+        import io
+
+        img = image_mod.open(io.BytesIO(bytes(payload))).convert("L")
+        img = img.resize((size, size))
+        return np.asarray(img, dtype=np.float64)
+    if not payload:
+        raise NotImplementedError("empty payload: nothing to decode")
+    b = np.frombuffer(bytes(payload), dtype=np.uint8)
+    reps = -(-(size * size) // len(b))  # ceil
+    return np.tile(b, reps)[: size * size].reshape(size, size).astype(np.float64)
+
+
+def _dct_matrix(n: int):
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def _phash60(pixels) -> int:
+    """DCT perceptual hash: 2-D DCT-II of the 32x32 grid, keep the
+    top-left 8x8 low-frequency block, drop the DC term, threshold the
+    next 60 coefficients against their median. Robust to resizing,
+    small edits, and brightness shifts (DC carries brightness and is
+    excluded); 60 bits so the fingerprint rides the same int64 banding
+    as simhash."""
+    import numpy as np
+
+    d = _dct_matrix(pixels.shape[0])
+    coef = d @ pixels @ d.T
+    block = coef[:8, :8].flatten()[1:61]  # drop DC, keep 60
+    med = np.median(block)
+    h = 0
+    for i, v in enumerate(block):
+        if v > med:
+            h |= 1 << i
+    return h
+
+
+def perceptual_hash(
+    media: DataFrame, use_codec: bool | None = None
+) -> DataFrame:
+    """(doc_id, media_type, phash) — Arrow-batched mapInPandas over the
+    binary payloads, same worker-probed codec gating as
+    extract_media_features. The hash column is what a 100 TB image
+    corpus stores; dedup then never touches pixels again."""
+    import pandas as pd
+
+    schema = "doc_id long, media_type string, phash long"
+
+    def batches(it):
+        image_mod = _pil_image() if use_codec in (None, True) else None
+        if use_codec is True and image_mod is None:
+            raise RuntimeError("use_codec=True but PIL is not importable")
+        for pdf in it:
+            hashes = [
+                _phash60(
+                    _pixels_from_payload(image_mod, mt, pl)
+                )
+                for mt, pl in zip(pdf["media_type"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema)
+
+
+def media_near_pairs(
+    media: DataFrame, max_hamming: int = 3, use_codec: bool | None = None
+) -> DataFrame:
+    """Image/media near-duplicate pairs: perceptual hash + the dedup
+    tier's generic banded Hamming join (pigeonhole-complete for
+    distance <= 3). The pixel work happens exactly once per asset; the
+    pair search is hash-only."""
+    from data_pipeline_project_spark.operators.dedup import banded_hamming_pairs
+
+    fp = perceptual_hash(media, use_codec=use_codec).select("doc_id", "phash")
+    return banded_hamming_pairs(
+        fp, id_col="doc_id", fp_col="phash", max_hamming=max_hamming,
+        bits=PHASH_BITS,
+    )
