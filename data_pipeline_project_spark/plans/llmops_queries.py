@@ -2295,6 +2295,7 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+@register("boilerplate_line_dedup", oracle=BOILERPLATE_LINE_ORACLE)
 def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style cross-document LINE deduplication
     (operators/corpus.drop_boilerplate_lines): a line appearing in >= 5
@@ -2487,6 +2488,7 @@ GROUP BY db.doc_id
 """
 
 
+@register("bigram_logprob_score", oracle=BIGRAM_LOGPROB_ORACLE)
 def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's quality-scoring shape one order up from
     unigram_logprob_score: mean per-bigram log probability under a
@@ -2614,6 +2616,7 @@ FROM nonempty JOIN toks USING (doc_id)
 """
 
 
+@register("cdc_chunking", oracle=CDC_CHUNKS_ORACLE)
 def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking over the corpus
     (operators/corpus.content_defined_chunks): rolling-3-gram-hash

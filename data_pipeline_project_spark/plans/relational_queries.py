@@ -398,16 +398,17 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- distinct / conditional / pivot -----------------------------------------
 
-@register(
-    "pivot_event_values",
-    oracle="""
+# Deregistered in round 6 second swap (slot ceded to the corpus tier);
+# full oracle parity continues via tests/conftest.py EXTRA_ORACLE_QUERIES.
+PIVOT_EVENT_VALUES_ORACLE = """
 SELECT user_id,
        round(avg(CASE WHEN event_type = 'click'    THEN value END), 6) AS click_avg,
        round(avg(CASE WHEN event_type = 'view'     THEN value END), 6) AS view_avg,
        round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase_avg
 FROM events GROUP BY user_id
-""",
-)
+"""
+
+
 def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long→wide pivot with an explicit value list (single-pass
     conditional aggregation; no second job to discover pivot values)."""
@@ -454,9 +455,7 @@ def value_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- scalar function library ------------------------------------------------
 
-@register(
-    "scalar_functions",
-    oracle="""
+SCALAR_FUNCTIONS_ORACLE = """
 SELECT o_orderkey,
        upper(o_orderpriority) AS prio_upper,
        length(o_orderpriority) AS prio_len,
@@ -471,8 +470,9 @@ SELECT o_orderkey,
        CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INT)
            AS days_to_2002
 FROM orders
-""",
-)
+"""
+
+
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function library — string (upper/length/substr/replace/
     concat/LIKE/split) and date (year/month/date_trunc/datediff) in one
@@ -497,14 +497,13 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "json_extraction",
-    oracle="""
+JSON_EXTRACTION_ORACLE = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
 FROM events
-""",
-)
+"""
+
+
 def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the events.props string column
     (get_json_object — no schema needed, JVM-side)."""

@@ -94,7 +94,6 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "q21_waiting_suppliers", "Q21_WAITING_SUPPLIERS_ORACLE"),
     ("relational_queries", "q22_global_sales", "Q22_GLOBAL_SALES_ORACLE"),
     # Round-6 second extension batch.
-    ("llmops_queries", "boilerplate_line_dedup", "BOILERPLATE_LINE_ORACLE"),
     ("llmops_queries", "inverted_index_postings", "INVERTED_INDEX_ORACLE"),
     ("relational_queries", "set_ops_all_variants", "SET_OPS_ALL_ORACLE"),
     ("temporal_queries", "sensor_gap_report", "SENSOR_GAP_ORACLE"),
@@ -103,10 +102,13 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "array_functions_suite", "ARRAY_FUNCTIONS_ORACLE"),
     ("relational_queries", "null_semantics", "NULL_SEMANTICS_ORACLE"),
     ("llmops_queries", "minhash_lsh_recall", "MINHASH_LSH_RECALL_ORACLE"),
-    ("llmops_queries", "bigram_logprob_score", "BIGRAM_LOGPROB_ORACLE"),
     ("temporal_queries", "ohlc_bars", "OHLC_BARS_ORACLE"),
     ("relational_queries", "stat_moments", "STAT_MOMENTS_ORACLE"),
-    ("llmops_queries", "cdc_chunking", "CDC_CHUNKS_ORACLE"),
+    # Round-6 second registry swap: these three ceded their driver-board
+    # slots to boilerplate_line_dedup / bigram_logprob_score / cdc_chunking.
+    ("relational_queries", "pivot_event_values", "PIVOT_EVENT_VALUES_ORACLE"),
+    ("relational_queries", "scalar_functions", "SCALAR_FUNCTIONS_ORACLE"),
+    ("relational_queries", "json_extraction", "JSON_EXTRACTION_ORACLE"),
 ]
 
 

@@ -223,6 +223,7 @@ def test_range_join_bucketed_equi_rewrite(spark):
 _BNLJ_BY_DESIGN = {
     "similarity_topk_bruteforce", # bounded query set broadcast against the corpus scan
     "tfidf_top_terms",            # single-row corpus-size scalar cross join
+    "bigram_logprob_score",       # 1-row train-corpus-size (N) scalar cross joins
 }
 
 # Queries whose plan legitimately contains an Exchange SinglePartition:
@@ -236,6 +237,7 @@ _SINGLE_PARTITION_BY_DESIGN = {
     "tfidf_top_terms",             # single-row corpus-size scalar
     "watermark_late_events",       # prefix max over the per-bucket
                                    # aggregate: <= 4096 rows by construction
+    "bigram_logprob_score",        # the 1-row N aggregate feeding the scalars
 }
 
 
