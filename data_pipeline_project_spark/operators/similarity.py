@@ -820,3 +820,242 @@ def pq_adc_topk(
             F.round("approx_dist", 6).alias("approx_dist"),
         )
     )
+
+
+# ---- IVF + residual PQ (the composed FAISS-style index) ---------------------
+
+def _residual_pq_codebooks(
+    corpus: DataFrame,
+    centroids: list,
+    m: int,
+    n_codes: int,
+    vec_col: str,
+    id_col: str,
+    sample_size: int = 4096,
+    iters: int = 12,
+) -> list:
+    """PQ codebooks trained on RESIDUALS (vector minus its assigned
+    centroid) — classic IVFPQ: residuals concentrate near the origin,
+    so the same code budget quantizes them far more accurately than
+    raw vectors. Bounded deterministic sample, driver-side Lloyd."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+    sample = (
+        corpus.select(
+            _as_double(F.col(vec_col)).alias("v"),
+            F.xxhash64(F.col(id_col)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(sample_size)
+        .select("v")
+    )
+    x = np.vstack([r["v"] for r in sample.collect()]).astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(x @ cmat.T, axis=1)
+    resid = x - cmat[assign]
+    d = resid.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    state = 0x2545F4914F6CDD1D
+
+    def nxt():
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (state >> 11) / float(1 << 53)
+
+    books = []
+    for j in range(m):
+        xs = np.ascontiguousarray(resid[:, j * dsub : (j + 1) * dsub])
+        cents = [xs[int(nxt() * len(xs))]]
+        for _ in range(1, n_codes):
+            d2 = np.min([((xs - c) ** 2).sum(axis=1) for c in cents], axis=0)
+            tot = d2.sum()
+            probs = d2 / tot if tot > 0 else np.full(len(xs), 1.0 / len(xs))
+            cents.append(xs[int(np.searchsorted(np.cumsum(probs), nxt()))])
+        c = np.vstack(cents)
+        for _ in range(iters):
+            dist = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(dist, axis=1)
+            for qq in range(n_codes):
+                members = xs[a == qq]
+                if len(members):
+                    c[qq] = members.mean(axis=0)
+        books.append(c.tolist())
+    return books
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_list: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list, list]:
+    """The composed FAISS-style index: IVF partitioning for PRUNING
+    (only probed lists' files are read) + residual product quantization
+    for COMPRESSION (the ADC pass reads m code bytes per vector, never
+    a float vector — column pruning keeps the raw column, stored beside
+    the codes for the rerank stage, out of the ADC scan). One Arrow
+    assignment+encode pass over the corpus; centroids and codebooks
+    land in parquet sidecars so serving needs no retraining. Returns
+    (centroids, codebooks)."""
+    spark = corpus.sparkSession
+    centroids = train_ivf_centroids(
+        corpus, n_list=n_list, vec_col=vec_col, id_col=id_col
+    )
+    books = _residual_pq_codebooks(
+        corpus, centroids, m, n_codes, vec_col, id_col
+    )
+    cmat = np.asarray(centroids, dtype=np.float64)
+    bmat = np.asarray(books, dtype=np.float64)
+    dsub = bmat.shape[2]
+
+    def enc_kernel(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        x = _mat(vecs)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(x @ cmat.T, axis=1)
+        resid = x - cmat[assign]
+        out = np.empty((len(x), m + 1), dtype=np.int64)
+        out[:, 0] = assign
+        for j in range(m):
+            xs = resid[:, j * dsub : (j + 1) * dsub]
+            d2 = ((xs[:, None, :] - bmat[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j + 1] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    ek = _udf(f"ivfpq_enc_{n_list}_{m}_{n_codes}", enc_kernel, "array<bigint>")
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), ek(F.col(vec_col)).alias("_lc")
+    ).select(
+        id_col,
+        vec_col,
+        F.element_at("_lc", 1).cast("int").alias("list_id"),
+        F.slice("_lc", 2, m).alias("pq_codes"),
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(j, q, bmat[j][q].tolist()) for j in range(m) for q in range(n_codes)],
+        "subspace int, code int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return centroids, books
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage IVFPQ serving: (1) ADC over the probed lists' code
+    words — per (query, probed list) the residual query builds an
+    (m, n_codes) LUT, scoring a candidate costs m gathers; (2) exact
+    cosine rerank of the per-query ``shortlist`` using the raw vectors
+    (read only for shortlist rows' partitions; the ADC scan itself
+    never touches the float column — ReadSchema shows codes only).
+    Same ranking contract as query_ivf_index (round-6 cosine, id
+    tiebreak, self excluded)."""
+    cents = [
+        r.centroid
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
+    ]
+    cb = spark.read.parquet(f"{path}/codebooks").orderBy("subspace", "code").collect()
+    m = 1 + max(r.subspace for r in cb)
+    n_codes = 1 + max(r.code for r in cb)
+    bmat = np.zeros((m, n_codes, len(cb[0].center)))
+    for r in cb:
+        bmat[r.subspace][r.code] = r.center
+    cmat = np.asarray(cents, dtype=np.float64)
+    dsub = bmat.shape[2]
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    q_ids = [r.query_id for r in qrows]
+    qmat = np.vstack([r.qv for r in qrows]).astype(np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # per query: the n_probe nearest centroids
+    order = np.argsort(-(qmat @ cmat.T), axis=1)[:, :n_probe]
+    probed = sorted({int(l) for row in order for l in row})
+    # LUTs per (query, list): residual q - c_l per subspace vs codebook
+    lut = {}
+    for qi, row in enumerate(order):
+        for l in row:
+            r = qmat[qi] - cmat[int(l)]
+            lut[(qi, int(l))] = np.stack(
+                [
+                    ((bmat[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+                    for j in range(m)
+                ]
+            )
+
+    n_q = len(q_ids)
+
+    def adc_kernel(list_ids: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="object")
+        cm = np.vstack([np.asarray(c, dtype=np.int64) for c in codes])
+        lids = list_ids.to_numpy()
+        out = np.full((len(cm), n_q), np.inf)
+        for (qi, l), table in lut.items():
+            mask = lids == l
+            if not mask.any():
+                continue
+            sub = cm[mask]
+            acc = np.zeros(sub.shape[0])
+            for j in range(m):
+                acc += table[j, sub[:, j]]
+            out[mask, qi] = acc
+        return pd.Series([row.tolist() for row in out])
+
+    kd = _udf(f"ivfpq_adc_{id(lut) & 0xffff}", adc_kernel, "array<double>")
+    scan = (
+        spark.read.parquet(f"{path}/lists")
+        .where(F.col("list_id").isin(probed))
+        .select("list_id", F.col(id_col).alias("neighbor_id"), "pq_codes")
+    )
+    scored = scan.select(
+        "neighbor_id", kd(F.col("list_id"), F.col("pq_codes")).alias("_d")
+    ).select("neighbor_id", F.posexplode("_d").alias("_qi", "adist"))
+    w = Window.partitionBy("_qi").orderBy("adist", "neighbor_id")
+    qmap = F.array(*[F.lit(i) for i in q_ids])
+    short = (
+        scored.where(~F.isnan("adist") & (F.col("adist") != float("inf")))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= shortlist)
+        .select(F.element_at(qmap, F.col("_qi") + 1).alias("query_id"), "neighbor_id")
+    )
+    # stage 2: exact rerank on raw vectors, shortlist rows only
+    raw = (
+        spark.read.parquet(f"{path}/lists")
+        .where(F.col("list_id").isin(probed))
+        .select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    )
+    qdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in zip(q_ids, qmat)],
+        "query_id long, qv array<double>",
+    )
+    sims = (
+        short.join(raw, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)

@@ -269,3 +269,74 @@ def test_pq_adc_recall_and_reranked_recall(spark):
     # compression accounting: 8 int8-sized codes vs 64 float32
     row = coded.select("pq_codes").first()
     assert len(row.pq_codes) == 8 and all(0 <= c < 16 for c in row.pq_codes)
+
+
+# ---- IVFPQ ------------------------------------------------------------------
+
+def test_ivfpq_build_query_recall_and_pruned_scan(spark, tmp_path):
+    """The composed index: residual-PQ codes partitioned by IVF list.
+    Serving recall (probe-all + rerank) matches the exact top-k within
+    the shortlist contract, and the ADC scan reads ONLY probed
+    partitions and ONLY the code column (no float vectors)."""
+    from data_pipeline_project_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk,
+        query_ivfpq_index,
+    )
+    from data_pipeline_project_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    path = str(tmp_path / "ivfpq")
+    # 5-bit codes: the synthetic embeddings are WEAKLY clustered, so
+    # residuals spread wider than the raw vectors and residual-PQ needs
+    # a code bit more than raw-PQ for the same shortlist recall (the
+    # residual trick pays off on tightly clustered corpora — the
+    # production case; measured here: 4-bit/60 -> 0.54, 5-bit/120 ->
+    # 0.82 full-probe shortlist recall).
+    build_ivfpq_index(emb, path, n_list=8, m=8, n_codes=32)
+
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+
+    # full probe: candidate set is the whole corpus; rerank is exact,
+    # so recall is bounded only by the ADC shortlist quality
+    got = query_ivfpq_index(spark, path, queries, k=10, n_probe=8, shortlist=120)
+    pairs = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    recall = len(exact & pairs) / len(exact)
+    assert recall >= 0.7, recall
+
+    # approximate probe still beats random by a wide margin
+    got4 = query_ivfpq_index(spark, path, queries, k=10, n_probe=4, shortlist=120)
+    pairs4 = {(r.query_id, r.neighbor_id) for r in got4.collect()}
+    assert len(exact & pairs4) / len(exact) >= 0.4
+
+    # the ADC scan is partition-pruned and never reads the raw vectors
+    probed_scan = (
+        spark.read.parquet(f"{path}/lists")
+        .where(F.col("list_id").isin([0, 1]))
+        .select("list_id", "vec_id", "pq_codes")
+    )
+    plan = probed_scan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan
+    import re
+
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and "embedding" not in rs.group(1), rs.group(1)
+
+
+def test_ivfpq_codes_compress_32x(spark, tmp_path):
+    from data_pipeline_project_spark.operators.similarity import build_ivfpq_index
+    from data_pipeline_project_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, n_list=4, m=8, n_codes=16)
+    row = spark.read.parquet(f"{path}/lists").select("pq_codes").first()
+    assert len(row.pq_codes) == 8 and all(0 <= c < 16 for c in row.pq_codes)
