@@ -366,3 +366,99 @@ def test_funnel_ordering_matches_simulator(spark, rows):
         "step3_purchase": s3.count(),
     }
     assert got == _simulate_funnel(rows)
+
+
+# ---- drop_boilerplate_lines vs a single-node simulator ----------------------
+
+_line_alphabet = ["nav", "footer", "body", "alpha", "beta", "gamma", "x1", "y2"]
+_docs_with_lines = st.lists(
+    st.tuples(
+        st.integers(0, 30),
+        st.lists(
+            st.lists(st.sampled_from(_line_alphabet), min_size=1, max_size=3),
+            min_size=1,
+            max_size=5,
+        ),
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+def _simulate_boilerplate(rows, min_df):
+    """Independent reference: line df over distinct docs, drop >= min_df."""
+    df_count: dict = {}
+    for _doc, lines in rows:
+        for line in {" ".join(ws).strip() for ws in lines}:
+            df_count[line] = df_count.get(line, 0) + 1
+    boiler = {line for line, c in df_count.items() if c >= min_df}
+    out = {}
+    for doc, lines in rows:
+        kept = [" ".join(ws).strip() for ws in lines]
+        kept = [ln for ln in kept if ln not in boiler]
+        out[doc] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs_with_lines, min_df=st.integers(2, 4))
+def test_drop_boilerplate_lines_matches_simulator(spark, rows, min_df):
+    from data_pipeline_project_spark.operators.corpus import (
+        drop_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(doc, "\n".join(" ".join(ws) for ws in lines)) for doc, lines in rows],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+        for r in drop_boilerplate_lines(docs, min_df=min_df).collect()
+    }
+    assert got == _simulate_boilerplate(rows, min_df)
+
+
+# ---- content-defined chunking invariances -----------------------------------
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000), parts=st.integers(1, 6))
+def test_cdc_chunks_partitioning_invariant_and_exact_cover(spark, seed, parts):
+    import random
+
+    from data_pipeline_project_spark.operators.corpus import (
+        content_defined_chunks,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 120))))
+        for i in range(8)
+    ]
+    d1 = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(1)
+    dn = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(parts)
+    a = sorted(map(tuple, content_defined_chunks(d1).collect()))
+    b = sorted(map(tuple, content_defined_chunks(dn).collect()))
+    assert a == b
+
+    # exact cover: per doc, chunk token counts sum to the doc's tokens
+    # and indices run 0..n-1
+    per_doc: dict = {}
+    for doc_id, idx, n_tok, _h in a:
+        per_doc.setdefault(doc_id, []).append((idx, n_tok))
+    for doc_id, text in rows:
+        toks = len(text.split())
+        chunks = sorted(per_doc[doc_id])
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        assert sum(c[1] for c in chunks) == toks
