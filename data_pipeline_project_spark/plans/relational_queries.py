@@ -2852,3 +2852,37 @@ def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m4 / F.pow(m2, 2) - 3, 6).alias("kurt_qty"),
         F.round(F.col("med"), 6).alias("median_qty"),
     )
+
+
+# ---- Null-preserving generate (deregistered-parity) -------------------------
+
+EXPLODE_OUTER_ORACLE = """
+WITH qs AS (
+  SELECT l_orderkey, list_sort(list(l_quantity) FILTER (l_quantity >= 48)) AS big
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       u.x AS big_qty
+FROM qs, unnest(CASE WHEN big IS NULL OR len(big) = 0
+                     THEN [NULL]::DOUBLE[] ELSE big END) u(x)
+"""
+
+
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null-preserving generate: explode_outer keeps a row (with
+    NULL) for every parent whose array is empty or null, where plain
+    explode silently DROPS the parent — losing "orders with no large
+    items" from any downstream left-side count, the classic generate
+    bug. Most orders have no quantity >= 48, so the outer semantics
+    carry real weight here (the oracle replicates by substituting a
+    [NULL] array before unnest). One collect_list shuffle; the
+    generate itself is pipelined."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("l_quantity") >= 48, F.col("l_quantity")))
+        ).alias("big")
+    )
+    return qs.select(
+        "l_orderkey", F.explode_outer("big").alias("big_qty")
+    )

@@ -383,3 +383,94 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close",
         )
     )
+
+
+# ---- Linear interpolation resampling (deregistered-parity) ------------------
+
+RESAMPLE_INTERP_ORACLE = """
+WITH obs AS (
+    SELECT user_id, ts, max(value) AS value FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+    FROM obs GROUP BY 1
+),
+grid AS (
+    SELECT b.user_id, g.grid_ts
+    FROM bounds b,
+         LATERAL (SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 6 HOUR))
+                  AS grid_ts) g
+),
+bwd AS (
+    SELECT grid.user_id, grid.grid_ts, obs.value AS pv, obs.ts AS pts
+    FROM grid ASOF LEFT JOIN obs
+      ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ts
+),
+fwd AS (
+    SELECT bwd.*, o2.value AS nv, o2.ts AS nts
+    FROM bwd ASOF LEFT JOIN obs o2
+      ON bwd.user_id = o2.user_id AND bwd.grid_ts <= o2.ts
+)
+SELECT user_id, strftime(grid_ts, '%Y-%m-%d %H:%M:%S') AS grid_time,
+       round(CASE
+         WHEN pts IS NULL OR nts IS NULL THEN NULL
+         WHEN pts = nts THEN pv
+         ELSE pv + (nv - pv) * ((epoch(grid_ts) - epoch(pts))
+                                / (epoch(nts) - epoch(pts)))
+       END, 6) AS value_interp
+FROM fwd
+"""
+
+
+def resample_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling — the second member of the
+    resampling family beside LOCF (resample_forward_fill): each 6-hour
+    grid point gets the straight-line value between its nearest
+    observation at-or-before and at-or-after. A grid point sitting
+    exactly on an observation returns that observation (both as-of
+    joins land on it); a point before the first or after the last
+    observation is NULL — interpolation never extrapolates. Two as-of
+    joins (backward then forward) over the same pre-reduced observation
+    table; both are the union-window single-exchange rewrite, so the
+    plan carries two key-partitioned windows and no join node. The
+    interpolation arithmetic is spelled identically in both engines
+    (epoch-seconds ratio), so even the float metric hash-checks."""
+    from data_pipeline_project_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    obs = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    bounds = obs.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS"))).alias("grid_ts"),
+    )
+    bwd = asof_join(
+        grid, obs, on="user_id", left_ts="grid_ts", right_ts="ts",
+        right_cols=["value"], direction="backward", prefix="p_", ts_out="pts",
+    ).withColumnRenamed("p_value", "pv")
+    fwd = asof_join(
+        bwd, obs, on="user_id", left_ts="grid_ts", right_ts="ts",
+        right_cols=["value"], direction="forward", prefix="n_", ts_out="nts",
+    ).withColumnRenamed("n_value", "nv")
+    # timestamp -> double = fractional epoch seconds (events carry
+    # sub-second components; unix_timestamp would truncate them while
+    # DuckDB's epoch() keeps them — measured 2.5e-3 relative drift).
+    def _sec(c):
+        # NTZ doesn't cast to double directly; via TIMESTAMP it becomes
+        # fractional epoch seconds. The session-TZ offset is the same
+        # additive constant in every term, so the ratio is unaffected.
+        return F.col(c).cast("timestamp").cast("double")
+
+    frac = (_sec("grid_ts") - _sec("pts")) / (_sec("nts") - _sec("pts"))
+    interp = (
+        F.when(F.col("pts").isNull() | F.col("nts").isNull(), F.lit(None))
+        .when(F.col("pts") == F.col("nts"), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return fwd.select(
+        "user_id",
+        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_time"),
+        F.round(interp, 6).alias("value_interp"),
+    )

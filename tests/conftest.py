@@ -109,6 +109,8 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "pivot_event_values", "PIVOT_EVENT_VALUES_ORACLE"),
     ("relational_queries", "scalar_functions", "SCALAR_FUNCTIONS_ORACLE"),
     ("relational_queries", "json_extraction", "JSON_EXTRACTION_ORACLE"),
+    ("temporal_queries", "resample_linear_interp", "RESAMPLE_INTERP_ORACLE"),
+    ("relational_queries", "explode_outer_semantics", "EXPLODE_OUTER_ORACLE"),
 ]
 
 
