@@ -2886,3 +2886,36 @@ def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qs.select(
         "l_orderkey", F.explode_outer("big").alias("big_qty")
     )
+
+
+# ---- ANSI-safe arithmetic / try_* family (deregistered-parity) --------------
+
+TRY_ARITHMETIC_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice / nullif(l_discount, 0), 6) AS price_per_disc,
+       CAST(try_cast(l_returnflag AS BIGINT) AS BIGINT) AS flag_as_int,
+       try_cast('20' || CAST(l_linenumber AS VARCHAR) AS BIGINT) AS synth_int
+FROM lineitem
+"""
+
+
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-safe arithmetic family — what keeps a 100 TB batch job
+    from dying at hour six on one bad row: try_divide (division by zero
+    -> NULL, not an exception or Inf; the oracle spells it nullif),
+    try_cast on a non-numeric string (-> NULL, never a parse error),
+    and try_cast on a string that DOES parse. This is the engine-level
+    contract under operators/validation.py's numeric casting (P5) —
+    pinned here as a standalone query so the semantics can't drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide(F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0))), 6).alias(
+            "price_per_disc"
+        ),
+        F.expr("try_cast(l_returnflag AS BIGINT)").alias("flag_as_int"),
+        F.expr("try_cast(concat('20', cast(l_linenumber as string)) AS BIGINT)").alias(
+            "synth_int"
+        ),
+    )

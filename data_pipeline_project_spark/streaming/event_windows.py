@@ -116,6 +116,35 @@ def stream_stream_window_join(
     return lw.join(rw, cond, "inner").drop(rw[on])
 
 
+def stream_stream_window_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "2 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join — same windowed-match semantics as
+    :func:`stream_stream_window_join`, but a left row with NO match is
+    still emitted (right columns null). The subtlety the inner variant
+    doesn't have: the null row can only be emitted once the RIGHT
+    stream's watermark has passed the left row's entire match window —
+    until then a match could still arrive — so unmatched results trail
+    the data by (lookback + watermark), and a drained availableNow run
+    only emits the null rows whose windows the final watermark closed.
+    That is the correct streaming answer, not a bug: pinned by
+    tests/test_streaming.py."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (rw[right_ts] <= F.col(left_ts))
+    )
+    return lw.join(rw, cond, "left_outer").drop(rw[on])
+
+
 def watermark_late_flags(
     events: DataFrame,
     ts_col: str = "ts",

@@ -111,6 +111,7 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "json_extraction", "JSON_EXTRACTION_ORACLE"),
     ("temporal_queries", "resample_linear_interp", "RESAMPLE_INTERP_ORACLE"),
     ("relational_queries", "explode_outer_semantics", "EXPLODE_OUTER_ORACLE"),
+    ("relational_queries", "try_arithmetic", "TRY_ARITHMETIC_ORACLE"),
 ]
 
 

@@ -608,3 +608,87 @@ def test_cdc_apply_stream_merges_and_replays_idempotently(spark, duck, tmp_path)
     assert q3.applied_stats and q3.applied_stats[0]["rows_updated"] == 1
     assert spark.read.parquet(target).where("user_id = 5").first().v == -9
     assert spark.read.parquet(target).count() == 1_001
+
+
+def test_stream_stream_left_outer_join_null_timing(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched rows emit like the inner
+    join; an UNMATCHED purchase emits its null row only once the right
+    watermark closes its match window. A late final event advances the
+    watermark far past every window, so the drained run must emit the
+    null row for the matchless purchase — and matched purchases must
+    NOT also produce a spurious null row."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_project_spark.streaming.event_windows import (
+        stream_stream_window_join_outer,
+    )
+
+    psrc, csrc = tmp_path / "purch", tmp_path / "clicks"
+    psrc.mkdir(); csrc.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(
+            {"user_id": [1, 1],
+             "pid": [100, 101],
+             "pts": pd.to_datetime(["2024-01-01 10:30:00",    # has a click
+                                    "2024-01-01 12:00:00"])})),  # matchless
+        str(psrc / "p1.parquet"), coerce_timestamps="us")
+    # The GLOBAL watermark is min(left, right): the left stream needs
+    # its own late event or purchase 101's window never closes.
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(
+            {"user_id": [9], "pid": [900],
+             "pts": pd.to_datetime(["2024-01-03 10:00:00"])})),
+        str(psrc / "p2.parquet"), coerce_timestamps="us")
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(
+            {"user_id": [1],
+             "cid": [7],
+             "cts": pd.to_datetime(["2024-01-01 10:10:00"])})),  # matches 100
+        str(csrc / "c1.parquet"), coerce_timestamps="us")
+    # Two later files push the right watermark across batches: the
+    # watermark computed at the END of a batch only takes effect in the
+    # NEXT one, so outer-null emission needs data batches AFTER the
+    # window closed — maxFilesPerTrigger=1 gives availableNow that
+    # batch sequence.
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(
+            {"user_id": [9], "cid": [98],
+             "cts": pd.to_datetime(["2024-01-02 09:00:00"])})),
+        str(csrc / "c2.parquet"), coerce_timestamps="us")
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(
+            {"user_id": [9], "cid": [99],
+             "cts": pd.to_datetime(["2024-01-03 09:00:00"])})),
+        str(csrc / "c3.parquet"), coerce_timestamps="us")
+    _time.sleep(1.1)
+
+    purchases = (spark.readStream.schema("user_id long, pid long, pts timestamp")
+                 .option("maxFilesPerTrigger", 1).parquet(str(psrc)))
+    clicks = (spark.readStream.schema("user_id long, cid long, cts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(csrc)))
+    q = (
+        stream_stream_window_join_outer(
+            purchases, clicks, on="user_id",
+            left_ts="pts", right_ts="cts", lookback="30 minutes",
+        )
+        .writeStream.format("memory").queryName("ssjo_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = sorted(
+        (r.pid, r.cid) for r in spark.sql("select * from ssjo_out").collect()
+    )
+    # 100 matched (once, no extra null row); 101 got its null row
+    # because the global watermark (pushed on BOTH streams) closed its
+    # window. The watermark-pusher purchase 900 itself stays unflushed
+    # (nothing ever passes ITS window) — correct streaming semantics,
+    # not data loss.
+    assert rows == [(100, 7), (101, None)], rows
