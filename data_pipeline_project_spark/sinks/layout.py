@@ -200,3 +200,42 @@ def read_pruned(
         # preserve schema: empty frame from the full layout
         return spark.read.parquet(path).where(F.lit(False))
     return spark.read.parquet(*files).where(pred)
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    granularity: str = "day",
+    cluster_col: str | None = None,
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> str:
+    """Event-table layout: Hive-partition by a DERIVED time column
+    (``dt=YYYY-MM-DD`` for day, ``dt=YYYY-MM`` for month, ``dt=YYYY-MM-DD-HH``
+    for hour) — Iceberg's days(ts)/hours(ts) hidden-partitioning
+    transform, spelled explicitly. A time-range query then prunes whole
+    partition DIRECTORIES before any file is opened (cheaper than zone
+    maps, which still require listing + footer reads), which is why
+    every at-scale event table partitions on time first. Within each
+    partition, optional range clustering on ``cluster_col`` tightens
+    file/row-group zone maps for the secondary key. Returns the derived
+    partition column name ('dt').
+
+    The derived column stays IN the data (reads see it), and filters on
+    the raw ``ts_col`` still prune: readers filter on both (the test
+    pins the PartitionFilters plan). At 100 TB pick granularity so
+    partitions land in the 1-10 GB band — daily for most event rates,
+    hourly for firehoses."""
+    fmt = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "hour": "yyyy-MM-dd-HH"}[granularity]
+    out = df.withColumn("dt", F.date_format(F.col(ts_col), fmt))
+    if cluster_col is not None:
+        write_range_clustered(
+            out, path, cluster_col,
+            n_files=files_per_partition, partition_cols=["dt"], mode=mode,
+        )
+    else:
+        out.repartition(files_per_partition, F.col("dt")).write.mode(
+            mode
+        ).partitionBy("dt").parquet(path)
+    return "dt"

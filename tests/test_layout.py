@@ -163,3 +163,32 @@ def test_read_pruned_scans_only_overlapping_files(spark, duck, tmp_path):
 
     # missing stats -> must read (never guess)
     assert prune_files([("f.parquet", None, None)], 0, 1) == ["f.parquet"]
+
+
+def test_time_partitioned_write_prunes_directories(spark):
+    """days(ts)-style layout: a dt-filtered read shows PartitionFilters
+    and scans only the matching partitions' files."""
+    import re
+    import tempfile
+
+    from data_pipeline_project_spark.sinks.layout import write_time_partitioned
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.01")
+    path = tempfile.mkdtemp() + "/events_by_day"
+    col = write_time_partitioned(ev, path, "ts", granularity="day")
+    assert col == "dt"
+
+    got = spark.read.parquet(path)
+    n_days = got.select("dt").distinct().count()
+    assert n_days > 10
+
+    pruned = got.where(F.col("dt") == "2024-01-05")
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dt" in m.group(1), plan
+    # and the count matches a raw-ts filter over the unpartitioned view
+    expect = ev.where(F.to_date("ts") == "2024-01-05").count()
+    assert pruned.count() == expect > 0
