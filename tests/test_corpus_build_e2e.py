@@ -100,6 +100,18 @@ def _build(spark, tmp, tag):
         "left_anti",
     )
 
+    # 2c2. cross-document line dedup (RefinedWeb boilerplate stage):
+    # the synthetic docs are single-line and all distinct, so nothing
+    # qualifies at min_df=5 — the stage must compose, preserve every
+    # column and byte of text, and report zero drops.
+    from data_pipeline_project_spark.operators.corpus import (
+        drop_boilerplate_lines,
+    )
+
+    bl = drop_boilerplate_lines(final, min_df=5)
+    assert bl.agg(F.sum("n_lines_dropped")).first()[0] == 0
+    final = bl.drop("n_lines_kept", "n_lines_dropped")
+
     # 2d. model-based quality filter: a classifier trained against
     # synthetic junk negatives scores the corpus; the real docs all
     # land far above the 0.5 cut, so the stage composes, filters
