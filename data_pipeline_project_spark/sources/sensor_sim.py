@@ -143,3 +143,80 @@ class SensorSimDataSource(DataSource):
 
     def streamReader(self, schema: StructType):
         return SensorSimStreamReader(self.options)
+
+
+# ---- custom writer: staged-commit JSONL sink --------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged_path: str
+    rows: int
+
+
+class JsonlAuditWriter(DataSourceWriter):
+    """The WRITE side of the connector extension point, with the
+    two-phase commit protocol a real sink needs: each task writes its
+    partition to a STAGED file named by (task, uuid) and returns a
+    commit message; only the driver's commit() promotes staged files
+    into the target directory and stamps ``_SUCCESS`` with the file
+    list — so a failed/speculated/retried task leaves at most an
+    orphaned staged file, never a half-visible result, and readers
+    trusting ``_SUCCESS`` get exactly-once output. abort() removes the
+    staged files. (This is the FileCommitProtocol idea, spelled in
+    ~40 lines of Python against the DataSource API.)"""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlaudit sink requires option 'path'")
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        name = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(name, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _StagedFile(staged_path=name, rows=n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        final = []
+        for m in messages:
+            target = os.path.join(self.path, os.path.basename(m.staged_path))
+            os.replace(m.staged_path, target)
+            final.append({"file": os.path.basename(target), "rows": m.rows})
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            _json.dump({"files": final, "total_rows": sum(f["rows"] for f in final)}, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+
+
+class JsonlAuditDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "jsonlaudit"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return JsonlAuditWriter(self.options)

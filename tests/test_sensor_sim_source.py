@@ -93,3 +93,33 @@ def test_stream_reader_drains_exactly_once(spark, tmp_path):
     # nothing - exactly-once across restarts
     run()
     assert spark.read.parquet(out_dir).count() == 350
+
+
+def test_jsonl_audit_writer_two_phase_commit(spark, tmp_path):
+    """Custom sink: staged files promote only on driver commit, and
+    _SUCCESS records the exact committed file set and row total."""
+    import json
+    import os
+
+    from data_pipeline_project_spark.sources.sensor_sim import (
+        JsonlAuditDataSource,
+    )
+
+    spark.dataSource.register(JsonlAuditDataSource)
+    out = str(tmp_path / "audit")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(4)
+    df.write.format("jsonlaudit").option("path", out).mode("append").save()
+
+    success = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert success["total_rows"] == 100
+    assert len(success["files"]) == 4
+    # staged area fully promoted
+    assert os.listdir(os.path.join(out, "_staging")) == []
+    # data round-trips
+    rows = []
+    for f in success["files"]:
+        with open(os.path.join(out, f["file"])) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted((r["k"], r["v"]) for r in rows) == [(i, i % 7) for i in range(100)]
