@@ -2629,3 +2629,116 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_project_spark.operators.corpus import content_defined_chunks
 
     return content_defined_chunks(load_table(spark, "documents", sf_dir))
+
+
+# ---- token entropy (deregistered-parity) ------------------------------------
+
+TOKEN_ENTROPY_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents),
+dt AS (SELECT doc_id, term, count(*) AS k FROM tok GROUP BY 1, 2),
+dn AS (SELECT doc_id, sum(k) AS n FROM dt GROUP BY 1)
+SELECT dt.doc_id,
+       CAST(dn.n AS BIGINT) AS n_tokens,
+       round(-sum(k * round(ln(k::DOUBLE / dn.n) * 1e6))::DOUBLE
+             / (dn.n * 1e6), 6) AS token_entropy
+FROM dt JOIN dn ON dt.doc_id = dn.doc_id
+GROUP BY dt.doc_id, dn.n
+"""
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    information-theoretic quality signal beside the Gopher ratios:
+    near-zero entropy is 'spam spam spam', corpus-typical entropy is
+    fluent text, and it composes with repetition_flags (which catches
+    STRUCTURED repetition entropy alone misses). One (doc,term)
+    aggregate (the same shuffle tf-idf pays) + one per-doc fold; the
+    per-term logs are int64 microlog fixed-point, so the sum is
+    order-independent and the float metric hash-checks cross-engine."""
+    from data_pipeline_project_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dt = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        dt.withColumn("n", F.sum("k").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.round(
+                -F.sum(
+                    F.col("k")
+                    * F.round(F.log(F.col("k").cast("double") / F.col("n")) * 1e6, 0)
+                ).cast("double")
+                / (F.col("n") * 1e6),
+                6,
+            ).alias("token_entropy")
+        )
+        .select("doc_id", F.col("n").cast("bigint").alias("n_tokens"), "token_entropy")
+    )
+
+
+# ---- Zipf rank-frequency fit (deregistered-parity) --------------------------
+
+ZIPF_FIT_ORACLE = f"""
+WITH tok AS (SELECT unnest({SQL_TOKENS}) AS term FROM documents),
+v AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk FROM v),
+pts AS (
+    SELECT round(ln(rnk::DOUBLE) * 1e6)::BIGINT AS x6,
+           round(ln(c::DOUBLE) * 1e6)::BIGINT AS y6
+    FROM r
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(x6) AS DOUBLE) / 1e6 AS sx,
+           CAST(sum(y6) AS DOUBLE) / 1e6 AS sy,
+           CAST(sum(x6 * x6) AS DOUBLE) / 1e12 AS sxx,
+           CAST(sum(x6 * y6) AS DOUBLE) / 1e12 AS sxy
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS zipf_intercept
+FROM s
+"""
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: least-squares
+    slope/intercept of ln(frequency) against ln(rank). Natural text
+    sits near slope -1; a corpus drifting toward 0 (flat — synthetic or
+    templated text) or below -1.5 (a few tokens dominating — boilerplate
+    or collapse) fails the linguistic sanity check, which is why corpus
+    QA dashboards track this number. The vocab table is
+    corpus-bounded; the regression inputs are int64 microlog
+    fixed-point so the sums (and therefore the fitted line) are
+    bit-stable cross-engine. The rank window is a single ordered pass
+    over the VOCABULARY, never the corpus."""
+    from data_pipeline_project_spark.operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    v = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("term"))
+    pts = v.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1e6, 0)
+        .cast("bigint")
+        .alias("x6"),
+        F.round(F.log(F.col("c").cast("double")) * 1e6, 0).cast("bigint").alias("y6"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("x6").cast("double") / 1e6).alias("sx"),
+        (F.sum("y6").cast("double") / 1e6).alias("sy"),
+        (F.sum(F.col("x6") * F.col("x6")).cast("double") / 1e12).alias("sxx"),
+        (F.sum(F.col("x6") * F.col("y6")).cast("double") / 1e12).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    )

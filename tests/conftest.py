@@ -112,6 +112,8 @@ EXTRA_ORACLE_QUERIES = [
     ("temporal_queries", "resample_linear_interp", "RESAMPLE_INTERP_ORACLE"),
     ("relational_queries", "explode_outer_semantics", "EXPLODE_OUTER_ORACLE"),
     ("relational_queries", "try_arithmetic", "TRY_ARITHMETIC_ORACLE"),
+    ("llmops_queries", "token_entropy", "TOKEN_ENTROPY_ORACLE"),
+    ("llmops_queries", "zipf_fit", "ZIPF_FIT_ORACLE"),
 ]
 
 

@@ -326,6 +326,11 @@ def test_deregistered_query_plan_sweep(spark):
                                  # only partial-agg rows reach each final agg
         "minhash_lsh_recall",  # two scalar pair counts
         "bigram_logprob_score",  # the 1-row N aggregate feeding the scalars
+        "token_entropy",  # (deregistered twin check) none expected — safe
+        "zipf_fit",  # the rank window runs over the VOCABULARY (corpus-
+                     # bounded aggregate, not the corpus) + 1-row
+                     # regression scalars; at warehouse scale shard the
+                     # rank with the positions bucketing if vocab > 1e8
     }
 
     from data_pipeline_project_spark.functions.persist_scope import (
