@@ -301,3 +301,64 @@ def encoding_stats(col: Column) -> Column:
         n_ctrl.cast("bigint").alias("n_control"),
         ascii_ratio.alias("ascii_ratio"),
     )
+
+
+def hashed_doc_vectors(
+    docs,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+):
+    """Feature-hashing document vectors: term counts hashed into a
+    ``dim``-dimensional dense array with a deterministic md5 bucket AND
+    sign (the signed hashing trick — collisions cancel in expectation
+    instead of stacking), L2-normalized. The bridge from the text tier
+    to the embedding tier: a corpus with NO model-produced embeddings
+    can still run every vector operator (cosine_topk, semantic_dedup,
+    IVF/PQ indexes) on these — the classic cheap-retrieval baseline,
+    and deterministic across engines/cluster sizes unlike a trained
+    embedding.
+
+    Plan: one (doc, term, count) aggregate (the tf-idf shuffle), then
+    per-doc bucket sums and a dense-array assembly via map_from_entries
+    + lookup — all JVM expressions, no UDF; the vector never exceeds
+    ``dim`` doubles per doc."""
+    from pyspark.sql import functions as F
+
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    dt = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("k"))
+    h = token_hash(F.col("term"))
+    signed = dt.select(
+        id_col,
+        (h % dim).alias("bucket"),
+        # second, independent bit of the same digest decides the sign
+        F.when((h % (2 * dim)) >= dim, F.col("k")).otherwise(-F.col("k")).alias("sv"),
+    )
+    per_bucket = signed.groupBy(id_col, "bucket").agg(F.sum("sv").alias("v"))
+    assembled = (
+        per_bucket.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("v")))
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("m", i.cast("bigint")), F.lit(0)
+                ).cast("double"),
+            ).alias("_raw"),
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate("_raw", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return assembled.select(
+        id_col,
+        F.transform(
+            "_raw", lambda x: (x / F.when(norm > 0, norm).otherwise(F.lit(1.0))).cast("float")
+        ).alias(out_col),
+    )

@@ -118,3 +118,44 @@ def test_jsonl_export_roundtrip(spark, tmp_path):
         for r in docs.collect()
     }
     assert got == want
+
+
+# ---- feature-hashing doc vectors --------------------------------------------
+
+def test_hashed_doc_vectors_bridge_to_embedding_tier(spark):
+    """Signed feature hashing: unit-norm vectors, deterministic across
+    partitioning, near-dup docs nearly parallel, unrelated docs far —
+    and the output column composes directly with the vector operators
+    (cosine_topk)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_spark.operators.similarity import cosine_topk
+    from data_pipeline_project_spark.operators.text import hashed_doc_vectors
+
+    base = "spark shuffles partition data across executors for joins " * 5
+    near = base + "with one extra trailing clause"
+    other = "completely different subject matter about cooking pasta " * 5
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, other)], ["doc_id", "text"]
+    )
+    v = hashed_doc_vectors(docs, dim=64)
+    rows = {r.doc_id: r.embedding for r in v.collect()}
+    for vec in rows.values():
+        assert abs(math.sqrt(sum(x * x for x in vec)) - 1.0) < 1e-5
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(rows[0], rows[1]) > 0.9
+    assert cos(rows[0], rows[2]) < 0.5
+
+    # partitioning invariance
+    v2 = hashed_doc_vectors(docs.repartition(5), dim=64)
+    rows2 = {r.doc_id: r.embedding for r in v2.collect()}
+    assert rows == rows2
+
+    # composes with the vector tier unchanged
+    top = cosine_topk(v, v.where("doc_id = 0"), k=1, id_col="doc_id").collect()
+    assert top[0].neighbor_id == 1
