@@ -692,3 +692,52 @@ def test_stream_stream_left_outer_join_null_timing(spark, tmp_path):
     # (nothing ever passes ITS window) — correct streaming semantics,
     # not data loss.
     assert rows == [(100, 7), (101, None)], rows
+
+
+def test_streaming_heavy_hitters_state_across_batches(spark, tmp_path):
+    """Sharded Misra-Gries in the state store: a term heavy across TWO
+    micro-batches (never heavy within one) must surface in the final
+    summary — the mergeable-summary property, live in streaming state."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_project_spark.streaming.heavy_hitters_stream import (
+        streaming_heavy_hitters,
+    )
+
+    src = tmp_path / "terms"
+    src.mkdir()
+    # 'hot' appears 30x per batch; fillers are unique per batch
+    b1 = ["hot"] * 30 + [f"a{i}" for i in range(20)]
+    b2 = ["hot"] * 30 + [f"b{i}" for i in range(20)]
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({"term": b1})),
+                   str(src / "b1.parquet"))
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({"term": b2})),
+                   str(src / "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_heavy_hitters(stream, k=8, n_shards=4)
+    q = (
+        out.writeStream.format("memory").queryName("hh_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    hist = spark.sql("select * from hh_out").collect()
+    hot = [r for r in hist if r.item == "hot"]
+    assert hot, hist
+    # weight grows across batches: the final 'hot' counter reflects
+    # BOTH batches' mass (>= 40 after MG decrements), which a
+    # stateless per-batch sketch could never reach
+    assert max(r.weight for r in hot) >= 40
+    # 'hot' was emitted in more than one batch (state crossed the
+    # boundary) with growing weight
+    assert len({r.weight for r in hot}) >= 2
