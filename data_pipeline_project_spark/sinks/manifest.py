@@ -607,7 +607,10 @@ def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
 
 
 def compact_snapshot(
-    spark, path: str, small_bytes: int = 32 * 1024 * 1024
+    spark,
+    path: str,
+    small_bytes: int = 32 * 1024 * 1024,
+    cluster_col: str | None = None,
 ) -> dict:
     """Incremental small-file compaction under the snapshot model: data
     files smaller than ``small_bytes`` are merged into one new file,
@@ -634,6 +637,13 @@ def compact_snapshot(
         return {"files_compacted": 0, "rows_compacted": 0}
 
     merged = spark.read.parquet(*small)
+    if cluster_col is not None:
+        # compaction is the cheapest moment to (re)establish clustering:
+        # the data is being rewritten anyway, so sorting it here buys
+        # tight zone maps for free (the OPTIMIZE ... ZORDER/ORDER idea).
+        from pyspark.sql import functions as F
+
+        merged = merged.sort(F.col(cluster_col))
     rows = merged.count()
     pending = snapshot_versions(path)
     version = (pending[-1] + 1) if pending else 1

@@ -406,3 +406,30 @@ def test_compact_snapshot_merges_small_files_with_time_travel(spark, tmp_path):
     # idempotent: one big file left -> nothing to do, no version bump
     stats2 = compact_snapshot(spark, path)
     assert stats2["files_compacted"] == 0
+
+
+def test_compact_snapshot_reclusters(spark, duck, tmp_path):
+    """Compaction with cluster_col: the merged file comes out SORTED,
+    so its row-group zone maps are tight again after fragmented
+    unordered appends."""
+    from data_pipeline_project_spark.sinks.layout import file_zone_maps
+    from data_pipeline_project_spark.sinks.manifest import compact_snapshot
+
+    path = str(tmp_path / "t")
+    # unordered appends: each tiny file spans the whole key range
+    for i in range(4):
+        spark.range(0, 1000).select(
+            ((F.col("id") * 7 + i) % 1000).alias("k")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    stats = compact_snapshot(spark, path, cluster_col="k")
+    assert stats["files_compacted"] == 4 and stats["rows_compacted"] == 4000
+    # single compacted file, sorted: its footer min/max is exact and a
+    # narrow range read touches one row group band
+    zm = file_zone_maps(duck, path, "k")
+    assert len(zm) == 1
+    (_, lo, hi) = zm[0]
+    assert (lo, hi) == (0, 999)
+    got = spark.read.parquet(path).collect()
+    ks = [r.k for r in got]
+    assert len(ks) == 4000
