@@ -330,6 +330,15 @@ def merge_upsert(
             f"!= target {sorted(target_cols)}"
         )
     n_updates = updates_df.count()
+    if n_updates == 0:
+        # an empty change set is a committed no-op, not a crash (the
+        # min()/max() below would throw on an empty key list)
+        return {
+            "version": (snapshot_versions(path) or [0])[-1],
+            "files_rewritten": 0,
+            "rows_updated": 0,
+            "rows_inserted": 0,
+        }
     n_keys = updates_df.select(key_col).distinct().count()
     if n_keys != n_updates:
         raise ValueError(
@@ -526,6 +535,10 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
     Returns {versions_dropped, tombstones_deleted}."""
     import shutil
 
+    if keep_versions < 1:
+        # versions[-0:] would silently keep EVERYTHING; dropping every
+        # version is never what a retention call means.
+        raise ValueError("vacuum requires keep_versions >= 1")
     versions = snapshot_versions(path)
     kept, dropped = versions[-keep_versions:], versions[:-keep_versions]
     mdir = os.path.join(path, "_manifests")
@@ -628,11 +641,17 @@ def compact_snapshot(
     version bump."""
     import shutil
 
-    small = [
-        f
-        for f in _data_files(path)
-        if os.path.getsize(f) < small_bytes
-    ]
+    all_files = _data_files(path)
+    if any(os.path.dirname(f) != os.path.abspath(path).rstrip("/")
+           and os.path.dirname(f) != path.rstrip("/") for f in all_files):
+        # hive-partitioned layout: merging across partition directories
+        # into one flat file would silently DROP the partition column —
+        # use sinks/compact.compact_dataset (partition-aware) instead.
+        raise ValueError(
+            "compact_snapshot supports flat layouts only; this dataset "
+            "has partition subdirectories — use sinks.compact.compact_dataset"
+        )
+    small = [f for f in all_files if os.path.getsize(f) < small_bytes]
     if len(small) < 2:
         return {"files_compacted": 0, "rows_compacted": 0}
 

@@ -433,3 +433,42 @@ def test_compact_snapshot_reclusters(spark, duck, tmp_path):
     got = spark.read.parquet(path).collect()
     ks = [r.k for r in got]
     assert len(ks) == 4000
+
+
+def test_lakehouse_edge_guards(spark, duck, tmp_path):
+    """Edge cases that must fail loudly or no-op cleanly: empty MERGE
+    change set, vacuum(0), and compaction over a hive-partitioned
+    layout (which would silently drop the partition column)."""
+    import pytest
+
+    from data_pipeline_project_spark.sinks.manifest import (
+        compact_snapshot,
+        merge_upsert,
+        vacuum,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v")
+    ).write.parquet(path)
+    v1 = write_versioned_manifest(path)["version"]
+
+    # empty change set: committed no-op at the current version
+    empty = spark.createDataFrame([], "user_id long, v long")
+    stats = merge_upsert(spark, duck, path, "user_id", empty)
+    assert stats == {
+        "version": v1, "files_rewritten": 0,
+        "rows_updated": 0, "rows_inserted": 0,
+    }
+    assert spark.read.parquet(path).count() == 100
+
+    with pytest.raises(ValueError, match="keep_versions"):
+        vacuum(path, keep_versions=0)
+
+    part = str(tmp_path / "p")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("shard")
+    ).write.partitionBy("shard").parquet(part)
+    with pytest.raises(ValueError, match="flat layouts"):
+        compact_snapshot(spark, part)
