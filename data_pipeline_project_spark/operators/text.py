@@ -320,6 +320,9 @@ def hashed_doc_vectors(
     and deterministic across engines/cluster sizes unlike a trained
     embedding.
 
+    A document with zero tokens has no vector and is absent from the
+    result (join back to the corpus to decide its fate explicitly).
+
     Plan: one (doc, term, count) aggregate (the tf-idf shuffle), then
     per-doc bucket sums and a dense-array assembly via map_from_entries
     + lookup — all JVM expressions, no UDF; the vector never exceeds

@@ -79,6 +79,8 @@ class SensorSimReader(DataSourceReader):
         self.period_seconds = int(options.get("period_seconds", 60))
 
     def partitions(self):
+        if self.n_rows <= 0:
+            return [_RangePartition(0, 0)]  # empty source, not a crash
         per = -(-self.n_rows // self.n_partitions)  # ceil
         return [
             _RangePartition(lo, min(lo + per, self.n_rows))

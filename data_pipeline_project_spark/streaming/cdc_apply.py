@@ -41,11 +41,18 @@ def collapse_last_write_wins(
     batch: DataFrame, key_col: str, order_col: str
 ) -> DataFrame:
     """Collapse duplicate keys within a CDC batch to the row with the
-    highest ``order_col`` (ties on the key's own value are impossible
-    given a total order column; the caller supplies one — sequence
-    number, LSN, event time + id). Pure window + filter: one shuffle
-    on the key."""
-    w = Window.partitionBy(key_col).orderBy(F.col(order_col).desc())
+    highest ``order_col`` (sequence number, LSN, event time + id);
+    equal order values fall back to a deterministic full-row hash so
+    replays pick the same winner. Pure window + filter: one shuffle on
+    the key."""
+    # secondary tie-break: a content hash of the full row, so two
+    # changes sharing the same sequence number still collapse to the
+    # SAME winner on every retry/replay (arbitrary-but-stable beats
+    # arbitrary-and-flapping; a well-formed CDC feed never ties).
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).desc(),
+        F.xxhash64(F.struct(*[F.col(c) for c in batch.columns])).desc(),
+    )
     return (
         batch.withColumn("_cdc_rn", F.row_number().over(w))
         .where(F.col("_cdc_rn") == 1)
