@@ -234,3 +234,50 @@ def watermark_late_flags(
     return joined.withColumn(late_col, late).drop(
         "_wm_arr", "_wm_ts", "_wm_bucket", "_wm_prev"
     )
+
+
+def ohlc_bars_agg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "6 hours",
+    watermark: str | None = None,
+) -> DataFrame:
+    """OHLC bars as ONE aggregate — the STREAMING-compatible plan. The
+    batch query (plans/temporal_queries.ohlc_bars) uses two row_number
+    windows, which Structured Streaming cannot run; min_by/max_by over
+    a total-order struct (ts, monotonic tiebreak via the value row's
+    own ordering columns) express first/last inside a plain aggregate,
+    which streams under a watermark and also saves the batch plan a
+    whole window pass. Ties are broken by the full (ts, value) struct
+    order, so the bars are deterministic under any partitioning.
+
+    With ``watermark`` set, the input must be a streaming frame; the
+    same code path runs batch when it is None — streaming = batch, the
+    engine's core promise."""
+    src = events
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    ordkey = F.struct(F.col(ts_col), F.col(value_col))
+    return (
+        src.groupBy(F.col(key_col), F.window(ts_col, bucket).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min_by(value_col, ordkey), 6).alias("open"),
+            F.round(F.max(value_col), 6).alias("high"),
+            F.round(F.min(value_col), 6).alias("low"),
+            F.round(F.max_by(value_col, ordkey), 6).alias("close"),
+        )
+        .select(
+            key_col,
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
