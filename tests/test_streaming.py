@@ -815,3 +815,49 @@ def test_ohlc_agg_streams_and_matches_batch_windows(spark, tmp_path):
     assert matched >= int(0.95 * len(batch_windows)), (
         matched, len(batch_windows)
     )
+
+
+def test_streaming_quantiles_histogram_state(spark, tmp_path):
+    """Fixed-bin histogram quantiles in state: estimates over the FULL
+    stream (both micro-batches) within bin-width error of the exact
+    percentiles, with O(n_bins) state per key."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_project_spark.streaming.quantiles_stream import (
+        streaming_quantiles,
+    )
+
+    rng = np.random.RandomState(5)
+    vals = rng.uniform(0, 100, 2000)
+    src = tmp_path / "v"
+    src.mkdir()
+    for i, sl in enumerate((vals[:1000], vals[1000:])):
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame({"k": 1, "value": sl})),
+            str(src / f"b{i}.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema("k long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_quantiles(stream, "k", "value", lo=0.0, hi=100.0, n_bins=200)
+    q = (
+        out.writeStream.format("memory").queryName("q_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hist = spark.sql("select * from q_out").collect()
+    final = max(hist, key=lambda r: r.n)
+    assert final.n == 2000  # state crossed the batch boundary
+    for name, qq in (("q50", 0.5), ("q95", 0.95), ("q99", 0.99)):
+        exact = float(np.quantile(vals, qq))
+        est = getattr(final, name)
+        assert abs(est - exact) <= 1.5, (name, est, exact)  # ~3 bin widths
