@@ -64,3 +64,34 @@ def register_temp_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> No
     """Register every table as a temp view so spark.sql() queries run."""
     for name in TABLES:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def harmonize_union(spark_frames, renames=None, casts=None):
+    """Union frames written under EVOLVED schemas into one logical
+    frame: per-frame, ``renames`` maps old column names to current
+    ones and ``casts`` coerces legacy types (e.g. an era that wrote
+    int sensor readings); columns a frame lacks arrive as nulls
+    (unionByName allowMissingColumns — additive evolution). The
+    write-side counterpart of sinks/manifest.read_with_schema_evolution
+    for when the eras live in DIFFERENT datasets (per-vendor drops,
+    migrating pipelines) rather than one dir.
+
+    Column ORDER never matters (by-name union), which is the bug this
+    guards: plain union() matches by position and silently transposes
+    values between same-typed columns."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    fixed = []
+    for df in spark_frames:
+        for old, new in (renames or {}).items():
+            if old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        for col, typ in (casts or {}).items():
+            if col in df.columns:
+                df = df.withColumn(col, F.col(col).cast(typ))
+        fixed.append(df)
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), fixed
+    )

@@ -159,3 +159,51 @@ def test_hashed_doc_vectors_bridge_to_embedding_tier(spark):
     # composes with the vector tier unchanged
     top = cosine_topk(v, v.where("doc_id = 0"), k=1, id_col="doc_id").collect()
     assert top[0].neighbor_id == 1
+
+
+def test_harmonize_union_aligns_eras(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_spark.sources.tables import harmonize_union
+
+    era1 = spark.createDataFrame(
+        [(1, 20)], ["sensor_id", "temp"]  # old name, int readings
+    )
+    era2 = spark.createDataFrame(
+        [(2, 21.5, 0.4)], ["sensor_id", "temperature", "humidity"]
+    )
+    # column order scrambled on purpose: by-name union must not care
+    era3 = spark.createDataFrame(
+        [(0.7, 3, 22.0)], ["humidity", "sensor_id", "temperature"]
+    )
+    got = harmonize_union(
+        [era1, era2, era3],
+        renames={"temp": "temperature"},
+        casts={"temperature": "double"},
+    )
+    rows = {r.sensor_id: (r.temperature, r.humidity) for r in got.collect()}
+    assert rows == {1: (20.0, None), 2: (21.5, 0.4), 3: (22.0, 0.7)}
+    assert dict(got.dtypes)["temperature"] == "double"
+
+
+def test_observation_audit_without_second_scan(spark):
+    """Spark's Observation API: audit metrics (row count, null count)
+    ride the SAME job as the real output - no second scan, which at
+    100 TB is the difference between free audit and double cost."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    obs = Observation("audit")
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    out = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+    ).where(F.col("event_type") == "purchase")
+    n_purchases = out.count()  # ONE action drives both output and audit
+    m = obs.get
+    assert m["rows_seen"] == ev.count()
+    assert m["null_values"] == 0
+    assert 0 < n_purchases < m["rows_seen"]
