@@ -195,8 +195,16 @@ def test_observation_audit_without_second_scan(spark):
 
     from data_pipeline_project_spark.sources.tables import load_table
 
+    # Isolation note: an Observation registers state on the session
+    # whose JVM-side ObservationManager is NOT serializable - a later
+    # pyspark.ml job on the SAME session then fails closure
+    # serialization (observed: LBFGS tasks dying with
+    # NotSerializableException: ObservationManager). Observe on a
+    # child session; production code should scope observations the
+    # same way when ML jobs share the session.
+    session = spark.newSession()
     obs = Observation("audit")
-    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    ev = load_table(session, "events", "/root/testdata/sf0.001")
     out = ev.observe(
         obs,
         F.count(F.lit(1)).alias("rows_seen"),
