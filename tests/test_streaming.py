@@ -861,3 +861,51 @@ def test_streaming_quantiles_histogram_state(spark, tmp_path):
         exact = float(np.quantile(vals, qq))
         est = getattr(final, name)
         assert abs(est - exact) <= 1.5, (name, est, exact)  # ~3 bin widths
+
+
+def test_streaming_distinct_count_hll_state(spark, tmp_path):
+    """HLL registers in state: the estimate reflects distinct items
+    across BOTH micro-batches (overlapping halves — exact union 3000),
+    within HLL's error band, with fixed-size state per key."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_project_spark.streaming.distinct_stream import (
+        streaming_distinct_count,
+    )
+
+    src = tmp_path / "items"
+    src.mkdir()
+    # batch 1: items 0..1999; batch 2: 1000..2999 (1000 overlap)
+    for i, rng in enumerate((range(0, 2000), range(1000, 3000))):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame({"k": 7, "item": [f"u{j}" for j in rng]})
+            ),
+            str(src / f"b{i}.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema("k long, item string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_distinct_count(stream, "k", "item", p=9)
+    q = (
+        out.writeStream.format("memory").queryName("hll_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hist = spark.sql("select * from hll_out").collect()
+    assert len(hist) >= 2  # one emission per micro-batch: state crossed
+    final = hist[-1].estimate if hist[-1].estimate >= hist[0].estimate else max(
+        r.estimate for r in hist
+    )
+    # true distinct union = 3000; p=9 -> ~4.6% std error, allow 3 sigma
+    assert abs(final - 3000) / 3000 < 0.15, final
+    # and the estimate GREW across batches (duplicates alone can't)
+    assert max(r.estimate for r in hist) > min(r.estimate for r in hist)
