@@ -2919,3 +2919,117 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "synth_int"
         ),
     )
+
+
+# ---- Histogram-interpolated quantiles (deregistered-parity) -----------------
+
+HISTOGRAM_QUANTILES_ORACLE = """
+WITH binned AS (
+  SELECT event_type,
+         CAST(least(greatest(floor(value / 1.0), 0), 499) AS BIGINT) AS bin
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin, count(*) AS c FROM binned GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum_c,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM counts
+),
+qs AS (SELECT unnest([50, 95]) AS q),
+hit AS (
+  SELECT DISTINCT event_type, q, n,
+         min(CASE WHEN cum_c >= q * n / 100.0 THEN bin END)
+             OVER (PARTITION BY event_type, q) AS qbin
+  FROM cum, qs
+)
+SELECT h.event_type, CAST(h.q AS BIGINT) AS q, CAST(h.n AS BIGINT) AS n,
+       round(h.qbin * 1.0 +
+             ((h.q * h.n / 100.0 - (c2.cum_c - c2.c)) / c2.c) * 1.0, 6)
+           AS q_est
+FROM hit h
+JOIN cum c2 ON c2.event_type = h.event_type AND c2.bin = h.qbin
+"""
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width-histogram quantile estimation — the BATCH twin of
+    streaming/quantiles_stream.py, oracle-checked so the estimator's
+    arithmetic (bin clamp, cumulative rank, within-bin linear
+    interpolation) is pinned cross-engine. This is the quantile path
+    whose cost at 100 TB is ONE aggregation over (group, bin) — no
+    per-group sort like the exact percentile, no sketch merge like
+    approx_percentile; precision is the declared bin width, the right
+    trade for dashboards over metrics with known ranges. Estimates
+    here land within one bin width of quantile_cont (the
+    approx_quantile_accuracy query pins the GK sketch's contract the
+    same way)."""
+    ev = _t(spark, sf_dir, "events")
+    width, n_bins = 1.0, 500
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.greatest(F.floor(F.col("value") / width), F.lit(0)),
+            F.lit(n_bins - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("event_type").orderBy("bin")
+    w_all = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    qs = spark.range(0, 1).select(
+        F.explode(F.array(F.lit(50), F.lit(95))).alias("q")
+    )
+    w_q = Window.partitionBy("event_type", "q")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .select(
+            "event_type",
+            "q",
+            "n",
+            F.min(
+                F.when(
+                    F.col("cum_c") >= F.col("q") * F.col("n") / 100.0, F.col("bin")
+                )
+            )
+            .over(w_q)
+            .alias("qbin"),
+        )
+        .distinct()
+    )
+    c2 = cum.select(
+        F.col("event_type").alias("et2"),
+        F.col("bin").alias("b2"),
+        F.col("c").alias("c2"),
+        F.col("cum_c").alias("cum2"),
+    )
+    return (
+        hit.join(
+            c2,
+            (F.col("et2") == F.col("event_type")) & (F.col("b2") == F.col("qbin")),
+        )
+        .select(
+            "event_type",
+            F.col("q").cast("bigint").alias("q"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("qbin") * width
+                + (
+                    (F.col("q") * F.col("n") / 100.0 - (F.col("cum2") - F.col("c2")))
+                    / F.col("c2")
+                )
+                * width,
+                6,
+            ).alias("q_est"),
+        )
+    )

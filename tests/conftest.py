@@ -114,6 +114,7 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "try_arithmetic", "TRY_ARITHMETIC_ORACLE"),
     ("llmops_queries", "token_entropy", "TOKEN_ENTROPY_ORACLE"),
     ("llmops_queries", "zipf_fit", "ZIPF_FIT_ORACLE"),
+    ("relational_queries", "histogram_quantiles", "HISTOGRAM_QUANTILES_ORACLE"),
 ]
 
 
