@@ -293,6 +293,8 @@ def test_deregistered_query_plan_sweep(spark):
         "q11_important_stock",  # 1-row grand-total scalar cross join
         "q15_top_supplier",  # 1-row max-revenue scalar cross join
         "q22_global_sales",  # 1-row cohort-average scalar cross join
+        "histogram_quantiles",  # 2-row quantile list broadcast onto the
+                                # (group, bin)-bounded cumulative table
         "minhash_lsh_recall",  # bounded 500-doc exact-truth window (the
                                # same deliberate quadratic as
                                # dedup_ngram_jaccard) + 1-row scalar join
