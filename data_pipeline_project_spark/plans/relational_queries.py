@@ -3033,3 +3033,65 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_est"),
         )
     )
+
+
+# ---- Table checksum digest (deregistered-parity) ----------------------------
+
+TABLE_DIGEST_ORACLE = """
+WITH rows_h AS (
+  SELECT ('0x' || substr(md5(
+           o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+           o_orderstatus || '|' || o_totalprice::VARCHAR || '|' ||
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' || o_orderpriority
+         ), 1, 15))::BIGINT AS h
+  FROM orders
+)
+SELECT CAST(h % 64 AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       CAST(sum(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS digest
+FROM rows_h GROUP BY 1
+"""
+
+
+def table_checksum_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table digest — the cheap replica-reconciliation
+    primitive: every row's CONTENT hashes to one bigint, rows bucket by
+    hash, and each bucket's digest is the exact decimal SUM of its row
+    hashes — order-independent and mergeable, so two clusters (or a
+    table and its backup, or pre/post-migration copies) compare 64
+    digest rows instead of 60k data rows, and a mismatched bucket
+    narrows the diff to 1/64th of the table per level (Merkle-style
+    descent by re-digesting the hot bucket with a deeper modulus).
+    Engines disagree on nothing here by construction: md5 content hash
+    (the engine-wide mechanism), decimal-exact sums. Floats are
+    canonicalized through their string forms — both engines render
+    these double values identically (the reference's totalprice is
+    2-decimal money); fixed-point formatting is the general answer."""
+    o = _t(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice").cast("string"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        o.select(h.alias("h"))
+        .groupBy((F.col("h") % 64).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("digest"),
+        )
+    )

@@ -115,6 +115,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "token_entropy", "TOKEN_ENTROPY_ORACLE"),
     ("llmops_queries", "zipf_fit", "ZIPF_FIT_ORACLE"),
     ("relational_queries", "histogram_quantiles", "HISTOGRAM_QUANTILES_ORACLE"),
+    ("relational_queries", "table_checksum_digest", "TABLE_DIGEST_ORACLE"),
 ]
 
 
