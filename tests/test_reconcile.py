@@ -67,3 +67,38 @@ def test_reconcile_prunes_clean_buckets(spark):
         .count()
     )
     assert 1 <= diff_buckets <= 2 and len(lb) == 64
+
+
+def test_reconcile_matches_simulator_on_random_edits(spark):
+    """Randomized property: for random edit sets (delete/mutate/add),
+    the digest descent returns exactly the symmetric difference with
+    multiplicities — agreeing with a pure-Python reference diff."""
+    import random
+    from collections import Counter
+
+    for seed in (3, 17, 41):
+        rng = random.Random(seed)
+        left_rows = [(k, k % 11) for k in range(500)]
+        right_rows = list(left_rows)
+        # random deletes
+        for _ in range(rng.randint(0, 5)):
+            right_rows.pop(rng.randrange(len(right_rows)))
+        # random mutations
+        for _ in range(rng.randint(0, 5)):
+            i = rng.randrange(len(right_rows))
+            k, v = right_rows[i]
+            right_rows[i] = (k, v + 100)
+        # random adds (incl. duplicates of existing rows)
+        for _ in range(rng.randint(0, 5)):
+            right_rows.append(rng.choice(left_rows + [(9999, 1)]))
+
+        expect = Counter(left_rows) - Counter(right_rows)
+        expect_r = Counter(right_rows) - Counter(left_rows)
+
+        l = spark.createDataFrame(left_rows, ["k", "v"])
+        r = spark.createDataFrame(right_rows, ["k", "v"])
+        got = reconcile_tables(l, r, ["k", "v"], fanout=16, max_levels=2).collect()
+        got_l = {(x.k, x.v): x.delta for x in got if x.side == "left_only"}
+        got_r = {(x.k, x.v): x.delta for x in got if x.side == "right_only"}
+        assert got_l == dict(expect), (seed, got_l, dict(expect))
+        assert got_r == dict(expect_r), (seed, got_r, dict(expect_r))
