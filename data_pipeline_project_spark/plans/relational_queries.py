@@ -3095,3 +3095,43 @@ def table_checksum_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("digest"),
         )
     )
+
+
+# ---- Calendar function matrix (deregistered-parity) -------------------------
+
+TIME_FUNCTIONS_ORACLE = """
+SELECT event_id,
+       CAST(hour(ts) AS INT) AS hr,
+       CAST(minute(ts) AS INT) AS mi,
+       CAST(dayofweek(ts) AS INT) AS dow_sun0,
+       CAST(isodow(ts) AS INT) AS dow_iso,
+       CAST(weekofyear(ts) AS INT) AS iso_week,
+       CAST(quarter(ts) AS INT) AS qtr,
+       strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+       strftime(CAST(ts AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo
+FROM events
+"""
+
+
+def time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calendar-function matrix with its CONVENTION TRAPS aligned
+    explicitly — the classic migration bug family: Spark's dayofweek is
+    1=Sunday while DuckDB's is 0=Sunday (aligned here as dow_sun0 =
+    Spark-1), ISO day-of-week is Spark weekday()+1 vs DuckDB isodow,
+    ISO week numbers agree (both ISO-8601, including the year-boundary
+    weeks this data crosses), and month arithmetic CLAMPS identically
+    (Jan 31 + 3 months = Apr 30 in both — the events span month ends,
+    so the clamp rows are exercised, not vacuous). Dates emitted as
+    strings per the cross-engine hash rule."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.hour("ts").cast("int").alias("hr"),
+        F.minute("ts").cast("int").alias("mi"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow_sun0"),
+        (F.weekday("ts") + 1).cast("int").alias("dow_iso"),
+        F.weekofyear("ts").cast("int").alias("iso_week"),
+        F.quarter("ts").cast("int").alias("qtr"),
+        F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months("ts", 3), "yyyy-MM-dd").alias("plus3mo"),
+    )

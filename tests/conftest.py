@@ -116,6 +116,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "zipf_fit", "ZIPF_FIT_ORACLE"),
     ("relational_queries", "histogram_quantiles", "HISTOGRAM_QUANTILES_ORACLE"),
     ("relational_queries", "table_checksum_digest", "TABLE_DIGEST_ORACLE"),
+    ("relational_queries", "time_functions", "TIME_FUNCTIONS_ORACLE"),
 ]
 
 
