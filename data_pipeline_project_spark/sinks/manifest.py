@@ -29,6 +29,34 @@ import os
 from pyspark.sql import DataFrame
 
 
+def _zone_map_candidates(
+    zone_maps: list[tuple[str, object, object]], keys
+) -> list[str]:
+    """Zone-map pruning in O(files × log keys): keep every file whose
+    footer [min,max] MIGHT contain one of ``keys``. One sort of the key
+    list up front, then one ``bisect_left`` per file — the smallest key
+    ≥ the file's min either falls inside [min,max] (candidate) or the
+    file provably holds none of the keys.
+
+    This replaces a per-file ``any(mn <= k <= mx for k in keys)`` scan
+    that was O(files × keys): a streaming CDC batch of 10⁶ keys over a
+    10⁵-file table is ~10¹¹ Python comparisons that way, ~10⁵ × 20 this
+    way. Files with absent footer stats (None min/max) always survive —
+    pruning must never drop a file it can't prove clean."""
+    import bisect
+
+    skeys = sorted(keys)
+    out = []
+    for f, mn, mx in zone_maps:
+        if mn is None or mx is None:
+            out.append(f)
+            continue
+        i = bisect.bisect_left(skeys, mn)
+        if i < len(skeys) and skeys[i] <= mx:
+            out.append(f)
+    return out
+
+
 def _data_files(path: str) -> list[str]:
     out = []
     for root, dirs, files in os.walk(path):
@@ -181,16 +209,8 @@ def delete_rows_targeted(
     keys = [r[0] for r in keys_df.select(key_col).distinct().collect()]
     if not keys:
         return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
-    lo, hi = min(keys), max(keys)
     zone_maps = file_zone_maps(duck, path, key_col, duck_type)
-    key_set = set(keys)
-    candidates = [
-        f
-        for f, mn, mx in zone_maps
-        if mn is None
-        or mx is None
-        or any(mn <= k <= mx for k in key_set if lo <= k <= hi)
-    ]
+    candidates = _zone_map_candidates(zone_maps, keys)
     rows_deleted = 0
     rewritten = 0
     kdf = F.broadcast(keys_df.select(F.col(key_col)).distinct())
@@ -347,16 +367,8 @@ def merge_upsert(
         )
 
     keys = [r[0] for r in updates_df.select(key_col).distinct().collect()]
-    lo, hi = min(keys), max(keys)
-    key_set = set(keys)
     zone_maps = file_zone_maps(duck, path, key_col, duck_type)
-    candidates = [
-        f
-        for f, mn, mx in zone_maps
-        if mn is None
-        or mx is None
-        or any(mn <= k <= mx for k in key_set if lo <= k <= hi)
-    ]
+    candidates = _zone_map_candidates(zone_maps, keys)
 
     pending = snapshot_versions(path)
     version = (pending[-1] + 1) if pending else 1

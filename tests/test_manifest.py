@@ -472,3 +472,83 @@ def test_lakehouse_edge_guards(spark, duck, tmp_path):
     ).write.partitionBy("shard").parquet(part)
     with pytest.raises(ValueError, match="flat layouts"):
         compact_snapshot(spark, part)
+
+
+def test_zone_map_pruning_scales_to_cdc_size_key_batches(spark, duck, tmp_path):
+    """The candidate-selection step of merge_upsert/delete_rows_targeted
+    must be O(files × log keys), not O(files × keys): a streaming CDC
+    batch is routinely 10⁵–10⁶ keys and the table 10⁵ files, so the old
+    per-file `any(k in range)` scan was ~10¹¹ Python comparisons before
+    any Spark work ran. Three assertions: (1) the bisect path agrees
+    with the naive oracle on adversarial synthetic zone maps, (2) a
+    100k-key × 20k-file prune finishes in interpreter noise (< 2 s —
+    the naive version takes minutes), (3) merge_upsert end-to-end with
+    a 100k-key change batch is correct on a range-clustered table."""
+    import random
+    import time
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        _zone_map_candidates,
+        merge_upsert,
+        write_versioned_manifest,
+    )
+
+    # (1) parity with the naive oracle, including None-stat files,
+    # point files (mn == mx), keys outside every range, and ranges
+    # between adjacent keys.
+    rng = random.Random(8)
+    zone_maps = []
+    for i in range(500):
+        if i % 50 == 0:
+            zone_maps.append((f"f{i}", None, None))      # stats absent
+        else:
+            mn = rng.randrange(0, 10_000)
+            zone_maps.append((f"f{i}", mn, mn + rng.randrange(0, 40)))
+    keys = [rng.randrange(-50, 10_100) for _ in range(300)]
+    naive = [
+        f for f, mn, mx in zone_maps
+        if mn is None or mx is None or any(mn <= k <= mx for k in keys)
+    ]
+    assert _zone_map_candidates(zone_maps, keys) == naive
+    assert _zone_map_candidates(zone_maps, [-1_000_000]) == [
+        f for f, mn, mx in zone_maps if mn is None
+    ]
+
+    # (2) CDC-scale prune: 20k files × 100k keys.  O(files × keys)
+    # would be 2×10⁹ comparisons (minutes); the bisect path is
+    # ~20k × 17 and must be near-instant.
+    big_maps = [(f"g{i}", i * 100, i * 100 + 99) for i in range(20_000)]
+    big_keys = [rng.randrange(0, 2_000_000) for _ in range(100_000)]
+    t0 = time.monotonic()
+    cands = _zone_map_candidates(big_maps, big_keys)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 2.0, f"candidate selection took {elapsed:.2f}s"
+    key_set = set(big_keys)
+    assert cands == [
+        f for f, mn, mx in big_maps
+        if any(k in key_set for k in range(mn, mx + 1))
+    ]
+
+    # (3) end-to-end: 100k-key upsert over a clustered 200k-row table.
+    path = str(tmp_path / "cdc")
+    df = spark.range(0, 200_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 97).alias("v")
+    )
+    write_range_clustered(df, path, "user_id", 16)
+    write_versioned_manifest(path)
+
+    updates = spark.range(0, 100_000).select(
+        (F.col("id") * 3).alias("user_id"),          # 0..299_997 step 3:
+        F.lit(-1).alias("v"),                        # ~2/3 update, ~1/3 insert
+    )
+    t0 = time.monotonic()
+    stats = merge_upsert(spark, duck, path, "user_id", updates)
+    wall = time.monotonic() - t0
+    n_updated = len([k for k in range(0, 300_000, 3) if k < 200_000])
+    assert stats["rows_updated"] == n_updated
+    assert stats["rows_inserted"] == 100_000 - n_updated
+    live = spark.read.parquet(path)
+    assert live.count() == 200_000 + stats["rows_inserted"]
+    assert live.where((F.col("user_id") % 3 == 0) & (F.col("v") != -1)).count() == 0
+    assert wall < 120, f"100k-key merge took {wall:.1f}s"
