@@ -523,7 +523,10 @@ def test_zone_map_pruning_scales_to_cdc_size_key_batches(spark, duck, tmp_path):
     t0 = time.monotonic()
     cands = _zone_map_candidates(big_maps, big_keys)
     elapsed = time.monotonic() - t0
-    assert elapsed < 2.0, f"candidate selection took {elapsed:.2f}s"
+    # generous bound for a loaded box: the bisect path runs in ~10 ms;
+    # the old O(files × keys) scan takes minutes, so 10 s still
+    # separates the complexities by >10×.
+    assert elapsed < 10.0, f"candidate selection took {elapsed:.2f}s"
     key_set = set(big_keys)
     assert cands == [
         f for f, mn, mx in big_maps
