@@ -2800,33 +2800,55 @@ FROM s
 """
 
 
-def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stat_moments(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """Higher statistical moments per group — Pearson correlation,
     population skewness, excess kurtosis, exact median — computed FROM
-    DECIMAL-EXACT POWER SUMS with the textbook formulas spelled
-    identically in both engines, NOT from the engines' corr()/
-    skewness()/kurtosis() built-ins: those differ across engines in
-    bias correction (sample vs population) and in accumulation order,
-    which is exactly the cross-engine drift a migration must pin down.
-    Quantities are <= 50, so even the 4th-power sums are exact in
-    DECIMAL(38,6); the moment formulas then run on identical doubles.
-    One map-side-combinable aggregate; the median is the only
-    sort-requiring term (exact percentile per group — swap for
+    POWER SUMS with the textbook formulas spelled identically in both
+    engines, NOT from the engines' corr()/skewness()/kurtosis()
+    built-ins: those differ across engines in bias correction (sample
+    vs population) and in accumulation order, which is exactly the
+    cross-engine drift a migration must pin down.
+
+    ``exact=True`` (the oracle row's contract) sums in DECIMAL(38,6):
+    quantities are <= 50, so even the 4th-power sums are exact, and the
+    moment formulas then run on identical doubles in both engines.
+    ``exact=False`` is the PRODUCTION path: sum doubles directly —
+    JVM-native accumulation with no 128-bit decimal arithmetic per row,
+    which SCALE_r06 measured as a 5.1x-per-10x tax at 60M rows
+    (3.1s -> 16.1s); the doubles path removes it. The two paths agree
+    to ~1e-9 relative here (values are small and same-signed); at
+    genuinely adversarial cancellation a single-pass power-sum formula
+    is the wrong tool in ANY type — use a streaming Welford/merge
+    formulation instead.
+
+    One map-side-combinable aggregate either way; the median is the
+    only sort-requiring term (exact percentile per group — swap for
     approx_percentile at 100 TB, the approx_quantile_accuracy query
     pins that path's error contract)."""
     li = _t(spark, sf_dir, "lineitem")
-    dec = "decimal(38,6)"
     q = F.col("l_quantity")
     p = F.col("l_extendedprice")
+    if exact:
+        dec = "decimal(38,6)"
+
+        def _s(e):
+            return F.sum(e.cast(dec)).cast("double")
+    else:
+
+        def _s(e):
+            return F.sum(e.cast("double"))
+
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(q.cast(dec)).cast("double").alias("sx"),
-        F.sum((q * q).cast(dec)).cast("double").alias("sxx"),
-        F.sum((q * q * q).cast(dec)).cast("double").alias("sxxx"),
-        F.sum((q * q * q * q).cast(dec)).cast("double").alias("sxxxx"),
-        F.sum(p.cast(dec)).cast("double").alias("sy"),
-        F.sum((p * p).cast(dec)).cast("double").alias("syy"),
-        F.sum((q * p).cast(dec)).cast("double").alias("sxy"),
+        _s(q).alias("sx"),
+        _s(q * q).alias("sxx"),
+        _s(q * q * q).alias("sxxx"),
+        _s(q * q * q * q).alias("sxxxx"),
+        _s(p).alias("sy"),
+        _s(p * p).alias("syy"),
+        _s(q * p).alias("sxy"),
         F.percentile(q, F.lit(0.5)).alias("med"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")

@@ -64,3 +64,22 @@ def test_every_query_has_oracle_or_is_declared():
     # non-SQL-expressible ops may omit oracles; keep the list visible
     print("queries without oracle (rows-only check):", missing)
     assert set(os_) <= set(qs)
+
+
+def test_stat_moments_production_doubles_path(spark):
+    """stat_moments(exact=False) sums doubles instead of DECIMAL(38,6)
+    — the production path that removes the 5.1x-per-10x decimal tax
+    SCALE_r06 measured at 60M rows. Contract: same schema, same groups,
+    values within 1e-6 of the decimal-exact path (the formulas are
+    identical; only the accumulator type differs)."""
+    from data_pipeline_project_spark.plans.relational_queries import stat_moments
+
+    exact = stat_moments(spark, SF_ORACLE, exact=True).toPandas()
+    fast = stat_moments(spark, SF_ORACLE, exact=False).toPandas()
+    assert list(exact.columns) == list(fast.columns)
+    e = exact.sort_values("l_returnflag").reset_index(drop=True)
+    f = fast.sort_values("l_returnflag").reset_index(drop=True)
+    assert list(e["l_returnflag"]) == list(f["l_returnflag"])
+    for col in e.columns[1:]:
+        diff = (e[col] - f[col]).abs().max()
+        assert diff <= 1e-6, f"{col}: doubles path drifted by {diff}"
