@@ -185,3 +185,132 @@ def test_phash_brightness_invariance_on_stub_pixels(spark):
     rng = np.random.RandomState(11)
     px = rng.rand(32, 32) * 200
     assert _phash60(px) == _phash60(px + 20.0)
+
+
+# ---- audio: REAL stdlib-wave decode (no stub needed — wave ships) ----------
+
+
+def _make_wav(rate=16_000, secs=0.25, freq=440.0, width=2, chans=1, amp=0.5):
+    """In-memory PCM WAV: a sine at `amp` of full scale."""
+    import math
+    import struct
+    import wave
+
+    import numpy as np
+
+    n = int(rate * secs)
+    t = np.arange(n) / rate
+    x = amp * np.sin(2 * math.pi * freq * t)
+    if width == 1:
+        data = (x * 127 + 128).astype(np.uint8).tobytes()
+    elif width == 2:
+        data = (x * 32767).astype("<i2").tobytes()
+    elif width == 4:
+        data = (x * (2**31 - 1)).astype("<i4").tobytes()
+    else:
+        raise ValueError(width)
+    if chans == 2:
+        # interleave the same signal on both channels
+        import numpy as np
+
+        mono = np.frombuffer(data, dtype=np.uint8).reshape(n, width)
+        data = np.repeat(mono, 2, axis=0).tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(chans)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(data)
+    return buf.getvalue()
+
+
+def test_audio_real_wav_decode(spark):
+    """The REAL audio path: genuine RIFF/WAVE bytes through the actual
+    mapInPandas plan. Sample rate / channels / frames / duration come
+    straight from the container; RMS of a 0.5-full-scale sine must be
+    0.5/sqrt(2) within quantization error — a value the fake path
+    cannot produce by accident."""
+    from data_pipeline_project_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rows = [
+        (1, "audio/wav", _make_wav(rate=16_000, secs=0.25, amp=0.5, width=2)),
+        (2, "audio/wav", _make_wav(rate=8_000, secs=0.5, amp=0.25, width=1)),
+        (3, "audio/wav", _make_wav(rate=44_100, secs=0.1, amp=0.9, width=4)),
+        (4, "audio/wav", _make_wav(rate=16_000, secs=0.2, amp=0.5, chans=2)),
+        (5, "audio/fake", b"0123456789abcdef" * 50),  # fake co-resident
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extract_audio_features(media).collect()
+    }
+    import math
+
+    r1 = out[1]
+    assert r1["sample_rate"] == 16_000 and r1["n_channels"] == 1
+    assert r1["n_frames"] == 4_000
+    assert abs(r1["duration_s"] - 0.25) < 1e-9
+    assert abs(r1["rms"] - 0.5 / math.sqrt(2)) < 2e-3
+
+    r2 = out[2]  # 8-bit unsigned PCM: the 128-offset must be removed
+    assert r2["sample_rate"] == 8_000
+    assert abs(r2["rms"] - 0.25 / math.sqrt(2)) < 8e-3  # 8-bit quantization
+
+    r3 = out[3]  # 32-bit PCM
+    assert r3["sample_rate"] == 44_100 and r3["n_frames"] == 4_410
+    assert abs(r3["rms"] - 0.9 / math.sqrt(2)) < 2e-3
+
+    r4 = out[4]  # stereo: frames counted per channel-frame, same RMS
+    assert r4["n_channels"] == 2
+    assert abs(r4["duration_s"] - 0.2) < 1e-9
+    assert abs(r4["rms"] - 0.5 / math.sqrt(2)) < 2e-3
+
+    # the fake row keeps the fake contract (8 kHz, byte-count frames)
+    r5 = out[5]
+    assert r5["sample_rate"] == 8_000 and r5["n_frames"] == 800
+    assert r5["duration_s"] == 800 / 8000.0
+
+
+def test_audio_fake_forced_and_24bit_branch(spark):
+    """use_codec=False forces the deterministic fake even on real WAV
+    bytes (hermetic mode); the 24-bit widening branch decodes a known
+    constant signal exactly."""
+    import numpy as np
+
+    from data_pipeline_project_spark.operators.multimodal import (
+        _decode_audio_with,
+        extract_audio_features,
+    )
+
+    wav = _make_wav(secs=0.1)
+    media = spark.createDataFrame(
+        [(1, "audio/wav", wav)], "doc_id long, media_type string, payload binary"
+    )
+    forced = extract_audio_features(media, use_codec=False).collect()[0]
+    assert forced["sample_rate"] == 8_000           # fake signature
+    assert forced["n_frames"] == len(wav)
+
+    # 24-bit: hand-build a WAV holding constant +half-scale samples
+    import wave as wave_mod
+
+    half = 2**22  # == 0.5 full scale in 24-bit (2^23 is full)
+    frames = int.to_bytes(half, 3, "little", signed=True) * 100
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(1000)
+        w.writeframes(frames)
+    rate, chans, n, dur, rms = _decode_audio_with(
+        wave_mod, "audio/wav", buf.getvalue()
+    )
+    assert (rate, chans, n) == (1000, 1, 100)
+    assert abs(dur - 0.1) < 1e-12
+    assert abs(rms - 0.5) < 1e-9  # constant signal: RMS == level exactly
+
+    with pytest.raises(NotImplementedError):
+        _decode_audio_with(wave_mod, "audio/fake", b"")
