@@ -50,6 +50,15 @@ def dedup_stream_first_seen(
     Append output mode: a key emits at most one row ever (per TTL
     window), so results are final on emission — the exactly-once shape
     a downstream corpus writer wants.
+
+    Drain caveat: ``trigger(availableNow=True)`` NEVER self-terminates
+    on this operator — with ProcessingTimeTimeout,
+    FlatMapGroupsWithStateExec.shouldRunAnotherBatch is unconditionally
+    true (a timer might fire as processing time advances), so the
+    engine schedules empty micro-batches forever. A bounded drain must
+    watch progress and ``stop()`` the query once input is consumed
+    (tests/test_streaming.py::_drain_stateful); on a production stream
+    this never matters because the query is meant to run forever.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
