@@ -115,7 +115,9 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "token_entropy", "TOKEN_ENTROPY_ORACLE"),
     ("llmops_queries", "zipf_fit", "ZIPF_FIT_ORACLE"),
     ("relational_queries", "histogram_quantiles", "HISTOGRAM_QUANTILES_ORACLE"),
-    ("relational_queries", "table_checksum_digest", "TABLE_DIGEST_ORACLE"),
+    # Round-8 registry swap: table_checksum_digest took map_explode_props'
+    # driver-board slot (64 digest rows hash harder than a 3-row key agg).
+    ("relational_queries", "map_explode_props", "MAP_EXPLODE_PROPS_ORACLE"),
     ("relational_queries", "time_functions", "TIME_FUNCTIONS_ORACLE"),
 ]
 
