@@ -288,16 +288,17 @@ def _is_codec_audio(media_type) -> bool:
     )
 
 
-def _decode_audio_with(wave_mod, media_type, payload):
-    """One payload's (sample_rate, n_channels, n_frames, duration_s,
-    rms). Codec path (``audio/wav``-ish MIME + wave module): parse the
-    RIFF/WAVE container with stdlib ``wave``, decode PCM frames with
-    numpy, and report RMS normalized to full scale (1.0 == a rail-to-
-    rail square wave; a full-scale sine is 1/sqrt(2)). 8-bit PCM is
-    unsigned-with-128-offset per the WAV spec; 16/32-bit are signed
-    little-endian; 24-bit is widened to int32 by zero-padding the low
-    byte. Fake path: deterministic features derived from the payload
-    bytes — same schema, so Spark-side plumbing is identical."""
+def _pcm_float_samples(wave_mod, media_type, payload):
+    """(sample_rate, n_channels, n_frames, x): the decoded signal as
+    full-scale-normalized float64 (interleaved channels, |x| <= 1.0).
+    Codec path (``audio/wav``-ish MIME + wave module): parse the
+    RIFF/WAVE container with stdlib ``wave`` and decode PCM with numpy.
+    8-bit PCM is unsigned-with-128-offset per the WAV spec; 16/32-bit
+    are signed little-endian; 24-bit is widened to int32 by
+    zero-padding the low byte. Fake path (``audio/fake`` or no codec):
+    the payload BYTES become an 8 kHz mono pseudo-signal — same shape,
+    deterministic, and local byte edits perturb only local samples, so
+    downstream near-dup semantics stay real even on the stub."""
     import numpy as np
 
     p = bytes(payload)
@@ -325,17 +326,24 @@ def _decode_audio_with(wave_mod, media_type, payload):
             full = float(2**31)
         else:
             raise ValueError(f"unsupported PCM sample width: {width}")
-        rms = float(np.sqrt(np.mean((x / full) ** 2))) if x.size else 0.0
-        duration = nframes / rate if rate else 0.0
-        return rate, chans, nframes, duration, rms
+        return rate, chans, nframes, x / full
     if not p:
         raise NotImplementedError("empty payload: nothing to decode")
-    # deterministic fake: 8 kHz mono, one "frame" per byte, RMS from
-    # the bytes themselves so near-identical payloads score near-equal.
-    b = np.frombuffer(p, dtype=np.uint8).astype(np.float64) - 128.0
-    return 8000, 1, len(p), len(p) / 8000.0, float(
-        np.sqrt(np.mean((b / 128.0) ** 2))
-    )
+    b = (np.frombuffer(p, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    return 8000, 1, len(p), b
+
+
+def _decode_audio_with(wave_mod, media_type, payload):
+    """One payload's (sample_rate, n_channels, n_frames, duration_s,
+    rms); RMS is normalized to full scale (1.0 == a rail-to-rail
+    square wave; a full-scale sine is 1/sqrt(2)). Decode via
+    :func:`_pcm_float_samples` (codec or deterministic fake)."""
+    import numpy as np
+
+    rate, chans, nframes, x = _pcm_float_samples(wave_mod, media_type, payload)
+    rms = float(np.sqrt(np.mean(x**2))) if x.size else 0.0
+    duration = nframes / rate if rate else 0.0
+    return rate, chans, nframes, duration, rms
 
 
 def extract_audio_features(
@@ -373,6 +381,110 @@ def extract_audio_features(
             )
 
     return media.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ---- audio fingerprint (audio near-dup) -------------------------------------
+
+AUDIO_FP_BITS = 60  # 15 time frames x 4 log-spaced bands, rides the
+                    # same int64 banding as simhash / phash
+
+
+def _audio_fp60(x) -> int:
+    """60-bit spectral-shape fingerprint of a mono signal: 15 equal
+    time frames x 4 log-spaced frequency bands; bit(frame, band) = 1
+    iff that band's power exceeds the FRAME's mean band power. The
+    within-frame comparison makes the bit pattern the frame's spectral
+    SHAPE: invariant to global and per-frame amplitude scaling (all
+    four energies scale together), robust to added low-level noise
+    under a dominant tone, and local in time — an edit to one section
+    flips at most that section's 4 bits, which is what lets
+    banded-Hamming near-dup search work on it (the same design rule as
+    the stub pixel tiling in :func:`_pixels_from_payload`). A silent
+    frame contributes four 0 bits (0 > 0 is false). This is the
+    chromaprint IDEA (banded spectral deltas -> bits) reduced to numpy
+    — not the chromaprint algorithm, and not claiming its robustness
+    to transcoding."""
+    import numpy as np
+
+    n_frames, n_bands = 15, 4
+    min_len = n_frames * 16
+    if x.size == 0:
+        raise NotImplementedError("empty signal: nothing to fingerprint")
+    if x.size < min_len:  # tile short payloads up to a workable length
+        x = np.tile(x, -(-min_len // x.size))[:min_len]
+    seg = x.size // n_frames
+    h = 0
+    for f in range(n_frames):
+        frame = x[f * seg : (f + 1) * seg]
+        spec = np.abs(np.fft.rfft(frame)) ** 2
+        # log-spaced band edges over the non-DC bins
+        edges = np.unique(
+            np.geomspace(1, spec.size, n_bands + 1).round().astype(int)
+        )
+        while edges.size < n_bands + 1:  # tiny frames: pad linearly
+            edges = np.append(edges, edges[-1] + 1)
+        e = np.array(
+            [spec[edges[b] : edges[b + 1]].sum() for b in range(n_bands)]
+        )
+        mean = e.mean()
+        for b in range(n_bands):
+            if e[b] > mean:
+                h |= 1 << (f * n_bands + b)
+    return h
+
+
+def audio_fingerprint(
+    media: DataFrame, use_codec: bool | None = None
+) -> DataFrame:
+    """(doc_id, media_type, afp) — Arrow-batched spectral fingerprints
+    over binary audio payloads, same worker-probed codec gating as
+    :func:`extract_audio_features`; stereo mixes down to mono before
+    the FFT. Like the image phash: at 100 TB the corpus stores the
+    60-bit column once and near-dup search never touches samples
+    again."""
+    import numpy as np
+
+    schema = "doc_id long, media_type string, afp long"
+
+    def batches(it):
+        wave_mod = _wave_module() if use_codec in (None, True) else None
+        if use_codec is True and wave_mod is None:  # pragma: no cover
+            raise ImportError("use_codec=True but wave is unavailable")
+        for pdf in it:
+            fps = []
+            for mt, pl in zip(pdf["media_type"], pdf["payload"]):
+                rate, chans, nframes, x = _pcm_float_samples(wave_mod, mt, pl)
+                if chans > 1:
+                    x = x[: (x.size // chans) * chans].reshape(-1, chans).mean(
+                        axis=1
+                    )
+                fps.append(_audio_fp60(x))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "afp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema)
+
+
+def audio_near_pairs(
+    media: DataFrame, max_hamming: int = 3, use_codec: bool | None = None
+) -> DataFrame:
+    """Audio near-duplicate pairs: spectral fingerprint + the dedup
+    tier's generic banded Hamming join (pigeonhole-complete for
+    distance <= max_hamming at 4x15-bit banding). The FFT work happens
+    exactly once per asset; the pair search is hash-only — the same
+    two-tier shape as media_near_pairs for images."""
+    from data_pipeline_project_spark.operators.dedup import banded_hamming_pairs
+
+    fp = audio_fingerprint(media, use_codec=use_codec).select("doc_id", "afp")
+    return banded_hamming_pairs(
+        fp, id_col="doc_id", fp_col="afp", max_hamming=max_hamming,
+        bits=AUDIO_FP_BITS,
+    )
 
 
 # ---- perceptual hashing (image near-dup) ------------------------------------

@@ -314,3 +314,107 @@ def test_audio_fake_forced_and_24bit_branch(spark):
 
     with pytest.raises(NotImplementedError):
         _decode_audio_with(wave_mod, "audio/fake", b"")
+
+
+# ---- audio fingerprint + near-dup pairs ------------------------------------
+
+
+def _make_melody_wav(freqs, rate=8_000, sec_per=0.1, amp=0.5, noise=0.0, seed=0):
+    """Tone sequence WAV: one sine frequency per section — a
+    non-stationary signal whose spectral shape changes across the
+    fingerprint's time frames."""
+    import math
+    import wave
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = int(rate * sec_per)
+    parts = []
+    for f in freqs:
+        t = np.arange(n) / rate
+        x = amp * np.sin(2 * math.pi * f * t)
+        if noise:
+            x = x + noise * rng.standard_normal(n)
+        parts.append(x)
+    sig = np.clip(np.concatenate(parts), -1, 1)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((sig * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_invariances_and_near_pairs(spark):
+    """The audio near-dup tier on REAL WAV bytes: identical audio has
+    Hamming 0; the same melody at a different volume has Hamming 0
+    (within-frame spectral-shape bits are amplitude-invariant); the
+    same melody under low-level noise stays within the banded join's
+    radius; a different melody does not pair."""
+    from data_pipeline_project_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_pairs,
+    )
+
+    melody = [440, 880, 220, 1760, 440, 660, 330, 990]
+    other = [523, 262, 1047, 392, 784, 587, 294, 1175]
+    rows = [
+        (1, "audio/wav", _make_melody_wav(melody, amp=0.5)),
+        (2, "audio/wav", _make_melody_wav(melody, amp=0.5)),   # exact dup
+        (3, "audio/wav", _make_melody_wav(melody, amp=0.9)),   # louder
+        (4, "audio/wav", _make_melody_wav(melody, amp=0.5, noise=0.02, seed=7)),
+        (5, "audio/wav", _make_melody_wav(other, amp=0.5)),    # different
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    fp = {r.doc_id: r.afp for r in audio_fingerprint(media).collect()}
+
+    def ham(a, b):
+        return bin(fp[a] ^ fp[b]).count("1")
+
+    assert ham(1, 2) == 0                       # identical bytes
+    assert ham(1, 3) == 0                       # amplitude-invariant
+    assert ham(1, 4) <= 3                       # noise: inside radius
+    assert ham(1, 5) > 3                        # different melody
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in audio_near_pairs(media, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (1, 4) in pairs
+    assert (2, 3) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_audio_fingerprint_fake_and_short_payloads(spark):
+    """The deterministic fake path fingerprints byte payloads (exact
+    dups collide; distinct payloads don't), and payloads shorter than
+    one frame tile deterministically instead of failing."""
+    from data_pipeline_project_spark.operators.multimodal import (
+        _audio_fp60,
+        audio_fingerprint,
+    )
+
+    import numpy as np
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio/fake", b"0123456789abcdef" * 64),
+            (2, "audio/fake", b"0123456789abcdef" * 64),
+            (3, "audio/fake", bytes(range(256)) * 4),
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    fp = {r.doc_id: r.afp for r in audio_fingerprint(media).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+    short = _audio_fp60(np.array([0.5, -0.5, 0.25]))
+    assert short == _audio_fp60(np.array([0.5, -0.5, 0.25]))  # deterministic
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        _audio_fp60(np.array([]))
