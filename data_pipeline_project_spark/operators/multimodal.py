@@ -383,6 +383,160 @@ def extract_audio_features(
     return media.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
 
 
+# ---- video container metadata (real ISO BMFF / MP4 parse) -------------------
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
+def _is_codec_video(media_type) -> bool:
+    return (
+        isinstance(media_type, str)
+        and media_type.startswith("video/")
+        and not media_type.endswith("/fake")
+    )
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Walk ISO BMFF boxes in buf[start:end): yields (fourcc,
+    body_start, body_end). Handles 64-bit largesize (size == 1) and
+    to-end-of-file (size == 0) boxes; stops rather than loops on a
+    corrupt size."""
+    import struct
+
+    off = start
+    while off + 8 <= end:
+        size, fourcc = struct.unpack(">I4s", buf[off : off + 8])
+        body = off + 8
+        if size == 1:
+            if body + 8 > end:
+                return
+            (size,) = struct.unpack(">Q", buf[body : body + 8])
+            body += 8
+            box_end = off + size
+        elif size == 0:
+            box_end = end
+        else:
+            box_end = off + size
+        if box_end <= off or box_end > end:
+            return  # corrupt size: refuse to guess
+        yield fourcc.decode("latin-1"), body, box_end
+        off = box_end
+
+
+def _find_box(buf: bytes, path: list[str], start: int, end: int):
+    """Descend a container path like ['moov','trak','mdia']; returns
+    (body_start, body_end) of the FIRST match, or None."""
+    for fourcc, b, e in _iter_boxes(buf, start, end):
+        if fourcc == path[0]:
+            if len(path) == 1:
+                return b, e
+            return _find_box(buf, path[1:], b, e)
+    return None
+
+
+def _parse_mp4_meta(payload: bytes):
+    """(duration_s, n_tracks, width, height, codec) straight from the
+    MP4 container structure — a REAL parse of the bytes (mvhd
+    timescale/duration, tkhd 16.16 fixed-point dimensions, the first
+    stsd sample-entry fourcc), no decoder involved. This is the
+    metadata tier a 100 TB video corpus filters on (duration outliers,
+    resolution buckets, codec mix) before any frame is ever decoded;
+    frame decode itself stays behind the ffmpeg/pyav gate
+    (sample_frames' chunker stub). Version-0 and version-1 (64-bit)
+    mvhd/tkhd headers both handled. Raises ValueError on payloads
+    that are not ISO BMFF."""
+    import struct
+
+    buf = bytes(payload)
+    moov = _find_box(buf, ["moov"], 0, len(buf))
+    if moov is None:
+        raise ValueError("not an ISO BMFF payload: no moov box")
+    duration_s = 0.0
+    mvhd = _find_box(buf, ["mvhd"], *moov)
+    if mvhd is not None:
+        b, _ = mvhd
+        version = buf[b]
+        if version == 1:
+            timescale, duration = struct.unpack(">IQ", buf[b + 20 : b + 32])
+        else:
+            timescale, duration = struct.unpack(">II", buf[b + 12 : b + 20])
+        if timescale:
+            duration_s = duration / timescale
+    n_tracks, width, height, codec = 0, 0, 0, ""
+    for fourcc, b, e in _iter_boxes(buf, *moov):
+        if fourcc != "trak":
+            continue
+        n_tracks += 1
+        tkhd = _find_box(buf, ["tkhd"], b, e)
+        if tkhd is not None:
+            tb, te = tkhd
+            # width/height are the LAST two 16.16 fixed-point fields
+            w, h = struct.unpack(">II", buf[te - 8 : te])
+            w, h = w >> 16, h >> 16
+            if w and h and not width:
+                width, height = w, h
+        stsd = _find_box(buf, ["mdia", "minf", "stbl", "stsd"], b, e)
+        if stsd is not None and not codec:
+            sb, se = stsd
+            # full box header (4) + entry_count (4), then first entry
+            entry = sb + 8
+            if entry + 8 <= se:
+                codec = buf[entry + 4 : entry + 8].decode("latin-1")
+    return duration_s, n_tracks, width, height, codec
+
+
+def extract_video_metadata(
+    media: DataFrame, use_codec: bool | None = None
+) -> DataFrame:
+    """Arrow-batched video container metadata over binary payloads —
+    the same gating contract as the image/audio extractors, with the
+    ISO BMFF parse as the "codec" (it is stdlib struct, so like wave
+    it is always available; the gate still lets use_codec=False force
+    the deterministic fake for hermetic runs). ``video/fake`` payloads
+    produce byte-derived stub values so the Spark plumbing stays
+    testable without real containers."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mt, p in zip(pdf["media_type"], pdf["payload"]):
+                b = bytes(p)
+                if use_codec is not False and _is_codec_video(mt):
+                    rows.append(_parse_mp4_meta(b))
+                else:
+                    if not b:
+                        raise NotImplementedError(
+                            "empty payload: nothing to decode"
+                        )
+                    # deterministic fake: stub values from the bytes
+                    rows.append(
+                        (len(b) / 1000.0, 1, int(b[0]), int(b[-1]), "fake")
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "duration_s": [r[0] for r in rows],
+                    "n_tracks": [r[1] for r in rows],
+                    "width": [r[2] for r in rows],
+                    "height": [r[3] for r in rows],
+                    "codec": [r[4] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(extract, schema=VIDEO_META_SCHEMA)
+
+
 # ---- audio fingerprint (audio near-dup) -------------------------------------
 
 AUDIO_FP_BITS = 60  # 15 time frames x 4 log-spaced bands, rides the

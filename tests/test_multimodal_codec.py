@@ -418,3 +418,92 @@ def test_audio_fingerprint_fake_and_short_payloads(spark):
 
     with pytest.raises(NotImplementedError):
         _audio_fp60(np.array([]))
+
+
+# ---- video container metadata (real ISO BMFF parse) ------------------------
+
+
+def _mp4_box(fourcc, body):
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def _make_mp4(duration_ticks=7500, timescale=1000, w=640, h=360,
+              codec=b"avc1", mvhd_v1=False, n_audio_tracks=0):
+    """Minimal-but-valid ISO BMFF: ftyp + moov{mvhd, trak{tkhd,
+    mdia{minf{stbl{stsd(codec)}}}}[, audio traks]} built with stdlib
+    struct — real container bytes, no media data."""
+    import struct
+
+    if mvhd_v1:
+        mvhd = _mp4_box(
+            b"mvhd",
+            bytes([1]) + bytes(3) + bytes(16)
+            + struct.pack(">IQ", timescale, duration_ticks) + bytes(80),
+        )
+    else:
+        mvhd = _mp4_box(
+            b"mvhd",
+            bytes(4) + bytes(8)
+            + struct.pack(">II", timescale, duration_ticks) + bytes(80),
+        )
+    tkhd = _mp4_box(
+        b"tkhd", bytes(4 + 4 + 4 + 4 + 4 + 4 + 8 + 2 + 2 + 2 + 2 + 36)
+        + struct.pack(">II", w << 16, h << 16)
+    )
+    entry = struct.pack(">I", 16) + codec + bytes(8)
+    stsd = _mp4_box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    mdia = _mp4_box(b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stsd)))
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    audio_traks = b""
+    for _ in range(n_audio_tracks):
+        a_tkhd = _mp4_box(
+            b"tkhd", bytes(4 + 4 + 4 + 4 + 4 + 4 + 8 + 2 + 2 + 2 + 2 + 36)
+            + struct.pack(">II", 0, 0)      # audio: zero dims
+        )
+        a_entry = struct.pack(">I", 16) + b"mp4a" + bytes(8)
+        a_stsd = _mp4_box(b"stsd", bytes(4) + struct.pack(">I", 1) + a_entry)
+        a_mdia = _mp4_box(b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", a_stsd)))
+        audio_traks += _mp4_box(b"trak", a_tkhd + a_mdia)
+    moov = _mp4_box(b"moov", mvhd + trak + audio_traks)
+    return _mp4_box(b"ftyp", b"isom" + bytes(4)) + moov
+
+
+def test_video_metadata_real_mp4_parse(spark):
+    """REAL ISO BMFF parsing through the actual mapInPandas plan:
+    duration from mvhd (v0 and 64-bit v1), dimensions from tkhd's
+    16.16 fixed point, codec from the first stsd entry, track count
+    including audio traks; the fake path stays deterministic."""
+    from data_pipeline_project_spark.operators.multimodal import (
+        _parse_mp4_meta,
+        extract_video_metadata,
+    )
+
+    rows = [
+        (1, "video/mp4", _make_mp4()),
+        (2, "video/mp4", _make_mp4(duration_ticks=90_000, timescale=600,
+                                   w=1920, h=1080, codec=b"hvc1",
+                                   mvhd_v1=True, n_audio_tracks=1)),
+        (3, "video/fake", b"\x20fakepayload\x40"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    out = {r.doc_id: r for r in extract_video_metadata(media).collect()}
+
+    r1 = out[1]
+    assert abs(r1.duration_s - 7.5) < 1e-9
+    assert (r1.n_tracks, r1.width, r1.height, r1.codec) == (1, 640, 360, "avc1")
+
+    r2 = out[2]  # v1 mvhd, 2 tracks, video dims win over audio zeros
+    assert abs(r2.duration_s - 150.0) < 1e-9
+    assert (r2.n_tracks, r2.width, r2.height, r2.codec) == (2, 1920, 1080, "hvc1")
+
+    r3 = out[3]  # deterministic fake
+    assert (r3.width, r3.height, r3.codec) == (0x20, 0x40, "fake")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no moov"):
+        _parse_mp4_meta(b"garbage that is not a container")
