@@ -57,6 +57,84 @@ def _zone_map_candidates(
     return out
 
 
+def _zone_map_candidates_spark(
+    spark, zone_maps: list[tuple[str, object, object]], keys_df, key_col: str
+) -> list[str]:
+    """Candidate selection WITHOUT collecting the keys: a bucketed
+    range join, for change batches too large to pull to the driver
+    (the billion-key CDC shape). Each file's [min,max] interval
+    explodes into fixed-width buckets; keys hash to their bucket; an
+    equi-join on bucket + an exact range filter finds every
+    (key, file) containment, and `distinct(file)` reduces to the
+    candidate list — whose size is file-count-bounded, so collecting
+    IT is always safe. The zone-map side (files × ~4 buckets) is tiny
+    and broadcast; the key side is never moved to the driver and never
+    shuffled (broadcast hash join + partial-agg distinct).
+
+    Bucket width = span / (4 × files): ~4 buckets per file when the
+    ranges tile the key space (the clustered-layout case this path
+    serves), so the exploded build side stays O(files). Files with
+    absent footer stats always survive, exactly like the driver path."""
+    from pyspark.sql import functions as F
+
+    if not all(
+        isinstance(v, int)
+        for _, mn, mx in zone_maps
+        for v in (mn, mx)
+        if v is not None
+    ):
+        raise TypeError(
+            "spark-side zone-map pruning needs integer key stats "
+            "(bucketing divides the key space); use the driver path "
+            "for string/date keys"
+        )
+    finite = [
+        (f, mn, mx)
+        for f, mn, mx in zone_maps
+        if mn is not None and mx is not None
+    ]
+    always = [f for f, mn, mx in zone_maps if mn is None or mx is None]
+    if not finite:
+        return always
+    lo = min(mn for _, mn, _ in finite)
+    hi = max(mx for _, _, mx in finite)
+    width = max(1, (hi - lo + 1) // max(1, 4 * len(finite)))
+    zdf = spark.createDataFrame(finite, ["file", "mn", "mx"])
+    zb = zdf.select(
+        "file",
+        "mn",
+        "mx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("mn") / width), F.floor(F.col("mx") / width)
+            )
+        ).alias("bucket"),
+    )
+    kb = (
+        keys_df.select(F.col(key_col).alias("k"))
+        .where(F.col("k").isNotNull())
+        .withColumn("bucket", F.floor(F.col("k") / width))
+    )
+    hits = (
+        kb.join(F.broadcast(zb), "bucket")
+        .where((F.col("k") >= F.col("mn")) & (F.col("k") <= F.col("mx")))
+        .select("file")
+        .distinct()
+    )
+    found = {r.file for r in hits.collect()}
+    # preserve zone_maps order for deterministic downstream rewrites
+    return [
+        f
+        for f, mn, mx in zone_maps
+        if mn is None or mx is None or f in found
+    ]
+
+
+# Above this many distinct change keys, candidate selection stays in
+# Spark (bucketed range join) instead of collecting keys to the driver.
+SPARK_PRUNE_THRESHOLD = 5_000_000
+
+
 def _data_files(path: str) -> list[str]:
     out = []
     for root, dirs, files in os.walk(path):
@@ -169,6 +247,32 @@ def verify_snapshot(manifest: dict | str) -> list[str]:
     return problems
 
 
+def _select_candidates(
+    spark, zone_maps, keys_df, key_col: str, prune: str
+) -> list[str]:
+    """Dispatch between the two candidate-selection strategies:
+    ``driver`` collects the (distinct) keys and runs the sorted-bisect
+    scan — right for human-scale change batches (millions of keys);
+    ``spark`` runs the bucketed range join with the keys never leaving
+    the cluster — right for CDC-scale batches (and required beyond
+    driver memory); ``auto`` picks spark above SPARK_PRUNE_THRESHOLD
+    distinct keys, falling back to driver for non-integer key stats."""
+    distinct_keys = keys_df.select(key_col).distinct()
+    if prune not in ("auto", "driver", "spark"):
+        raise ValueError(f"prune must be auto|driver|spark, got {prune!r}")
+    if prune == "spark":
+        return _zone_map_candidates_spark(spark, zone_maps, distinct_keys, key_col)
+    if prune == "auto" and distinct_keys.count() > SPARK_PRUNE_THRESHOLD:
+        try:
+            return _zone_map_candidates_spark(
+                spark, zone_maps, distinct_keys, key_col
+            )
+        except TypeError:
+            pass  # non-integer stats: the driver path handles any type
+    keys = [r[0] for r in distinct_keys.collect()]
+    return _zone_map_candidates(zone_maps, keys)
+
+
 def delete_rows_targeted(
     spark,
     duck,
@@ -176,6 +280,7 @@ def delete_rows_targeted(
     key_col: str,
     keys_df: DataFrame,
     duck_type: str = "BIGINT",
+    prune: str = "auto",
 ) -> dict:
     """Targeted row deletion (the GDPR/right-to-be-forgotten shape):
     rewrite ONLY the parquet files whose footer zone maps can contain a
@@ -199,18 +304,22 @@ def delete_rows_targeted(
     from the table are a no-op. Not transactional across files (a
     crash mid-swap leaves some files deleted-from and others not —
     rerunning converges, since the operation is idempotent); pair with
-    write_manifest for an auditable before/after."""
+    write_manifest for an auditable before/after.
+
+    ``prune``: candidate-selection strategy — see
+    :func:`_select_candidates` (auto = driver bisect for human-scale
+    key sets, Spark bucketed range join beyond
+    SPARK_PRUNE_THRESHOLD)."""
     import os
 
     from pyspark.sql import functions as F
 
     from data_pipeline_project_spark.sinks.layout import file_zone_maps
 
-    keys = [r[0] for r in keys_df.select(key_col).distinct().collect()]
-    if not keys:
+    if keys_df.select(key_col).limit(1).count() == 0:
         return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
     zone_maps = file_zone_maps(duck, path, key_col, duck_type)
-    candidates = _zone_map_candidates(zone_maps, keys)
+    candidates = _select_candidates(spark, zone_maps, keys_df, key_col, prune)
     rows_deleted = 0
     rewritten = 0
     kdf = F.broadcast(keys_df.select(F.col(key_col)).distinct())
@@ -309,6 +418,7 @@ def merge_upsert(
     key_col: str,
     updates_df: DataFrame,
     duck_type: str = "BIGINT",
+    prune: str = "auto",
 ) -> dict:
     """Copy-on-write MERGE INTO (the lakehouse upsert: Delta/Iceberg's
     ``whenMatched update-all whenNotMatched insert``): rows of
@@ -366,9 +476,8 @@ def merge_upsert(
             f"only {n_keys} distinct {key_col!r} values"
         )
 
-    keys = [r[0] for r in updates_df.select(key_col).distinct().collect()]
     zone_maps = file_zone_maps(duck, path, key_col, duck_type)
-    candidates = _zone_map_candidates(zone_maps, keys)
+    candidates = _select_candidates(spark, zone_maps, updates_df, key_col, prune)
 
     pending = snapshot_versions(path)
     version = (pending[-1] + 1) if pending else 1

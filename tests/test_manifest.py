@@ -555,3 +555,70 @@ def test_zone_map_pruning_scales_to_cdc_size_key_batches(spark, duck, tmp_path):
     assert live.count() == 200_000 + stats["rows_inserted"]
     assert live.where((F.col("user_id") % 3 == 0) & (F.col("v") != -1)).count() == 0
     assert wall < 120, f"100k-key merge took {wall:.1f}s"
+
+
+def test_spark_side_zone_map_pruning(spark, duck, tmp_path):
+    """The billion-key escape hatch: prune='spark' selects candidate
+    files with a bucketed range join — the keys never reach the driver.
+    Asserts (1) candidate parity with the driver bisect path on random
+    zone maps incl. None-stat files, (2) delete/merge end-to-end
+    through the spark path match the driver path's results, (3) the
+    integer-stats guard raises for string keys and auto falls back."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        _zone_map_candidates,
+        _zone_map_candidates_spark,
+        delete_rows_targeted,
+        merge_upsert,
+        write_versioned_manifest,
+    )
+
+    # (1) parity on synthetic maps
+    rng = random.Random(11)
+    zone_maps = []
+    for i in range(300):
+        if i % 40 == 0:
+            zone_maps.append((f"f{i}", None, None))
+        else:
+            mn = rng.randrange(0, 50_000)
+            zone_maps.append((f"f{i}", mn, mn + rng.randrange(0, 500)))
+    keys = [rng.randrange(-100, 51_000) for _ in range(2_000)]
+    kdf = spark.createDataFrame([(k,) for k in keys], ["k"])
+    spark_c = _zone_map_candidates_spark(spark, zone_maps, kdf, "k")
+    driver_c = _zone_map_candidates(zone_maps, keys)
+    assert spark_c == driver_c
+
+    # (2) end-to-end through the spark path
+    path = str(tmp_path / "t")
+    df = spark.range(0, 20_000).select(
+        F2.col("id").alias("user_id"), (F2.col("id") % 13).alias("v")
+    )
+    write_range_clustered(df, path, "user_id", 8)
+    write_versioned_manifest(path)
+    updates = spark.range(0, 3_000).select(
+        (F2.col("id") + 19_000).alias("user_id"), F2.lit(-5).alias("v")
+    )
+    stats = merge_upsert(spark, duck, path, "user_id", updates, prune="spark")
+    assert stats["rows_updated"] == 1_000 and stats["rows_inserted"] == 2_000
+    live = spark.read.parquet(path)
+    assert live.count() == 22_000
+    assert live.where((F2.col("user_id") >= 19_000) & (F2.col("v") != -5)).count() == 0
+
+    del_keys = spark.createDataFrame([(5,), (21_500,)], ["user_id"])
+    dstats = delete_rows_targeted(
+        spark, duck, path, "user_id", del_keys, prune="spark"
+    )
+    assert dstats["rows_deleted"] == 2
+    assert live.where(F2.col("user_id").isin([5, 21_500])).count() == 0
+
+    # (3) string stats refuse the spark path, loudly
+    import pytest
+
+    with pytest.raises(TypeError, match="integer key stats"):
+        _zone_map_candidates_spark(
+            spark, [("f0", "a", "z")], kdf, "k"
+        )
