@@ -134,6 +134,27 @@ def _zone_map_candidates_spark(
 # Spark (bucketed range join) instead of collecting keys to the driver.
 SPARK_PRUNE_THRESHOLD = 5_000_000
 
+# Concurrent per-file rewrite jobs during MERGE/DELETE. Each candidate
+# file's rewrite is a small independent Spark job; running them from a
+# thread pool overlaps scheduling latency (Spark's DAGScheduler is
+# thread-safe and FIFO-fair across jobs). Bounded so a wide MERGE
+# can't flood the scheduler.
+REWRITE_PARALLELISM = 8
+
+
+def _run_rewrites(fn, candidates: list[str]) -> list:
+    """Apply ``fn`` (one candidate file's rewrite) across candidates
+    with bounded parallelism; returns results in candidate order.
+    Sequential fallback for 0/1 candidates keeps stack traces clean."""
+    if len(candidates) <= 1:
+        return [fn(f) for f in candidates]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(REWRITE_PARALLELISM, len(candidates))
+    ) as pool:
+        return list(pool.map(fn, candidates))
+
 
 def _data_files(path: str) -> list[str]:
     out = []
@@ -320,18 +341,22 @@ def delete_rows_targeted(
         return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
     zone_maps = file_zone_maps(duck, path, key_col, duck_type)
     candidates = _select_candidates(spark, zone_maps, keys_df, key_col, prune)
-    rows_deleted = 0
-    rewritten = 0
     kdf = F.broadcast(keys_df.select(F.col(key_col)).distinct())
-    for f in candidates:
+
+    def rewrite_one(f: str) -> int:
+        """Returns rows deleted from this file (0 == untouched).
+        Independent per file (own tmp dir, own atomic swap), so the
+        loop parallelizes: Spark's scheduler is thread-safe and each
+        iteration is a small job whose latency would otherwise
+        serialize."""
+        import shutil
+
         src = spark.read.parquet(f)
         before = src.count()
         survivors = src.join(kdf, key_col, "left_anti")
         after = survivors.count()
         if after == before:
-            continue  # zone map said maybe; the data says no match
-        rows_deleted += before - after
-        rewritten += 1
+            return 0  # zone map said maybe; the data says no match
         tmp_dir = f + ".rewrite"
         survivors.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
         part = [
@@ -350,13 +375,14 @@ def delete_rows_targeted(
         new_crc = os.path.join(tmp_dir, f".{part[0]}.crc")
         if os.path.exists(new_crc):
             os.replace(new_crc, old_crc)
-        import shutil
-
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        return before - after
+
+    deleted_per_file = _run_rewrites(rewrite_one, candidates)
     return {
         "files_total": len(zone_maps),
-        "files_rewritten": rewritten,
-        "rows_deleted": rows_deleted,
+        "files_rewritten": sum(1 for n in deleted_per_file if n),
+        "rows_deleted": sum(deleted_per_file),
     }
 
 
@@ -482,17 +508,18 @@ def merge_upsert(
     pending = snapshot_versions(path)
     version = (pending[-1] + 1) if pending else 1
     kdf = F.broadcast(updates_df.select(F.col(key_col)).distinct())
-    rows_updated = 0
-    rewritten = 0
-    for i, f in enumerate(candidates):
+
+    def rewrite_one(f: str) -> int:
+        """Returns rows replaced out of this file (0 == untouched).
+        Per-file work is independent (own tmp dir, own tombstone path,
+        atomic renames), so the loop parallelizes across candidates —
+        see _run_rewrites."""
         src = spark.read.parquet(f)
         before = src.count()
         survivors = src.join(kdf, key_col, "left_anti")
         after = survivors.count()
         if after == before:
-            continue  # zone map said maybe; the data says no match
-        rows_updated += before - after
-        rewritten += 1
+            return 0  # zone map said maybe; the data says no match
         d, base = os.path.split(f)
         new_name = os.path.join(d, f"{base[:-len('.parquet')]}.m{version}.parquet")
         tmp_dir = f + ".rewrite"
@@ -523,6 +550,10 @@ def merge_upsert(
                 os.path.join(os.path.dirname(tomb), f".{base}.crc"),
             )
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        return before - after
+
+    replaced_per_file = _run_rewrites(rewrite_one, candidates)
+    rows_updated = sum(replaced_per_file)
 
     # Append every update row (replacement or insert) in target column
     # order as new data files under the table root.
@@ -531,7 +562,7 @@ def merge_upsert(
     manifest = write_versioned_manifest(path)
     return {
         "version": manifest["version"],
-        "files_rewritten": rewritten,
+        "files_rewritten": sum(1 for n in replaced_per_file if n),
         "rows_updated": rows_updated,
         "rows_inserted": n_updates - rows_updated,
     }
