@@ -479,12 +479,28 @@ def merge_upsert(
 
     from data_pipeline_project_spark.sinks.layout import file_zone_maps
 
-    target_cols = [f.name for f in spark.read.parquet(path).schema.fields]
+    target_schema = spark.read.parquet(path).schema
+    target_cols = [f.name for f in target_schema.fields]
     if sorted(updates_df.columns) != sorted(target_cols):
         raise ValueError(
             f"merge schema mismatch: updates {sorted(updates_df.columns)} "
             f"!= target {sorted(target_cols)}"
         )
+    # Normalize update COLUMN TYPES to the target's before anything is
+    # written: appending a physically narrower type (int where the
+    # table stores bigint) would leave the table with files whose
+    # parquet physical types disagree — later reads then fail or
+    # succeed depending on which file wins schema inference (the
+    # vectorized reader widens INT32->INT64 but refuses the reverse).
+    # Name-match is already enforced above; the cast follows Spark cast
+    # semantics, so a lossy narrow (bigint update into an int table)
+    # is the caller's explicit contract rather than silent corruption.
+    updates_df = updates_df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in target_schema.fields
+        ]
+    )
     n_updates = updates_df.count()
     if n_updates == 0:
         # an empty change set is a committed no-op, not a crash (the
