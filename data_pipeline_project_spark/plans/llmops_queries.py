@@ -2742,3 +2742,113 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
     )
+
+
+# ---- free-text PII detection + redaction (deregistered-parity) --------------
+
+# Patterns restricted to the Java-regex / RE2 COMMON SUBSET (no
+# backreferences, no lookaround), so Spark and DuckDB match and replace
+# byte-identically. Kept module-level so operators and oracle stay in
+# lockstep.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+PII_REDACTION_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for data'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 now'
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text PII scrubbing — the C4/RefinedWeb cleaning stage the
+    structured :func:`pii_pseudonymize` does not cover: regex detection
+    and in-place redaction of emails, NANP phone numbers, and dotted-
+    quad IPs inside the document text. The synthetic corpus carries no
+    PII, so the query INJECTS it deterministically from doc_id in both
+    engines (the repo's standard non-vacuous-oracle pattern: doc_id%7
+    docs gain an email, doc_id%11 docs a phone + IP, %77 both) and then
+    must find exactly what was planted — and nothing in the clean docs
+    (their md5 must equal the un-redacted text's, pinning the
+    false-positive rate at zero).
+
+    Redaction order is part of the contract (email → phone → IP) since
+    replacement tokens must not create later matches. Everything is
+    JVM-side regexp (whole-stage codegen, no UDF); at 100 TB this is a
+    single projection pass over the corpus — the cost is the scan, and
+    the redacted column can be written back partition-parallel.
+    Patterns live in the Java/RE2 common subset so both engines agree
+    byte-for-byte; real-world recall beyond these three classes (names,
+    addresses) needs an NER model, which is out of regex scope by
+    design."""
+    d = load_table(spark, "documents", sf_dir)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com for data"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" or ping 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1 now"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IP_RE), 0))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

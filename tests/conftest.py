@@ -119,6 +119,8 @@ EXTRA_ORACLE_QUERIES = [
     # driver-board slot (64 digest rows hash harder than a 3-row key agg).
     ("relational_queries", "map_explode_props", "MAP_EXPLODE_PROPS_ORACLE"),
     ("relational_queries", "time_functions", "TIME_FUNCTIONS_ORACLE"),
+    # Round-8 additions.
+    ("llmops_queries", "pii_redaction", "PII_REDACTION_ORACLE"),
 ]
 
 
