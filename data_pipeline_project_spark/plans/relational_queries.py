@@ -3165,3 +3165,52 @@ def time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("month_end"),
         F.date_format(F.add_months("ts", 3), "yyyy-MM-dd").alias("plus3mo"),
     )
+
+
+# ---- VARIANT semi-structured extraction (deregistered-parity) ---------------
+
+VARIANT_JSON_PATH_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(CAST(json_extract(
+             '{"w": {"arr": [' || CAST(json_extract(props, '$.k') AS VARCHAR)
+             || ',' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS VARCHAR)
+             || ']}}', '$.w.arr[1]') AS BIGINT)) AS BIGINT) AS sum_nested,
+       CAST(count(*) FILTER (json_extract(props, '$.absent') IS NULL) AS BIGINT)
+           AS n_missing
+FROM events
+GROUP BY event_type
+"""
+
+
+def variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type as the semi-structured fast path:
+    ``parse_json`` decodes the props JSON ONCE into the binary variant
+    encoding, then ``variant_get`` path extractions read sub-fields
+    without re-parsing text — the engine surface that replaces repeated
+    ``get_json_object`` string scans at 100 TB (one decode, many typed
+    reads; predicate pushdown into shredded variants arrives with the
+    parquet variant spec). Exercises a top-level typed read, a NESTED
+    path with an array index built from the data itself, and the
+    missing-path -> NULL contract via try_variant_get. Oracle uses
+    DuckDB's json_extract over the same constructed document — numeric
+    results are engine-independent, so the hash compare pins the PATH
+    SEMANTICS (indexing base, missing-key nulls), which is exactly
+    where JSON engines usually disagree."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    nested_doc = F.concat(
+        F.lit('{"w": {"arr": ['),
+        k.cast("string"),
+        F.lit(","),
+        (k * 2).cast("string"),
+        F.lit("]}}"),
+    )
+    nested = F.variant_get(F.parse_json(nested_doc), "$.w.arr[1]", "bigint")
+    missing = F.try_variant_get(v, "$.absent", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.sum(nested).alias("sum_nested"),
+        F.count(F.when(missing.isNull(), 1)).cast("bigint").alias("n_missing"),
+    )

@@ -121,6 +121,7 @@ EXTRA_ORACLE_QUERIES = [
     ("relational_queries", "time_functions", "TIME_FUNCTIONS_ORACLE"),
     # Round-8 additions.
     ("llmops_queries", "pii_redaction", "PII_REDACTION_ORACLE"),
+    ("relational_queries", "variant_json_path", "VARIANT_JSON_PATH_ORACLE"),
 ]
 
 
