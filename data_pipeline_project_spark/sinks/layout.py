@@ -239,3 +239,79 @@ def write_time_partitioned(
             mode
         ).partitionBy("dt").parquet(path)
     return "dt"
+
+
+def write_bloom_filtered(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with BLOOM FILTERS on ``bloom_cols`` — the
+    point-lookup skipping lever zone maps cannot provide: min/max
+    pruning needs the key CLUSTERED (write_range_clustered), but a
+    bloom filter skips row groups for an arbitrary-layout table at the
+    cost of ~1.2 bytes/distinct value, which is how a 100 TB table
+    answers "does user X appear in this file" without sorting by user.
+    `expected_ndv` sizes the filter (parquet-mr derives bits from it;
+    undersizing inflates the false-positive rate, which costs wasted
+    reads, never wrong results)."""
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    w.parquet(path)
+
+
+def parquet_data_bytes(path: str) -> int:
+    """Total bytes of the data files under ``path`` (hidden dirs and
+    non-parquet sidecars excluded) — the probe the bloom test uses:
+    this container's duckdb (1.0) and pyarrow (16.1) predate the
+    footer's bloom_filter_offset exposure, so presence is proven by
+    the deterministic size delta the serialized filters add (same
+    data, same encoding, only the filters differ)."""
+    import os
+
+    total = 0
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def drop_partitions_before(path: str, cutoff_dt: str) -> dict:
+    """Retention by PARTITION DROP on a write_time_partitioned layout:
+    remove every ``dt=<value>`` directory with value < ``cutoff_dt``
+    (string compare — the dt formats are lexicographically ordered by
+    construction). Metadata-only: no file is read, no row rewritten;
+    at 100 TB this is the only affordable retention primitive (a
+    predicate delete that touches data costs a table scan; dropping a
+    day costs one directory unlink). Idempotent; returns
+    {partitions_dropped, partitions_kept}. Refuses a path with no
+    dt= partitions (a flat table would silently lose everything)."""
+    import os
+    import shutil
+
+    parts = [
+        d
+        for d in os.listdir(path)
+        if d.startswith("dt=") and os.path.isdir(os.path.join(path, d))
+    ]
+    if not parts:
+        raise ValueError(
+            f"no dt= partition directories under {path}: retention by "
+            "partition drop needs a write_time_partitioned layout"
+        )
+    dropped = 0
+    for d in sorted(parts):
+        if d[len("dt="):] < cutoff_dt:
+            shutil.rmtree(os.path.join(path, d))
+            dropped += 1
+    return {
+        "partitions_dropped": dropped,
+        "partitions_kept": len(parts) - dropped,
+    }

@@ -192,3 +192,82 @@ def test_time_partitioned_write_prunes_directories(spark):
     # and the count matches a raw-ts filter over the unpartitioned view
     expect = ev.where(F.to_date("ts") == "2024-01-05").count()
     assert pruned.count() == expect > 0
+
+
+def test_bloom_filters_written_and_reads_correct(spark, tmp_path):
+    """write_bloom_filtered: the serialized filters add a deterministic
+    size delta over a byte-identical control write (this container's
+    duckdb/pyarrow predate bloom_filter_offset exposure, so size is
+    the probe — same data, same encoding, only the filters differ),
+    and point lookups through the bloomed files stay correct."""
+    from pyspark.sql import functions as F2
+
+    from data_pipeline_project_spark.sinks.layout import (
+        parquet_data_bytes,
+        write_bloom_filtered,
+    )
+
+    df = spark.range(0, 50_000).select(
+        (F2.col("id") * 7919 % 50_021).alias("user_id"),  # unclustered
+        F2.col("id").alias("v"),
+    )
+    path = str(tmp_path / "bloomed")
+    write_bloom_filtered(df.repartition(4), path, ["user_id"], expected_ndv=50_000)
+
+    plain = str(tmp_path / "plain")
+    df.repartition(4).write.parquet(plain)
+
+    bloomed, base = parquet_data_bytes(path), parquet_data_bytes(plain)
+    # 50k ndv across 4 files: filters are tens of KB; well above any
+    # incidental metadata jitter, and absent from the control.
+    assert bloomed > base + 4 * 1024, (bloomed, base)
+
+    got = (
+        spark.read.parquet(path)
+        .where(F2.col("user_id") == (4242 * 7919 % 50_021))
+        .collect()
+    )
+    assert [r.v for r in got] == [4242]
+
+
+def test_partition_retention_drop(spark, tmp_path):
+    """drop_partitions_before: old dt= directories unlink with no data
+    read, survivors intact, idempotent, and a non-partitioned path is
+    refused loudly."""
+    import pytest
+
+    from pyspark.sql import functions as F2
+
+    from data_pipeline_project_spark.sinks.layout import (
+        drop_partitions_before,
+        write_time_partitioned,
+    )
+
+    path = str(tmp_path / "events")
+    df = spark.range(0, 1_000).select(
+        F2.col("id").alias("event_id"),
+        F2.to_timestamp(
+            F2.concat(
+                F2.lit("2025-06-0"), (F2.col("id") % 9 + 1).cast("string"),
+                F2.lit(" 12:00:00"),
+            )
+        ).alias("ts"),
+    )
+    write_time_partitioned(df, path, "ts", granularity="day")
+    assert spark.read.parquet(path).count() == 1_000
+
+    stats = drop_partitions_before(path, "2025-06-04")
+    assert stats == {"partitions_dropped": 3, "partitions_kept": 6}
+    kept = spark.read.parquet(path)
+    assert kept.count() == 1_000 * 6 // 9
+    # partition-type inference reads dt= back as DATE; compare as string
+    assert str(kept.agg(F2.min("dt")).first()[0]) == "2025-06-04"
+
+    # idempotent
+    stats2 = drop_partitions_before(path, "2025-06-04")
+    assert stats2["partitions_dropped"] == 0
+
+    flat = str(tmp_path / "flat")
+    spark.range(10).write.parquet(flat)
+    with pytest.raises(ValueError, match="no dt= partition"):
+        drop_partitions_before(flat, "2025-06-04")
