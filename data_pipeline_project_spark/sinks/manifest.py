@@ -470,8 +470,18 @@ def merge_upsert(
     Update keys must be unique (MERGE on duplicate source keys is
     nondeterministic — raises ValueError, matching ANSI MERGE's
     "cardinality violation" rather than picking a winner silently) and
-    the update schema must equal the target schema by name. Returns
-    {version, files_rewritten, rows_updated, rows_inserted}.
+    the update schema must equal the target schema by name (types are
+    normalized to the target's before writing — see the cast below).
+    Returns {version, files_rewritten, rows_updated, rows_inserted}.
+
+    Scale envelope: candidate SELECTION is unbounded (``prune="spark"``
+    never moves keys to the driver), but the REWRITE phase broadcasts
+    the distinct update keys for the per-file anti-join — sound to
+    ~10⁷–10⁸ numeric keys (hundreds of MB broadcast). Beyond that the
+    update set is no longer "targeted": selectivity is table-scale, a
+    zone-map-pruned copy-on-write loses to one shuffle anti-join over
+    the whole table + re-cluster (write_range_clustered) + versioned
+    manifest — the plan a table-format engine also switches to.
     """
     import shutil
 
