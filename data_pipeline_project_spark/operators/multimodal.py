@@ -219,24 +219,44 @@ def resize_media(
     return media.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
 
 
-def sample_frames(media: DataFrame) -> DataFrame:
-    """Frame-sampling stub: the ROW-EXPANDING mapInPandas shape (one
-    input row -> up to MAX_FRAMES output rows), standing in for video
-    keyframe extraction. Fake decode: consecutive FRAME_SIZE-byte
-    chunks are 'frames'; a real implementation swaps the chunker for
-    ffmpeg/pyav iteration, everything else is identical."""
+def sample_frames(media: DataFrame, use_codec: bool | None = None) -> DataFrame:
+    """Frame sampling — the ROW-EXPANDING mapInPandas shape (one input
+    row -> up to MAX_FRAMES output rows). Real ``video/*`` payloads
+    take the CONTAINER path: :func:`_mp4_samples` walks the MP4 sample
+    tables and the keyframes' actual byte ranges are sliced out of the
+    payload (frame_no = the sample's index in the track, so downstream
+    can seek back) — genuine access-unit extraction with no decoder in
+    the loop; DECODING those units is what stays behind the
+    ffmpeg/pyav gate. ``*/fake`` payloads keep the deterministic
+    chunker (consecutive FRAME_SIZE-byte chunks), same schema."""
 
     def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nos, sizes, prefixes = [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+
+            def emit(doc_id, no, chunk):
+                ids.append(doc_id)
+                nos.append(no)
+                sizes.append(len(chunk))
+                prefixes.append(chunk[:4].decode("utf-8", errors="replace"))
+
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
                 p = bytes(payload)
-                for i in range(min(MAX_FRAMES, (len(p) + FRAME_SIZE - 1) // FRAME_SIZE)):
-                    chunk = p[i * FRAME_SIZE : (i + 1) * FRAME_SIZE]
-                    ids.append(doc_id)
-                    nos.append(i)
-                    sizes.append(len(chunk))
-                    prefixes.append(chunk[:4].decode("utf-8", errors="replace"))
+                if use_codec is not False and _is_codec_video(mt):
+                    keyframes = [
+                        (i, off, size)
+                        for i, (off, size, is_sync) in enumerate(_mp4_samples(p))
+                        if is_sync
+                    ][:MAX_FRAMES]
+                    for i, off, size in keyframes:
+                        emit(doc_id, i, p[off : off + size])
+                    continue
+                for i in range(
+                    min(MAX_FRAMES, (len(p) + FRAME_SIZE - 1) // FRAME_SIZE)
+                ):
+                    emit(doc_id, i, p[i * FRAME_SIZE : (i + 1) * FRAME_SIZE])
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -493,6 +513,96 @@ def _parse_mp4_meta(payload: bytes):
             if entry + 8 <= se:
                 codec = buf[entry + 4 : entry + 8].decode("latin-1")
     return duration_s, n_tracks, width, height, codec
+
+
+def _mp4_samples(payload: bytes):
+    """Per-sample (offset, size, is_sync) from the first trak's sample
+    tables — the REAL keyframe-extraction substrate: stsz gives sizes,
+    stsc maps samples to chunks, stco anchors chunk byte offsets, stss
+    marks sync samples (absent table == every sample a keyframe, per
+    spec). This is how a 100 TB video corpus slices frame PAYLOADS out
+    of containers without a decoder in the loop; decoding the returned
+    access units stays behind the ffmpeg/pyav gate. Single-track,
+    32-bit-offset containers (the common case); 64-bit co64 is the
+    mechanical extension. Raises ValueError when the sample tables are
+    missing/corrupt rather than guessing."""
+    import struct
+
+    buf = bytes(payload)
+    moov = _find_box(buf, ["moov"], 0, len(buf))
+    if moov is None:
+        raise ValueError("not an ISO BMFF payload: no moov box")
+    trak = _find_box(buf, ["trak"], *moov)
+    if trak is None:
+        raise ValueError("no trak box")
+    stbl = _find_box(buf, ["mdia", "minf", "stbl"], *trak)
+    if stbl is None:
+        raise ValueError("no sample table (stbl)")
+
+    def full_box(name):
+        r = _find_box(buf, [name], *stbl)
+        return None if r is None else (r[0] + 4, r[1])  # skip version/flags
+
+    stsz = full_box("stsz")
+    stco = full_box("stco")
+    stsc = full_box("stsc")
+    if stsz is None or stco is None or stsc is None:
+        raise ValueError("incomplete sample tables (need stsz/stco/stsc)")
+
+    b, _ = stsz
+    fixed_size, n_samples = struct.unpack(">II", buf[b : b + 8])
+    if fixed_size:
+        sizes = [fixed_size] * n_samples
+    else:
+        sizes = list(
+            struct.unpack(f">{n_samples}I", buf[b + 8 : b + 8 + 4 * n_samples])
+        )
+
+    b, _ = stco
+    (n_chunks,) = struct.unpack(">I", buf[b : b + 4])
+    chunk_offsets = list(
+        struct.unpack(f">{n_chunks}I", buf[b + 4 : b + 4 + 4 * n_chunks])
+    )
+
+    b, _ = stsc
+    (n_stsc,) = struct.unpack(">I", buf[b : b + 4])
+    stsc_rows = [
+        struct.unpack(">III", buf[b + 4 + 12 * i : b + 16 + 12 * i])
+        for i in range(n_stsc)
+    ]  # (first_chunk 1-based, samples_per_chunk, sample_desc_index)
+
+    sync = None
+    stss = full_box("stss")
+    if stss is not None:
+        b, _ = stss
+        (n_sync,) = struct.unpack(">I", buf[b : b + 4])
+        sync = set(struct.unpack(f">{n_sync}I", buf[b + 4 : b + 4 + 4 * n_sync]))
+
+    # walk chunks: stsc row governs from its first_chunk until the next
+    # row's; within a chunk samples are contiguous from its stco offset
+    samples = []
+    si = 0
+    for ci in range(n_chunks):
+        per_chunk = next(
+            spc
+            for fc, spc, _ in reversed(stsc_rows)
+            if fc <= ci + 1
+        )
+        off = chunk_offsets[ci]
+        for _ in range(per_chunk):
+            if si >= n_samples:
+                break
+            size = sizes[si]
+            is_sync = sync is None or (si + 1) in sync
+            samples.append((off, size, is_sync))
+            off += size
+            si += 1
+    if si != n_samples:
+        raise ValueError(
+            f"sample walk covered {si} of {n_samples} samples: "
+            "inconsistent stsc/stco tables"
+        )
+    return samples
 
 
 def extract_video_metadata(

@@ -507,3 +507,113 @@ def test_video_metadata_real_mp4_parse(spark):
 
     with pytest.raises(ValueError, match="no moov"):
         _parse_mp4_meta(b"garbage that is not a container")
+
+
+def _make_mp4_with_samples(samples, chunks, sync=None, codec=b"avc1"):
+    """MP4 with a real mdat + sample tables: ftyp, mdat (concatenated
+    sample bytes), then moov whose stsz/stsc/stco describe exactly
+    where each sample lives (moov last, so offsets don't depend on its
+    size). `chunks` = samples per chunk; `sync` = 1-based keyframe
+    sample numbers (None = no stss box = every sample a keyframe)."""
+    import struct
+
+    assert sum(chunks) == len(samples)
+    ftyp = _mp4_box(b"ftyp", b"isom" + bytes(4))
+    mdat = _mp4_box(b"mdat", b"".join(bytes(s) for s in samples))
+    data_start = len(ftyp) + 8
+
+    offs, i, cur = [], 0, data_start
+    for c in chunks:
+        offs.append(cur)
+        cur += sum(len(s) for s in samples[i : i + c])
+        i += c
+
+    stsz = _mp4_box(
+        b"stsz",
+        bytes(4) + struct.pack(">II", 0, len(samples))
+        + struct.pack(f">{len(samples)}I", *[len(s) for s in samples]),
+    )
+    stsc_rows = []
+    for ci, c in enumerate(chunks):
+        if not stsc_rows or stsc_rows[-1][1] != c:
+            stsc_rows.append((ci + 1, c, 1))
+    stsc = _mp4_box(
+        b"stsc",
+        bytes(4) + struct.pack(">I", len(stsc_rows))
+        + b"".join(struct.pack(">III", *r) for r in stsc_rows),
+    )
+    stco = _mp4_box(
+        b"stco",
+        bytes(4) + struct.pack(">I", len(offs))
+        + struct.pack(f">{len(offs)}I", *offs),
+    )
+    boxes = stsz + stsc + stco
+    if sync is not None:
+        boxes += _mp4_box(
+            b"stss",
+            bytes(4) + struct.pack(">I", len(sync))
+            + struct.pack(f">{len(sync)}I", *sync),
+        )
+    entry = struct.pack(">I", 16) + codec + bytes(8)
+    stsd = _mp4_box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    mvhd = _mp4_box(
+        b"mvhd", bytes(4) + bytes(8) + struct.pack(">II", 1000, 5000) + bytes(80)
+    )
+    tkhd = _mp4_box(
+        b"tkhd", bytes(4 + 4 + 4 + 4 + 4 + 4 + 8 + 2 + 2 + 2 + 2 + 36)
+        + struct.pack(">II", 320 << 16, 240 << 16)
+    )
+    mdia = _mp4_box(
+        b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stsd + boxes))
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def test_real_mp4_keyframe_extraction(spark):
+    """sample_frames on a genuine container: the MP4 sample tables are
+    walked (stsz sizes, stsc chunk mapping, stco offsets, stss sync
+    marks) and the KEYFRAMES' actual byte ranges come back out of the
+    payload — values only the real tables can produce. Fake payloads
+    keep the chunker; missing sample tables fail loudly."""
+    import pytest
+
+    from data_pipeline_project_spark.operators.multimodal import (
+        _mp4_samples,
+        sample_frames,
+    )
+
+    planted = [b"KEY0" + b"a" * 20, b"dlt1" + b"b" * 7, b"dlt2" + b"c" * 33,
+               b"KEY3" + b"d" * 11, b"dlt4" + b"e" * 5]
+    mp4 = _make_mp4_with_samples(planted, chunks=[2, 3], sync=[1, 4])
+
+    # pure-parser contract: every sample slices back byte-identical
+    got = _mp4_samples(mp4)
+    assert [sz for _, sz, _ in got] == [len(s) for s in planted]
+    assert [mp4[o : o + s] for o, s, _ in got] == planted
+    assert [is_sync for _, _, is_sync in got] == [True, False, False, True, False]
+
+    media = spark.createDataFrame(
+        [
+            (1, "video/mp4", mp4),
+            (2, "video/fake", b"0123456789abcdef" * 3),
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {
+        (r.doc_id, r.frame_no): (r.frame_bytes, r.frame_prefix)
+        for r in sample_frames(media).collect()
+    }
+    # doc 1: exactly the two keyframes, at their sample indices
+    assert rows[(1, 0)] == (24, "KEY0")
+    assert rows[(1, 3)] == (15, "KEY3")
+    assert not any(d == 1 and no in (1, 2, 4) for d, no in rows)
+    # doc 2: chunker fallback intact
+    assert rows[(2, 0)][0] == 16 and rows[(2, 2)][1] == "0123"
+
+    # no stss box == every sample is a keyframe, capped at MAX_FRAMES
+    all_sync = _make_mp4_with_samples(planted, chunks=[5], sync=None)
+    assert sum(1 for _, _, s in _mp4_samples(all_sync) if s) == 5
+
+    with pytest.raises(ValueError, match="stsz/stco/stsc"):
+        _mp4_samples(_make_mp4())  # metadata-only container, no tables
