@@ -522,9 +522,9 @@ def _mp4_samples(payload: bytes):
     marks sync samples (absent table == every sample a keyframe, per
     spec). This is how a 100 TB video corpus slices frame PAYLOADS out
     of containers without a decoder in the loop; decoding the returned
-    access units stays behind the ffmpeg/pyav gate. Single-track,
-    32-bit-offset containers (the common case); 64-bit co64 is the
-    mechanical extension. Raises ValueError when the sample tables are
+    access units stays behind the ffmpeg/pyav gate. Single-track; both
+    32-bit (stco) and 64-bit (co64 — any >4 GB container) chunk
+    offsets. Raises ValueError when the sample tables are
     missing/corrupt rather than guessing."""
     import struct
 
@@ -545,8 +545,9 @@ def _mp4_samples(payload: bytes):
 
     stsz = full_box("stsz")
     stco = full_box("stco")
+    co64 = full_box("co64")
     stsc = full_box("stsc")
-    if stsz is None or stco is None or stsc is None:
+    if stsz is None or (stco is None and co64 is None) or stsc is None:
         raise ValueError("incomplete sample tables (need stsz/stco/stsc)")
 
     b, _ = stsz
@@ -558,10 +559,16 @@ def _mp4_samples(payload: bytes):
             struct.unpack(f">{n_samples}I", buf[b + 8 : b + 8 + 4 * n_samples])
         )
 
-    b, _ = stco
+    # co64 is stco with 64-bit offsets — what any >4 GB container uses,
+    # so the real corpus case; prefer it when both are present.
+    b, _ = co64 if co64 is not None else stco
+    width = "Q" if co64 is not None else "I"
     (n_chunks,) = struct.unpack(">I", buf[b : b + 4])
+    step = 8 if co64 is not None else 4
     chunk_offsets = list(
-        struct.unpack(f">{n_chunks}I", buf[b + 4 : b + 4 + 4 * n_chunks])
+        struct.unpack(
+            f">{n_chunks}{width}", buf[b + 4 : b + 4 + step * n_chunks]
+        )
     )
 
     b, _ = stsc

@@ -509,7 +509,8 @@ def test_video_metadata_real_mp4_parse(spark):
         _parse_mp4_meta(b"garbage that is not a container")
 
 
-def _make_mp4_with_samples(samples, chunks, sync=None, codec=b"avc1"):
+def _make_mp4_with_samples(samples, chunks, sync=None, codec=b"avc1",
+                           co64=False):
     """MP4 with a real mdat + sample tables: ftyp, mdat (concatenated
     sample bytes), then moov whose stsz/stsc/stco describe exactly
     where each sample lives (moov last, so offsets don't depend on its
@@ -542,11 +543,18 @@ def _make_mp4_with_samples(samples, chunks, sync=None, codec=b"avc1"):
         bytes(4) + struct.pack(">I", len(stsc_rows))
         + b"".join(struct.pack(">III", *r) for r in stsc_rows),
     )
-    stco = _mp4_box(
-        b"stco",
-        bytes(4) + struct.pack(">I", len(offs))
-        + struct.pack(f">{len(offs)}I", *offs),
-    )
+    if co64:
+        stco = _mp4_box(
+            b"co64",
+            bytes(4) + struct.pack(">I", len(offs))
+            + struct.pack(f">{len(offs)}Q", *offs),
+        )
+    else:
+        stco = _mp4_box(
+            b"stco",
+            bytes(4) + struct.pack(">I", len(offs))
+            + struct.pack(f">{len(offs)}I", *offs),
+        )
     boxes = stsz + stsc + stco
     if sync is not None:
         boxes += _mp4_box(
@@ -617,3 +625,14 @@ def test_real_mp4_keyframe_extraction(spark):
 
     with pytest.raises(ValueError, match="stsz/stco/stsc"):
         _mp4_samples(_make_mp4())  # metadata-only container, no tables
+
+
+def test_mp4_co64_offsets():
+    """64-bit chunk offsets (co64 — what any >4 GB container writes)
+    walk identically to stco."""
+    from data_pipeline_project_spark.operators.multimodal import _mp4_samples
+
+    planted = [b"AAA1", b"BBB22", b"CCC333"]
+    mp4 = _make_mp4_with_samples(planted, chunks=[2, 1], co64=True)
+    got = _mp4_samples(mp4)
+    assert [mp4[o : o + s] for o, s, _ in got] == planted
