@@ -704,15 +704,24 @@ def _audio_fp60(x) -> int:
     return h
 
 
+AUDIO_FP_RATE = 8_000  # internal rate every signal resamples to
+
+
 def audio_fingerprint(
     media: DataFrame, use_codec: bool | None = None
 ) -> DataFrame:
     """(doc_id, media_type, afp) — Arrow-batched spectral fingerprints
     over binary audio payloads, same worker-probed codec gating as
-    :func:`extract_audio_features`; stereo mixes down to mono before
-    the FFT. Like the image phash: at 100 TB the corpus stores the
-    60-bit column once and near-dup search never touches samples
-    again."""
+    :func:`extract_audio_features`; stereo mixes down to mono, then
+    everything RESAMPLES to AUDIO_FP_RATE (linear interpolation)
+    before the FFT, so the same recording at 8/16/44.1 kHz lands on
+    the same bits — without this, band positions are relative to each
+    file's own Nyquist and a re-encoded copy would never pair. Linear
+    interp has no anti-alias filter: content above AUDIO_FP_RATE/2
+    aliases, which perturbs bits for hiss-heavy material (chromaprint
+    filters first; that is the upgrade path, not a different design).
+    Like the image phash: at 100 TB the corpus stores the 60-bit
+    column once and near-dup search never touches samples again."""
     import numpy as np
 
     schema = "doc_id long, media_type string, afp long"
@@ -728,6 +737,13 @@ def audio_fingerprint(
                 if chans > 1:
                     x = x[: (x.size // chans) * chans].reshape(-1, chans).mean(
                         axis=1
+                    )
+                if rate != AUDIO_FP_RATE and x.size > 1:
+                    n_out = max(1, int(round(x.size * AUDIO_FP_RATE / rate)))
+                    x = np.interp(
+                        np.linspace(0.0, x.size - 1, n_out),
+                        np.arange(x.size),
+                        x,
                     )
                 fps.append(_audio_fp60(x))
             yield pd.DataFrame(

@@ -636,3 +636,29 @@ def test_mp4_co64_offsets():
     mp4 = _make_mp4_with_samples(planted, chunks=[2, 1], co64=True)
     got = _mp4_samples(mp4)
     assert [mp4[o : o + s] for o, s, _ in got] == planted
+
+
+def test_audio_fingerprint_sample_rate_invariant(spark):
+    """The same melody recorded at 8/16/44.1 kHz lands within the
+    banded radius (internal resample to AUDIO_FP_RATE); without it,
+    band positions would be relative to each file's own Nyquist and
+    re-encoded copies would never pair."""
+    from data_pipeline_project_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    melody = [440, 880, 220, 1760, 440, 660, 330, 990]
+    rows = [
+        (1, "audio/wav", _make_melody_wav(melody, rate=8_000)),
+        (2, "audio/wav", _make_melody_wav(melody, rate=16_000)),
+        (3, "audio/wav", _make_melody_wav(melody, rate=44_100)),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    fp = {r.doc_id: r.afp for r in audio_fingerprint(media).collect()}
+
+    def ham(a, b):
+        return bin(fp[a] ^ fp[b]).count("1")
+
+    assert ham(1, 2) <= 3 and ham(1, 3) <= 3 and ham(2, 3) <= 3
