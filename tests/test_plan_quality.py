@@ -373,3 +373,51 @@ def test_q8_all_dims_broadcast_one_exchange(spark):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("p_type" in x for x in pushed), plan
     assert any("o_orderdate" in x for x in pushed), plan
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
+    """Engine-level runtime filtering: when a selective dim filters a
+    shuffle join, Catalyst's InjectRuntimeFilter should plant a bloom
+    filter on the fact side (BloomFilterMightContain / bloom_filter_agg
+    in the plan), so fact rows that cannot match die at the scan
+    instead of crossing the exchange — at 100 TB that is the
+    difference between shuffling the table and shuffling the match
+    set. Thresholds are forced to zero because the oracle-SF tables sit
+    below the production defaults (10 MB creation side)."""
+    from pyspark.sql import functions as F2
+
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # creationSideThreshold must ADMIT the small build side…
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        # …and the probe-side floor must not reject the small fact
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "lineitem", SF_ORACLE)
+        o = load_table(spark, "orders", SF_ORACLE).where(
+            F2.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan.lower() or "bloomfilter" in plan.lower(), plan
+        # and the filter run produces correct results
+        assert joined.collect()[0]["count"] > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
