@@ -113,7 +113,13 @@ def streaming_ewma(
     """Streaming per-key EWMA with explicit state: one output row per
     key per micro-batch carrying the running smoothed value and count.
     State is (ewma, n); an idle key's state expires after
-    ``timeout_minutes`` of processing time (emitting nothing)."""
+    ``timeout_minutes`` of processing time (emitting nothing).
+
+    Drain caveat: as with streaming/stateful_dedup.py, the
+    ProcessingTimeTimeout makes ``availableNow`` unable to
+    self-terminate (shouldRunAnotherBatch is unconditionally true);
+    bounded runs must watch progress and stop() explicitly
+    (tests/test_streaming.py::_drain_stateful)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(

@@ -241,7 +241,7 @@ def test_streaming_ewma_stateful(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain_stateful(q, expected_rows=5)  # ProcessingTimeTimeout: see helper
 
     # update mode emits one row per key per batch; the LAST row per key
     # is the final state. Multiple rows per key in the memory table is
