@@ -613,7 +613,9 @@ def _mp4_samples(payload: bytes):
 
 
 def extract_video_metadata(
-    media: DataFrame, use_codec: bool | None = None
+    media: DataFrame,
+    use_codec: bool | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Arrow-batched video container metadata over binary payloads —
     the same gating contract as the image/audio extractors, with the
@@ -621,32 +623,46 @@ def extract_video_metadata(
     it is always available; the gate still lets use_codec=False force
     the deterministic fake for hermetic runs). ``video/fake`` payloads
     produce byte-derived stub values so the Spark plumbing stays
-    testable without real containers."""
+    testable without real containers.
+
+    ``strict=False`` is the CORPUS-SCALE mode: a corrupt container
+    yields a row of NULL features instead of killing the job at hour
+    six on one truncated upload — callers then quarantine
+    ``duration_s IS NULL`` rows, the same triage contract as the
+    validation tier's row_error_reasons. strict=True (default) raises,
+    which is what a unit test or a must-be-clean ingest wants."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mt, p in zip(pdf["media_type"], pdf["payload"]):
                 b = bytes(p)
-                if use_codec is not False and _is_codec_video(mt):
-                    rows.append(_parse_mp4_meta(b))
-                else:
-                    if not b:
-                        raise NotImplementedError(
-                            "empty payload: nothing to decode"
+                try:
+                    if use_codec is not False and _is_codec_video(mt):
+                        rows.append(_parse_mp4_meta(b))
+                    else:
+                        if not b:
+                            raise NotImplementedError(
+                                "empty payload: nothing to decode"
+                            )
+                        # deterministic fake: stub values from the bytes
+                        rows.append(
+                            (len(b) / 1000.0, 1, int(b[0]), int(b[-1]), "fake")
                         )
-                    # deterministic fake: stub values from the bytes
-                    rows.append(
-                        (len(b) / 1000.0, 1, int(b[0]), int(b[-1]), "fake")
-                    )
+                except Exception:
+                    if strict:
+                        raise
+                    rows.append((None, None, None, None, None))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "duration_s": [r[0] for r in rows],
-                    "n_tracks": [r[1] for r in rows],
-                    "width": [r[2] for r in rows],
-                    "height": [r[3] for r in rows],
+                    "n_tracks": pd.array(
+                        [r[1] for r in rows], dtype="Int32"
+                    ),
+                    "width": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[3] for r in rows], dtype="Int32"),
                     "codec": [r[4] for r in rows],
                 }
             )

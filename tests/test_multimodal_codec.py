@@ -662,3 +662,30 @@ def test_audio_fingerprint_sample_rate_invariant(spark):
         return bin(fp[a] ^ fp[b]).count("1")
 
     assert ham(1, 2) <= 3 and ham(1, 3) <= 3 and ham(2, 3) <= 3
+
+
+def test_video_metadata_lenient_mode_quarantines_corrupt(spark):
+    """strict=False: a corrupt container yields NULL features (the
+    quarantine contract) instead of failing the batch; good rows in
+    the same batch are unaffected; strict=True still raises."""
+    import pytest
+
+    from data_pipeline_project_spark.operators.multimodal import (
+        extract_video_metadata,
+    )
+
+    rows = [
+        (1, "video/mp4", _make_mp4()),
+        (2, "video/mp4", b"definitely not an mp4"),
+        (3, "video/fake", b"\x05ok\x09"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    out = {r.doc_id: r for r in extract_video_metadata(media, strict=False).collect()}
+    assert out[1].codec == "avc1" and out[1].width == 640
+    assert out[2].duration_s is None and out[2].codec is None
+    assert out[3].codec == "fake"
+
+    with pytest.raises(Exception):
+        extract_video_metadata(media, strict=True).collect()
