@@ -1,0 +1,351 @@
+"""Seeded random-plan generator for differential (Spark vs DuckDB)
+query fuzzing.
+
+Each seed deterministically builds ONE logical plan as a small AST and
+renders it twice: as a PySpark DataFrame expression tree and as ANSI
+SQL for DuckDB. The two engines run the *same* logical query over the
+same parquet tables; any value divergence is an engine-semantics or
+translation bug. This extends the fixed 50-query oracle board with an
+unbounded family of machine-generated shapes (filter / join /
+group-by / having over arithmetic, CASE, string and comparison
+expressions).
+
+Cross-engine value-domain rules (why the grammar looks restricted):
+- Integer-only arithmetic. Float aggregation order differs between
+  engines (and between Spark partition counts), so sums over doubles
+  are not hash-stable. Every numeric leaf is ``col % K`` (K <= 997),
+  bounding magnitudes so products stay far from BIGINT overflow —
+  Spark runs ANSI mode where overflow *throws* rather than wraps.
+- ``%`` keeps C/Java remainder semantics (sign of dividend) in both
+  engines; divisors are positive literals only, never 0.
+- Every CASE has an ELSE and every aggregate is wrapped in
+  ``coalesce`` so the all-rows-filtered edge cannot produce a NULL
+  BIGINT column (pandas would widen it to float64 on one side only).
+- DuckDB ``sum(BIGINT)`` returns HUGEINT (→ float64 in pandas); the
+  SQL side casts back to BIGINT. Spark's sum(BIGINT) is BIGINT.
+- String predicates use only =/<>/IN on single ASCII chars, so
+  collation differences cannot surface.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+FLAG_VALUES = ["A", "N", "R"]
+STATUS_VALUES = ["O", "F"]
+ORDER_INT_COLS = ["o_orderkey", "o_custkey"]
+PRIORITY_VALUES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+class Node:
+    def sql(self) -> str:
+        raise NotImplementedError
+
+    def spark(self) -> Column:
+        raise NotImplementedError
+
+
+class IntLeaf(Node):
+    """Bounded integer leaf: ``col % k`` (k positive → result sign of
+    dividend; all source columns are non-negative, so non-negative)."""
+
+    def __init__(self, col: str, k: int):
+        self.col, self.k = col, k
+
+    def sql(self) -> str:
+        return f"({self.col} % {self.k})"
+
+    def spark(self) -> Column:
+        return F.col(self.col) % F.lit(self.k)
+
+
+class IntLit(Node):
+    def __init__(self, v: int):
+        self.v = v
+
+    def sql(self) -> str:
+        return str(self.v)
+
+    def spark(self) -> Column:
+        return F.lit(self.v)
+
+
+class BinOp(Node):
+    def __init__(self, op: str, a: Node, b: Node):
+        self.op, self.a, self.b = op, a, b
+
+    def sql(self) -> str:
+        return f"({self.a.sql()} {self.op} {self.b.sql()})"
+
+    def spark(self) -> Column:
+        x, y = self.a.spark(), self.b.spark()
+        return {"+": x + y, "-": x - y, "*": x * y}[self.op]
+
+
+class Func2(Node):
+    def __init__(self, fn: str, a: Node, b: Node):
+        self.fn, self.a, self.b = fn, a, b
+
+    def sql(self) -> str:
+        return f"{self.fn}({self.a.sql()}, {self.b.sql()})"
+
+    def spark(self) -> Column:
+        f = {"least": F.least, "greatest": F.greatest}[self.fn]
+        return f(self.a.spark(), self.b.spark())
+
+
+class Abs(Node):
+    def __init__(self, a: Node):
+        self.a = a
+
+    def sql(self) -> str:
+        return f"abs({self.a.sql()})"
+
+    def spark(self) -> Column:
+        return F.abs(self.a.spark())
+
+
+class CaseWhen(Node):
+    def __init__(self, pred: "Pred", a: Node, b: Node):
+        self.pred, self.a, self.b = pred, a, b
+
+    def sql(self) -> str:
+        return f"(CASE WHEN {self.pred.sql()} THEN {self.a.sql()} ELSE {self.b.sql()} END)"
+
+    def spark(self) -> Column:
+        return F.when(self.pred.spark(), self.a.spark()).otherwise(self.b.spark())
+
+
+class Pred(Node):
+    pass
+
+
+class Cmp(Pred):
+    def __init__(self, op: str, a: Node, b: Node):
+        self.op, self.a, self.b = op, a, b
+
+    def sql(self) -> str:
+        sql_op = "<>" if self.op == "!=" else self.op
+        return f"({self.a.sql()} {sql_op} {self.b.sql()})"
+
+    def spark(self) -> Column:
+        x, y = self.a.spark(), self.b.spark()
+        return {
+            "<": x < y, "<=": x <= y, "=": x == y,
+            "!=": x != y, ">": x > y, ">=": x >= y,
+        }[self.op]
+
+
+class StrEq(Pred):
+    def __init__(self, col: str, value: str, negate: bool):
+        self.col, self.value, self.negate = col, value, negate
+
+    def sql(self) -> str:
+        op = "<>" if self.negate else "="
+        return f"({self.col} {op} '{self.value}')"
+
+    def spark(self) -> Column:
+        c = F.col(self.col)
+        return c != self.value if self.negate else c == self.value
+
+
+class StrIn(Pred):
+    def __init__(self, col: str, values: list[str]):
+        self.col, self.values = col, values
+
+    def sql(self) -> str:
+        vals = ", ".join(f"'{v}'" for v in self.values)
+        return f"({self.col} IN ({vals}))"
+
+    def spark(self) -> Column:
+        return F.col(self.col).isin(self.values)
+
+
+class BoolOp(Pred):
+    def __init__(self, op: str, a: Pred, b: Pred):
+        self.op, self.a, self.b = op, a, b
+
+    def sql(self) -> str:
+        return f"({self.a.sql()} {self.op.upper()} {self.b.sql()})"
+
+    def spark(self) -> Column:
+        x, y = self.a.spark(), self.b.spark()
+        return (x & y) if self.op == "and" else (x | y)
+
+
+class NotP(Pred):
+    def __init__(self, a: Pred):
+        self.a = a
+
+    def sql(self) -> str:
+        return f"(NOT {self.a.sql()})"
+
+    def spark(self) -> Column:
+        return ~self.a.spark()
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+
+class PlanGen:
+    """One seeded random plan over lineitem (optionally ⋈ orders)."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
+        self.joined = self.rng.random() < 0.4
+        self.int_cols = list(INT_COLS) + (ORDER_INT_COLS if self.joined else [])
+
+    # -- expressions --------------------------------------------------------
+    def int_expr(self, depth: int) -> Node:
+        r = self.rng
+        if depth <= 0 or r.random() < 0.3:
+            if r.random() < 0.75:
+                return IntLeaf(r.choice(self.int_cols), r.choice([7, 97, 251, 997]))
+            return IntLit(r.randrange(0, 100))
+        pick = r.random()
+        if pick < 0.45:
+            return BinOp(r.choice(["+", "-", "*"]), self.int_expr(depth - 1), self.int_expr(depth - 1))
+        if pick < 0.60:
+            return Func2(r.choice(["least", "greatest"]), self.int_expr(depth - 1), self.int_expr(depth - 1))
+        if pick < 0.75:
+            return Abs(self.int_expr(depth - 1))
+        return CaseWhen(self.pred(depth - 1), self.int_expr(depth - 1), self.int_expr(depth - 1))
+
+    def pred(self, depth: int) -> Pred:
+        r = self.rng
+        if depth <= 0 or r.random() < 0.4:
+            pick = r.random()
+            if pick < 0.55:
+                return Cmp(r.choice(["<", "<=", "=", "!=", ">", ">="]),
+                           self.int_expr(1), self.int_expr(1))
+            if pick < 0.75:
+                return StrEq("l_returnflag", r.choice(FLAG_VALUES), r.random() < 0.5)
+            if pick < 0.9:
+                return StrIn("l_linestatus", r.sample(STATUS_VALUES, r.randrange(1, 3)))
+            if self.joined:
+                return StrIn("o_orderpriority",
+                             r.sample(PRIORITY_VALUES, r.randrange(1, 4)))
+            return StrEq("l_returnflag", r.choice(FLAG_VALUES), True)
+        pick = r.random()
+        if pick < 0.45:
+            return BoolOp("and", self.pred(depth - 1), self.pred(depth - 1))
+        if pick < 0.9:
+            return BoolOp("or", self.pred(depth - 1), self.pred(depth - 1))
+        return NotP(self.pred(depth - 1))
+
+    # -- whole plan ---------------------------------------------------------
+    def build(self) -> dict:
+        r = self.rng
+        where = self.pred(2)
+        group_pool = ["l_returnflag", "l_linestatus"]
+        if self.joined:
+            group_pool.append("o_orderpriority")
+        n_keys = r.randrange(0, 3)
+        keys = r.sample(group_pool, n_keys)
+        bucket = None
+        if r.random() < 0.5:
+            bucket = (r.choice(self.int_cols), r.choice([3, 5, 11]))
+            keys = keys + ["bucket"]
+
+        aggs = []
+        n_aggs = r.randrange(2, 5)
+        for i in range(n_aggs):
+            kind = r.choice(["sum", "min", "max", "count", "count_distinct"])
+            aggs.append((kind, self.int_expr(2), f"a{i}"))
+        having = None
+        if keys and r.random() < 0.4:
+            having = r.randrange(1, 4)
+        return {
+            "joined": self.joined, "where": where, "keys": keys,
+            "bucket": bucket, "aggs": aggs, "having": having,
+        }
+
+
+def render_sql(plan: dict) -> str:
+    src = "lineitem"
+    if plan["joined"]:
+        src = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+    select_keys = []
+    group_keys = []
+    for k in plan["keys"]:
+        if k == "bucket":
+            col, m = plan["bucket"]
+            select_keys.append(f"({col} % {m}) AS bucket")
+            group_keys.append(f"({col} % {m})")
+        else:
+            select_keys.append(k)
+            group_keys.append(k)
+    agg_sql = []
+    for kind, expr, alias in plan["aggs"]:
+        e = expr.sql()
+        if kind == "sum":
+            agg_sql.append(f"CAST(coalesce(sum({e}), 0) AS BIGINT) AS {alias}")
+        elif kind == "min":
+            agg_sql.append(f"CAST(coalesce(min({e}), -1) AS BIGINT) AS {alias}")
+        elif kind == "max":
+            agg_sql.append(f"CAST(coalesce(max({e}), -1) AS BIGINT) AS {alias}")
+        elif kind == "count":
+            agg_sql.append(f"CAST(count(*) AS BIGINT) AS {alias}")
+        else:
+            agg_sql.append(f"CAST(count(DISTINCT {e}) AS BIGINT) AS {alias}")
+    sql = f"SELECT {', '.join(select_keys + agg_sql)} FROM {src} WHERE {plan['where'].sql()}"
+    if group_keys:
+        sql += f" GROUP BY {', '.join(group_keys)}"
+        if plan["having"] is not None:
+            sql += f" HAVING count(*) >= {plan['having']}"
+    return sql
+
+
+def render_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    df = load_table(spark, "lineitem", sf_dir)
+    if plan["joined"]:
+        orders = load_table(spark, "orders", sf_dir)
+        df = df.join(orders, df["l_orderkey"] == orders["o_orderkey"], "inner")
+    df = df.where(plan["where"].spark())
+    key_cols = []
+    for k in plan["keys"]:
+        if k == "bucket":
+            col, m = plan["bucket"]
+            key_cols.append((F.col(col) % F.lit(m)).alias("bucket"))
+        else:
+            key_cols.append(F.col(k))
+    agg_cols = []
+    for kind, expr, alias in plan["aggs"]:
+        e = expr.spark()
+        if kind == "sum":
+            c = F.coalesce(F.sum(e), F.lit(0))
+        elif kind == "min":
+            c = F.coalesce(F.min(e), F.lit(-1))
+        elif kind == "max":
+            c = F.coalesce(F.max(e), F.lit(-1))
+        elif kind == "count":
+            c = F.count(F.lit(1))
+        else:
+            c = F.count_distinct(e)
+        agg_cols.append(c.cast("long").alias(alias))
+    if key_cols:
+        grouped = df.groupBy(*key_cols)
+        out = grouped.agg(*agg_cols, F.count(F.lit(1)).alias("_n"))
+        if plan["having"] is not None:
+            out = out.where(F.col("_n") >= plan["having"])
+        out = out.drop("_n")
+    else:
+        out = df.agg(*agg_cols)
+    return out
+
+
+def generate(seed: int) -> tuple[dict, str]:
+    plan = PlanGen(seed).build()
+    return plan, render_sql(plan)

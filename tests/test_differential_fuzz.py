@@ -1,0 +1,68 @@
+"""Differential query fuzzing: seeded random plans run on BOTH engines.
+
+Beyond the fixed 50-query oracle board, every seed here builds a random
+filter/join/group-by/having plan (tests/differential_gen.py) and
+asserts Spark == DuckDB on row count, column names, dtype class, and
+order-insensitive values — the exact compare the driver's correctness
+gate applies. The grammar is integer-exact by construction (no float
+aggregation order to diverge), so ANY mismatch is a real bug in either
+an engine translation or this repo's expression semantics.
+
+A fixed seed range keeps the suite deterministic and CI-fast; bump
+N_SEEDS locally for a deeper soak.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.differential_gen import generate, render_spark
+from tests.oracle_harness import compare, run_oracle
+
+from tests.conftest import SF_ORACLE, SF_SMALL
+
+N_SEEDS = 60
+# A handful of seeds re-checked at 10x the data (different group
+# cardinalities and join fan-outs) to catch volume-dependent drift.
+DEEP_SEEDS = [3, 11, 17, 29, 42]
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_random_plan_parity(spark, duck, seed):
+    plan, sql = generate(seed)
+    spark_pd = render_spark(plan, spark, SF_SMALL).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_SMALL)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+@pytest.mark.parametrize("seed", DEEP_SEEDS)
+def test_random_plan_parity_at_oracle_sf(spark, duck, seed):
+    plan, sql = generate(seed)
+    spark_pd = render_spark(plan, spark, SF_ORACLE).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_ORACLE)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+def test_generator_exercises_every_shape():
+    """The seed range actually covers the grammar: joins, global aggs,
+    grouped aggs, having, buckets, every aggregate kind. Guards against
+    a generator regression quietly narrowing fuzz coverage."""
+    shapes = {"joined": 0, "global": 0, "grouped": 0, "having": 0, "bucket": 0}
+    agg_kinds = set()
+    for seed in range(N_SEEDS):
+        plan, _ = generate(seed)
+        shapes["joined"] += plan["joined"]
+        shapes["grouped" if plan["keys"] else "global"] += 1
+        shapes["having"] += plan["having"] is not None
+        shapes["bucket"] += plan["bucket"] is not None
+        agg_kinds.update(kind for kind, _, _ in plan["aggs"])
+    assert all(v >= 3 for v in shapes.values()), shapes
+    assert agg_kinds == {"sum", "min", "max", "count", "count_distinct"}
+
+
+def test_generator_is_deterministic():
+    """Same seed → byte-identical SQL (replays must reproduce)."""
+    for seed in (0, 7, 31):
+        assert generate(seed)[1] == generate(seed)[1]
