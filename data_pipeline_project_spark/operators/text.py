@@ -303,6 +303,74 @@ def encoding_stats(col: Column) -> Column:
     )
 
 
+def compression_signals(col: Column, level: int = 6) -> Column:
+    """Struct of zlib compressibility signals per document: ``n_bytes``
+    (UTF-8 length), ``n_compressed`` (DEFLATE at ``level``),
+    ``compression_ratio`` (compressed/raw, rounded to 6; empty doc →
+    1.0). The Gopher/RefinedWeb-style repetitiveness signal: boilerplate
+    and template spam compress far below natural prose, while random or
+    binary junk barely compresses at all — one scalar separates both
+    failure modes from quality text.
+
+    Not SQL-expressible (no DEFLATE in either engine's SQL surface), so
+    this is the legitimate Arrow-kernel case: per-row CPU-bound library
+    call, batched via pandas_udf, no shuffle — cost is linear in corpus
+    bytes and rides the scan, exactly like the decode kernels in
+    operators/multimodal.py. zlib output for a given (input, level) is
+    deterministic across platforms (RFC 1950 stream, fixed strategy),
+    so the signal is stable across executors and reruns."""
+    from data_pipeline_project_spark.operators.similarity import _udf
+
+    def kernel(texts):
+        import math
+        import zlib
+
+        import pandas as pd
+
+        n_bytes, n_comp, ratio = [], [], []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                n_bytes.append(0)
+                n_comp.append(0)
+                ratio.append(1.0)
+                continue
+            c = len(zlib.compress(raw, level))
+            n_bytes.append(len(raw))
+            n_comp.append(c)
+            ratio.append(math.floor(c / len(raw) * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame(
+            {"n_bytes": n_bytes, "n_compressed": n_comp, "compression_ratio": ratio}
+        )
+
+    return _udf(
+        f"compression_signals_l{level}",
+        kernel,
+        "struct<n_bytes:bigint,n_compressed:bigint,compression_ratio:double>",
+    )(col)
+
+
+def compressibility_flags(
+    col: Column, lo: float = 0.2, hi: float = 0.8
+) -> Column:
+    """Filter verdict on top of :func:`compression_signals`:
+    ``too_repetitive`` (ratio < lo — template/boilerplate spam),
+    ``incompressible`` (ratio > hi — random-character contamination),
+    ``keep`` (neither). Thresholds are corpus-tuned in practice; these
+    defaults bracket natural-language prose (~0.3–0.6 at zlib-6).
+    Note the ceiling: uniform-random PRINTABLE text tops out near
+    ~0.85 (Huffman packs ~6.6 bits into each 8-bit char), so ``hi``
+    above that can never fire on string payloads."""
+    sig = compression_signals(col)
+    r = sig["compression_ratio"]
+    return F.struct(
+        (r < lo).alias("too_repetitive"),
+        (r > hi).alias("incompressible"),
+        ((r >= lo) & (r <= hi)).alias("keep"),
+        sig["compression_ratio"].alias("compression_ratio"),
+    )
+
+
 def hashed_doc_vectors(
     docs,
     dim: int = 64,
