@@ -349,3 +349,141 @@ def render_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
 def generate(seed: int) -> tuple[dict, str]:
     plan = PlanGen(seed).build()
     return plan, render_sql(plan)
+
+
+# ---------------------------------------------------------------------------
+# Family B: window-function plans
+# ---------------------------------------------------------------------------
+#
+# Different bug surface from group-by aggregation: partition pruning of
+# window state, frame semantics, tie handling, default values of
+# lag/lead, and top-k subquery filters. Determinism rule: every ORDER
+# BY ends with the (l_orderkey, l_linenumber) primary key, so ranks,
+# running frames, and lag/lead are total-order-defined even when the
+# random sort expression ties.
+
+WINDOW_FUNCS = ("row_number", "rank", "dense_rank", "running_sum", "lag", "lead", "running_count")
+
+
+class WindowPlanGen:
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed ^ 0x5EED)
+        self.int_cols = list(INT_COLS)
+
+    def build(self) -> dict:
+        r = self.rng
+        gen = PlanGen(seed=0)  # reuse expression grammar with our rng
+        gen.rng = r
+        gen.joined = False
+        gen.int_cols = self.int_cols
+
+        where = gen.pred(2)
+        part_pool = ["l_returnflag", "l_linestatus"]
+        parts = r.sample(part_pool, r.randrange(0, 3))
+        part_bucket = None
+        if r.random() < 0.4:
+            part_bucket = (r.choice(self.int_cols), r.choice([3, 5]))
+        sort_expr = gen.int_expr(1) if r.random() < 0.7 else None
+        funcs = []
+        n_funcs = r.randrange(2, 5)
+        for i in range(n_funcs):
+            kind = r.choice(WINDOW_FUNCS)
+            arg = gen.int_expr(1) if kind in ("running_sum", "lag", "lead") else None
+            funcs.append((kind, arg, f"w{i}"))
+        topk = None
+        if any(k == "row_number" for k, _, _ in funcs) and r.random() < 0.5:
+            topk = (next(a for k, _, a in funcs if k == "row_number"), r.randrange(2, 6))
+        return {
+            "where": where, "parts": parts, "part_bucket": part_bucket,
+            "sort_expr": sort_expr, "funcs": funcs, "topk": topk,
+        }
+
+
+def render_window_sql(plan: dict) -> str:
+    part_keys = list(plan["parts"])
+    sel_parts = list(plan["parts"])
+    if plan["part_bucket"]:
+        col, m = plan["part_bucket"]
+        part_keys.append(f"({col} % {m})")
+        sel_parts.append(f"({col} % {m}) AS pbucket")
+    over_parts = f"PARTITION BY {', '.join(part_keys)} " if part_keys else ""
+    order_keys = []
+    if plan["sort_expr"] is not None:
+        order_keys.append(plan["sort_expr"].sql())
+    order_keys += ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    over_order = f"ORDER BY {', '.join(order_keys)}"
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    cols = []
+    for kind, arg, alias in plan["funcs"]:
+        if kind in ("row_number", "rank", "dense_rank"):
+            cols.append(f"CAST({kind}() OVER ({over_parts}{over_order}) AS BIGINT) AS {alias}")
+        elif kind == "running_sum":
+            cols.append(
+                f"CAST(sum({arg.sql()}) OVER ({over_parts}{over_order} {frame}) AS BIGINT) AS {alias}"
+            )
+        elif kind == "running_count":
+            cols.append(
+                f"CAST(count(*) OVER ({over_parts}{over_order} {frame}) AS BIGINT) AS {alias}"
+            )
+        else:  # lag / lead
+            cols.append(
+                f"CAST({kind}({arg.sql()}, 1, 0) OVER ({over_parts}{over_order}) AS BIGINT) AS {alias}"
+            )
+    inner = (
+        f"SELECT l_orderkey, l_linenumber, {', '.join(sel_parts + cols) if sel_parts else ', '.join(cols)} "
+        f"FROM lineitem WHERE {plan['where'].sql()}"
+    )
+    if plan["topk"] is None:
+        return inner
+    alias, k = plan["topk"]
+    return f"SELECT * FROM ({inner}) t WHERE {alias} <= {k}"
+
+
+def render_window_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    df = load_table(spark, "lineitem", sf_dir).where(plan["where"].spark())
+    sel = [F.col("l_orderkey"), F.col("l_linenumber")]
+    part_cols = [F.col(p) for p in plan["parts"]]
+    sel += [F.col(p) for p in plan["parts"]]
+    if plan["part_bucket"]:
+        col, m = plan["part_bucket"]
+        b = (F.col(col) % F.lit(m))
+        part_cols.append(b)
+        sel.append(b.alias("pbucket"))
+    order_cols = []
+    if plan["sort_expr"] is not None:
+        order_cols.append(plan["sort_expr"].spark())
+    order_cols += [
+        F.col("l_orderkey"), F.col("l_linenumber"),
+        F.col("l_partkey"), F.col("l_suppkey"),
+    ]
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols) if part_cols else Window.orderBy(*order_cols)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for kind, arg, alias in plan["funcs"]:
+        if kind == "row_number":
+            c = F.row_number().over(w)
+        elif kind == "rank":
+            c = F.rank().over(w)
+        elif kind == "dense_rank":
+            c = F.dense_rank().over(w)
+        elif kind == "running_sum":
+            c = F.sum(arg.spark()).over(wf)
+        elif kind == "running_count":
+            c = F.count(F.lit(1)).over(wf)
+        else:
+            f = F.lag if kind == "lag" else F.lead
+            c = f(arg.spark(), 1, 0).over(w)
+        sel.append(c.cast("long").alias(alias))
+    out = df.select(*sel)
+    if plan["topk"] is not None:
+        alias, k = plan["topk"]
+        out = out.where(F.col(alias) <= k)
+    return out
+
+
+def generate_window(seed: int) -> tuple[dict, str]:
+    plan = WindowPlanGen(seed).build()
+    return plan, render_window_sql(plan)

@@ -16,7 +16,12 @@ from __future__ import annotations
 
 import pytest
 
-from tests.differential_gen import generate, render_spark
+from tests.differential_gen import (
+    generate,
+    generate_window,
+    render_spark,
+    render_window_spark,
+)
 from tests.oracle_harness import compare, run_oracle
 
 from tests.conftest import SF_ORACLE, SF_SMALL
@@ -43,6 +48,35 @@ def test_random_plan_parity_at_oracle_sf(spark, duck, seed):
     oracle_pd = run_oracle(duck, sql, SF_ORACLE)
     problems = compare(spark_pd, oracle_pd)
     assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+N_WINDOW_SEEDS = 30
+
+
+@pytest.mark.parametrize("seed", range(N_WINDOW_SEEDS))
+def test_random_window_plan_parity(spark, duck, seed):
+    plan, sql = generate_window(seed)
+    spark_pd = render_window_spark(plan, spark, SF_SMALL).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_SMALL)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, f"window seed {seed}: {problems}\nSQL: {sql}"
+
+
+def test_window_generator_exercises_every_shape():
+    shapes = {"partitioned": 0, "global": 0, "bucketed": 0, "topk": 0, "sorted_expr": 0}
+    kinds = set()
+    for seed in range(N_WINDOW_SEEDS):
+        plan, _ = generate_window(seed)
+        shapes["partitioned" if (plan["parts"] or plan["part_bucket"]) else "global"] += 1
+        shapes["bucketed"] += plan["part_bucket"] is not None
+        shapes["topk"] += plan["topk"] is not None
+        shapes["sorted_expr"] += plan["sort_expr"] is not None
+        kinds.update(k for k, _, _ in plan["funcs"])
+    assert all(v >= 3 for v in shapes.values()), shapes
+    assert kinds == {
+        "row_number", "rank", "dense_rank", "running_sum",
+        "lag", "lead", "running_count",
+    }
 
 
 def test_generator_exercises_every_shape():
