@@ -3214,3 +3214,49 @@ def variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(nested).alias("sum_nested"),
         F.count(F.when(missing.isNull(), 1)).cast("bigint").alias("n_missing"),
     )
+
+
+# Not driver-registered: bivariate statistical aggregates — oracle
+# parity via test_deregistered_queries_still_match.
+STAT_CORRELATIONS_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+       round(covar_samp(l_extendedprice, l_quantity), 6) AS covar_price_qty,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_discount, 0.25), 6) AS p25_discount
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def stat_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, and the least-squares line (slope/intercept) of price
+    on quantity, plus interpolated percentiles — the feature-screening
+    aggregates a training pipeline runs before fitting anything
+    (collinearity checks, target-leakage triage, quantile caps).
+
+    All are single-pass partial-aggregatable JVM built-ins (Spark's
+    CentralMomentAgg family), so the plan is one hash aggregate with
+    map-side combine — flat per-core at any scale, no window, no
+    second scan. Results round to 6dp: the underlying double moments
+    drift only in the last bits across partial-agg merge orders (both
+    engines use the same textbook corrected-two-pass-free update
+    formulas), far inside the rounding guard — the determinism suite
+    pins this layout-invariance for the same reason it holds for
+    feature_zscore. regr_slope/regr_intercept take (y, x) in BOTH
+    engines; corr is symmetric so argument order is free there."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.corr(y, x), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp(y, x), 6).alias("covar_price_qty"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.percentile(x, F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile(F.col("l_discount"), F.lit(0.25)), 6).alias("p25_discount"),
+    )

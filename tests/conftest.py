@@ -122,6 +122,7 @@ EXTRA_ORACLE_QUERIES = [
     # Round-8 additions.
     ("llmops_queries", "pii_redaction", "PII_REDACTION_ORACLE"),
     ("relational_queries", "variant_json_path", "VARIANT_JSON_PATH_ORACLE"),
+    ("relational_queries", "stat_correlations", "STAT_CORRELATIONS_ORACLE"),
 ]
 
 

@@ -45,6 +45,13 @@ QUERIES = [
     "ewma_smoothing",              # order-sensitive recursion on sorted frames
 ]
 
+# Deregistered (EXTRA_ORACLE_QUERIES) plans whose float outputs lean on
+# the round-to-6dp guard — resolved from the plans modules directly.
+DEREG_QUERIES = [
+    ("relational_queries", "stat_correlations"),  # corr/covar/regr moments
+    ("relational_queries", "feature_zscore"),     # rounded mu/sigma ratio
+]
+
 PERTURBED = {
     "spark.sql.shuffle.partitions": "13",
     "spark.sql.adaptive.coalescePartitions.enabled": "false",
@@ -67,9 +74,7 @@ def perturbed_layout(spark):
         spark.conf.set(k, v)
 
 
-@pytest.mark.parametrize("name", QUERIES)
-def test_result_invariant_to_shuffle_layout(spark, perturbed_layout, name):
-    q = get_queries()[name]
+def _check_invariant(spark, q, name):
     base = q(spark, SF_SMALL).toPandas()
     for k, v in PERTURBED.items():
         spark.conf.set(k, v)
@@ -85,3 +90,16 @@ def test_result_invariant_to_shuffle_layout(spark, perturbed_layout, name):
             f"{name}: values depend on shuffle layout at canon row {i}: "
             f"base={b.iloc[i].to_dict()} alt={a.iloc[i].to_dict()}"
         )
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_to_shuffle_layout(spark, perturbed_layout, name):
+    _check_invariant(spark, get_queries()[name], name)
+
+
+@pytest.mark.parametrize("mod,name", DEREG_QUERIES)
+def test_deregistered_invariant_to_shuffle_layout(spark, perturbed_layout, mod, name):
+    import importlib
+
+    m = importlib.import_module(f"data_pipeline_project_spark.plans.{mod}")
+    _check_invariant(spark, getattr(m, name), name)
