@@ -487,3 +487,141 @@ def render_window_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFra
 def generate_window(seed: int) -> tuple[dict, str]:
     plan = WindowPlanGen(seed).build()
     return plan, render_window_sql(plan)
+
+
+# ---------------------------------------------------------------------------
+# Family C: datetime plans
+# ---------------------------------------------------------------------------
+#
+# Datetime semantics are the classic cross-engine divergence area
+# (boundary-crossing vs elapsed diffs, dow numbering, truncation
+# rules). The grammar stays inside the verified-identical subset:
+# year/month/day/quarter extraction (integers both engines),
+# date_trunc rendered through a text format (never a raw DATE column —
+# pandas dtype classes differ), timestamp + INTERVAL day arithmetic,
+# and BETWEEN on ISO literals. Known-divergent functions (dayofweek
+# numbering, date_diff minute semantics, week-of-year) are covered by
+# the curated calendar matrix in plans/relational_queries.time_functions
+# and deliberately excluded here.
+
+DATE_TABLES = {"orders": "o_orderdate", "lineitem": "l_shipdate"}
+
+
+class DatePlanGen:
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed ^ 0xDA7E)
+
+    def build(self) -> dict:
+        r = self.rng
+        table = r.choice(sorted(DATE_TABLES))
+        ts = DATE_TABLES[table]
+        # predicate: year bound, month membership, or a BETWEEN window
+        preds = []
+        if r.random() < 0.7:
+            preds.append(("year_cmp", r.choice(["<", "<=", "=", ">", ">="]), r.randrange(1995, 2002)))
+        if r.random() < 0.5:
+            preds.append(("month_in", sorted(r.sample(range(1, 13), r.randrange(1, 5)))))
+        if r.random() < 0.4:
+            lo = f"{r.randrange(1995, 2000)}-0{r.randrange(1, 10)}-01"
+            hi = f"{r.randrange(2000, 2002)}-1{r.randrange(0, 3)}-0{r.randrange(1, 10)}"
+            preds.append(("between", lo, hi))
+        if not preds:
+            preds.append(("year_cmp", ">=", 1995))
+        group = r.choice(["year", "year_month", "trunc_month", "quarter", "none"])
+        shift_days = r.randrange(1, 40) if r.random() < 0.5 else None
+        return {"table": table, "ts": ts, "preds": preds, "group": group,
+                "shift_days": shift_days}
+
+
+def render_date_sql(plan: dict) -> str:
+    ts = plan["ts"]
+    conds = []
+    for p in plan["preds"]:
+        if p[0] == "year_cmp":
+            conds.append(f"(year({ts}) {p[1]} {p[2]})")
+        elif p[0] == "month_in":
+            conds.append(f"(month({ts}) IN ({', '.join(map(str, p[1]))}))")
+        else:
+            conds.append(f"({ts} BETWEEN TIMESTAMP '{p[1]}' AND TIMESTAMP '{p[2]}')")
+    where = " AND ".join(conds)
+    keys, gkeys = [], []
+    g = plan["group"]
+    if g == "year":
+        keys, gkeys = [f"year({ts}) AS y"], [f"year({ts})"]
+    elif g == "year_month":
+        keys = [f"year({ts}) AS y", f"month({ts}) AS m"]
+        gkeys = [f"year({ts})", f"month({ts})"]
+    elif g == "trunc_month":
+        keys = [f"strftime(date_trunc('month', {ts}), '%Y-%m-%d') AS ym"]
+        gkeys = [f"strftime(date_trunc('month', {ts}), '%Y-%m-%d')"]
+    elif g == "quarter":
+        keys, gkeys = [f"quarter({ts}) AS q"], [f"quarter({ts})"]
+    aggs = [
+        "CAST(count(*) AS BIGINT) AS n",
+        f"coalesce(min(strftime({ts}, '%Y-%m-%d %H:%M:%S')), '') AS first_ts",
+        f"coalesce(max(strftime({ts}, '%Y-%m-%d %H:%M:%S')), '') AS last_ts",
+        f"CAST(count(DISTINCT strftime(date_trunc('month', {ts}), '%Y-%m')) AS BIGINT) AS n_months",
+        f"CAST(coalesce(sum(day({ts}) % 7), 0) AS BIGINT) AS day_mod_sum",
+    ]
+    if plan["shift_days"] is not None:
+        aggs.append(
+            f"coalesce(max(strftime({ts} + INTERVAL {plan['shift_days']} DAY, "
+            f"'%Y-%m-%d %H:%M:%S')), '') AS last_shifted"
+        )
+    sql = f"SELECT {', '.join(keys + aggs)} FROM {plan['table']} WHERE {where}"
+    if gkeys:
+        sql += f" GROUP BY {', '.join(gkeys)}"
+    return sql
+
+
+def render_date_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    ts = F.col(plan["ts"])
+    df = load_table(spark, plan["table"], sf_dir)
+    cond = F.lit(True)
+    for p in plan["preds"]:
+        if p[0] == "year_cmp":
+            y = F.year(ts)
+            op = {"<": y < p[2], "<=": y <= p[2], "=": y == p[2],
+                  ">": y > p[2], ">=": y >= p[2]}[p[1]]
+            cond = cond & op
+        elif p[0] == "month_in":
+            cond = cond & F.month(ts).isin(p[1])
+        else:
+            cond = cond & ts.between(
+                F.to_timestamp(F.lit(p[1])), F.to_timestamp(F.lit(p[2]))
+            )
+    df = df.where(cond)
+    g = plan["group"]
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    keys = []
+    if g == "year":
+        keys = [F.year(ts).alias("y")]
+    elif g == "year_month":
+        keys = [F.year(ts).alias("y"), F.month(ts).alias("m")]
+    elif g == "trunc_month":
+        keys = [F.date_format(F.date_trunc("month", ts), "yyyy-MM-dd").alias("ym")]
+    elif g == "quarter":
+        keys = [F.quarter(ts).alias("q")]
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.min(F.date_format(ts, fmt)), F.lit("")).alias("first_ts"),
+        F.coalesce(F.max(F.date_format(ts, fmt)), F.lit("")).alias("last_ts"),
+        F.count_distinct(F.date_format(F.date_trunc("month", ts), "yyyy-MM"))
+        .cast("long").alias("n_months"),
+        F.coalesce(F.sum(F.dayofmonth(ts) % 7), F.lit(0)).cast("long").alias("day_mod_sum"),
+    ]
+    if plan["shift_days"] is not None:
+        shifted = ts + F.expr(f"INTERVAL {plan['shift_days']} DAY")
+        aggs.append(
+            F.coalesce(F.max(F.date_format(shifted, fmt)), F.lit("")).alias("last_shifted")
+        )
+    if keys:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def generate_date(seed: int) -> tuple[dict, str]:
+    plan = DatePlanGen(seed).build()
+    return plan, render_date_sql(plan)

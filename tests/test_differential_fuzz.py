@@ -18,7 +18,9 @@ import pytest
 
 from tests.differential_gen import (
     generate,
+    generate_date,
     generate_window,
+    render_date_spark,
     render_spark,
     render_window_spark,
 )
@@ -60,6 +62,34 @@ def test_random_window_plan_parity(spark, duck, seed):
     oracle_pd = run_oracle(duck, sql, SF_SMALL)
     problems = compare(spark_pd, oracle_pd)
     assert not problems, f"window seed {seed}: {problems}\nSQL: {sql}"
+
+
+N_DATE_SEEDS = 25
+
+
+@pytest.mark.parametrize("seed", range(N_DATE_SEEDS))
+def test_random_date_plan_parity(spark, duck, seed):
+    plan, sql = generate_date(seed)
+    spark_pd = render_date_spark(plan, spark, SF_SMALL).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_SMALL)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, f"date seed {seed}: {problems}\nSQL: {sql}"
+
+
+def test_date_generator_exercises_every_shape():
+    groups = set()
+    preds = set()
+    shifted = 0
+    tables = set()
+    for seed in range(N_DATE_SEEDS):
+        plan, _ = generate_date(seed)
+        groups.add(plan["group"])
+        preds.update(p[0] for p in plan["preds"])
+        shifted += plan["shift_days"] is not None
+        tables.add(plan["table"])
+    assert groups == {"year", "year_month", "trunc_month", "quarter", "none"}
+    assert preds == {"year_cmp", "month_in", "between"}
+    assert shifted >= 3 and tables == {"orders", "lineitem"}
 
 
 def test_window_generator_exercises_every_shape():
