@@ -315,17 +315,26 @@ def delete_rows_targeted(
 
     1. zone-map prune: candidate files = those whose [min,max] overlaps
        any requested key (file-level, metadata only);
-    2. rewrite each candidate file's survivors to a new file beside it
-       (left_anti join against the BROADCAST key set — deletes are
-       assumed human-scale, millions not billions);
-    3. atomically swap: remove originals only after the replacement is
-       fully written.
+    2. write each candidate file's survivors to a NEW name beside it
+       (``<stem>.d{version}.parquet``; left_anti join against the
+       BROADCAST key set — deletes are assumed human-scale, millions
+       not billions);
+    3. TOMBSTONE the original into ``_removed/`` (same copy-on-write
+       discipline as merge_upsert — never rewrite bytes under a name
+       an older manifest pins: the model checker in
+       tests/test_manifest_model.py caught the in-place variant
+       silently replaying post-delete content on pre-delete versions).
 
     Returns {files_total, files_rewritten, rows_deleted}. Keys absent
     from the table are a no-op. Not transactional across files (a
     crash mid-swap leaves some files deleted-from and others not —
     rerunning converges, since the operation is idempotent); pair with
-    write_manifest for an auditable before/after.
+    write_versioned_manifest for an auditable before/after.
+
+    GDPR caveat that follows from retention: the deleted rows' BYTES
+    survive in ``_removed/`` until :func:`vacuum` drops the versions
+    referencing them — "right to be forgotten" compliance is
+    delete + manifest pin + vacuum, exactly as in Delta Lake.
 
     ``prune``: candidate-selection strategy — see
     :func:`_select_candidates` (auto = driver bisect for human-scale
@@ -342,13 +351,15 @@ def delete_rows_targeted(
     zone_maps = file_zone_maps(duck, path, key_col, duck_type)
     candidates = _select_candidates(spark, zone_maps, keys_df, key_col, prune)
     kdf = F.broadcast(keys_df.select(F.col(key_col)).distinct())
+    pending = snapshot_versions(path)
+    version = (pending[-1] + 1) if pending else 1
 
     def rewrite_one(f: str) -> int:
         """Returns rows deleted from this file (0 == untouched).
-        Independent per file (own tmp dir, own atomic swap), so the
-        loop parallelizes: Spark's scheduler is thread-safe and each
-        iteration is a small job whose latency would otherwise
-        serialize."""
+        Independent per file (own tmp dir, own tombstone path, atomic
+        renames), so the loop parallelizes: Spark's scheduler is
+        thread-safe and each iteration is a small job whose latency
+        would otherwise serialize."""
         import shutil
 
         src = spark.read.parquet(f)
@@ -357,6 +368,8 @@ def delete_rows_targeted(
         after = survivors.count()
         if after == before:
             return 0  # zone map said maybe; the data says no match
+        d, base = os.path.split(f)
+        new_name = os.path.join(d, f"{base[:-len('.parquet')]}.d{version}.parquet")
         tmp_dir = f + ".rewrite"
         survivors.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
         part = [
@@ -364,17 +377,30 @@ def delete_rows_targeted(
             for p in os.listdir(tmp_dir)
             if p.endswith(".parquet") and not p.startswith((".", "_"))
         ]
-        os.replace(os.path.join(tmp_dir, part[0]), f)
+        os.replace(os.path.join(tmp_dir, part[0]), new_name)
         # Hadoop's local FS keeps .<name>.crc checksum sidecars keyed by
-        # file name: carry the NEW file's checksum to the target name
+        # file name: the new file's checksum follows it to its new name
         # (a stale sidecar makes every later read fail ChecksumException).
-        d, base = os.path.split(f)
+        src_crc = os.path.join(tmp_dir, f".{part[0]}.crc")
+        if os.path.exists(src_crc):
+            os.replace(
+                src_crc,
+                os.path.join(d, f".{os.path.basename(new_name)}.crc"),
+            )
+        # Tombstone, don't overwrite-in-place: older manifests pin the
+        # original name — it must either resolve to the ORIGINAL bytes
+        # (in _removed/ until vacuum) or fail loudly, never silently
+        # serve the survivors-only rewrite.
+        rel = os.path.relpath(f, path)
+        tomb = os.path.join(path, REMOVED_DIR, rel)
+        os.makedirs(os.path.dirname(tomb), exist_ok=True)
+        os.replace(f, tomb)
         old_crc = os.path.join(d, f".{base}.crc")
         if os.path.exists(old_crc):
-            os.remove(old_crc)
-        new_crc = os.path.join(tmp_dir, f".{part[0]}.crc")
-        if os.path.exists(new_crc):
-            os.replace(new_crc, old_crc)
+            os.replace(
+                old_crc,
+                os.path.join(os.path.dirname(tomb), f".{base}.crc"),
+            )
         shutil.rmtree(tmp_dir, ignore_errors=True)
         return before - after
 

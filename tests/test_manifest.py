@@ -613,7 +613,16 @@ def test_spark_side_zone_map_pruning(spark, duck, tmp_path):
         spark, duck, path, "user_id", del_keys, prune="spark"
     )
     assert dstats["rows_deleted"] == 2
-    assert live.where(F2.col("user_id").isin([5, 21_500])).count() == 0
+    # fresh read: delete is copy-on-write (survivors under a NEW name,
+    # original tombstoned), so a DataFrame planned before the delete
+    # pins file names that no longer exist — stale plans fail loudly
+    # instead of silently serving rewritten bytes.
+    assert (
+        spark.read.parquet(path)
+        .where(F2.col("user_id").isin([5, 21_500]))
+        .count()
+        == 0
+    )
 
     # (3) string stats refuse the spark path, loudly
     import pytest

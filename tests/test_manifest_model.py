@@ -1,0 +1,140 @@
+"""Stateful model-checking of the lakehouse manifest layer.
+
+Random sequences of MERGE / targeted DELETE / compaction / vacuum are
+applied to a real on-disk table AND to a trivial in-memory dict model;
+after every operation the live table must equal the model exactly, and
+randomly chosen historical versions must time-travel to the model's
+recorded snapshot (or fail loudly once vacuum dropped them). Sequence
+bugs — a merge leaving a stale file live, compaction dropping rows, a
+version pin capturing the wrong file set, vacuum deleting a tombstone
+a kept version still references — are exactly the class single-op
+tests cannot see.
+
+Three fixed seeds × 8 ops keeps CI bounded; the per-op invariant means
+a failure pinpoints the first divergent operation."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.sinks.manifest import (
+    compact_snapshot,
+    delete_rows_targeted,
+    merge_upsert,
+    read_version,
+    snapshot_versions,
+    vacuum,
+    write_versioned_manifest,
+)
+
+N_KEYS = 300
+OPS_PER_SEED = 8
+
+
+def _mk_rows(keys, salt):
+    return [(int(k), int((k * 7 + salt) % 1000), f"s{(k + salt) % 13}") for k in keys]
+
+
+def _live_state(spark, path):
+    rows = spark.read.parquet(path).collect()
+    return sorted((r.k, r.v, r.s) for r in rows)
+
+
+def _model_state(model):
+    return sorted((k, v, s) for k, (v, s) in model.items())
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
+    rng = random.Random(seed)
+    path = str(tmp_path / "table")
+
+    init = _mk_rows(range(N_KEYS), salt=0)
+    df = spark.createDataFrame(init, "k long, v long, s string")
+    df.repartitionByRange(6, "k").write.parquet(path)
+    write_versioned_manifest(path)
+
+    model = {k: (v, s) for k, v, s in init}
+    history = {snapshot_versions(path)[-1]: _model_state(model)}
+    next_key = N_KEYS
+
+    for step in range(OPS_PER_SEED):
+        op = rng.choice(["merge", "merge", "delete", "compact", "vacuum"])
+        if op == "merge":
+            n_upd = rng.randrange(1, 40)
+            n_ins = rng.randrange(0, 20)
+            upd_keys = rng.sample(sorted(model), min(n_upd, len(model)))
+            ins_keys = list(range(next_key, next_key + n_ins))
+            next_key += n_ins
+            rows = _mk_rows(upd_keys + ins_keys, salt=step + 1)
+            updates = spark.createDataFrame(rows, "k long, v long, s string")
+            res = merge_upsert(spark, duck, path, "k", updates)
+            assert res["rows_updated"] == len(upd_keys), (step, res)
+            assert res["rows_inserted"] == len(ins_keys), (step, res)
+            for k, v, s in rows:
+                model[k] = (v, s)
+            history[res["version"]] = _model_state(model)
+        elif op == "delete":
+            present = rng.sample(sorted(model), min(rng.randrange(1, 30), len(model)))
+            absent = [10_000 + rng.randrange(1000) for _ in range(3)]
+            keys = spark.createDataFrame(
+                [(int(k),) for k in present + absent], "k long"
+            )
+            res = delete_rows_targeted(spark, duck, path, "k", keys)
+            assert res["rows_deleted"] == len(present), (step, res)
+            for k in present:
+                del model[k]
+            m = write_versioned_manifest(path)
+            history[m["version"]] = _model_state(model)
+        elif op == "compact":
+            res = compact_snapshot(
+                spark, path, small_bytes=1 << 30,
+                cluster_col="k" if rng.random() < 0.5 else None,
+            )
+            if res["files_compacted"]:
+                history[snapshot_versions(path)[-1]] = _model_state(model)
+        else:
+            keep = rng.choice([2, 3])
+            vacuum(path, keep_versions=keep)
+            kept = snapshot_versions(path)
+            history = {v: s for v, s in history.items() if v in kept}
+
+        assert _live_state(spark, path) == _model_state(model), (
+            f"seed {seed}: live table diverged from model after step {step} ({op})"
+        )
+
+        # time-travel probe: one random pinned version must replay its
+        # recorded snapshot; versions vacuum dropped must fail loudly.
+        if history and rng.random() < 0.7:
+            v = rng.choice(sorted(history))
+            got = sorted(
+                (r.k, r.v, r.s)
+                for r in read_version(spark, path, v).collect()
+            )
+            assert got == history[v], f"seed {seed}: version {v} replayed wrong state"
+
+    # post-sequence: final vacuum to 1 version — only the newest survives,
+    # every earlier version must now refuse to read.
+    vacuum(path, keep_versions=1)
+    versions = snapshot_versions(path)
+    assert len(versions) == 1
+    assert (
+        sorted((r.k, r.v, r.s) for r in read_version(spark, path, versions[0]).collect())
+        == _model_state(model)
+    )
+
+
+def test_time_travel_fails_after_vacuum(spark, duck, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(_mk_rows(range(50), 0), "k long, v long, s string") \
+        .repartitionByRange(3, "k").write.parquet(path)
+    write_versioned_manifest(path)
+    v0 = snapshot_versions(path)[-1]
+    updates = spark.createDataFrame(_mk_rows(range(10), 9), "k long, v long, s string")
+    merge_upsert(spark, duck, path, "k", updates)
+    vacuum(path, keep_versions=1)
+    with pytest.raises(Exception):
+        read_version(spark, path, v0).collect()
