@@ -101,6 +101,16 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
             vacuum(path, keep_versions=keep)
             kept = snapshot_versions(path)
             history = {v: s for v, s in history.items() if v in kept}
+            # vacuum must never break a KEPT version (deleting a
+            # tombstone some kept manifest still references is the
+            # classic retention bug) — replay every survivor now.
+            for v, snap in history.items():
+                got = sorted(
+                    (r.k, r.v, r.s) for r in read_version(spark, path, v).collect()
+                )
+                assert got == snap, (
+                    f"seed {seed}: kept version {v} broken by vacuum at step {step}"
+                )
 
         assert _live_state(spark, path) == _model_state(model), (
             f"seed {seed}: live table diverged from model after step {step} ({op})"
