@@ -25,6 +25,7 @@ from data_pipeline_project_spark.sinks.manifest import (
     delete_rows_targeted,
     merge_upsert,
     read_version,
+    snapshot_changes,
     snapshot_versions,
     vacuum,
     write_versioned_manifest,
@@ -125,6 +126,24 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
                 for r in read_version(spark, path, v).collect()
             )
             assert got == history[v], f"seed {seed}: version {v} replayed wrong state"
+
+        # change-data-feed probe: the insert/delete feed between two
+        # pinned versions must equal the model's set difference (keys
+        # are unique per state, so multiset == set here). Compaction
+        # versions make this non-vacuous: rewritten-but-identical
+        # content must cancel in the exceptAll, yielding NO changes.
+        if len(history) >= 2 and rng.random() < 0.6:
+            v_from, v_to = sorted(rng.sample(sorted(history), 2))
+            feed = snapshot_changes(spark, path, v_from, v_to).collect()
+            got_ins = sorted((r.k, r.v, r.s) for r in feed if r._change_type == "insert")
+            got_del = sorted((r.k, r.v, r.s) for r in feed if r._change_type == "delete")
+            s_from, s_to = set(history[v_from]), set(history[v_to])
+            assert got_ins == sorted(s_to - s_from), (
+                f"seed {seed}: CDF inserts wrong for v{v_from}->v{v_to}"
+            )
+            assert got_del == sorted(s_from - s_to), (
+                f"seed {seed}: CDF deletes wrong for v{v_from}->v{v_to}"
+            )
 
     # post-sequence: final vacuum to 1 version — only the newest survives,
     # every earlier version must now refuse to read.
