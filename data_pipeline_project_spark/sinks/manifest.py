@@ -134,6 +134,11 @@ def _zone_map_candidates_spark(
 # Spark (bucketed range join) instead of collecting keys to the driver.
 SPARK_PRUNE_THRESHOLD = 5_000_000
 
+# merge_upsert(rewrite="auto") switches from per-file copy-on-write to
+# the table-wide shuffle plan (merge_bulk) once zone-map pruning shows
+# this fraction of the table's files are rewrite candidates.
+BULK_REWRITE_FRACTION = 0.8
+
 # Concurrent per-file rewrite jobs during MERGE/DELETE. Each candidate
 # file's rewrite is a small independent Spark job; running them from a
 # thread pool overlaps scheduling latency (Spark's DAGScheduler is
@@ -471,6 +476,7 @@ def merge_upsert(
     updates_df: DataFrame,
     duck_type: str = "BIGINT",
     prune: str = "auto",
+    rewrite: str = "targeted",
 ) -> dict:
     """Copy-on-write MERGE INTO (the lakehouse upsert: Delta/Iceberg's
     ``whenMatched update-all whenNotMatched insert``): rows of
@@ -507,11 +513,22 @@ def merge_upsert(
     update set is no longer "targeted": selectivity is table-scale, a
     zone-map-pruned copy-on-write loses to one shuffle anti-join over
     the whole table + re-cluster (write_range_clustered) + versioned
-    manifest — the plan a table-format engine also switches to.
+    manifest — the plan a table-format engine also switches to, and
+    which ``merge_bulk`` implements. ``rewrite`` picks the strategy:
+    ``targeted`` (this function's zone-map path), ``bulk`` (delegate
+    straight to merge_bulk), or ``auto`` (bulk once the zone maps show
+    ≥ BULK_REWRITE_FRACTION of the table's files are candidates — at
+    that selectivity per-file copy-on-write rewrites nearly every file
+    anyway, one table-wide shuffle is cheaper and re-clusters for free).
     """
     import shutil
 
     from pyspark.sql import functions as F
+
+    if rewrite not in ("targeted", "bulk", "auto"):
+        raise ValueError(f"rewrite must be targeted|bulk|auto, got {rewrite!r}")
+    if rewrite == "bulk":
+        return merge_bulk(spark, path, key_col, updates_df)
 
     from data_pipeline_project_spark.sinks.layout import file_zone_maps
 
@@ -556,6 +573,15 @@ def merge_upsert(
 
     zone_maps = file_zone_maps(duck, path, key_col, duck_type)
     candidates = _select_candidates(spark, zone_maps, updates_df, key_col, prune)
+    if (
+        rewrite == "auto"
+        and zone_maps
+        and len(candidates) >= BULK_REWRITE_FRACTION * len(zone_maps)
+    ):
+        # Table-scale selectivity: zone maps can't save this merge —
+        # nearly every file would be rewritten one at a time. Switch to
+        # the single shuffle anti-join + re-cluster plan instead.
+        return merge_bulk(spark, path, key_col, updates_df)
 
     pending = snapshot_versions(path)
     version = (pending[-1] + 1) if pending else 1
@@ -615,6 +641,145 @@ def merge_upsert(
     return {
         "version": manifest["version"],
         "files_rewritten": sum(1 for n in replaced_per_file if n),
+        "rows_updated": rows_updated,
+        "rows_inserted": n_updates - rows_updated,
+    }
+
+
+def merge_bulk(
+    spark,
+    path: str,
+    key_col: str,
+    updates_df: DataFrame,
+    n_files: int | None = None,
+) -> dict:
+    """Table-wide MERGE INTO for change batches too large to target:
+    one shuffle left_anti join of the whole table against the update
+    keys, union with the updates, and a range-clustered rewrite of the
+    ENTIRE table — the plan Delta/Iceberg also switch to when a merge's
+    selectivity is table-scale (every zone map matches, so per-file
+    copy-on-write would rewrite nearly every file anyway, serially and
+    without fixing clustering).
+
+    Same semantics and same return shape as merge_upsert (matched keys
+    replaced, new keys inserted, duplicate source keys refused, update
+    types normalized to the target schema); different physics:
+
+    - the key side is hinted ``shuffle_hash``, never broadcast — this
+      path exists precisely because the keys exceed broadcast scale
+      (beyond ~10⁷–10⁸ keys);
+    - output is re-clustered on ``key_col`` via write_range_clustered
+      (``n_files`` defaults to the current file count), so zone maps
+      are tight again after the churn a giant merge implies;
+    - copy-on-write discipline is preserved: new files land under
+      version-stamped names (``bulk-v{N}-*.parquet``), EVERY pre-merge
+      data file moves to the ``_removed/`` tombstone area, and the new
+      file set is pinned with write_versioned_manifest — older
+      snapshots stay time-travelable until vacuum, exactly like the
+      targeted path.
+
+    All row counts come from parquet metadata (footer row counts), so
+    the only data-moving work is the single anti-join + clustered
+    write. Crash between the staged-file move-in and the tombstone
+    sweep leaves the RAW directory view double-counting until rerun;
+    manifest-pinned reads (read_version) are correct throughout —
+    manifests, not the directory, are the source of truth.
+
+    No reference counterpart (the reference has no table format at
+    all); this is the scale completion of merge_upsert's envelope.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+
+    target_schema = spark.read.parquet(path).schema
+    target_cols = [f.name for f in target_schema.fields]
+    if sorted(updates_df.columns) != sorted(target_cols):
+        raise ValueError(
+            f"merge schema mismatch: updates {sorted(updates_df.columns)} "
+            f"!= target {sorted(target_cols)}"
+        )
+    # Same type normalization as merge_upsert: physically narrower
+    # update types must not reach parquet (see the comment there).
+    updates_df = updates_df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in target_schema.fields
+        ]
+    )
+    n_updates = updates_df.count()
+    if n_updates == 0:
+        return {
+            "version": (snapshot_versions(path) or [0])[-1],
+            "files_rewritten": 0,
+            "rows_updated": 0,
+            "rows_inserted": 0,
+        }
+    n_keys = updates_df.select(key_col).distinct().count()
+    if n_keys != n_updates:
+        raise ValueError(
+            f"MERGE cardinality violation: {n_updates} update rows carry "
+            f"only {n_keys} distinct {key_col!r} values"
+        )
+
+    old_files = _data_files(path)
+    pending = snapshot_versions(path)
+    version = (pending[-1] + 1) if pending else 1
+    n_out = n_files if n_files is not None else max(1, len(old_files))
+
+    target = spark.read.parquet(path)
+    n_target = target.count()  # metadata-only for parquet
+    kdf = updates_df.select(F.col(key_col)).distinct().hint("shuffle_hash")
+    survivors = target.join(kdf, key_col, "left_anti")
+    merged = survivors.unionByName(updates_df.select(*target_cols))
+
+    staging = os.path.join(path, f".bulk.v{version}.staging")
+    write_range_clustered(merged, staging, key_col, n_out)
+    staged_total = spark.read.parquet(staging).count()
+    rows_updated = n_target - (staged_total - n_updates)
+
+    # Move the staged parts in under version-stamped names, then
+    # tombstone every pre-merge file. Names can never collide: the
+    # version only ever increments and every writer embeds it (or a
+    # uuid) in the file name.
+    parts = sorted(
+        p
+        for p in os.listdir(staging)
+        if p.endswith(".parquet") and not p.startswith((".", "_"))
+    )
+    for i, p in enumerate(parts):
+        new_name = os.path.join(path, f"bulk-v{version}-{i:05d}.parquet")
+        os.replace(os.path.join(staging, p), new_name)
+        crc = os.path.join(staging, f".{p}.crc")
+        if os.path.exists(crc):
+            os.replace(
+                crc, os.path.join(path, f".{os.path.basename(new_name)}.crc")
+            )
+    for f in old_files:
+        rel = os.path.relpath(f, path)
+        tomb = os.path.join(path, REMOVED_DIR, rel)
+        if os.path.exists(tomb):
+            raise RuntimeError(
+                f"tombstone collision: {tomb} already exists — refusing to "
+                f"overwrite bytes an older snapshot may pin"
+            )
+        os.makedirs(os.path.dirname(tomb), exist_ok=True)
+        os.replace(f, tomb)
+        d, base = os.path.split(f)
+        old_crc = os.path.join(d, f".{base}.crc")
+        if os.path.exists(old_crc):
+            os.replace(
+                old_crc,
+                os.path.join(os.path.dirname(tomb), f".{base}.crc"),
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    manifest = write_versioned_manifest(path)
+    return {
+        "version": manifest["version"],
+        "files_rewritten": len(old_files),
         "rows_updated": rows_updated,
         "rows_inserted": n_updates - rows_updated,
     }

@@ -631,3 +631,152 @@ def test_spark_side_zone_map_pruning(spark, duck, tmp_path):
         _zone_map_candidates_spark(
             spark, [("f0", "a", "z")], kdf, "k"
         )
+
+
+def test_merge_bulk_matches_targeted_semantics(spark, duck, tmp_path):
+    """merge_bulk (table-wide shuffle anti-join + re-clustered rewrite —
+    the documented switch-over beyond the broadcast key bound) must be
+    semantically indistinguishable from the targeted zone-map path:
+    same final rows, same counts, same time-travel behavior. Physically
+    it must rewrite EVERY file under version-stamped names and leave
+    the output range-clustered (disjoint zone maps)."""
+    from data_pipeline_project_spark.sinks.layout import (
+        file_zone_maps,
+        write_range_clustered,
+    )
+    from data_pipeline_project_spark.sinks.manifest import (
+        merge_bulk,
+        merge_upsert,
+        read_version,
+        write_versioned_manifest,
+    )
+
+    base = spark.range(0, 5_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 97).alias("v")
+    )
+    # updates touch every file's key range (table-scale selectivity)
+    updates = spark.createDataFrame(
+        [(int(k), -int(k) % 89) for k in range(0, 5_000, 3)]
+        + [(int(k), -7) for k in range(6_000, 6_500)],
+        ["user_id", "v"],
+    )
+    n_upd = sum(1 for k in range(0, 5_000, 3))
+    n_ins = 500
+
+    path_t = str(tmp_path / "targeted")
+    path_b = str(tmp_path / "bulk")
+    for p in (path_t, path_b):
+        write_range_clustered(base, p, "user_id", 5)
+        write_versioned_manifest(p)
+
+    s_t = merge_upsert(spark, duck, path_t, "user_id", updates)
+    s_b = merge_bulk(spark, path_b, "user_id", updates, n_files=5)
+
+    assert s_b["rows_updated"] == s_t["rows_updated"] == n_upd
+    assert s_b["rows_inserted"] == s_t["rows_inserted"] == n_ins
+    assert s_b["files_rewritten"] == 5  # bulk rewrites the whole table
+
+    rows_t = sorted((r.user_id, r.v) for r in spark.read.parquet(path_t).collect())
+    rows_b = sorted((r.user_id, r.v) for r in spark.read.parquet(path_b).collect())
+    assert rows_b == rows_t and len(rows_b) == 5_500
+
+    # time travel: v1 (pre-merge) must still replay the original table
+    v1 = sorted((r.user_id, r.v) for r in read_version(spark, path_b, 1).collect())
+    assert v1 == sorted((r.user_id, r.v) for r in base.collect())
+
+    # physical layout: version-stamped names, disjoint zone maps
+    files = [
+        f for f in os.listdir(path_b)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    assert files and all(f.startswith("bulk-v2-") for f in files)
+    zm = sorted(
+        (mn, mx) for _, mn, mx in file_zone_maps(duck, path_b, "user_id", "BIGINT")
+    )
+    for (_, mx_prev), (mn_next, _) in zip(zm, zm[1:]):
+        assert mx_prev < mn_next, f"overlapping zone maps after bulk merge: {zm}"
+
+
+def test_merge_bulk_validation_and_noop(spark, duck, tmp_path):
+    """merge_bulk shares merge_upsert's contracts: duplicate source keys
+    are an ANSI cardinality violation, schema drift is refused, an empty
+    change set is a committed no-op, and narrower update types are cast
+    to the target schema before anything is written."""
+    import pytest
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        merge_bulk,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v")
+    )
+    write_range_clustered(base, path, "user_id", 2)
+    v1 = write_versioned_manifest(path)["version"]
+
+    dup = spark.createDataFrame([(1, 10), (1, 11)], ["user_id", "v"])
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_bulk(spark, path, "user_id", dup)
+
+    drift = spark.createDataFrame([(1, 10)], ["user_id", "wrong"])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_bulk(spark, path, "user_id", drift)
+
+    empty = spark.createDataFrame([], "user_id long, v long")
+    assert merge_bulk(spark, path, "user_id", empty) == {
+        "version": v1,
+        "files_rewritten": 0,
+        "rows_updated": 0,
+        "rows_inserted": 0,
+    }
+
+    # int32 literals updating a bigint table: physical types must be
+    # normalized (the vectorized reader refuses INT64 files mixed with
+    # INT32 files under an inferred bigint schema).
+    ints = spark.createDataFrame([(5, -1)], "user_id int, v int")
+    res = merge_bulk(spark, path, "user_id", ints)
+    assert res["rows_updated"] == 1
+    got = spark.read.parquet(path)
+    assert dict(got.dtypes) == {"user_id": "bigint", "v": "bigint"}
+    assert got.where(F.col("user_id") == 5).collect()[0].v == -1
+
+
+def test_merge_upsert_auto_switches_to_bulk(spark, duck, tmp_path):
+    """rewrite="auto": a change batch whose keys hit >= 80% of the
+    table's files must flip merge_upsert onto the bulk plan (visible in
+    the version-stamped file names); a targeted batch must NOT flip."""
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        merge_upsert,
+        write_versioned_manifest,
+    )
+
+    def bulk_files(p):
+        return [f for f in os.listdir(p) if f.startswith("bulk-")]
+
+    base = spark.range(0, 1_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 13).alias("v")
+    )
+
+    # table-scale batch: one key inside each of the 4 files' ranges
+    path = str(tmp_path / "wide")
+    write_range_clustered(base, path, "user_id", 4)
+    write_versioned_manifest(path)
+    wide = spark.createDataFrame(
+        [(125, -1), (375, -2), (625, -3), (875, -4)], ["user_id", "v"]
+    )
+    res = merge_upsert(spark, duck, path, "user_id", wide, rewrite="auto")
+    assert res["rows_updated"] == 4 and res["files_rewritten"] == 4
+    assert bulk_files(path), "auto should have taken the bulk plan"
+
+    # targeted batch: keys inside ONE file's range — stays on zone maps
+    path2 = str(tmp_path / "narrow")
+    write_range_clustered(base, path2, "user_id", 4)
+    write_versioned_manifest(path2)
+    narrow = spark.createDataFrame([(10, -1), (20, -2)], ["user_id", "v"])
+    res2 = merge_upsert(spark, duck, path2, "user_id", narrow, rewrite="auto")
+    assert res2["rows_updated"] == 2 and res2["files_rewritten"] == 1
+    assert not bulk_files(path2), "narrow batch must stay on the targeted plan"

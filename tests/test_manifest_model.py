@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from data_pipeline_project_spark.sinks.manifest import (
     compact_snapshot,
     delete_rows_targeted,
+    merge_bulk,
     merge_upsert,
     read_version,
     snapshot_changes,
@@ -63,8 +64,10 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
     next_key = N_KEYS
 
     for step in range(OPS_PER_SEED):
-        op = rng.choice(["merge", "merge", "delete", "compact", "vacuum"])
-        if op == "merge":
+        op = rng.choice(
+            ["merge", "merge", "delete", "compact", "vacuum", "merge_bulk"]
+        )
+        if op in ("merge", "merge_bulk"):
             n_upd = rng.randrange(1, 40)
             n_ins = rng.randrange(0, 20)
             upd_keys = rng.sample(sorted(model), min(n_upd, len(model)))
@@ -72,7 +75,12 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
             next_key += n_ins
             rows = _mk_rows(upd_keys + ins_keys, salt=step + 1)
             updates = spark.createDataFrame(rows, "k long, v long, s string")
-            res = merge_upsert(spark, duck, path, "k", updates)
+            if op == "merge_bulk":
+                # the table-wide shuffle plan must satisfy the SAME
+                # model + time-travel + CDF invariants as targeted merge
+                res = merge_bulk(spark, path, "k", updates)
+            else:
+                res = merge_upsert(spark, duck, path, "k", updates)
             assert res["rows_updated"] == len(upd_keys), (step, res)
             assert res["rows_inserted"] == len(ins_keys), (step, res)
             for k, v, s in rows:
