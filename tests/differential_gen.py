@@ -625,3 +625,325 @@ def render_date_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame
 def generate_date(seed: int) -> tuple[dict, str]:
     plan = DatePlanGen(seed).build()
     return plan, render_date_sql(plan)
+
+
+# ---------------------------------------------------------------------------
+# Family D: string-function plans
+# ---------------------------------------------------------------------------
+#
+# A different bug surface again: string kernels (case mapping, padding,
+# slicing, search, split) and string collation in min/max/DISTINCT.
+# The grammar stays inside the verified-identical cross-engine subset:
+# ASCII-only source columns (part/customer are ASCII by construction —
+# the unicode surface is pinned separately in test_unicode_parity.py),
+# 1-based positive substr/split_part indexes (negative indexes diverge),
+# equal-length translate alphabets (unequal lengths delete — identical
+# semantics but easier to reason about), non-empty needles for strpos
+# (strpos(s, '') is a boundary best pinned explicitly, not fuzzed), and
+# md5() as the whole-value checker so any byte-level divergence in a
+# composed string expression is caught even inside min()/count(DISTINCT).
+
+STR_TABLES = {
+    "part": {
+        "cols": ["p_name", "p_brand", "p_type"],
+        "enum": ("p_type", ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]),
+    },
+    "customer": {
+        "cols": ["c_name", "c_mktsegment"],
+        "enum": ("c_mktsegment", ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]),
+    },
+}
+STR_FRAGMENTS = ["widget", "bolt", "gear", "old", "an", "e", "r", "01", "Brand#1", "Customer#00000"]
+STR_CHARS = ["a", "e", "o", "r", "#", "0", "1", " "]
+
+
+class StrLeaf(Node):
+    def __init__(self, col: str):
+        self.col = col
+
+    def sql(self) -> str:
+        return self.col
+
+    def spark(self) -> Column:
+        return F.col(self.col)
+
+
+class StrCase(Node):
+    def __init__(self, fn: str, a: Node):
+        self.fn, self.a = fn, a
+
+    def sql(self) -> str:
+        return f"{self.fn}({self.a.sql()})"
+
+    def spark(self) -> Column:
+        return {"upper": F.upper, "lower": F.lower, "reverse": F.reverse}[self.fn](self.a.spark())
+
+
+class SubstrS(Node):
+    def __init__(self, a: Node, pos: int, n: int):
+        self.a, self.pos, self.n = a, pos, n
+
+    def sql(self) -> str:
+        return f"substr({self.a.sql()}, {self.pos}, {self.n})"
+
+    def spark(self) -> Column:
+        return F.substring(self.a.spark(), self.pos, self.n)
+
+
+class ConcatS(Node):
+    def __init__(self, a: Node, b: Node):
+        self.a, self.b = a, b
+
+    def sql(self) -> str:
+        # `||` (NULL-propagating), not DuckDB concat() (NULL-skipping):
+        # matches Spark concat()'s NULL semantics.
+        return f"({self.a.sql()} || {self.b.sql()})"
+
+    def spark(self) -> Column:
+        return F.concat(self.a.spark(), self.b.spark())
+
+
+class ReplaceS(Node):
+    def __init__(self, a: Node, find: str, repl: str):
+        self.a, self.find, self.repl = a, find, repl
+
+    def sql(self) -> str:
+        return f"replace({self.a.sql()}, '{self.find}', '{self.repl}')"
+
+    def spark(self) -> Column:
+        return F.replace(self.a.spark(), F.lit(self.find), F.lit(self.repl))
+
+
+class PadS(Node):
+    def __init__(self, fn: str, a: Node, n: int, ch: str):
+        self.fn, self.a, self.n, self.ch = fn, a, n, ch
+
+    def sql(self) -> str:
+        return f"{self.fn}({self.a.sql()}, {self.n}, '{self.ch}')"
+
+    def spark(self) -> Column:
+        f = {"lpad": F.lpad, "rpad": F.rpad}[self.fn]
+        return f(self.a.spark(), self.n, self.ch)
+
+
+class SideS(Node):
+    def __init__(self, fn: str, a: Node, n: int):
+        self.fn, self.a, self.n = fn, a, n
+
+    def sql(self) -> str:
+        return f"{self.fn}({self.a.sql()}, {self.n})"
+
+    def spark(self) -> Column:
+        f = {"left": F.left, "right": F.right}[self.fn]
+        return f(self.a.spark(), F.lit(self.n))
+
+
+class TranslateS(Node):
+    def __init__(self, a: Node, src: str, dst: str):
+        assert len(src) == len(dst)
+        self.a, self.src, self.dst = a, src, dst
+
+    def sql(self) -> str:
+        return f"translate({self.a.sql()}, '{self.src}', '{self.dst}')"
+
+    def spark(self) -> Column:
+        return F.translate(self.a.spark(), self.src, self.dst)
+
+
+class SplitPartS(Node):
+    def __init__(self, a: Node, delim: str, idx: int):
+        self.a, self.delim, self.idx = a, delim, idx
+
+    def sql(self) -> str:
+        return f"split_part({self.a.sql()}, '{self.delim}', {self.idx})"
+
+    def spark(self) -> Column:
+        return F.split_part(self.a.spark(), F.lit(self.delim), F.lit(self.idx))
+
+
+class LengthS(Node):
+    def __init__(self, a: Node):
+        self.a = a
+
+    def sql(self) -> str:
+        return f"length({self.a.sql()})"
+
+    def spark(self) -> Column:
+        return F.length(self.a.spark())
+
+
+class InstrS(Node):
+    def __init__(self, a: Node, needle: str):
+        self.a, self.needle = a, needle
+
+    def sql(self) -> str:
+        return f"strpos({self.a.sql()}, '{self.needle}')"
+
+    def spark(self) -> Column:
+        return F.instr(self.a.spark(), self.needle)
+
+
+class LikeS(Pred):
+    def __init__(self, col: str, pattern: str):
+        self.col, self.pattern = col, pattern
+
+    def sql(self) -> str:
+        return f"({self.col} LIKE '{self.pattern}')"
+
+    def spark(self) -> Column:
+        return F.col(self.col).like(self.pattern)
+
+
+class StrPlanGen:
+    """One seeded random string-expression plan over part or customer."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed ^ 0x5712)
+        self.table = self.rng.choice(sorted(STR_TABLES))
+        self.cols = STR_TABLES[self.table]["cols"]
+        self.enum_col, self.enum_vals = STR_TABLES[self.table]["enum"]
+
+    def str_expr(self, depth: int) -> Node:
+        r = self.rng
+        if depth <= 0 or r.random() < 0.3:
+            return StrLeaf(r.choice(self.cols))
+        pick = r.random()
+        a = self.str_expr(depth - 1)
+        if pick < 0.18:
+            return StrCase(r.choice(["upper", "lower", "reverse"]), a)
+        if pick < 0.36:
+            return SubstrS(a, r.randrange(1, 9), r.randrange(0, 9))
+        if pick < 0.50:
+            return ConcatS(a, self.str_expr(depth - 1))
+        if pick < 0.62:
+            return ReplaceS(a, r.choice(STR_CHARS), r.choice(STR_CHARS + [""]))
+        if pick < 0.72:
+            return PadS(r.choice(["lpad", "rpad"]), a, r.randrange(1, 13), r.choice("xy#_"))
+        if pick < 0.82:
+            return SideS(r.choice(["left", "right"]), a, r.randrange(0, 7))
+        if pick < 0.92:
+            return TranslateS(a, "aeo#", "xyz@")
+        return SplitPartS(a, r.choice([" ", "#", "0"]), r.randrange(1, 4))
+
+    def int_from_str(self, depth: int) -> Node:
+        r = self.rng
+        if r.random() < 0.7:
+            return LengthS(self.str_expr(depth))
+        return InstrS(self.str_expr(depth), r.choice(STR_FRAGMENTS[:8]))
+
+    def pred(self, depth: int) -> Pred:
+        r = self.rng
+        if depth <= 0 or r.random() < 0.5:
+            pick = r.random()
+            if pick < 0.4:
+                frag = r.choice(STR_FRAGMENTS)
+                shape = r.choice(["%{}%", "{}%", "%{}"])
+                return LikeS(r.choice(self.cols), shape.format(frag))
+            if pick < 0.75:
+                return Cmp(
+                    r.choice(["<", "<=", "=", "!=", ">", ">="]),
+                    self.int_from_str(1),
+                    IntLit(r.randrange(0, 20)),
+                )
+            return StrIn(
+                self.enum_col,
+                sorted(self.rng.sample(self.enum_vals, self.rng.randrange(1, 4))),
+            )
+        op = "and" if r.random() < 0.5 else "or"
+        return BoolOp(op, self.pred(depth - 1), self.pred(depth - 1))
+
+    def build(self) -> dict:
+        r = self.rng
+        where = self.pred(2)
+        group = r.choice(["none", "first_char", "len_mod", "enum"])
+        gcol = r.choice(self.cols)
+        gmod = r.choice([3, 5, 7])
+        aggs = []
+        kinds = ["count", "count_distinct", "min_s", "max_s", "len_sum", "md5_min"]
+        n_aggs = r.randrange(2, 5)
+        picked = r.sample(kinds, n_aggs)
+        if not any(k in ("min_s", "max_s", "md5_min", "count_distinct") for k in picked):
+            picked[0] = "md5_min"  # always at least one whole-value checker
+        for i, kind in enumerate(picked):
+            expr = self.str_expr(2) if kind != "count" else None
+            aggs.append((kind, expr, f"a{i}"))
+        having = r.randrange(1, 4) if group != "none" and r.random() < 0.4 else None
+        return {
+            "table": self.table, "where": where, "group": group,
+            "gcol": gcol, "gmod": gmod, "aggs": aggs, "having": having,
+        }
+
+
+def render_str_sql(plan: dict) -> str:
+    keys, gkeys = [], []
+    g = plan["group"]
+    if g == "first_char":
+        keys = [f"substr({plan['gcol']}, 1, 1) AS gk"]
+        gkeys = [f"substr({plan['gcol']}, 1, 1)"]
+    elif g == "len_mod":
+        keys = [f"(length({plan['gcol']}) % {plan['gmod']}) AS gk"]
+        gkeys = [f"(length({plan['gcol']}) % {plan['gmod']})"]
+    elif g == "enum":
+        ecol = STR_TABLES[plan["table"]]["enum"][0]
+        keys, gkeys = [ecol], [ecol]
+    aggs = []
+    for kind, expr, alias in plan["aggs"]:
+        if kind == "count":
+            aggs.append(f"CAST(count(*) AS BIGINT) AS {alias}")
+        elif kind == "count_distinct":
+            aggs.append(f"CAST(count(DISTINCT {expr.sql()}) AS BIGINT) AS {alias}")
+        elif kind == "min_s":
+            aggs.append(f"coalesce(min({expr.sql()}), '') AS {alias}")
+        elif kind == "max_s":
+            aggs.append(f"coalesce(max({expr.sql()}), '') AS {alias}")
+        elif kind == "len_sum":
+            aggs.append(f"CAST(coalesce(sum(length({expr.sql()})), 0) AS BIGINT) AS {alias}")
+        else:  # md5_min
+            aggs.append(f"coalesce(min(md5({expr.sql()})), '') AS {alias}")
+    sql = f"SELECT {', '.join(keys + aggs)} FROM {plan['table']} WHERE {plan['where'].sql()}"
+    if gkeys:
+        sql += f" GROUP BY {', '.join(gkeys)}"
+        if plan["having"] is not None:
+            sql += f" HAVING count(*) >= {plan['having']}"
+    return sql
+
+
+def render_str_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    df = load_table(spark, plan["table"], sf_dir).where(plan["where"].spark())
+    g = plan["group"]
+    keys = []
+    if g == "first_char":
+        keys = [F.substring(F.col(plan["gcol"]), 1, 1).alias("gk")]
+    elif g == "len_mod":
+        keys = [(F.length(F.col(plan["gcol"])) % plan["gmod"]).alias("gk")]
+    elif g == "enum":
+        ecol = STR_TABLES[plan["table"]]["enum"][0]
+        keys = [F.col(ecol)]
+    aggs = []
+    for kind, expr, alias in plan["aggs"]:
+        if kind == "count":
+            c = F.count(F.lit(1)).cast("long")
+        elif kind == "count_distinct":
+            c = F.count_distinct(expr.spark()).cast("long")
+        elif kind == "min_s":
+            c = F.coalesce(F.min(expr.spark()), F.lit(""))
+        elif kind == "max_s":
+            c = F.coalesce(F.max(expr.spark()), F.lit(""))
+        elif kind == "len_sum":
+            c = F.coalesce(F.sum(F.length(expr.spark())), F.lit(0)).cast("long")
+        else:
+            c = F.coalesce(F.min(F.md5(expr.spark())), F.lit(""))
+        aggs.append(c.alias(alias))
+    if keys:
+        out = df.groupBy(*keys).agg(*aggs, F.count(F.lit(1)).alias("_n"))
+        if plan["having"] is not None:
+            out = out.where(F.col("_n") >= plan["having"])
+        return out.drop("_n")
+    return df.agg(*aggs)
+
+
+def generate_str(seed: int) -> tuple[dict, str]:
+    plan = StrPlanGen(seed).build()
+    return plan, render_str_sql(plan)

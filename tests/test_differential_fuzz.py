@@ -19,9 +19,11 @@ import pytest
 from tests.differential_gen import (
     generate,
     generate_date,
+    generate_str,
     generate_window,
     render_date_spark,
     render_spark,
+    render_str_spark,
     render_window_spark,
 )
 from tests.oracle_harness import compare, run_oracle
@@ -74,6 +76,48 @@ def test_random_date_plan_parity(spark, duck, seed):
     oracle_pd = run_oracle(duck, sql, SF_SMALL)
     problems = compare(spark_pd, oracle_pd)
     assert not problems, f"date seed {seed}: {problems}\nSQL: {sql}"
+
+
+N_STR_SEEDS = 30
+
+
+@pytest.mark.parametrize("seed", range(N_STR_SEEDS))
+def test_random_str_plan_parity(spark, duck, seed):
+    plan, sql = generate_str(seed)
+    spark_pd = render_str_spark(plan, spark, SF_SMALL).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_SMALL)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, f"str seed {seed}: {problems}\nSQL: {sql}"
+
+
+def test_str_generator_exercises_every_shape():
+    groups, tables, node_types = set(), set(), set()
+    having = 0
+    for seed in range(N_STR_SEEDS):
+        plan, _ = generate_str(seed)
+        groups.add(plan["group"])
+        tables.add(plan["table"])
+        having += plan["having"] is not None
+
+        def walk(n):
+            node_types.add(type(n).__name__)
+            for v in vars(n).values():
+                if hasattr(v, "sql"):
+                    walk(v)
+
+        walk(plan["where"])
+        for _, expr, _ in plan["aggs"]:
+            if expr is not None:
+                walk(expr)
+    assert groups == {"none", "first_char", "len_mod", "enum"}
+    assert tables == {"part", "customer"}
+    assert having >= 3
+    # every string node class must appear somewhere in the seed range
+    expected = {
+        "StrLeaf", "StrCase", "SubstrS", "ConcatS", "ReplaceS", "PadS",
+        "SideS", "TranslateS", "SplitPartS", "LengthS", "InstrS", "LikeS",
+    }
+    assert expected <= node_types, expected - node_types
 
 
 def test_date_generator_exercises_every_shape():
