@@ -204,6 +204,11 @@ class PlanGen:
         self.rng = random.Random(seed)
         self.joined = self.rng.random() < 0.4
         self.int_cols = list(INT_COLS) + (ORDER_INT_COLS if self.joined else [])
+        # Family E sets this for orders-side subquery predicates: string
+        # leaves must reference ONLY orders columns, or the SQL rendering
+        # becomes a correlated subquery (outer lineitem reference) while
+        # the Spark rendering filters orders standalone.
+        self.orders_only = False
 
     # -- expressions --------------------------------------------------------
     def int_expr(self, depth: int) -> Node:
@@ -228,6 +233,10 @@ class PlanGen:
             if pick < 0.55:
                 return Cmp(r.choice(["<", "<=", "=", "!=", ">", ">="]),
                            self.int_expr(1), self.int_expr(1))
+            if self.orders_only:
+                if pick < 0.8:
+                    return StrEq("o_orderstatus", r.choice(["F", "O", "P"]), r.random() < 0.5)
+                return StrIn("o_orderpriority", r.sample(PRIORITY_VALUES, r.randrange(1, 4)))
             if pick < 0.75:
                 return StrEq("l_returnflag", r.choice(FLAG_VALUES), r.random() < 0.5)
             if pick < 0.9:
@@ -947,3 +956,182 @@ def render_str_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
 def generate_str(seed: int) -> tuple[dict, str]:
     plan = StrPlanGen(seed).build()
     return plan, render_str_sql(plan)
+
+
+# ---------------------------------------------------------------------------
+# Family E: set-operation and subquery plans
+# ---------------------------------------------------------------------------
+#
+# Surface: multiset semantics of UNION/INTERSECT/EXCEPT (DISTINCT vs
+# ALL variants), and the four subquery decorrelations — IN / NOT IN /
+# EXISTS / NOT EXISTS plus a scalar-aggregate comparison — which Spark
+# expresses as semi/anti joins and a broadcast scalar. NOT IN is only
+# equivalent to an anti-join when the subquery side is NULL-free; the
+# integer grammar guarantees that by construction (non-null leaves,
+# CASE always has ELSE), which is exactly the precondition stated here.
+
+SETOP_KINDS = [
+    ("UNION ALL", "union_all"),
+    ("UNION", "union"),
+    ("INTERSECT", "intersect"),
+    ("INTERSECT ALL", "intersect_all"),
+    ("EXCEPT", "except"),
+    ("EXCEPT ALL", "except_all"),
+]
+SUBQ_KINDS = ["in", "not_in", "exists", "not_exists", "scalar"]
+
+
+class SetOpPlanGen:
+    """Two compatible sub-selects over lineitem combined by a set op,
+    then (optionally) an outer aggregate; or a lineitem scan filtered
+    by an orders subquery."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed ^ 0x5E70)
+        self.kind = "setop" if self.rng.random() < 0.5 else "subquery"
+
+    def _gen(self, joined: bool = False) -> PlanGen:
+        g = PlanGen(seed=0)
+        g.rng = self.rng
+        g.joined = joined
+        g.int_cols = list(INT_COLS) if not joined else list(ORDER_INT_COLS)
+        g.orders_only = joined
+        return g
+
+    def build(self) -> dict:
+        r = self.rng
+        if self.kind == "setop":
+            g = self._gen()
+            b1 = {"c1": g.int_expr(2), "c2": g.int_expr(1), "where": g.pred(2)}
+            if r.random() < 0.5:
+                # same projection, different filter: the two sides then
+                # genuinely overlap, so INTERSECT/EXCEPT (and their ALL
+                # multiset variants) are exercised on non-trivial sets
+                b2 = {"c1": b1["c1"], "c2": b1["c2"], "where": g.pred(2)}
+            else:
+                b2 = {"c1": g.int_expr(2), "c2": g.int_expr(1), "where": g.pred(2)}
+            branches = [b1, b2]
+            op_sql, op_name = r.choice(SETOP_KINDS)
+            outer_agg = r.random() < 0.4
+            return {"kind": "setop", "branches": branches,
+                    "op_sql": op_sql, "op_name": op_name, "outer_agg": outer_agg}
+        g = self._gen()
+        og = self._gen(joined=True)  # orders-column expressions
+        sub = r.choice(SUBQ_KINDS)
+        plan = {
+            "kind": "subquery", "sub": sub,
+            "left_expr": g.int_expr(2), "left_where": g.pred(1),
+            "orders_where": og.pred(1),
+        }
+        if sub in ("in", "not_in"):
+            plan["right_expr"] = og.int_expr(2)
+        elif sub == "scalar":
+            plan["right_expr"] = og.int_expr(1)
+            plan["scalar_fn"] = r.choice(["min", "max"])
+            plan["cmp"] = r.choice(["<", "<=", ">", ">=", "="])
+        return plan
+
+
+def render_setop_sql(plan: dict) -> str:
+    if plan["kind"] == "setop":
+        parts = []
+        for b in plan["branches"]:
+            parts.append(
+                f"SELECT {b['c1'].sql()} AS c1, {b['c2'].sql()} AS c2 "
+                f"FROM lineitem WHERE {b['where'].sql()}"
+            )
+        body = f"({parts[0]}) {plan['op_sql']} ({parts[1]})"
+        if plan["outer_agg"]:
+            return (
+                "SELECT CAST(count(*) AS BIGINT) AS n, "
+                "CAST(coalesce(sum(c1), 0) AS BIGINT) AS s1, "
+                "CAST(coalesce(sum(c2), 0) AS BIGINT) AS s2, "
+                "CAST(count(DISTINCT c1) AS BIGINT) AS d1 "
+                f"FROM ({body}) t"
+            )
+        return body
+    sub, lw = plan["sub"], plan["left_where"].sql()
+    ow = plan["orders_where"].sql()
+    base = (
+        f"SELECT l_orderkey, l_linenumber, {plan['left_expr'].sql()} AS lv "
+        f"FROM lineitem WHERE {lw}"
+    )
+    if sub in ("in", "not_in"):
+        neg = "NOT " if sub == "not_in" else ""
+        return (
+            f"{base} AND {plan['left_expr'].sql()} {neg}IN "
+            f"(SELECT {plan['right_expr'].sql()} FROM orders WHERE {ow})"
+        )
+    if sub in ("exists", "not_exists"):
+        neg = "NOT " if sub == "not_exists" else ""
+        return (
+            f"{base} AND {neg}EXISTS (SELECT 1 FROM orders "
+            f"WHERE o_orderkey = l_orderkey AND {ow})"
+        )
+    return (
+        f"{base} AND {plan['left_expr'].sql()} {plan['cmp']} "
+        f"(SELECT coalesce({plan['scalar_fn']}({plan['right_expr'].sql()}), 0) "
+        f"FROM orders WHERE {ow})"
+    )
+
+
+def render_setop_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    if plan["kind"] == "setop":
+        dfs = []
+        for b in plan["branches"]:
+            dfs.append(
+                li.where(b["where"].spark()).select(
+                    b["c1"].spark().alias("c1"), b["c2"].spark().alias("c2")
+                )
+            )
+        a, b = dfs
+        out = {
+            "union_all": lambda: a.unionAll(b),
+            "union": lambda: a.unionAll(b).distinct(),
+            "intersect": lambda: a.intersect(b),
+            "intersect_all": lambda: a.intersectAll(b),
+            "except": lambda: a.subtract(b),
+            "except_all": lambda: a.exceptAll(b),
+        }[plan["op_name"]]()
+        if plan["outer_agg"]:
+            out = out.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("s1"),
+                F.coalesce(F.sum("c2"), F.lit(0)).cast("long").alias("s2"),
+                F.count_distinct(F.col("c1")).cast("long").alias("d1"),
+            )
+        return out
+
+    orders = load_table(spark, "orders", sf_dir)
+    left = li.where(plan["left_where"].spark()).select(
+        "l_orderkey", "l_linenumber", plan["left_expr"].spark().alias("lv")
+    )
+    sub = plan["sub"]
+    if sub in ("in", "not_in"):
+        right = orders.where(plan["orders_where"].spark()).select(
+            plan["right_expr"].spark().alias("rv")
+        )
+        how = "left_semi" if sub == "in" else "left_anti"
+        # NULL-free right side by construction, so anti == NOT IN
+        return left.join(right, left["lv"] == right["rv"], how)
+    if sub in ("exists", "not_exists"):
+        right = orders.where(plan["orders_where"].spark()).select("o_orderkey")
+        how = "left_semi" if sub == "exists" else "left_anti"
+        return left.join(right, left["l_orderkey"] == right["o_orderkey"], how)
+    scalar_fn = {"min": F.min, "max": F.max}[plan["scalar_fn"]]
+    sdf = orders.where(plan["orders_where"].spark()).agg(
+        F.coalesce(scalar_fn(plan["right_expr"].spark()), F.lit(0)).alias("sc")
+    )
+    joined = left.join(F.broadcast(sdf))
+    lv, sc = F.col("lv"), F.col("sc")
+    cmp_col = {"<": lv < sc, "<=": lv <= sc, ">": lv > sc,
+               ">=": lv >= sc, "=": lv == sc}[plan["cmp"]]
+    return joined.where(cmp_col).drop("sc")
+
+
+def generate_setop(seed: int) -> tuple[dict, str]:
+    plan = SetOpPlanGen(seed).build()
+    return plan, render_setop_sql(plan)

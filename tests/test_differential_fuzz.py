@@ -19,9 +19,11 @@ import pytest
 from tests.differential_gen import (
     generate,
     generate_date,
+    generate_setop,
     generate_str,
     generate_window,
     render_date_spark,
+    render_setop_spark,
     render_spark,
     render_str_spark,
     render_window_spark,
@@ -76,6 +78,35 @@ def test_random_date_plan_parity(spark, duck, seed):
     oracle_pd = run_oracle(duck, sql, SF_SMALL)
     problems = compare(spark_pd, oracle_pd)
     assert not problems, f"date seed {seed}: {problems}\nSQL: {sql}"
+
+
+N_SETOP_SEEDS = 30
+
+
+@pytest.mark.parametrize("seed", range(N_SETOP_SEEDS))
+def test_random_setop_plan_parity(spark, duck, seed):
+    plan, sql = generate_setop(seed)
+    spark_pd = render_setop_spark(plan, spark, SF_SMALL).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_SMALL)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, f"setop seed {seed}: {problems}\nSQL: {sql}"
+
+
+def test_setop_generator_exercises_every_shape():
+    ops, subs = set(), set()
+    outer_aggs = 0
+    for seed in range(60):  # CI range x2: shape coverage needs the tail
+        plan, _ = generate_setop(seed)
+        if plan["kind"] == "setop":
+            ops.add(plan["op_name"])
+            outer_aggs += plan["outer_agg"]
+        else:
+            subs.add(plan["sub"])
+    assert ops == {
+        "union_all", "union", "intersect", "intersect_all", "except", "except_all"
+    }, ops
+    assert subs == {"in", "not_in", "exists", "not_exists", "scalar"}, subs
+    assert outer_aggs >= 3
 
 
 N_STR_SEEDS = 30
