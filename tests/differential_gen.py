@@ -1135,3 +1135,113 @@ def render_setop_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFram
 def generate_setop(seed: int) -> tuple[dict, str]:
     plan = SetOpPlanGen(seed).build()
     return plan, render_setop_sql(plan)
+
+
+# ---------------------------------------------------------------------------
+# Family F: as-of join plans (custom operator vs DuckDB native ASOF)
+# ---------------------------------------------------------------------------
+#
+# The other five families fuzz Spark BUILT-INS; this one fuzzes the
+# repo's own `operators/temporal.asof_join` (union + window spelling)
+# against DuckDB's native ASOF LEFT JOIN — custom operator code is
+# where differential testing earns the most. Dimensions: key
+# cardinality, direction (backward/forward), tolerance nulling, and
+# random filters/payloads on both sides. The right side is always
+# deduped to unique (key, ts) first — both engines' tie order among
+# identical (key, ts) rows is otherwise unspecified, so uniqueness is
+# part of the operator's stated contract, not a fuzzer dodge. Matched
+# payload/ts are sentinel-coalesced (-1 / '') so unmatched-row NULLs
+# can't smuggle a dtype-class mismatch past the value hash.
+
+TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+
+
+class AsofPlanGen:
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed ^ 0xA50F)
+
+    def build(self) -> dict:
+        r = self.rng
+        lg = PlanGen(seed=0)
+        lg.rng, lg.joined, lg.int_cols = r, False, list(INT_COLS)
+        rg = PlanGen(seed=0)
+        rg.rng, rg.joined, rg.int_cols = r, True, list(ORDER_INT_COLS)
+        rg.orders_only = True
+        return {
+            "m": r.choice([1, 3, 7, 19]),
+            "direction": r.choice(["backward", "forward"]),
+            "tolerance_days": r.choice([None, None, 30, 90, 365]),
+            "left_where": lg.pred(1),
+            "right_where": rg.pred(1),
+            "payload": rg.int_expr(2),
+        }
+
+
+def render_asof_sql(plan: dict) -> str:
+    m = plan["m"]
+    ineq = ">=" if plan["direction"] == "backward" else "<="
+    tol = plan["tolerance_days"]
+    in_tol = "r.ts IS NOT NULL"
+    if tol is not None:
+        in_tol += f" AND abs(epoch(l.ts) - epoch(r.ts)) <= {tol * 86400}"
+    return f"""
+WITH l AS (
+  SELECT l_orderkey, l_linenumber, (l_suppkey % {m}) AS key, l_shipdate AS ts
+  FROM lineitem WHERE {plan['left_where'].sql()}
+), r AS (
+  SELECT key, ts, max(payload) AS pv FROM (
+    SELECT (o_custkey % {m}) AS key, o_orderdate AS ts,
+           {plan['payload'].sql()} AS payload
+    FROM orders WHERE {plan['right_where'].sql()}
+  ) GROUP BY key, ts
+)
+SELECT l.l_orderkey, l.l_linenumber, l.key,
+       strftime(l.ts, '{TS_FMT_SQL}') AS lts,
+       CAST(coalesce(CASE WHEN {in_tol} THEN r.pv END, -1) AS BIGINT) AS pv,
+       coalesce(CASE WHEN {in_tol} THEN strftime(r.ts, '{TS_FMT_SQL}') END, '') AS mts
+FROM l ASOF LEFT JOIN r ON l.key = r.key AND l.ts {ineq} r.ts
+"""
+
+
+def render_asof_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_project_spark.operators.temporal import asof_join
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    m = plan["m"]
+    left = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(plan["left_where"].spark())
+        .select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_suppkey") % m).alias("key"), F.col("l_shipdate"),
+        )
+    )
+    right = (
+        load_table(spark, "orders", sf_dir)
+        .where(plan["right_where"].spark())
+        .select(
+            (F.col("o_custkey") % m).alias("key"),
+            F.col("o_orderdate").alias("ts"),
+            plan["payload"].spark().alias("payload"),
+        )
+        .groupBy("key", "ts")
+        .agg(F.max("payload").alias("pv"))
+    )
+    tol = plan["tolerance_days"]
+    out = asof_join(
+        left, right, on="key", left_ts="l_shipdate", right_ts="ts",
+        right_cols=["pv"], direction=plan["direction"],
+        tolerance_seconds=None if tol is None else tol * 86400,
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "key",
+        F.date_format("l_shipdate", TS_FMT_SPARK).alias("lts"),
+        F.coalesce(F.col("right_pv"), F.lit(-1)).cast("long").alias("pv"),
+        F.coalesce(F.date_format("right_ts", TS_FMT_SPARK), F.lit("")).alias("mts"),
+    )
+
+
+def generate_asof(seed: int) -> tuple[dict, str]:
+    plan = AsofPlanGen(seed).build()
+    return plan, render_asof_sql(plan)

@@ -18,10 +18,12 @@ import pytest
 
 from tests.differential_gen import (
     generate,
+    generate_asof,
     generate_date,
     generate_setop,
     generate_str,
     generate_window,
+    render_asof_spark,
     render_date_spark,
     render_setop_spark,
     render_spark,
@@ -78,6 +80,33 @@ def test_random_date_plan_parity(spark, duck, seed):
     oracle_pd = run_oracle(duck, sql, SF_SMALL)
     problems = compare(spark_pd, oracle_pd)
     assert not problems, f"date seed {seed}: {problems}\nSQL: {sql}"
+
+
+N_ASOF_SEEDS = 20
+
+
+@pytest.mark.parametrize("seed", range(N_ASOF_SEEDS))
+def test_random_asof_plan_parity(spark, duck, seed):
+    """Unlike the other families (Spark built-ins), this one fuzzes the
+    repo's OWN asof_join operator against DuckDB's native ASOF JOIN."""
+    plan, sql = generate_asof(seed)
+    spark_pd = render_asof_spark(plan, spark, SF_SMALL).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_SMALL)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, f"asof seed {seed}: {problems}\nSQL: {sql}"
+
+
+def test_asof_generator_exercises_every_shape():
+    dirs, ms = set(), set()
+    tols = 0
+    for seed in range(N_ASOF_SEEDS):
+        plan, _ = generate_asof(seed)
+        dirs.add(plan["direction"])
+        ms.add(plan["m"])
+        tols += plan["tolerance_days"] is not None
+    assert dirs == {"backward", "forward"}
+    assert len(ms) >= 3  # hot single-key AND spread-key shapes both appear
+    assert tols >= 3
 
 
 N_SETOP_SEEDS = 30
