@@ -82,6 +82,25 @@ def test_random_date_plan_parity(spark, duck, seed):
     assert not problems, f"date seed {seed}: {problems}\nSQL: {sql}"
 
 
+# One volume re-check per new family at 10x data (join fan-outs, group
+# cardinalities, and as-of window sizes all change with volume).
+@pytest.mark.parametrize(
+    "gen,render,seed",
+    [
+        (generate_str, render_str_spark, 7),
+        (generate_setop, render_setop_spark, 11),
+        (generate_asof, render_asof_spark, 5),
+    ],
+    ids=["str", "setop", "asof"],
+)
+def test_new_family_parity_at_oracle_sf(spark, duck, gen, render, seed):
+    plan, sql = gen(seed)
+    spark_pd = render(plan, spark, SF_ORACLE).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_ORACLE)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, f"{gen.__name__} seed {seed} at sf0.01: {problems}\nSQL: {sql}"
+
+
 N_ASOF_SEEDS = 20
 
 
