@@ -209,6 +209,10 @@ class PlanGen:
         # becomes a correlated subquery (outer lineitem reference) while
         # the Spark rendering filters orders standalone.
         self.orders_only = False
+        # Family G sets this for part-side expressions: predicate leaves
+        # stay purely numeric (CASE conditions inside element exprs must
+        # not reference lineitem/orders string columns).
+        self.no_str_preds = False
 
     # -- expressions --------------------------------------------------------
     def int_expr(self, depth: int) -> Node:
@@ -230,7 +234,7 @@ class PlanGen:
         r = self.rng
         if depth <= 0 or r.random() < 0.4:
             pick = r.random()
-            if pick < 0.55:
+            if pick < 0.55 or self.no_str_preds:
                 return Cmp(r.choice(["<", "<=", "=", "!=", ">", ">="]),
                            self.int_expr(1), self.int_expr(1))
             if self.orders_only:
@@ -1245,3 +1249,133 @@ def render_asof_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame
 def generate_asof(seed: int) -> tuple[dict, str]:
     plan = AsofPlanGen(seed).build()
     return plan, render_asof_sql(plan)
+
+
+# ---------------------------------------------------------------------------
+# Family G: generate/explode and array higher-order-function plans
+# ---------------------------------------------------------------------------
+#
+# Surface: the Generate node (explode/posexplode vs unnest — DuckDB
+# zips parallel unnests, giving WITH ORDINALITY) and array lambdas
+# (transform/filter/aggregate vs list_transform/list_filter/
+# list_aggregate) — whole-stage-codegen HOF kernels on the Spark side.
+# Cross-engine rules: arrays are CONSTRUCTED with a fixed arity and
+# every element cast to BIGINT (mixed int32/int64 elements would
+# unify differently), lambda bodies reuse the non-negative integer
+# grammar, sum-reductions only ever run over fixed-arity arrays (an
+# EMPTY array diverges: list_aggregate 'sum' yields NULL, Spark
+# aggregate with a 0 seed yields 0 — pinned here by construction, not
+# fuzzed), and posexplode's 0-based pos is shifted to DuckDB's 1-based
+# ordinality.
+
+GEN_KINDS = ["explode", "posexplode", "explode_group", "hof_scalar"]
+
+
+class GenExplodePlanGen:
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed ^ 0x6E4E)
+        sg = StrPlanGen(seed ^ 0x6E4E)
+        sg.rng = self.rng
+        sg.table = "part"
+        sg.cols = STR_TABLES["part"]["cols"]
+        sg.enum_col, sg.enum_vals = STR_TABLES["part"]["enum"]
+        self.sg = sg
+        ig = PlanGen(seed=0)
+        ig.rng = self.rng
+        ig.joined = False
+        ig.int_cols = ["p_partkey", "p_size"]
+        ig.no_str_preds = True
+        self.ig = ig
+
+    def build(self) -> dict:
+        r = self.rng
+        kind = r.choice(GEN_KINDS)
+        plan = {"kind": kind, "where": self.sg.pred(2)}
+        if kind == "explode_group":
+            plan["agg_mod"] = r.choice([7, 97, 251])
+        if kind == "hof_scalar":
+            plan["elems"] = [self.ig.int_expr(1) for _ in range(r.randrange(3, 5))]
+            plan["lam"] = (r.randrange(1, 6), r.randrange(0, 10), r.choice([7, 97, 251]))
+            plan["filt"] = (r.choice([2, 3, 5]), r.randrange(0, 3))
+            plan["contains_v"] = r.randrange(0, 10)
+        return plan
+
+
+def render_gen_sql(plan: dict) -> str:
+    w = plan["where"].sql()
+    k = plan["kind"]
+    if k == "explode":
+        return (
+            "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w "
+            f"FROM part WHERE {w}"
+        )
+    if k == "posexplode":
+        return (
+            "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w, "
+            "CAST(unnest(range(1, len(string_split(p_name, ' '))+1)) AS BIGINT) AS pos "
+            f"FROM part WHERE {w}"
+        )
+    if k == "explode_group":
+        m = plan["agg_mod"]
+        return (
+            "SELECT w, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(coalesce(min(p_partkey % {m}), -1) AS BIGINT) AS mn, "
+            f"CAST(coalesce(max(p_size % {m}), -1) AS BIGINT) AS mx "
+            "FROM (SELECT p_partkey, p_size, unnest(string_split(p_name, ' ')) AS w "
+            f"FROM part WHERE {w}) t GROUP BY w"
+        )
+    arr = "[" + ", ".join(f"CAST({e.sql()} AS BIGINT)" for e in plan["elems"]) + "]"
+    a, b, lk = plan["lam"]
+    fm, fc = plan["filt"]
+    cv = plan["contains_v"]
+    return (
+        "SELECT p_partkey, "
+        f"CAST(list_aggregate(list_transform({arr}, x -> (x * {a} + {b}) % {lk}), 'sum') AS BIGINT) AS s, "
+        f"CAST(len(list_filter({arr}, x -> x % {fm} = {fc})) AS BIGINT) AS nf, "
+        f"list_contains({arr}, {cv}) AS has, "
+        f"array_to_string(list_sort({arr}), ',') AS js "
+        f"FROM part WHERE {w}"
+    )
+
+
+def render_gen_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    df = load_table(spark, "part", sf_dir).where(plan["where"].spark())
+    words = F.split(F.col("p_name"), " ")
+    k = plan["kind"]
+    if k == "explode":
+        return df.select("p_partkey", F.explode(words).alias("w"))
+    if k == "posexplode":
+        ex = df.select("p_partkey", F.posexplode(words).alias("pos0", "w"))
+        return ex.select(
+            "p_partkey", "w", (F.col("pos0") + 1).cast("long").alias("pos")
+        )
+    if k == "explode_group":
+        m = plan["agg_mod"]
+        ex = df.select("p_partkey", "p_size", F.explode(words).alias("w"))
+        return ex.groupBy("w").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.min(F.col("p_partkey") % m), F.lit(-1)).cast("long").alias("mn"),
+            F.coalesce(F.max(F.col("p_size") % m), F.lit(-1)).cast("long").alias("mx"),
+        )
+    arr = F.array(*[e.spark().cast("long") for e in plan["elems"]])
+    a, b, lk = plan["lam"]
+    fm, fc = plan["filt"]
+    cv = plan["contains_v"]
+    return df.select(
+        "p_partkey",
+        F.aggregate(
+            F.transform(arr, lambda x: (x * a + b) % lk),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("long").alias("s"),
+        F.size(F.filter(arr, lambda x: x % fm == fc)).cast("long").alias("nf"),
+        F.array_contains(arr, F.lit(cv).cast("long")).alias("has"),
+        F.array_join(F.sort_array(arr), ",").alias("js"),
+    )
+
+
+def generate_gen(seed: int) -> tuple[dict, str]:
+    plan = GenExplodePlanGen(seed).build()
+    return plan, render_gen_sql(plan)

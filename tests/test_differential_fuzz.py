@@ -20,11 +20,13 @@ from tests.differential_gen import (
     generate,
     generate_asof,
     generate_date,
+    generate_gen,
     generate_setop,
     generate_str,
     generate_window,
     render_asof_spark,
     render_date_spark,
+    render_gen_spark,
     render_setop_spark,
     render_spark,
     render_str_spark,
@@ -82,6 +84,26 @@ def test_random_date_plan_parity(spark, duck, seed):
     assert not problems, f"date seed {seed}: {problems}\nSQL: {sql}"
 
 
+N_GEN_SEEDS = 25
+
+
+@pytest.mark.parametrize("seed", range(N_GEN_SEEDS))
+def test_random_generate_plan_parity(spark, duck, seed):
+    plan, sql = generate_gen(seed)
+    spark_pd = render_gen_spark(plan, spark, SF_SMALL).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_SMALL)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, f"generate seed {seed}: {problems}\nSQL: {sql}"
+
+
+def test_generate_generator_exercises_every_shape():
+    kinds = set()
+    for seed in range(N_GEN_SEEDS):
+        plan, _ = generate_gen(seed)
+        kinds.add(plan["kind"])
+    assert kinds == {"explode", "posexplode", "explode_group", "hof_scalar"}
+
+
 # One volume re-check per new family at 10x data (join fan-outs, group
 # cardinalities, and as-of window sizes all change with volume).
 @pytest.mark.parametrize(
@@ -90,8 +112,9 @@ def test_random_date_plan_parity(spark, duck, seed):
         (generate_str, render_str_spark, 7),
         (generate_setop, render_setop_spark, 11),
         (generate_asof, render_asof_spark, 5),
+        (generate_gen, render_gen_spark, 3),
     ],
-    ids=["str", "setop", "asof"],
+    ids=["str", "setop", "asof", "generate"],
 )
 def test_new_family_parity_at_oracle_sf(spark, duck, gen, render, seed):
     plan, sql = gen(seed)
