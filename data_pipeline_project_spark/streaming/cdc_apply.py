@@ -69,12 +69,21 @@ def apply_cdc_stream(
     order_col: str,
     checkpoint_dir: str,
     duck_type: str = "BIGINT",
+    rewrite: str = "auto",
 ):
     """Start (and return) the streaming query applying ``changes`` (a
     streaming DataFrame whose schema matches the target table plus
     ``order_col``) to ``target_path``. Uses availableNow semantics via
     the caller's trigger choice; call ``.awaitTermination()`` or use
-    ``trigger(availableNow=True)`` for drain-and-stop tests."""
+    ``trigger(availableNow=True)`` for drain-and-stop tests.
+
+    ``rewrite`` passes through to merge_upsert. The default here is
+    ``auto`` (not merge_upsert's ``targeted``): a CDC stream has no
+    human watching batch shape, and a backfill/replay batch whose keys
+    blanket the table would otherwise degrade into rewriting every
+    file one at a time — auto flips those batches onto the bulk
+    shuffle plan (merge_bulk) while steady-state trickle batches keep
+    the zone-map-targeted path."""
     applied: list[dict] = []
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
@@ -84,7 +93,8 @@ def apply_cdc_stream(
             order_col
         )
         stats = merge_upsert(
-            spark, duck, target_path, key_col, collapsed, duck_type=duck_type
+            spark, duck, target_path, key_col, collapsed,
+            duck_type=duck_type, rewrite=rewrite,
         )
         stats["batch_id"] = batch_id
         applied.append(stats)
