@@ -1379,3 +1379,149 @@ def render_gen_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
 def generate_gen(seed: int) -> tuple[dict, str]:
     plan = GenExplodePlanGen(seed).build()
     return plan, render_gen_sql(plan)
+
+
+# ---------------------------------------------------------------------------
+# Family H: interval range / overlap join plans (custom operators)
+# ---------------------------------------------------------------------------
+#
+# Fuzzes the bucketed-rewrite joins in operators/temporal.py —
+# interval_range_join (point-in-interval) and interval_overlap_join
+# (interval-interval) — against DuckDB's direct inequality joins. The
+# bucket rewrite is exactly the kind of plan where subtle bugs live
+# (canonical-bucket dedup, boundary buckets, bucket width vs interval
+# length), so bucket_seconds is fuzzed across three decades relative
+# to the interval lengths. Interval end = start + d days is inclusive
+# on both ends, matching SQL BETWEEN. Keyless (on=None) plans keep d
+# small so the true pair count stays bounded.
+
+class RangeJoinPlanGen:
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed ^ 0x4A9E)
+
+    def build(self) -> dict:
+        r = self.rng
+        lg = PlanGen(seed=0)
+        lg.rng, lg.joined, lg.int_cols = r, False, list(INT_COLS)
+        og = PlanGen(seed=0)
+        og.rng, og.joined, og.int_cols = r, True, list(ORDER_INT_COLS)
+        og.orders_only = True
+        keyless = r.random() < 0.25
+        return {
+            "mode": r.choice(["range", "overlap"]),
+            "m": None if keyless else r.choice([3, 7, 19]),
+            "days": r.randrange(1, 8) if keyless else r.randrange(1, 61),
+            "days2": r.randrange(1, 8) if keyless else r.randrange(1, 31),
+            "bucket_seconds": r.choice([3600, 86400, 7 * 86400]),
+            "left_where": lg.pred(1),
+            "right_where": og.pred(1),
+            "payload": og.int_expr(1),
+        }
+
+
+def render_range_sql(plan: dict) -> str:
+    m, d = plan["m"], plan["days"]
+    key_l = f"(l_suppkey % {m}) AS key," if m else ""
+    key_r = f"(o_custkey % {m}) AS key," if m else ""
+    key_cond = "p.key = i.key AND " if m else ""
+    key_sel = "p.key," if m else ""
+    iv = (
+        f"SELECT {key_r} o_orderkey AS ivid, o_orderdate AS s, "
+        f"o_orderdate + INTERVAL {d} DAY AS e, "
+        f"CAST({plan['payload'].sql()} AS BIGINT) AS pv "
+        f"FROM orders WHERE {plan['right_where'].sql()}"
+    )
+    if plan["mode"] == "range":
+        pts = (
+            f"SELECT {key_l} l_orderkey, l_linenumber, l_shipdate AS pt "
+            f"FROM lineitem WHERE {plan['left_where'].sql()}"
+        )
+        return (
+            f"SELECT p.l_orderkey, p.l_linenumber, {key_sel} "
+            f"strftime(p.pt, '{TS_FMT_SQL}') AS pt, i.ivid, i.pv, "
+            f"strftime(i.s, '{TS_FMT_SQL}') AS ivs "
+            f"FROM ({pts}) p JOIN ({iv}) i "
+            f"ON {key_cond} p.pt BETWEEN i.s AND i.e"
+        )
+    d2 = plan["days2"]
+    lft = (
+        f"SELECT {key_l.replace('l_suppkey', 'l_suppkey')} l_orderkey, l_linenumber, "
+        f"l_shipdate AS ls, l_shipdate + INTERVAL {d2} DAY AS le "
+        f"FROM lineitem WHERE {plan['left_where'].sql()}"
+    )
+    key_cond2 = "p.key = i.key AND " if m else ""
+    key_sel2 = "p.key," if m else ""
+    return (
+        f"SELECT p.l_orderkey, p.l_linenumber, {key_sel2} "
+        f"strftime(p.ls, '{TS_FMT_SQL}') AS ls, i.ivid, i.pv, "
+        f"strftime(i.s, '{TS_FMT_SQL}') AS ivs "
+        f"FROM ({lft}) p JOIN ({iv}) i "
+        f"ON {key_cond2} p.ls <= i.e AND i.s <= p.le"
+    )
+
+
+def render_range_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_project_spark.operators.temporal import (
+        interval_overlap_join,
+        interval_range_join,
+    )
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    m, d = plan["m"], plan["days"]
+    on = "key" if m else None
+    li = load_table(spark, "lineitem", sf_dir).where(plan["left_where"].spark())
+    orders = load_table(spark, "orders", sf_dir).where(plan["right_where"].spark())
+    iv_cols = [
+        F.col("o_orderkey").alias("ivid"),
+        F.col("o_orderdate").alias("s"),
+        F.expr(f"o_orderdate + INTERVAL {d} DAY").alias("e"),
+        plan["payload"].spark().cast("long").alias("pv"),
+    ]
+    if m:
+        iv_cols.insert(0, (F.col("o_custkey") % m).alias("key"))
+    intervals = orders.select(*iv_cols)
+
+    if plan["mode"] == "range":
+        p_cols = [F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_shipdate").alias("pt")]
+        if m:
+            p_cols.insert(0, (F.col("l_suppkey") % m).alias("key"))
+        points = li.select(*p_cols)
+        out = interval_range_join(
+            points, intervals, "pt", "s", "e", on=on,
+            bucket_seconds=plan["bucket_seconds"],
+        )
+        sel = [
+            "l_orderkey", "l_linenumber",
+            F.date_format("pt", TS_FMT_SPARK).alias("pt"),
+            "ivid", "pv", F.date_format("s", TS_FMT_SPARK).alias("ivs"),
+        ]
+        if m:
+            sel.insert(2, F.col("key"))
+        return out.select(*sel)
+
+    d2 = plan["days2"]
+    l_cols = [
+        F.col("l_orderkey"), F.col("l_linenumber"),
+        F.col("l_shipdate").alias("ls"),
+        F.expr(f"l_shipdate + INTERVAL {d2} DAY").alias("le"),
+    ]
+    if m:
+        l_cols.insert(0, (F.col("l_suppkey") % m).alias("key"))
+    left = li.select(*l_cols)
+    out = interval_overlap_join(
+        left, intervals, "ls", "le", "s", "e", on=on,
+        bucket_seconds=plan["bucket_seconds"],
+    )
+    sel = [
+        "l_orderkey", "l_linenumber",
+        F.date_format("ls", TS_FMT_SPARK).alias("ls"),
+        "ivid", "pv", F.date_format("s", TS_FMT_SPARK).alias("ivs"),
+    ]
+    if m:
+        sel.insert(2, F.col("key"))
+    return out.select(*sel)
+
+
+def generate_range(seed: int) -> tuple[dict, str]:
+    plan = RangeJoinPlanGen(seed).build()
+    return plan, render_range_sql(plan)

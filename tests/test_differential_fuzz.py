@@ -21,12 +21,14 @@ from tests.differential_gen import (
     generate_asof,
     generate_date,
     generate_gen,
+    generate_range,
     generate_setop,
     generate_str,
     generate_window,
     render_asof_spark,
     render_date_spark,
     render_gen_spark,
+    render_range_spark,
     render_setop_spark,
     render_spark,
     render_str_spark,
@@ -82,6 +84,33 @@ def test_random_date_plan_parity(spark, duck, seed):
     oracle_pd = run_oracle(duck, sql, SF_SMALL)
     problems = compare(spark_pd, oracle_pd)
     assert not problems, f"date seed {seed}: {problems}\nSQL: {sql}"
+
+
+N_RANGE_SEEDS = 20
+
+
+@pytest.mark.parametrize("seed", range(N_RANGE_SEEDS))
+def test_random_range_join_parity(spark, duck, seed):
+    """Fuzzes the repo's bucketed interval_range_join /
+    interval_overlap_join against DuckDB's direct inequality joins."""
+    plan, sql = generate_range(seed)
+    spark_pd = render_range_spark(plan, spark, SF_SMALL).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_SMALL)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, f"range seed {seed}: {problems}\nSQL: {sql}"
+
+
+def test_range_generator_exercises_every_shape():
+    modes, buckets = set(), set()
+    keyless = 0
+    for seed in range(N_RANGE_SEEDS * 2):
+        plan, _ = generate_range(seed)
+        modes.add(plan["mode"])
+        buckets.add(plan["bucket_seconds"])
+        keyless += plan["m"] is None
+    assert modes == {"range", "overlap"}
+    assert buckets == {3600, 86400, 7 * 86400}
+    assert keyless >= 3
 
 
 N_GEN_SEEDS = 25
