@@ -646,6 +646,21 @@ def merge_upsert(
     }
 
 
+def bulk_merge_frame(
+    target: DataFrame, updates_df: DataFrame, key_col: str, target_cols: list[str]
+) -> DataFrame:
+    """The bulk-merge logical plan: survivors (whole-table left_anti
+    against the distinct update keys, shuffle_hash-hinted so the key
+    side is NEVER broadcast — this path exists because the keys exceed
+    broadcast scale) unioned with the updates. Factored out so plan
+    tests can assert the join strategy without writing a table."""
+    from pyspark.sql import functions as F
+
+    kdf = updates_df.select(F.col(key_col)).distinct().hint("shuffle_hash")
+    survivors = target.join(kdf, key_col, "left_anti")
+    return survivors.unionByName(updates_df.select(*target_cols))
+
+
 def merge_bulk(
     spark,
     path: str,
@@ -731,9 +746,7 @@ def merge_bulk(
 
     target = spark.read.parquet(path)
     n_target = target.count()  # metadata-only for parquet
-    kdf = updates_df.select(F.col(key_col)).distinct().hint("shuffle_hash")
-    survivors = target.join(kdf, key_col, "left_anti")
-    merged = survivors.unionByName(updates_df.select(*target_cols))
+    merged = bulk_merge_frame(target, updates_df, key_col, target_cols)
 
     staging = os.path.join(path, f".bulk.v{version}.staging")
     write_range_clustered(merged, staging, key_col, n_out)

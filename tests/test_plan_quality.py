@@ -421,3 +421,25 @@ def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bulk_merge_anti_join_never_broadcasts_keys(spark):
+    """merge_bulk exists BECAUSE the update keys exceed broadcast scale:
+    its whole-table left_anti must be a shuffle join (shuffle_hash hint)
+    even when the key side is tiny enough that Spark would otherwise
+    broadcast it. A BroadcastHashJoin here means the hint regressed and
+    a 10^8-key change batch would OOM the driver at scale."""
+    from data_pipeline_project_spark.sinks.manifest import bulk_merge_frame
+
+    target = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    updates = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    df = bulk_merge_frame(target, updates, "k", ["k", "v"])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan and "LeftAnti" in plan, plan
