@@ -1525,3 +1525,98 @@ def render_range_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFram
 def generate_range(seed: int) -> tuple[dict, str]:
     plan = RangeJoinPlanGen(seed).build()
     return plan, render_range_sql(plan)
+
+
+# ---------------------------------------------------------------------------
+# Family I: connected-components plans (custom iterative operator)
+# ---------------------------------------------------------------------------
+#
+# Fuzzes operators/dedup.connected_components (min-label propagation,
+# optionally with pointer jumping) against a DuckDB recursive-CTE
+# transitive closure. Graph topology is the variable that matters for
+# an iterative algorithm, so edges are derived from lineitem three
+# ways: "hash" (random-ish dense graph), "chain" (maximum-diameter
+# paths — the shape where plain propagation needs diameter rounds and
+# pointer jumping needs log(diameter)), and "star" (hub contraction).
+# Plain-propagation chains keep n small with max_iter = n + 2 (the
+# operator's convergence bound is the diameter, documented); pointer
+# jumping takes the long chains.
+
+CC_TS = None  # no timestamps in this family
+
+
+class CCPlanGen:
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed ^ 0xCC01)
+
+    def build(self) -> dict:
+        r = self.rng
+        lg = PlanGen(seed=0)
+        lg.rng, lg.joined, lg.int_cols = r, False, list(INT_COLS)
+        mode = r.choice(["hash", "chain", "star"])
+        pj = r.random() < 0.5
+        if mode == "chain":
+            n = r.choice([200, 1000]) if pj else r.choice([12, 24])
+        else:
+            n = r.choice([10, 50, 200, 1000])
+        return {"mode": mode, "n": n, "pj": pj, "where": lg.pred(1)}
+
+
+def _cc_edges_sql(plan: dict) -> str:
+    n = plan["n"]
+    shapes = {
+        "hash": f"(l_orderkey % {n}) AS a, (l_partkey % {n}) AS b",
+        "chain": f"(l_orderkey % {n}) AS a, ((l_orderkey % {n}) + 1) AS b",
+        "star": f"(l_orderkey % {n}) AS a, (l_orderkey % 7) AS b",
+    }
+    return (
+        f"SELECT DISTINCT {shapes[plan['mode']]} "
+        f"FROM lineitem WHERE {plan['where'].sql()}"
+    )
+
+
+def render_cc_sql(plan: dict) -> str:
+    return f"""
+WITH RECURSIVE edges AS ({_cc_edges_sql(plan)}),
+sym AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges),
+reach(node, lbl) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.lbl
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+def render_cc_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_project_spark.operators.dedup import connected_components
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    n = plan["n"]
+    li = load_table(spark, "lineitem", sf_dir).where(plan["where"].spark())
+    a = {
+        "hash": F.col("l_orderkey") % n,
+        "chain": F.col("l_orderkey") % n,
+        "star": F.col("l_orderkey") % n,
+    }[plan["mode"]]
+    b = {
+        "hash": F.col("l_partkey") % n,
+        "chain": (F.col("l_orderkey") % n) + 1,
+        "star": F.col("l_orderkey") % 7,
+    }[plan["mode"]]
+    pairs = li.select(a.alias("id_a"), b.alias("id_b")).distinct()
+    out = connected_components(
+        pairs,
+        pointer_jumping=plan["pj"],
+        max_iter=20 if plan["pj"] else max(20, n + 2),
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def generate_cc(seed: int) -> tuple[dict, str]:
+    plan = CCPlanGen(seed).build()
+    return plan, render_cc_sql(plan)

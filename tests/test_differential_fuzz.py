@@ -19,6 +19,7 @@ import pytest
 from tests.differential_gen import (
     generate,
     generate_asof,
+    generate_cc,
     generate_date,
     generate_gen,
     generate_range,
@@ -26,6 +27,7 @@ from tests.differential_gen import (
     generate_str,
     generate_window,
     render_asof_spark,
+    render_cc_spark,
     render_date_spark,
     render_gen_spark,
     render_range_spark,
@@ -84,6 +86,33 @@ def test_random_date_plan_parity(spark, duck, seed):
     oracle_pd = run_oracle(duck, sql, SF_SMALL)
     problems = compare(spark_pd, oracle_pd)
     assert not problems, f"date seed {seed}: {problems}\nSQL: {sql}"
+
+
+N_CC_SEEDS = 10  # iterative operator, ~3 s/seed — keep CI bounded
+
+
+@pytest.mark.parametrize("seed", range(N_CC_SEEDS))
+def test_random_connected_components_parity(spark, duck, seed):
+    """Fuzzes connected_components (min-label propagation, optional
+    pointer jumping) against a recursive-CTE transitive closure over
+    hash/chain/star graph topologies."""
+    plan, sql = generate_cc(seed)
+    spark_pd = render_cc_spark(plan, spark, SF_SMALL).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_SMALL)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, (
+        f"cc seed {seed} ({plan['mode']}, pj={plan['pj']}, n={plan['n']}): {problems}"
+    )
+
+
+def test_cc_generator_exercises_every_shape():
+    modes = set()
+    pjs = set()
+    for seed in range(N_CC_SEEDS * 3):
+        plan, _ = generate_cc(seed)
+        modes.add(plan["mode"])
+        pjs.add(plan["pj"])
+    assert modes == {"hash", "chain", "star"} and pjs == {True, False}
 
 
 N_RANGE_SEEDS = 20
