@@ -1620,3 +1620,96 @@ def render_cc_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
 def generate_cc(seed: int) -> tuple[dict, str]:
     plan = CCPlanGen(seed).build()
     return plan, render_cc_sql(plan)
+
+
+# ---------------------------------------------------------------------------
+# Family J: EWMA recurrence plans (custom stateful operator)
+# ---------------------------------------------------------------------------
+#
+# Fuzzes operators/stateful.ewma — the per-partition Arrow kernel that
+# carries state across group and batch boundaries — against a DuckDB
+# recursive CTE replaying the identical recurrence, across the alpha
+# parameter space, merged-key cardinalities, and filters. Bit-exact
+# float discipline: the kernel computes alpha*v + (1-alpha)*cur in
+# float64, so the SQL renders BOTH coefficients from Python float repr
+# (shortest round-trip decimal -> identical double; rendering `1 - a`
+# in SQL could evaluate in DECIMAL and diverge from the binary
+# 1-alpha), casts them to DOUBLE, and keeps the same operand order.
+# Outputs round to 6, same as the kernel. Order ties: the kernel sorts
+# (key, ts, value), the oracle row_numbers by (ts, value); rows tying
+# on BOTH produce identical update values, so the output multiset is
+# order-invariant.
+
+EWMA_ALPHAS = [0.1, 0.25, 0.3, 0.5, 0.7, 0.9]
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+class EwmaPlanGen:
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed ^ 0xE73A)
+
+    def build(self) -> dict:
+        r = self.rng
+        conds = []
+        if r.random() < 0.6:
+            conds.append(("type_in", sorted(r.sample(EVENT_TYPES, r.randrange(1, 4)))))
+        if r.random() < 0.4:
+            conds.append(("uid_mod", r.choice([2, 3]), r.randrange(0, 2)))
+        return {
+            "alpha": r.choice(EWMA_ALPHAS),
+            "m": r.choice([1, 3, 7, 15]),
+            "conds": conds,
+        }
+
+
+def _ewma_where_sql(conds) -> str:
+    parts = ["1=1"]
+    for c in conds:
+        if c[0] == "type_in":
+            vals = ", ".join(f"'{v}'" for v in c[1])
+            parts.append(f"(event_type IN ({vals}))")
+        else:
+            parts.append(f"((user_id % {c[1]}) = {c[2]})")
+    return " AND ".join(parts)
+
+
+def render_ewma_sql(plan: dict) -> str:
+    a = plan["alpha"]
+    b = 1 - a  # the binary-float complement the kernel actually uses
+    m = plan["m"]
+    return f"""
+WITH RECURSIVE seq AS (
+    SELECT (user_id % {m}) AS user_id, CAST(ts AS TIMESTAMP) AS ts,
+           value::DOUBLE AS value,
+           row_number() OVER (PARTITION BY (user_id % {m}) ORDER BY ts, value) AS rn
+    FROM events WHERE {_ewma_where_sql(plan['conds'])}
+),
+r AS (
+    SELECT user_id, ts, value, rn, value AS ewma FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.ts, s.value, s.rn,
+           CAST({a!r} AS DOUBLE) * s.value + CAST({b!r} AS DOUBLE) * r.ewma
+    FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, ts, value, round(ewma, 6) AS ewma FROM r
+"""
+
+
+def render_ewma_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_project_spark.operators.stateful import ewma
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    cond = F.lit(True)
+    for c in plan["conds"]:
+        if c[0] == "type_in":
+            cond = cond & F.col("event_type").isin(c[1])
+        else:
+            cond = cond & ((F.col("user_id") % c[1]) == c[2])
+    ev = ev.where(cond).withColumn("user_id", F.col("user_id") % plan["m"])
+    return ewma(ev, alpha=plan["alpha"])
+
+
+def generate_ewma(seed: int) -> tuple[dict, str]:
+    plan = EwmaPlanGen(seed).build()
+    return plan, render_ewma_sql(plan)

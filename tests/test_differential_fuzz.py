@@ -21,6 +21,7 @@ from tests.differential_gen import (
     generate_asof,
     generate_cc,
     generate_date,
+    generate_ewma,
     generate_gen,
     generate_range,
     generate_setop,
@@ -29,6 +30,7 @@ from tests.differential_gen import (
     render_asof_spark,
     render_cc_spark,
     render_date_spark,
+    render_ewma_spark,
     render_gen_spark,
     render_range_spark,
     render_setop_spark,
@@ -86,6 +88,32 @@ def test_random_date_plan_parity(spark, duck, seed):
     oracle_pd = run_oracle(duck, sql, SF_SMALL)
     problems = compare(spark_pd, oracle_pd)
     assert not problems, f"date seed {seed}: {problems}\nSQL: {sql}"
+
+
+N_EWMA_SEEDS = 15
+
+
+@pytest.mark.parametrize("seed", range(N_EWMA_SEEDS))
+def test_random_ewma_plan_parity(spark, duck, seed):
+    """Fuzzes the per-partition stateful EWMA kernel against a DuckDB
+    recursive CTE replaying the identical float64 recurrence, across
+    alphas, merged-key cardinalities, and filters."""
+    plan, sql = generate_ewma(seed)
+    spark_pd = render_ewma_spark(plan, spark, SF_SMALL).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_SMALL)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, (
+        f"ewma seed {seed} (alpha={plan['alpha']}, m={plan['m']}): {problems}"
+    )
+
+
+def test_ewma_generator_exercises_every_shape():
+    alphas, ms = set(), set()
+    for seed in range(N_EWMA_SEEDS * 3):
+        plan, _ = generate_ewma(seed)
+        alphas.add(plan["alpha"])
+        ms.add(plan["m"])
+    assert len(alphas) >= 5 and ms == {1, 3, 7, 15}
 
 
 N_CC_SEEDS = 10  # iterative operator, ~3 s/seed — keep CI bounded
