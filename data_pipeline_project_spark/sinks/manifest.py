@@ -468,6 +468,107 @@ def read_version(spark, path: str, version: int | None = None) -> DataFrame:
     return read_snapshot(spark, mpath)
 
 
+QUARANTINE_DIR = "_quarantine"
+
+
+def recover_to_last_manifest(path: str) -> dict:
+    """Crash recovery: restore the table DIRECTORY to exactly the last
+    committed snapshot. Manifests, not the directory, are the source of
+    truth (the Delta/Iceberg stance); a writer killed mid-MERGE leaves
+    the directory in one of the protocol's intermediate states —
+    rewritten-but-uncommitted files, a partial append, bulk files moved
+    in before the tombstone sweep — and this puts the live view back to
+    the last version that actually committed, after which the merge is
+    safely rerunnable (including merge_bulk's move-in/tombstone window,
+    where a blind rerun would double-count survivors).
+
+    Three file-level moves, all metadata-only:
+
+    1. every latest-manifest file missing from its live path but
+       present under ``_removed/`` is restored (a crashed rewrite had
+       tombstoned it; COMMITTED tombstones are not in the latest
+       manifest and stay put);
+    2. every live data file the latest manifest does NOT reference is
+       moved to ``_quarantine/r{k}/`` (uncommitted output: ``.m{N}`` /
+       ``bulk-v{N}`` rewrites, partial append parts) — quarantined,
+       not deleted, so an operator can inspect before discarding;
+    3. leftover hidden staging dirs (``.bulk.*.staging``, ``*.rewrite``)
+       are removed outright (never referenced by anything).
+
+    Returns {version, restored, quarantined, staging_removed}. Raises
+    FileNotFoundError if the table has no manifest to recover to.
+    ``.crc`` sidecars travel with their files both directions, same as
+    every other move in this module.
+    """
+    import shutil
+
+    mdir = os.path.join(path, "_manifests")
+    latest_path = os.path.join(mdir, "latest.json")
+    if not os.path.exists(latest_path):
+        raise FileNotFoundError(f"no manifest to recover to under {mdir}")
+    manifest = read_manifest(latest_path)
+    pinned = {f["path"] for f in manifest["files"]}
+
+    def _move_with_crc(src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+        sd, sb = os.path.split(src)
+        crc = os.path.join(sd, f".{sb}.crc")
+        if os.path.exists(crc):
+            os.replace(
+                crc,
+                os.path.join(os.path.dirname(dst), f".{os.path.basename(dst)}.crc"),
+            )
+
+    restored = 0
+    for rel in sorted(pinned):
+        live = os.path.join(path, rel)
+        tomb = os.path.join(path, REMOVED_DIR, rel)
+        if not os.path.exists(live) and os.path.exists(tomb):
+            _move_with_crc(tomb, live)
+            restored += 1
+
+    # staging sweep BEFORE the quarantine scan, so a crashed tmp dir's
+    # part files are deleted with their dir instead of being mistaken
+    # for live data (merge_bulk stages under ".bulk.v{N}.staging",
+    # hidden; targeted rewrites under "<file>.parquet.rewrite", visible)
+    staging_removed = 0
+    for root, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            if d.endswith(".rewrite") or (
+                d.startswith(".") and d.endswith(".staging")
+            ):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                dirs.remove(d)
+                staging_removed += 1
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+
+    qroot = os.path.join(path, QUARANTINE_DIR)
+    existing = (
+        [
+            int(d[1:])
+            for d in os.listdir(qroot)
+            if d.startswith("r") and d[1:].isdigit()
+        ]
+        if os.path.isdir(qroot)
+        else []
+    )
+    qdir = os.path.join(qroot, f"r{(max(existing) + 1) if existing else 1}")
+    quarantined = 0
+    for f in _data_files(path):
+        rel = os.path.relpath(f, path)
+        if rel not in pinned:
+            _move_with_crc(f, os.path.join(qdir, rel))
+            quarantined += 1
+
+    return {
+        "version": manifest.get("version"),
+        "restored": restored,
+        "quarantined": quarantined,
+        "staging_removed": staging_removed,
+    }
+
+
 def merge_upsert(
     spark,
     duck,
