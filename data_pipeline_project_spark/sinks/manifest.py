@@ -417,12 +417,37 @@ def delete_rows_targeted(
     }
 
 
+class ConcurrentSnapshotError(RuntimeError):
+    """Another writer committed this snapshot version first. The losing
+    writer's data files are uncommitted orphans; run
+    recover_to_last_manifest, then rerun the operation."""
+
+
+# Test seam: called between the version listing and the O_EXCL claim,
+# which is exactly the race window two concurrent writers contend in.
+# The CAS race is microseconds wide, so tests interpose here to lose it
+# deterministically instead of shipping a flaky thread race.
+_test_claim_interposer = None
+
+
 def write_versioned_manifest(path: str) -> dict:
     """Append-only snapshot history: write the manifest as
     ``_manifests/v{N}.json`` (N = 1 + highest existing version) and
     update ``_manifests/latest.json`` last — the minimal time-travel
     log (Delta/Iceberg's snapshot chain, minus compaction of the log
-    itself). Returns the manifest with its ``version`` field set."""
+    itself). Returns the manifest with its ``version`` field set.
+
+    The version slot is CLAIMED with an exclusive create (O_EXCL) —
+    the compare-and-swap every log-based table format commits through.
+    Two writers racing to the same next version now lose LOUDLY
+    (ConcurrentSnapshotError) instead of silently overwriting each
+    other's snapshot; the loser recovers with recover_to_last_manifest
+    and reruns. Honest scope note: the manifest body is built from a
+    directory listing, so a CONCURRENT writer's uncommitted files that
+    land before the winner's listing still get pinned — like Delta on
+    a filesystem without a locking service, the layer assumes one
+    writer per table at a time, and the CAS turns accidental
+    violations into errors rather than corruption."""
     mdir = os.path.join(path, "_manifests")
     os.makedirs(mdir, exist_ok=True)
     existing = [
@@ -431,9 +456,20 @@ def write_versioned_manifest(path: str) -> dict:
         if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
     ]
     version = (max(existing) + 1) if existing else 1
-    manifest = write_manifest(path, os.path.join(mdir, f"v{version}.json"))
+    vpath = os.path.join(mdir, f"v{version}.json")
+    if _test_claim_interposer is not None:
+        _test_claim_interposer(version, mdir)
+    try:
+        fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentSnapshotError(
+            f"snapshot v{version} was committed by another writer; "
+            f"recover_to_last_manifest({path!r}) and rerun"
+        ) from None
+    os.close(fd)
+    manifest = write_manifest(path, vpath)
     manifest["version"] = version
-    with open(os.path.join(mdir, f"v{version}.json"), "w") as fh:
+    with open(vpath, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     tmp = os.path.join(mdir, "latest.json.tmp")
     with open(tmp, "w") as fh:
@@ -495,8 +531,9 @@ def recover_to_last_manifest(path: str) -> dict:
     3. leftover hidden staging dirs (``.bulk.*.staging``, ``*.rewrite``)
        are removed outright (never referenced by anything).
 
-    Returns {version, restored, quarantined, staging_removed}. Raises
-    FileNotFoundError if the table has no manifest to recover to.
+    Returns {version, restored, quarantined, staging_removed,
+    claims_removed}. Raises FileNotFoundError if the table has no
+    manifest to recover to.
     ``.crc`` sidecars travel with their files both directions, same as
     every other move in this module.
     """
@@ -561,11 +598,26 @@ def recover_to_last_manifest(path: str) -> dict:
             _move_with_crc(f, os.path.join(qdir, rel))
             quarantined += 1
 
+    # A writer that crashed (or lost the CAS race) between claiming its
+    # version slot and updating latest.json leaves v{N}.json files newer
+    # than the commit pointer — possibly empty (claim only) or lacking
+    # the version field (content written, commit pointer not). latest
+    # IS the commit; anything newer never committed and must go, or the
+    # next writer skips version numbers and time travel hits torn JSON.
+    claims_removed = 0
+    committed_version = manifest.get("version") or 0
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit():
+            if int(f[1:-5]) > committed_version:
+                os.remove(os.path.join(mdir, f))
+                claims_removed += 1
+
     return {
         "version": manifest.get("version"),
         "restored": restored,
         "quarantined": quarantined,
         "staging_removed": staging_removed,
+        "claims_removed": claims_removed,
     }
 
 

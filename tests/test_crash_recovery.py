@@ -239,7 +239,7 @@ def test_recovery_never_restores_committed_tombstones(spark, duck, tmp_path):
     stats = recover_to_last_manifest(path)
     assert stats == {
         "version": res["version"], "restored": 0,
-        "quarantined": 0, "staging_removed": 0,
+        "quarantined": 0, "staging_removed": 0, "claims_removed": 0,
     }
     assert _rows(spark, path) == committed
     # time travel through the tombstones still works after recovery
@@ -253,3 +253,50 @@ def test_recovery_requires_a_manifest(spark, tmp_path):
     spark.range(5).write.parquet(path)
     with pytest.raises(FileNotFoundError, match="no manifest"):
         recover_to_last_manifest(path)
+
+
+def test_concurrent_snapshot_claim_loses_loudly_then_recovers(
+    spark, duck, tmp_path, monkeypatch
+):
+    """Two writers racing for the same snapshot version: the O_EXCL
+    claim of v{N}.json is the CAS, and the loser must raise
+    ConcurrentSnapshotError instead of silently overwriting the
+    winner's snapshot. The race window (between listing versions and
+    claiming) is microseconds wide, so the test loses it
+    deterministically through the module's claim interposer. The
+    loser's already-moved files are uncommitted orphans; recovery
+    quarantines them, restores crashed tombstones, drops the stale
+    claim, and the rerun converges to the clean-run state."""
+    import json
+
+    import pytest
+
+    from data_pipeline_project_spark.sinks import manifest as m
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    v1 = _rows(spark, path)
+
+    def competing_writer(version, mdir):
+        # the other writer wins the slot with a fully-committed copy of
+        # v1's manifest (content is irrelevant to the CAS; valid JSON
+        # keeps any concurrent reads sane)
+        with open(os.path.join(mdir, "v1.json")) as fh:
+            committed = json.load(fh)
+        with open(os.path.join(mdir, f"v{version}.json"), "w") as fh:
+            json.dump(committed, fh)
+
+    monkeypatch.setattr(m, "_test_claim_interposer", competing_writer)
+    with pytest.raises(m.ConcurrentSnapshotError, match="v2"):
+        merge_upsert(spark, duck, path, "k", _updates(spark))
+    monkeypatch.setattr(m, "_test_claim_interposer", None)
+
+    # the loser had already rewritten/tombstoned/appended before its
+    # commit failed: recovery puts the table back to committed v1
+    stats = _assert_recovered_to_v1(spark, path, v1)
+    assert stats["claims_removed"] == 1  # the stale v2 claim
+    assert stats["quarantined"] >= 1     # the loser's orphan output
+
+    res = merge_upsert(spark, duck, path, "k", _updates(spark))
+    assert res["version"] == 2
+    assert _rows(spark, path) == _clean_run_state(spark, duck, tmp_path, bulk=False)
