@@ -1061,13 +1061,17 @@ def read_with_schema_evolution(
     return df
 
 
-def vacuum(path: str, keep_versions: int = 2) -> dict:
+def vacuum(path: str, keep_versions: int = 2, purge_quarantine: bool = False) -> dict:
     """Reclaim retention space: keep the newest ``keep_versions``
     snapshot manifests, delete older manifest JSONs, and delete every
     ``_removed/`` tombstone file that no KEPT manifest references.
     After vacuum, time travel to a dropped version fails loudly
     (read_snapshot's missing-file check) — the Delta VACUUM contract.
-    Returns {versions_dropped, tombstones_deleted}."""
+    ``purge_quarantine=True`` also empties ``_quarantine/`` (crash
+    recovery parks uncommitted writer output there for inspection, and
+    nothing else ever deletes it — vacuum is the retention decision
+    point, so it is the explicit opt-in to discard). Returns
+    {versions_dropped, tombstones_deleted, quarantine_purged}."""
     import shutil
 
     if keep_versions < 1:
@@ -1104,7 +1108,22 @@ def vacuum(path: str, keep_versions: int = 2) -> dict:
                     deleted += 1
             if not os.listdir(root):
                 shutil.rmtree(root, ignore_errors=True)
-    return {"versions_dropped": len(dropped), "tombstones_deleted": deleted}
+
+    purged = 0
+    qroot = os.path.join(path, QUARANTINE_DIR)
+    if purge_quarantine and os.path.isdir(qroot):
+        purged = sum(
+            1
+            for _r, _d, fs in os.walk(qroot)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        shutil.rmtree(qroot, ignore_errors=True)
+    return {
+        "versions_dropped": len(dropped),
+        "tombstones_deleted": deleted,
+        "quarantine_purged": purged,
+    }
 
 
 def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:

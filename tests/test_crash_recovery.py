@@ -300,3 +300,26 @@ def test_concurrent_snapshot_claim_loses_loudly_then_recovers(
     res = merge_upsert(spark, duck, path, "k", _updates(spark))
     assert res["version"] == 2
     assert _rows(spark, path) == _clean_run_state(spark, duck, tmp_path, bulk=False)
+
+
+def test_vacuum_purges_quarantine_only_on_opt_in(spark, duck, tmp_path):
+    """Quarantine is for human inspection; only an explicit
+    vacuum(purge_quarantine=True) — the retention decision point —
+    discards it."""
+    from data_pipeline_project_spark.sinks.manifest import vacuum
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    _simulate_bulk_movein(spark, path, tombstone=False)
+    stats = recover_to_last_manifest(path)
+    assert stats["quarantined"] == FILES
+    qroot = os.path.join(path, QUARANTINE_DIR)
+    assert os.path.isdir(qroot)
+
+    merge_upsert(spark, duck, path, "k", _updates(spark))  # v2, so vacuum has work
+    res = vacuum(path, keep_versions=1)
+    assert res["quarantine_purged"] == 0 and os.path.isdir(qroot)
+
+    res2 = vacuum(path, keep_versions=1, purge_quarantine=True)
+    assert res2["quarantine_purged"] == FILES
+    assert not os.path.exists(qroot)
