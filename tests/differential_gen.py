@@ -1713,3 +1713,117 @@ def render_ewma_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame
 def generate_ewma(seed: int) -> tuple[dict, str]:
     plan = EwmaPlanGen(seed).build()
     return plan, render_ewma_sql(plan)
+
+
+# ---------------------------------------------------------------------------
+# Family K: sessionization plans
+# ---------------------------------------------------------------------------
+#
+# Fuzzes the gap-based sessionization pattern (cumulative sum over
+# "gap exceeded" flags) across gap thresholds, key remappings, and
+# filters, plus a per-session aggregate variant. Integer-exact time
+# discipline: gaps compare EPOCH MICROSECONDS (unix_micros vs
+# epoch_us) — never unix_timestamp, which truncates sub-seconds on the
+# Spark side only (the round-6 gotcha). Determinism: window order is
+# (ts, event_id); event_id is unique, so ties cannot flap.
+
+SESSION_GAPS_S = [60, 600, 3600, 6 * 3600]
+
+
+class SessionPlanGen:
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed ^ 0x5E55)
+
+    def build(self) -> dict:
+        r = self.rng
+        conds = []
+        if r.random() < 0.5:
+            conds.append(("type_in", sorted(r.sample(EVENT_TYPES, r.randrange(1, 4)))))
+        if r.random() < 0.3:
+            conds.append(("uid_mod", r.choice([2, 3]), r.randrange(0, 2)))
+        return {
+            "gap_s": r.choice(SESSION_GAPS_S),
+            "m": r.choice([1, 3, 7, 15]),
+            "conds": conds,
+            "agg": r.random() < 0.5,
+        }
+
+
+def render_session_sql(plan: dict) -> str:
+    gap_us = plan["gap_s"] * 1_000_000
+    m = plan["m"]
+    base = f"""
+WITH ev AS (
+    SELECT (user_id % {m}) AS uid, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+    FROM events WHERE {_ewma_where_sql(plan['conds'])}
+),
+flagged AS (
+    SELECT uid, event_id, ts,
+           CASE WHEN tus - lag(tus) OVER w > {gap_us} THEN 1 ELSE 0 END AS brk
+    FROM ev WINDOW w AS (PARTITION BY uid ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT uid, event_id, ts,
+           CAST(sum(brk) OVER (PARTITION BY uid ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+    FROM flagged
+)"""
+    if not plan["agg"]:
+        return base + (
+            "\nSELECT uid, event_id, "
+            f"strftime(ts, '{TS_FMT_SQL}') AS ts, session_id FROM sess"
+        )
+    return base + """
+SELECT uid, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS first_ts,
+       max(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS last_ts
+FROM sess GROUP BY uid, session_id"""
+
+
+def render_session_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    cond = F.lit(True)
+    for c in plan["conds"]:
+        if c[0] == "type_in":
+            cond = cond & F.col("event_type").isin(c[1])
+        else:
+            cond = cond & ((F.col("user_id") % c[1]) == c[2])
+    ev = ev.where(cond).select(
+        (F.col("user_id") % plan["m"]).alias("uid"),
+        "event_id",
+        F.col("ts"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = Window.partitionBy("uid").orderBy("ts", "event_id")
+    gap_us = plan["gap_s"] * 1_000_000
+    flagged = ev.withColumn(
+        "brk",
+        F.when(F.col("tus") - F.lag("tus").over(w) > gap_us, 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    fmt = TS_FMT_SPARK
+    if not plan["agg"]:
+        return sess.select(
+            "uid", "event_id", F.date_format("ts", fmt).alias("ts"), "session_id"
+        )
+    return sess.groupBy("uid", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.date_format("ts", fmt)).alias("first_ts"),
+        F.max(F.date_format("ts", fmt)).alias("last_ts"),
+    )
+
+
+def generate_session(seed: int) -> tuple[dict, str]:
+    plan = SessionPlanGen(seed).build()
+    return plan, render_session_sql(plan)

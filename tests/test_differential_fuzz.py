@@ -24,6 +24,7 @@ from tests.differential_gen import (
     generate_ewma,
     generate_gen,
     generate_range,
+    generate_session,
     generate_setop,
     generate_str,
     generate_window,
@@ -33,6 +34,7 @@ from tests.differential_gen import (
     render_ewma_spark,
     render_gen_spark,
     render_range_spark,
+    render_session_spark,
     render_setop_spark,
     render_spark,
     render_str_spark,
@@ -88,6 +90,34 @@ def test_random_date_plan_parity(spark, duck, seed):
     oracle_pd = run_oracle(duck, sql, SF_SMALL)
     problems = compare(spark_pd, oracle_pd)
     assert not problems, f"date seed {seed}: {problems}\nSQL: {sql}"
+
+
+N_SESSION_SEEDS = 15
+
+
+@pytest.mark.parametrize("seed", range(N_SESSION_SEEDS))
+def test_random_sessionization_parity(spark, duck, seed):
+    """Gap-based sessionization across gap thresholds, key remappings,
+    and filters; epoch-microsecond gap compares (unix_timestamp would
+    truncate sub-seconds on the Spark side only)."""
+    plan, sql = generate_session(seed)
+    spark_pd = render_session_spark(plan, spark, SF_SMALL).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_SMALL)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, (
+        f"session seed {seed} (gap={plan['gap_s']}s, m={plan['m']}, "
+        f"agg={plan['agg']}): {problems}"
+    )
+
+
+def test_session_generator_exercises_every_shape():
+    gaps, ms, aggs = set(), set(), set()
+    for seed in range(N_SESSION_SEEDS * 3):
+        plan, _ = generate_session(seed)
+        gaps.add(plan["gap_s"])
+        ms.add(plan["m"])
+        aggs.add(plan["agg"])
+    assert len(gaps) == 4 and ms == {1, 3, 7, 15} and aggs == {True, False}
 
 
 N_EWMA_SEEDS = 15
