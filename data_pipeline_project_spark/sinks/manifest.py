@@ -856,11 +856,7 @@ def merge_bulk(
     No reference counterpart (the reference has no table format at
     all); this is the scale completion of merge_upsert's envelope.
     """
-    import shutil
-
     from pyspark.sql import functions as F
-
-    from data_pipeline_project_spark.sinks.layout import write_range_clustered
 
     target_schema = spark.read.parquet(path).schema
     target_cols = [f.name for f in target_schema.fields]
@@ -901,15 +897,36 @@ def merge_bulk(
     n_target = target.count()  # metadata-only for parquet
     merged = bulk_merge_frame(target, updates_df, key_col, target_cols)
 
-    staging = os.path.join(path, f".bulk.v{version}.staging")
-    write_range_clustered(merged, staging, key_col, n_out)
-    staged_total = spark.read.parquet(staging).count()
+    staged_total, manifest = _commit_bulk_rewrite(
+        spark, path, merged, key_col, version, n_out, old_files
+    )
     rows_updated = n_target - (staged_total - n_updates)
+    return {
+        "version": manifest["version"],
+        "files_rewritten": len(old_files),
+        "rows_updated": rows_updated,
+        "rows_inserted": n_updates - rows_updated,
+    }
 
-    # Move the staged parts in under version-stamped names, then
-    # tombstone every pre-merge file. Names can never collide: the
-    # version only ever increments and every writer embeds it (or a
-    # uuid) in the file name.
+
+def _commit_bulk_rewrite(
+    spark, path: str, frame: DataFrame, key_col: str,
+    version: int, n_out: int, old_files: list[str],
+) -> tuple[int, dict]:
+    """Shared commit tail of the table-wide rewrites (merge_bulk,
+    delete_bulk): range-cluster ``frame`` into a hidden staging dir,
+    move the parts in under version-stamped names, tombstone every
+    pre-rewrite file, pin the new file set. Names can never collide:
+    the version only ever increments and every writer embeds it (or a
+    uuid) in the file name. Returns (staged_row_count, manifest)."""
+    import shutil
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+
+    staging = os.path.join(path, f".bulk.v{version}.staging")
+    write_range_clustered(frame, staging, key_col, n_out)
+    staged_total = spark.read.parquet(staging).count()
+
     parts = sorted(
         p
         for p in os.listdir(staging)
@@ -942,12 +959,45 @@ def merge_bulk(
             )
     shutil.rmtree(staging, ignore_errors=True)
 
-    manifest = write_versioned_manifest(path)
+    return staged_total, write_versioned_manifest(path)
+
+
+def delete_bulk(
+    spark,
+    path: str,
+    key_col: str,
+    keys_df: DataFrame,
+    n_files: int | None = None,
+) -> dict:
+    """Table-wide DELETE for key sets too large to target: the
+    retention/GDPR-purge sibling of merge_bulk. One shuffle_hash
+    left_anti join of the whole table against the keys (never
+    broadcast), a range-clustered rewrite of the survivors under
+    ``bulk-v{N}-*`` names, a full tombstone sweep, and a pinned
+    manifest — same copy-on-write and time-travel discipline as the
+    targeted delete, same crash windows as merge_bulk (all covered by
+    recover_to_last_manifest). Absent keys are a no-op, matching
+    delete_rows_targeted. Returns {version, files_rewritten,
+    rows_deleted}."""
+    from pyspark.sql import functions as F
+
+    old_files = _data_files(path)
+    pending = snapshot_versions(path)
+    version = (pending[-1] + 1) if pending else 1
+    n_out = n_files if n_files is not None else max(1, len(old_files))
+
+    target = spark.read.parquet(path)
+    n_target = target.count()  # metadata-only for parquet
+    kdf = keys_df.select(F.col(key_col)).distinct().hint("shuffle_hash")
+    survivors = target.join(kdf, key_col, "left_anti")
+
+    staged_total, manifest = _commit_bulk_rewrite(
+        spark, path, survivors, key_col, version, n_out, old_files
+    )
     return {
         "version": manifest["version"],
         "files_rewritten": len(old_files),
-        "rows_updated": rows_updated,
-        "rows_inserted": n_updates - rows_updated,
+        "rows_deleted": n_target - staged_total,
     }
 
 

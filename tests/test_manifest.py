@@ -780,3 +780,57 @@ def test_merge_upsert_auto_switches_to_bulk(spark, duck, tmp_path):
     res2 = merge_upsert(spark, duck, path2, "user_id", narrow, rewrite="auto")
     assert res2["rows_updated"] == 2 and res2["files_rewritten"] == 1
     assert not bulk_files(path2), "narrow batch must stay on the targeted plan"
+
+
+def test_delete_bulk_matches_targeted_semantics(spark, duck, tmp_path):
+    """delete_bulk (table-wide shuffle anti-join rewrite — the
+    retention/GDPR-purge sibling of merge_bulk) must match the targeted
+    zone-map delete: same survivors, same counts, time travel intact,
+    re-clustered output; absent keys a no-op."""
+    from data_pipeline_project_spark.sinks.layout import (
+        file_zone_maps,
+        write_range_clustered,
+    )
+    from data_pipeline_project_spark.sinks.manifest import (
+        delete_bulk,
+        delete_rows_targeted,
+        read_version,
+        write_versioned_manifest,
+    )
+
+    base = spark.range(0, 4_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 11).alias("v")
+    )
+    # table-scale key set: half the rows, spread over every file
+    keys = spark.range(0, 4_000, 2).select(F.col("id").alias("user_id"))
+    absent = spark.createDataFrame([(99_999,)], ["user_id"])
+
+    path_t = str(tmp_path / "targeted")
+    path_b = str(tmp_path / "bulk")
+    for p in (path_t, path_b):
+        write_range_clustered(base, p, "user_id", 4)
+        write_versioned_manifest(p)
+
+    s_t = delete_rows_targeted(spark, duck, path_t, "user_id", keys)
+    s_b = delete_bulk(spark, path_b, "user_id", keys.unionByName(absent), n_files=4)
+
+    assert s_b["rows_deleted"] == s_t["rows_deleted"] == 2_000
+    assert s_b["files_rewritten"] == 4
+    rows_t = sorted(r.user_id for r in spark.read.parquet(path_t).collect())
+    rows_b = sorted(r.user_id for r in spark.read.parquet(path_b).collect())
+    assert rows_b == rows_t and len(rows_b) == 2_000
+
+    # time travel: pre-delete version still replays all 4000 rows
+    assert read_version(spark, path_b, 1).count() == 4_000
+
+    # output re-clustered: disjoint zone maps under bulk-v2-* names
+    files = [
+        f for f in os.listdir(path_b)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    assert files and all(f.startswith("bulk-v2-") for f in files)
+    zm = sorted(
+        (mn, mx) for _, mn, mx in file_zone_maps(duck, path_b, "user_id", "BIGINT")
+    )
+    for (_, mx_prev), (mn_next, _) in zip(zm, zm[1:]):
+        assert mx_prev < mn_next, zm

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_project_spark.sinks.manifest import (
     compact_snapshot,
+    delete_bulk,
     delete_rows_targeted,
     merge_bulk,
     merge_upsert,
@@ -65,7 +66,8 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
 
     for step in range(OPS_PER_SEED):
         op = rng.choice(
-            ["merge", "merge", "delete", "compact", "vacuum", "merge_bulk"]
+            ["merge", "merge", "delete", "compact", "vacuum", "merge_bulk",
+             "delete_bulk"]
         )
         if op in ("merge", "merge_bulk"):
             n_upd = rng.randrange(1, 40)
@@ -86,18 +88,25 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
             for k, v, s in rows:
                 model[k] = (v, s)
             history[res["version"]] = _model_state(model)
-        elif op == "delete":
+        elif op in ("delete", "delete_bulk"):
             present = rng.sample(sorted(model), min(rng.randrange(1, 30), len(model)))
             absent = [10_000 + rng.randrange(1000) for _ in range(3)]
             keys = spark.createDataFrame(
                 [(int(k),) for k in present + absent], "k long"
             )
-            res = delete_rows_targeted(spark, duck, path, "k", keys)
-            assert res["rows_deleted"] == len(present), (step, res)
-            for k in present:
-                del model[k]
-            m = write_versioned_manifest(path)
-            history[m["version"]] = _model_state(model)
+            if op == "delete_bulk":
+                res = delete_bulk(spark, path, "k", keys)
+                assert res["rows_deleted"] == len(present), (step, res)
+                for k in present:
+                    del model[k]
+                history[res["version"]] = _model_state(model)
+            else:
+                res = delete_rows_targeted(spark, duck, path, "k", keys)
+                assert res["rows_deleted"] == len(present), (step, res)
+                for k in present:
+                    del model[k]
+                m = write_versioned_manifest(path)
+                history[m["version"]] = _model_state(model)
         elif op == "compact":
             res = compact_snapshot(
                 spark, path, small_bytes=1 << 30,
