@@ -315,3 +315,83 @@ def drop_partitions_before(path: str, cutoff_dt: str) -> dict:
         "partitions_dropped": dropped,
         "partitions_kept": len(parts) - dropped,
     }
+
+
+def table_health(
+    duck,
+    path: str,
+    key_col: str | None = None,
+    duck_type: str = "BIGINT",
+    small_file_bytes: int = 32 * 1024 * 1024,
+) -> dict:
+    """Maintenance audit of a manifest table — everything an operator
+    needs to decide whether to compact, re-cluster, or vacuum, from
+    METADATA only (parquet footers + directory stat; zero data bytes):
+
+    - ``n_files / total_bytes / total_rows / avg_file_bytes`` and the
+      ``small_files`` count below ``small_file_bytes`` (compaction
+      pressure);
+    - ``n_versions`` plus tombstone and quarantine footprints
+      (retention pressure — vacuum reclaims these);
+    - with ``key_col``: ``clustering_overlap`` — the fraction of
+      min-sorted adjacent file pairs whose [min,max] key ranges
+      overlap. 0.0 = perfectly range-clustered (every point query
+      prunes to one file); → 1.0 = every file spans every other
+      (zone maps prune nothing; re-cluster). O(F log F), never
+      pairwise.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_project_spark.sinks.manifest import (
+        QUARANTINE_DIR,
+        REMOVED_DIR,
+        _data_files,
+        snapshot_versions,
+    )
+
+    files = _data_files(path)
+    sizes = [os.path.getsize(f) for f in files]
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+
+    def _dir_footprint(sub):
+        root = os.path.join(path, sub)
+        n, b = 0, 0
+        if os.path.isdir(root):
+            for r, _d, fs in os.walk(root):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        n += 1
+                        b += os.path.getsize(os.path.join(r, f))
+        return n, b
+
+    tomb_n, tomb_b = _dir_footprint(REMOVED_DIR)
+    quar_n, quar_b = _dir_footprint(QUARANTINE_DIR)
+
+    health = {
+        "n_files": len(files),
+        "total_bytes": sum(sizes),
+        "total_rows": rows,
+        "avg_file_bytes": (sum(sizes) // len(files)) if files else 0,
+        "small_files": sum(1 for s in sizes if s < small_file_bytes),
+        "n_versions": len(snapshot_versions(path)),
+        "tombstone_files": tomb_n,
+        "tombstone_bytes": tomb_b,
+        "quarantine_files": quar_n,
+        "quarantine_bytes": quar_b,
+    }
+    if key_col is not None and files:
+        zm = [
+            (mn, mx)
+            for _, mn, mx in file_zone_maps(duck, path, key_col, duck_type)
+            if mn is not None and mx is not None
+        ]
+        zm.sort()
+        overlaps = sum(
+            1 for (_, mx_a), (mn_b, _) in zip(zm, zm[1:]) if mn_b <= mx_a
+        )
+        health["clustering_overlap"] = (
+            overlaps / (len(zm) - 1) if len(zm) > 1 else 0.0
+        )
+    return health

@@ -1001,6 +1001,77 @@ def delete_bulk(
     }
 
 
+def clone_snapshot(
+    src_path: str, dst_path: str, version: int | None = None, deep: bool = False
+) -> dict:
+    """Clone a pinned snapshot into a new table (Delta/Iceberg CLONE).
+
+    ``deep=False`` (default) is the zero-copy shallow clone: only a
+    manifest is written under ``dst_path/_manifests/`` whose ``root``
+    still points at the SOURCE — no data bytes move, the clone
+    materializes in milliseconds at any table size, and reads go
+    through ``read_version(spark, dst_path, 1)`` (a directory read of
+    ``dst_path`` sees nothing — a shallow clone is a manifest-only,
+    READ-ONLY table). Standard cross-table hazard, same as Delta's:
+    the source's ``vacuum`` can delete files the clone pins;
+    ``verify_snapshot`` on the clone detects it loudly.
+
+    ``deep=True`` copies the resolved snapshot files into ``dst_path``
+    (relative layout preserved, tombstoned sources land at their
+    ORIGINAL relpath — the clone pins bytes, not retention state) and
+    writes a normal self-rooted manifest: a fully independent table
+    that accepts merges/deletes/compaction from version 1.
+
+    Returns {version (clone's, always 1), source_version, n_files,
+    deep}. Raises if the requested source version doesn't resolve.
+    """
+    import shutil
+
+    mdir = os.path.join(src_path, "_manifests")
+    name = "latest.json" if version is None else f"v{version}.json"
+    mpath = os.path.join(mdir, name)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(f"source snapshot manifest missing: {mpath}")
+    src_manifest = read_manifest(mpath)
+    src_version = src_manifest.get("version")
+    missing = verify_snapshot(src_manifest)
+    if missing:
+        raise FileNotFoundError(
+            f"cannot clone: {len(missing)} source file(s) unresolvable, "
+            f"e.g. {missing[:3]}"
+        )
+
+    os.makedirs(dst_path, exist_ok=True)
+    if deep:
+        root = src_manifest["root"]
+        for f in src_manifest["files"]:
+            src_file = _resolve_snapshot_file(root, f["path"])
+            dst_file = os.path.join(dst_path, f["path"])
+            os.makedirs(os.path.dirname(dst_file), exist_ok=True)
+            shutil.copy2(src_file, dst_file)
+        manifest = write_versioned_manifest(dst_path)
+    else:
+        dmdir = os.path.join(dst_path, "_manifests")
+        os.makedirs(dmdir, exist_ok=True)
+        manifest = dict(src_manifest)
+        manifest["version"] = 1
+        manifest["cloned_from"] = {
+            "root": src_manifest["root"],
+            "version": src_version,
+        }
+        for target in ("v1.json", "latest.json"):
+            tmp = os.path.join(dmdir, target + ".tmp")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=1, sort_keys=True)
+            os.replace(tmp, os.path.join(dmdir, target))
+    return {
+        "version": manifest["version"],
+        "source_version": src_version,
+        "n_files": manifest["n_files"],
+        "deep": deep,
+    }
+
+
 def snapshot_diff(spark, path: str, v_from: int, v_to: int) -> dict:
     """Audit what changed between two snapshot versions: rows added and
     removed (multiset EXCEPT in both directions — an updated row counts

@@ -834,3 +834,102 @@ def test_delete_bulk_matches_targeted_semantics(spark, duck, tmp_path):
     )
     for (_, mx_prev), (mn_next, _) in zip(zm, zm[1:]):
         assert mx_prev < mn_next, zm
+
+
+def test_clone_snapshot_shallow_and_deep(spark, duck, tmp_path):
+    """Shallow clone: zero-copy, manifest-only, pinned to the source
+    version (immune to source appends), broken loudly by source vacuum.
+    Deep clone: independent bytes, mutable from version 1."""
+    import pytest
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        clone_snapshot,
+        merge_upsert,
+        read_version,
+        vacuum,
+        verify_snapshot,
+        write_versioned_manifest,
+    )
+
+    src = str(tmp_path / "src")
+    base = spark.range(0, 1_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v")
+    )
+    write_range_clustered(base, src, "user_id", 4)
+    write_versioned_manifest(src)
+    # source moves on: v2 merge after the clone point
+    shallow = str(tmp_path / "shallow")
+    deep = str(tmp_path / "deep")
+    s = clone_snapshot(src, shallow, version=1)
+    d = clone_snapshot(src, deep, version=1, deep=True)
+    assert s == {"version": 1, "source_version": 1, "n_files": 4, "deep": False}
+    assert d["deep"] is True and d["n_files"] == 4
+
+    updates = spark.createDataFrame([(5, -1), (2_000, -2)], ["user_id", "v"])
+    merge_upsert(spark, duck, src, "user_id", updates)
+    assert spark.read.parquet(src).count() == 1_001
+
+    # both clones still replay the PRE-merge snapshot
+    for p in (shallow, deep):
+        got = read_version(spark, p, 1)
+        assert got.count() == 1_000
+        assert got.where(F.col("user_id") == 5).collect()[0].v == 5 % 7
+
+    # zero-copy means zero data files in the shallow clone dir
+    assert not [f for f in os.listdir(shallow) if f.endswith(".parquet")]
+
+    # the deep clone is an independent, mutable table
+    res = merge_upsert(spark, duck, deep, "user_id", updates)
+    assert res["version"] == 2 and res["rows_inserted"] == 1
+    assert read_version(spark, deep, 1).count() == 1_000  # its own history
+
+    # source vacuum to 1 version deletes files v1 pinned -> the shallow
+    # clone must now FAIL LOUDLY, not silently read the remainder
+    vacuum(src, keep_versions=1)
+    missing = verify_snapshot(os.path.join(shallow, "_manifests", "latest.json"))
+    assert missing, "source vacuum should have broken the shallow clone"
+    with pytest.raises(Exception):
+        read_version(spark, shallow, 1).collect()
+    # the deep clone is unaffected
+    assert read_version(spark, deep, 2).count() == 1_001
+
+
+def test_table_health_metrics(spark, duck, tmp_path):
+    """table_health: metadata-only compaction/retention/clustering
+    signals. Clustered table -> overlap 0.0; random re-write -> overlap
+    rises; merge leaves tombstones; small-file count tracks layout."""
+    from data_pipeline_project_spark.sinks.layout import (
+        table_health,
+        write_range_clustered,
+    )
+    from data_pipeline_project_spark.sinks.manifest import (
+        merge_upsert,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v")
+    )
+    write_range_clustered(base, path, "user_id", 8)
+    write_versioned_manifest(path)
+
+    h = table_health(duck, path, "user_id")
+    assert h["n_files"] == 8 and h["total_rows"] == 10_000
+    assert h["clustering_overlap"] == 0.0
+    assert h["small_files"] == 8  # tiny test files are all < 32MB
+    assert h["n_versions"] == 1
+    assert h["tombstone_files"] == 0 and h["quarantine_files"] == 0
+
+    # a merge tombstones rewritten files and appends an unclustered one
+    updates = spark.createDataFrame(
+        [(int(k), -1) for k in range(0, 10_000, 100)], ["user_id", "v"]
+    )
+    merge_upsert(spark, duck, path, "user_id", updates)
+    h2 = table_health(duck, path, "user_id")
+    assert h2["tombstone_files"] >= 1 and h2["tombstone_bytes"] > 0
+    assert h2["n_versions"] == 2
+    # the appended update file spans the whole key range -> overlap rose
+    assert h2["clustering_overlap"] > 0.0
+    assert h2["total_rows"] == 10_000
