@@ -392,3 +392,43 @@ def test_generator_is_deterministic():
     """Same seed → byte-identical SQL (replays must reproduce)."""
     for seed in (0, 7, 31):
         assert generate(seed)[1] == generate(seed)[1]
+
+
+# ---------------------------------------------------------------------------
+# Three-way parity: the SQL front door on machine-generated queries
+# ---------------------------------------------------------------------------
+# Families A (group-by) and E (set-op/subquery) render ENGINE-NEUTRAL
+# ANSI SQL, so the same text runs through spark.sql over temp views —
+# extending tests/test_sql_api.py's 11 curated shapes with fuzz
+# breadth: spark.sql(sql) == DataFrame twin == DuckDB, per seed.
+
+N_SQL3_SEEDS = 15
+
+
+@pytest.fixture()
+def sql_views(spark):
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    load_table(spark, "lineitem", SF_SMALL).createOrReplaceTempView("lineitem")
+    load_table(spark, "orders", SF_SMALL).createOrReplaceTempView("orders")
+    yield
+    spark.catalog.dropTempView("lineitem")
+    spark.catalog.dropTempView("orders")
+
+
+@pytest.mark.parametrize("seed", range(N_SQL3_SEEDS))
+def test_sql_front_door_three_way_parity(spark, duck, sql_views, seed):
+    plan, sql = generate(seed)
+    via_sql = spark.sql(sql).toPandas()
+    via_df = render_spark(plan, spark, SF_SMALL).toPandas()
+    via_duck = run_oracle(duck, sql, SF_SMALL)
+    assert not compare(via_sql, via_duck), f"seed {seed} spark.sql vs duckdb\n{sql}"
+    assert not compare(via_sql, via_df), f"seed {seed} spark.sql vs DataFrame\n{sql}"
+
+
+@pytest.mark.parametrize("seed", range(N_SQL3_SEEDS))
+def test_sql_front_door_setop_parity(spark, duck, sql_views, seed):
+    plan, sql = generate_setop(seed)
+    via_sql = spark.sql(sql).toPandas()
+    via_duck = run_oracle(duck, sql, SF_SMALL)
+    assert not compare(via_sql, via_duck), f"setop seed {seed} spark.sql vs duckdb\n{sql}"
