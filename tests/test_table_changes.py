@@ -186,3 +186,49 @@ def test_cdf_replication_loop(spark, duck, cdf_table, tmp_path):
     src_rows = sorted((r.k, r.v) for r in spark.read.parquet(cdf_table).collect())
     rep_rows = sorted((r.k, r.v) for r in spark.read.parquet(replica).collect())
     assert rep_rows == src_rows
+
+
+def test_replicate_table_stream_end_to_end(spark, duck, cdf_table, tmp_path):
+    """Product-level replication: replicate_table_stream drains the
+    source history, converges the replica, resumes from its checkpoint
+    consuming only new commits, and leaves the replica a first-class
+    manifest table (its own versions + change feed)."""
+    from data_pipeline_project_spark.sinks.manifest import snapshot_versions
+    from data_pipeline_project_spark.streaming.replicate import (
+        replicate_table_stream,
+    )
+
+    replica = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        q = replicate_table_stream(spark, duck, cdf_table, replica, "k", ckpt)
+        assert q.awaitTermination(240), "replication did not drain"
+        return q
+
+    q = run()
+    assert q.applied_versions == [1, 2, 3]
+    src = sorted((r.k, r.v) for r in spark.read.parquet(cdf_table).collect())
+    rep = sorted((r.k, r.v) for r in spark.read.parquet(replica).collect())
+    assert rep == src
+
+    # two more source commits; restart applies ONLY them
+    merge_upsert(
+        spark, duck, cdf_table, "k",
+        spark.createDataFrame([(7, -9), (901, -3)], "k long, v long"),
+    )
+    delete_rows_targeted(
+        spark, duck, cdf_table, "k", spark.createDataFrame([(900,)], "k long")
+    )
+    write_versioned_manifest(cdf_table)
+
+    q2 = run()
+    assert q2.applied_versions == [4, 5]
+    src2 = sorted((r.k, r.v) for r in spark.read.parquet(cdf_table).collect())
+    rep2 = sorted((r.k, r.v) for r in spark.read.parquet(replica).collect())
+    assert rep2 == src2
+
+    # the replica is itself a versioned manifest table with history
+    assert len(snapshot_versions(replica)) >= 3
+    feed = spark.read.format("tablechanges").option("path", replica).load()
+    assert feed.where(F.col("_change_type") == "delete").count() >= 3
