@@ -67,7 +67,7 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
     for step in range(OPS_PER_SEED):
         op = rng.choice(
             ["merge", "merge", "delete", "compact", "vacuum", "merge_bulk",
-             "delete_bulk"]
+             "delete_bulk", "crash_recover"]
         )
         if op in ("merge", "merge_bulk"):
             n_upd = rng.randrange(1, 40)
@@ -107,7 +107,31 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
                     del model[k]
                 m = write_versioned_manifest(path)
                 history[m["version"]] = _model_state(model)
-        elif op == "compact":
+        elif op == "crash_recover":
+            # a writer dies mid-operation: one pinned live file already
+            # tombstoned, one uncommitted orphan moved in. Recovery must
+            # restore the model state exactly; history is untouched (no
+            # new version was committed).
+            import os as _os
+
+            from data_pipeline_project_spark.sinks.manifest import (
+                REMOVED_DIR,
+                _data_files,
+                recover_to_last_manifest,
+            )
+
+            live = _data_files(path)
+            victim = rng.choice(live)
+            rel = _os.path.relpath(victim, path)
+            tomb = _os.path.join(path, REMOVED_DIR, rel)
+            if not _os.path.exists(tomb):  # committed tombstone may pin it
+                _os.makedirs(_os.path.dirname(tomb), exist_ok=True)
+                _os.replace(victim, tomb)
+            spark.createDataFrame(
+                _mk_rows([99_000 + step], salt=step), "k long, v long, s string"
+            ).coalesce(1).write.mode("append").parquet(path)
+            stats = recover_to_last_manifest(path)
+            assert stats["quarantined"] >= 1, (step, stats)
             res = compact_snapshot(
                 spark, path, small_bytes=1 << 30,
                 cluster_col="k" if rng.random() < 0.5 else None,
