@@ -395,3 +395,66 @@ def table_health(
             overlaps / (len(zm) - 1) if len(zm) > 1 else 0.0
         )
     return health
+
+
+# Default maintenance thresholds; callers override per table. Chosen
+# for the 100 TB posture: files under 32 MB waste scan parallelism and
+# footer overhead; >30% overlapping adjacent zone maps means range
+# scans read multiples of what clustering would give; retention areas
+# above 25% of live bytes are reclaimable cost.
+MAINTENANCE_DEFAULTS = {
+    "small_file_fraction": 0.5,
+    "clustering_overlap": 0.3,
+    "retention_fraction": 0.25,
+    "max_versions": 64,
+}
+
+
+def maintenance_plan(health: dict, thresholds: dict | None = None) -> list[dict]:
+    """Turn a table_health report into ordered maintenance actions —
+    the decision rules an operator (or a scheduled job) applies:
+
+    - ``compact``   when most files are below the small-file threshold;
+    - ``recluster`` when adjacent zone maps overlap too much (point and
+      range queries stop pruning);
+    - ``vacuum``    when tombstone+quarantine bytes outgrow the live
+      table fraction, or the version history is longer than retention
+      needs.
+
+    Pure function of the health dict: returns [{action, reason}, ...]
+    most-urgent first (compaction before reclustering — rewriting small
+    files re-sorts them anyway if done via compact_snapshot's
+    cluster_col). An empty list means the table is healthy."""
+    t = {**MAINTENANCE_DEFAULTS, **(thresholds or {})}
+    plan = []
+    n = max(1, health["n_files"])
+    small_frac = health["small_files"] / n
+    if small_frac > t["small_file_fraction"]:
+        plan.append({
+            "action": "compact",
+            "reason": f"{health['small_files']}/{n} files below the "
+                      f"small-file threshold ({small_frac:.0%})",
+        })
+    overlap = health.get("clustering_overlap")
+    if overlap is not None and overlap > t["clustering_overlap"]:
+        plan.append({
+            "action": "recluster",
+            "reason": f"adjacent zone-map overlap {overlap:.0%} exceeds "
+                      f"{t['clustering_overlap']:.0%} — range scans stop pruning",
+        })
+    live = max(1, health["total_bytes"])
+    retention = health["tombstone_bytes"] + health["quarantine_bytes"]
+    if retention / live > t["retention_fraction"]:
+        plan.append({
+            "action": "vacuum",
+            "reason": f"retention areas hold {retention / live:.0%} of live "
+                      f"bytes (tombstones {health['tombstone_files']}, "
+                      f"quarantine {health['quarantine_files']} files)",
+        })
+    elif health["n_versions"] > t["max_versions"]:
+        plan.append({
+            "action": "vacuum",
+            "reason": f"{health['n_versions']} snapshot versions exceed the "
+                      f"retention window ({t['max_versions']})",
+        })
+    return plan

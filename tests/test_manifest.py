@@ -933,3 +933,51 @@ def test_table_health_metrics(spark, duck, tmp_path):
     # the appended update file spans the whole key range -> overlap rose
     assert h2["clustering_overlap"] > 0.0
     assert h2["total_rows"] == 10_000
+
+
+def test_maintenance_plan_rules(spark, duck, tmp_path):
+    """maintenance_plan turns health metrics into the compact /
+    recluster / vacuum decisions, and stays empty on a healthy table."""
+    from data_pipeline_project_spark.sinks.layout import (
+        maintenance_plan,
+        table_health,
+        write_range_clustered,
+    )
+    from data_pipeline_project_spark.sinks.manifest import (
+        merge_upsert,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 5_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v")
+    )
+    write_range_clustered(base, path, "user_id", 4)
+    write_versioned_manifest(path)
+
+    # tiny test files are all "small": with a permissive threshold the
+    # table is healthy; with the default it wants compaction
+    h = table_health(duck, path, "user_id")
+    assert maintenance_plan(h, {"small_file_fraction": 1.1}) == []
+    actions = [a["action"] for a in maintenance_plan(h)]
+    assert actions == ["compact"]
+
+    # churn: a broad merge appends an unclustered file + tombstones
+    updates = spark.createDataFrame(
+        [(int(k), -1) for k in range(0, 5_000, 50)], ["user_id", "v"]
+    )
+    merge_upsert(spark, duck, path, "user_id", updates)
+    h2 = table_health(duck, path, "user_id")
+    plan = maintenance_plan(
+        h2, {"small_file_fraction": 1.1, "clustering_overlap": 0.0,
+             "retention_fraction": 0.0}
+    )
+    assert [a["action"] for a in plan] == ["recluster", "vacuum"]
+    assert all(a["reason"] for a in plan)
+
+    # version-count-only vacuum trigger
+    plan2 = maintenance_plan(
+        h2, {"small_file_fraction": 1.1, "clustering_overlap": 1.1,
+             "retention_fraction": 10.0, "max_versions": 1}
+    )
+    assert [a["action"] for a in plan2] == ["vacuum"]
