@@ -111,9 +111,11 @@ def _latest_version(root: str) -> int:
 
 
 class _StepPartition(InputPartition):
-    def __init__(self, root: str, version: int):
+    def __init__(self, root: str, version: int, shard: int = 0, n_shards: int = 1):
         self.root = root
         self.version = version  # the commit this step emits (v-1 -> v)
+        self.shard = shard
+        self.n_shards = n_shards
 
 
 def _py(v):
@@ -129,10 +131,20 @@ def _py(v):
     return v
 
 
-def _step_rows(root: str, version: int, columns: list[str]):
+def _step_rows(
+    root: str, version: int, columns: list[str], shard: int = 0, n_shards: int = 1
+):
     """Yield this commit's change rows: the multiset diff of version-1
     vs version over their non-shared files (version 1 diffs against the
-    empty table)."""
+    empty table).
+
+    ``n_shards > 1`` splits one commit's diff across tasks: a multiset
+    diff decomposes exactly under ANY deterministic row partitioning
+    (diff(A,B) = union over shards of diff(A_s, B_s)), so each task
+    keeps only rows whose stable row hash lands in its shard. The trade
+    is read amplification (every shard re-reads the step's non-shared
+    files) for parallel CPU on the groupby — worth it precisely for
+    bulk-rewrite commits whose footprint is the whole table."""
     import pandas as pd
     import pyarrow.parquet as pq
 
@@ -154,7 +166,12 @@ def _step_rows(root: str, version: int, columns: list[str]):
         ]
         if not frames:
             return None
-        return pd.concat(frames, ignore_index=True)[columns]
+        df = pd.concat(frames, ignore_index=True)[columns]
+        if n_shards > 1:
+            # stable across processes: fixed-algorithm row hash
+            h = pd.util.hash_pandas_object(df, index=False)
+            df = df[(h % n_shards) == shard]
+        return df if len(df) else None
 
     new_df = _frame(new_files - shared)
     old_df = _frame(old_files - shared)
@@ -191,6 +208,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
         self.root = options["path"]
         self.columns = columns
         self.starting = int(options.get("starting_version", 0))
+        self.shards = int(options.get("shards", 1))
 
     def initialOffset(self):
         return {"version": self.starting}
@@ -203,12 +221,16 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         return [
-            _StepPartition(self.root, v)
+            _StepPartition(self.root, v, s, self.shards)
             for v in range(start["version"] + 1, end["version"] + 1)
+            for s in range(self.shards)
         ]
 
     def read(self, partition):
-        yield from _step_rows(partition.root, partition.version, self.columns)
+        yield from _step_rows(
+            partition.root, partition.version, self.columns,
+            partition.shard, partition.n_shards,
+        )
 
     def commit(self, end):
         pass
@@ -221,15 +243,20 @@ class TableChangesBatchReader(DataSourceReader):
         self.v_from = int(options.get("from_version", 0))
         to = options.get("to_version")
         self.v_to = int(to) if to is not None else _latest_version(self.root)
+        self.shards = int(options.get("shards", 1))
 
     def partitions(self):
         return [
-            _StepPartition(self.root, v)
+            _StepPartition(self.root, v, s, self.shards)
             for v in range(self.v_from + 1, self.v_to + 1)
+            for s in range(self.shards)
         ]
 
     def read(self, partition):
-        yield from _step_rows(partition.root, partition.version, self.columns)
+        yield from _step_rows(
+            partition.root, partition.version, self.columns,
+            partition.shard, partition.n_shards,
+        )
 
 
 class TableChangesDataSource(DataSource):

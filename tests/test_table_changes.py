@@ -232,3 +232,21 @@ def test_replicate_table_stream_end_to_end(spark, duck, cdf_table, tmp_path):
     assert len(snapshot_versions(replica)) >= 3
     feed = spark.read.format("tablechanges").option("path", replica).load()
     assert feed.where(F.col("_change_type") == "delete").count() >= 3
+
+
+def test_sharded_step_diff_equals_unsharded(spark, duck, cdf_table):
+    """shards=N splits one commit's diff across tasks via a stable row
+    hash — a multiset diff decomposes exactly under any deterministic
+    row partitioning, so the sharded feed must be row-identical."""
+    one = (
+        spark.read.format("tablechanges").option("path", cdf_table).load()
+    )
+    sharded = (
+        spark.read.format("tablechanges")
+        .option("path", cdf_table)
+        .option("shards", 4)
+        .load()
+    )
+    assert sharded.count() == one.count() == 505
+    assert sharded.exceptAll(one).count() == 0
+    assert one.exceptAll(sharded).count() == 0
