@@ -790,7 +790,9 @@ class InstrS(Node):
         self.a, self.needle = a, needle
 
     def sql(self) -> str:
-        return f"strpos({self.a.sql()}, '{self.needle}')"
+        # ANSI form, parsed by BOTH DuckDB and Spark SQL — keeps the
+        # whole string family's SQL engine-neutral for 3-way parity
+        return f"position('{self.needle}' IN {self.a.sql()})"
 
     def spark(self) -> Column:
         return F.instr(self.a.spark(), self.needle)

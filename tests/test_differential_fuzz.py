@@ -405,15 +405,18 @@ def test_generator_is_deterministic():
 N_SQL3_SEEDS = 15
 
 
+_SQL_VIEW_TABLES = ("lineitem", "orders", "part", "customer")
+
+
 @pytest.fixture()
 def sql_views(spark):
     from data_pipeline_project_spark.sources.tables import load_table
 
-    load_table(spark, "lineitem", SF_SMALL).createOrReplaceTempView("lineitem")
-    load_table(spark, "orders", SF_SMALL).createOrReplaceTempView("orders")
+    for t in _SQL_VIEW_TABLES:
+        load_table(spark, t, SF_SMALL).createOrReplaceTempView(t)
     yield
-    spark.catalog.dropTempView("lineitem")
-    spark.catalog.dropTempView("orders")
+    for t in _SQL_VIEW_TABLES:
+        spark.catalog.dropTempView(t)
 
 
 @pytest.mark.parametrize("seed", range(N_SQL3_SEEDS))
@@ -432,3 +435,13 @@ def test_sql_front_door_setop_parity(spark, duck, sql_views, seed):
     via_sql = spark.sql(sql).toPandas()
     via_duck = run_oracle(duck, sql, SF_SMALL)
     assert not compare(via_sql, via_duck), f"setop seed {seed} spark.sql vs duckdb\n{sql}"
+
+
+@pytest.mark.parametrize("seed", range(N_SQL3_SEEDS))
+def test_sql_front_door_string_parity(spark, duck, sql_views, seed):
+    """Family D's SQL is engine-neutral too (ANSI position(x IN y)
+    instead of strpos): string kernels through spark.sql."""
+    plan, sql = generate_str(seed)
+    via_sql = spark.sql(sql).toPandas()
+    via_duck = run_oracle(duck, sql, SF_SMALL)
+    assert not compare(via_sql, via_duck), f"str seed {seed} spark.sql vs duckdb\n{sql}"
