@@ -1829,3 +1829,165 @@ def render_session_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFr
 def generate_session(seed: int) -> tuple[dict, str]:
     plan = SessionPlanGen(seed).build()
     return plan, render_session_sql(plan)
+
+
+# ---------------------------------------------------------------------------
+# Family L: NULL-semantics plans
+# ---------------------------------------------------------------------------
+#
+# Every other family is null-free by construction; this one makes NULL
+# the subject. nullif() leaves inject nulls deterministically, and the
+# grammar then exercises exactly the three-valued-logic surface where
+# engines classically diverge: NULL-propagating arithmetic, predicates
+# evaluating to UNKNOWN (row filtered — in WHERE and in CASE
+# conditions), IS [NOT] NULL, null-safe equality (IS NOT DISTINCT FROM
+# vs Column.eqNullSafe), null-skipping aggregates (count(expr) vs
+# count(*), sum/min/max over partially-null inputs), and NULL group
+# keys (sentinel-coalesced in the OUTPUT because nullable int columns
+# float64-ify in pandas on both sides and NaN != NaN would break the
+# value compare; the grouping itself still runs on the nullable key,
+# where both engines put all NULLs in one group).
+
+class NullIfLeaf(Node):
+    """nullif(col % k, c): deterministic nulls, ~1/k of rows."""
+
+    def __init__(self, col: str, k: int, c: int):
+        self.col, self.k, self.c = col, k, c
+
+    def sql(self) -> str:
+        return f"nullif(({self.col} % {self.k}), {self.c})"
+
+    def spark(self) -> Column:
+        return F.nullif(F.col(self.col) % F.lit(self.k), F.lit(self.c))
+
+
+class IsNullP(Pred):
+    def __init__(self, a: Node, negate: bool):
+        self.a, self.negate = a, negate
+
+    def sql(self) -> str:
+        op = "IS NOT NULL" if self.negate else "IS NULL"
+        return f"({self.a.sql()} {op})"
+
+    def spark(self) -> Column:
+        c = self.a.spark()
+        return c.isNotNull() if self.negate else c.isNull()
+
+
+class NullSafeEq(Pred):
+    def __init__(self, a: Node, b: Node):
+        self.a, self.b = a, b
+
+    def sql(self) -> str:
+        return f"({self.a.sql()} IS NOT DISTINCT FROM {self.b.sql()})"
+
+    def spark(self) -> Column:
+        return self.a.spark().eqNullSafe(self.b.spark())
+
+
+class NullPlanGen:
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed ^ 0x4011)
+
+    def int_expr(self, depth: int) -> Node:
+        r = self.rng
+        if depth <= 0 or r.random() < 0.35:
+            if r.random() < 0.6:
+                k = r.choice([3, 5, 7, 11])
+                return NullIfLeaf(r.choice(INT_COLS), k, r.randrange(0, k))
+            return IntLeaf(r.choice(INT_COLS), r.choice([7, 97]))
+        pick = r.random()
+        if pick < 0.5:  # NULL-propagating arithmetic
+            return BinOp(r.choice(["+", "-", "*"]),
+                         self.int_expr(depth - 1), self.int_expr(depth - 1))
+        if pick < 0.7:
+            return Func2(r.choice(["least", "greatest"]),
+                         self.int_expr(depth - 1), self.int_expr(depth - 1))
+        # a CASE whose CONDITION can be UNKNOWN (falls to ELSE)
+        return CaseWhen(self.pred(depth - 1),
+                        self.int_expr(depth - 1), self.int_expr(depth - 1))
+
+    def pred(self, depth: int) -> Pred:
+        r = self.rng
+        if depth <= 0 or r.random() < 0.5:
+            pick = r.random()
+            if pick < 0.35:  # UNKNOWN filters the row in both engines
+                return Cmp(r.choice(["<", "<=", "=", "!=", ">", ">="]),
+                           self.int_expr(1), self.int_expr(1))
+            if pick < 0.6:
+                return IsNullP(self.int_expr(1), r.random() < 0.5)
+            return NullSafeEq(self.int_expr(1), self.int_expr(1))
+        op = "and" if r.random() < 0.5 else "or"
+        return BoolOp(op, self.pred(depth - 1), self.pred(depth - 1))
+
+    def build(self) -> dict:
+        r = self.rng
+        where = self.pred(2)
+        group_key = self.int_expr(1) if r.random() < 0.7 else None
+        aggs = []
+        kinds = ["count_star", "count_expr", "count_distinct", "sum", "min", "max"]
+        picked = r.sample(kinds, r.randrange(3, 6))
+        if "count_expr" not in picked:
+            picked[0] = "count_expr"  # the null-skipping count is the point
+        for i, kind in enumerate(picked):
+            expr = None if kind == "count_star" else self.int_expr(2)
+            aggs.append((kind, expr, f"a{i}"))
+        return {"where": where, "group_key": group_key, "aggs": aggs}
+
+
+def render_null_sql(plan: dict) -> str:
+    keys, gkeys = [], []
+    if plan["group_key"] is not None:
+        e = plan["group_key"].sql()
+        # group on the NULLABLE key; emit it sentinel-coalesced (see
+        # family docstring for why the output can't stay nullable)
+        keys = [f"coalesce({e}, -999) AS gk"]
+        gkeys = [e]
+    aggs = []
+    for kind, expr, alias in plan["aggs"]:
+        if kind == "count_star":
+            aggs.append(f"CAST(count(*) AS BIGINT) AS {alias}")
+        elif kind == "count_expr":
+            aggs.append(f"CAST(count({expr.sql()}) AS BIGINT) AS {alias}")
+        elif kind == "count_distinct":
+            aggs.append(f"CAST(count(DISTINCT {expr.sql()}) AS BIGINT) AS {alias}")
+        else:
+            aggs.append(
+                f"CAST(coalesce({kind}({expr.sql()}), -1) AS BIGINT) AS {alias}"
+            )
+    sql = f"SELECT {', '.join(keys + aggs)} FROM lineitem WHERE {plan['where'].sql()}"
+    if gkeys:
+        sql += f" GROUP BY {', '.join(gkeys)}"
+    return sql
+
+
+def render_null_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_project_spark.sources.tables import load_table
+
+    df = load_table(spark, "lineitem", sf_dir).where(plan["where"].spark())
+    aggs = []
+    for kind, expr, alias in plan["aggs"]:
+        if kind == "count_star":
+            c = F.count(F.lit(1))
+        elif kind == "count_expr":
+            c = F.count(expr.spark())
+        elif kind == "count_distinct":
+            c = F.count_distinct(expr.spark())
+        else:
+            f = {"sum": F.sum, "min": F.min, "max": F.max}[kind]
+            c = F.coalesce(f(expr.spark()), F.lit(-1))
+        aggs.append(c.cast("long").alias(alias))
+    if plan["group_key"] is not None:
+        gk = plan["group_key"].spark()
+        out = df.groupBy(gk.alias("_gk")).agg(*aggs)
+        return out.select(
+            F.coalesce(F.col("_gk"), F.lit(-999)).cast("long").alias("gk"), *[
+                F.col(a) for _, _, a in plan["aggs"]
+            ]
+        )
+    return df.agg(*aggs)
+
+
+def generate_null(seed: int) -> tuple[dict, str]:
+    plan = NullPlanGen(seed).build()
+    return plan, render_null_sql(plan)

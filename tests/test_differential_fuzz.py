@@ -23,6 +23,7 @@ from tests.differential_gen import (
     generate_date,
     generate_ewma,
     generate_gen,
+    generate_null,
     generate_range,
     generate_session,
     generate_setop,
@@ -33,6 +34,7 @@ from tests.differential_gen import (
     render_date_spark,
     render_ewma_spark,
     render_gen_spark,
+    render_null_spark,
     render_range_spark,
     render_session_spark,
     render_setop_spark,
@@ -90,6 +92,44 @@ def test_random_date_plan_parity(spark, duck, seed):
     oracle_pd = run_oracle(duck, sql, SF_SMALL)
     problems = compare(spark_pd, oracle_pd)
     assert not problems, f"date seed {seed}: {problems}\nSQL: {sql}"
+
+
+N_NULL_SEEDS = 25
+
+
+@pytest.mark.parametrize("seed", range(N_NULL_SEEDS))
+def test_random_null_semantics_parity(spark, duck, seed):
+    """Three-valued logic as the fuzz subject: nullif-injected nulls
+    through NULL-propagating arithmetic, UNKNOWN predicates, IS [NOT]
+    NULL, null-safe equality, null-skipping aggregates, and NULL group
+    keys."""
+    plan, sql = generate_null(seed)
+    spark_pd = render_null_spark(plan, spark, SF_SMALL).toPandas()
+    oracle_pd = run_oracle(duck, sql, SF_SMALL)
+    problems = compare(spark_pd, oracle_pd)
+    assert not problems, f"null seed {seed}: {problems}\nSQL: {sql}"
+
+
+def test_null_generator_exercises_every_shape():
+    kinds, preds = set(), set()
+    grouped = 0
+    for seed in range(N_NULL_SEEDS * 2):
+        plan, _ = generate_null(seed)
+        grouped += plan["group_key"] is not None
+        kinds.update(k for k, _, _ in plan["aggs"])
+
+        def walk(n):
+            preds.add(type(n).__name__)
+            for v in vars(n).values():
+                if hasattr(v, "sql"):
+                    walk(v)
+
+        walk(plan["where"])
+    assert kinds == {
+        "count_star", "count_expr", "count_distinct", "sum", "min", "max"
+    }
+    assert {"IsNullP", "NullSafeEq", "NullIfLeaf", "Cmp"} <= preds
+    assert grouped >= 10
 
 
 N_SESSION_SEEDS = 15
@@ -435,6 +475,16 @@ def test_sql_front_door_setop_parity(spark, duck, sql_views, seed):
     via_sql = spark.sql(sql).toPandas()
     via_duck = run_oracle(duck, sql, SF_SMALL)
     assert not compare(via_sql, via_duck), f"setop seed {seed} spark.sql vs duckdb\n{sql}"
+
+
+@pytest.mark.parametrize("seed", range(N_SQL3_SEEDS))
+def test_sql_front_door_null_parity(spark, duck, sql_views, seed):
+    """Family L's SQL is engine-neutral (nullif, IS NOT DISTINCT FROM):
+    three-valued logic through spark.sql too."""
+    plan, sql = generate_null(seed)
+    via_sql = spark.sql(sql).toPandas()
+    via_duck = run_oracle(duck, sql, SF_SMALL)
+    assert not compare(via_sql, via_duck), f"null seed {seed} spark.sql vs duckdb\n{sql}"
 
 
 @pytest.mark.parametrize("seed", range(N_SQL3_SEEDS))
