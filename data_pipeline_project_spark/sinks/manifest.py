@@ -430,12 +430,19 @@ class ConcurrentSnapshotError(RuntimeError):
 _test_claim_interposer = None
 
 
-def write_versioned_manifest(path: str) -> dict:
+def write_versioned_manifest(path: str, extra: dict | None = None) -> dict:
     """Append-only snapshot history: write the manifest as
     ``_manifests/v{N}.json`` (N = 1 + highest existing version) and
     update ``_manifests/latest.json`` last — the minimal time-travel
     log (Delta/Iceberg's snapshot chain, minus compaction of the log
     itself). Returns the manifest with its ``version`` field set.
+
+    ``extra`` rides the commit as application metadata under the
+    manifest's ``app`` key (Iceberg's snapshot summary / Delta's
+    commitInfo): it becomes durable ATOMICALLY with the file set, which
+    is what lets a derived table stamp "this snapshot reflects source
+    version N" without a second, torn-able metadata write
+    (sinks/matview.py is the first consumer).
 
     The version slot is CLAIMED with an exclusive create (O_EXCL) —
     the compare-and-swap every log-based table format commits through.
@@ -469,6 +476,8 @@ def write_versioned_manifest(path: str) -> dict:
     os.close(fd)
     manifest = write_manifest(path, vpath)
     manifest["version"] = version
+    if extra:
+        manifest["app"] = extra
     with open(vpath, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     tmp = os.path.join(mdir, "latest.json.tmp")
@@ -630,6 +639,7 @@ def merge_upsert(
     duck_type: str = "BIGINT",
     prune: str = "auto",
     rewrite: str = "targeted",
+    commit_extra: dict | None = None,
 ) -> dict:
     """Copy-on-write MERGE INTO (the lakehouse upsert: Delta/Iceberg's
     ``whenMatched update-all whenNotMatched insert``): rows of
@@ -681,7 +691,9 @@ def merge_upsert(
     if rewrite not in ("targeted", "bulk", "auto"):
         raise ValueError(f"rewrite must be targeted|bulk|auto, got {rewrite!r}")
     if rewrite == "bulk":
-        return merge_bulk(spark, path, key_col, updates_df)
+        return merge_bulk(
+            spark, path, key_col, updates_df, commit_extra=commit_extra
+        )
 
     from data_pipeline_project_spark.sinks.layout import file_zone_maps
 
@@ -734,7 +746,9 @@ def merge_upsert(
         # Table-scale selectivity: zone maps can't save this merge —
         # nearly every file would be rewritten one at a time. Switch to
         # the single shuffle anti-join + re-cluster plan instead.
-        return merge_bulk(spark, path, key_col, updates_df)
+        return merge_bulk(
+            spark, path, key_col, updates_df, commit_extra=commit_extra
+        )
 
     pending = snapshot_versions(path)
     version = (pending[-1] + 1) if pending else 1
@@ -790,7 +804,7 @@ def merge_upsert(
     # order as new data files under the table root.
     updates_df.select(*target_cols).write.mode("append").parquet(path)
 
-    manifest = write_versioned_manifest(path)
+    manifest = write_versioned_manifest(path, extra=commit_extra)
     return {
         "version": manifest["version"],
         "files_rewritten": sum(1 for n in replaced_per_file if n),
@@ -820,6 +834,7 @@ def merge_bulk(
     key_col: str,
     updates_df: DataFrame,
     n_files: int | None = None,
+    commit_extra: dict | None = None,
 ) -> dict:
     """Table-wide MERGE INTO for change batches too large to target:
     one shuffle left_anti join of the whole table against the update
@@ -898,7 +913,8 @@ def merge_bulk(
     merged = bulk_merge_frame(target, updates_df, key_col, target_cols)
 
     staged_total, manifest = _commit_bulk_rewrite(
-        spark, path, merged, key_col, version, n_out, old_files
+        spark, path, merged, key_col, version, n_out, old_files,
+        extra=commit_extra,
     )
     rows_updated = n_target - (staged_total - n_updates)
     return {
@@ -912,6 +928,7 @@ def merge_bulk(
 def _commit_bulk_rewrite(
     spark, path: str, frame: DataFrame, key_col: str,
     version: int, n_out: int, old_files: list[str],
+    extra: dict | None = None,
 ) -> tuple[int, dict]:
     """Shared commit tail of the table-wide rewrites (merge_bulk,
     delete_bulk): range-cluster ``frame`` into a hidden staging dir,
@@ -959,7 +976,7 @@ def _commit_bulk_rewrite(
             )
     shutil.rmtree(staging, ignore_errors=True)
 
-    return staged_total, write_versioned_manifest(path)
+    return staged_total, write_versioned_manifest(path, extra=extra)
 
 
 def delete_bulk(

@@ -1,0 +1,396 @@
+"""Incrementally-maintained materialized aggregate views over manifest
+tables.
+
+A materialized view is the standing answer to ``SELECT keys,
+count/sum/min/max/avg(value) GROUP BY keys`` over a manifest table —
+stored as a manifest table ITSELF (time-travelable, CDF-readable,
+clonable, compactable), and kept current from the source's
+change-data-feed instead of by recomputation:
+
+- the view stores the MERGEABLE state per group (``aggregate_state``'s
+  ``rows/n/sum/min/max`` columns, decimal-exact sum), not the rendered
+  statistics — state is what folds under inserts and retracts under
+  deletes; ``read_agg_view`` renders it via finalize;
+- each refresh reads ONLY the source commits since the last applied
+  version (the ``tablechanges`` feed — O(churn), never O(table)) and
+  rewrites ONLY the touched groups' state rows (zone-map-pruned
+  ``merge_upsert`` on a 64-bit group key);
+- exactly-once without a transaction coordinator: the applied source
+  version is stamped INTO the view's snapshot manifest (the ``extra``
+  channel of ``write_versioned_manifest``), so the watermark commits
+  atomically with the data. A crashed refresh leaves the watermark
+  unmoved; ``recover_to_last_manifest`` + rerun converges (the same
+  argument as every other writer on the manifest layer).
+
+Two refresh strategies, same result (pinned against each other in
+tests/test_matview.py):
+
+- ``recompute`` (default): re-aggregate the touched groups from the
+  source's live snapshot, scanning only those groups' facts (semi-join
+  prune; partition-pruned when keys align with layout). Idempotent by
+  construction — the safe default, and cheap when groups are small.
+- ``delta``: pure state arithmetic — fold the insert batch in
+  (``merge_aggregate_states``), subtract the delete batch
+  (``retract_aggregate_state``: count/sum are invertible monoids),
+  and rescan ONLY the groups whose min/max a delete actually touched
+  (``repair_aggregate_state``). The scale path when touched groups are
+  hot (a group with 10^9 facts costs one state row here, a group scan
+  under recompute).
+
+At 100 TB: refresh cost is O(source churn) + O(touched group state) +
+(delta mode) O(facts of min/max-stale groups only); the view table is
+O(groups) — the whole point of materializing. Group identity rides a
+single xxhash64 key so the view merges through the integer zone-map
+fast path regardless of key arity; collisions are checked exhaustively
+at create time and per-batch at refresh (the merge cardinality check),
+with an optional full invariant sweep (``verify_unique``).
+
+No reference counterpart (the reference recomputes its aggregate table
+from scratch per file batch — ``pipeline.py:288-316``); this is the
+lakehouse-tier completion of that aggregate sink: same statistics,
+maintained under MERGE/DELETE churn without recomputation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.operators.incremental import (
+    _DEC,
+    aggregate_state,
+    finalize_aggregate_state,
+    merge_aggregate_states,
+    repair_aggregate_state,
+    retract_aggregate_state,
+)
+from data_pipeline_project_spark.sinks.manifest import (
+    read_manifest,
+    read_version,
+    snapshot_versions,
+    write_versioned_manifest,
+)
+
+GROUP_KEY = "_gk"
+SPEC_FILE = "_matview.json"
+_STATE_COLS = ["_st_rows", "_st_n", "_st_sum", "_st_min", "_st_max"]
+
+
+def _spec_path(view_path: str) -> str:
+    return os.path.join(view_path, SPEC_FILE)
+
+
+def read_spec(view_path: str) -> dict:
+    with open(_spec_path(view_path)) as fh:
+        return json.load(fh)
+
+
+def applied_src_version(view_path: str) -> int:
+    """The source version the view currently reflects: walk the view's
+    snapshot history newest-first for the last commit that carried a
+    matview stamp (commits by OTHER writers on the view — compaction,
+    say — don't carry one and are skipped)."""
+    mdir = os.path.join(view_path, "_manifests")
+    for v in reversed(snapshot_versions(view_path)):
+        m = read_manifest(os.path.join(mdir, f"v{v}.json"))
+        stamp = m.get("app", {}).get("matview")
+        if stamp is not None:
+            return int(stamp["applied_src_version"])
+    raise ValueError(
+        f"{view_path!r} has no matview-stamped snapshot — not a "
+        f"materialized view (or its history was truncated)"
+    )
+
+
+def _check_no_null_keys(df: DataFrame, keys: list[str], what: str) -> None:
+    # Group maintenance joins on key EQUALITY (semi-join prune, retract's
+    # state join); a null group key would silently never match and the
+    # group would drift stale. Refuse loudly instead.
+    cond = None
+    for k in keys:
+        c = F.col(k).isNull()
+        cond = c if cond is None else (cond | c)
+    if df.where(cond).limit(1).count():
+        raise ValueError(
+            f"materialized view keys must be non-null; {what} contains "
+            f"null values in one of {keys}"
+        )
+
+
+def _with_gk(df: DataFrame, keys: list[str]) -> DataFrame:
+    return df.withColumn(GROUP_KEY, F.xxhash64(*[F.col(k) for k in keys]))
+
+
+def create_agg_view(
+    spark,
+    duck,
+    src_path: str,
+    view_path: str,
+    keys: list[str],
+    value_col: str,
+    n_files: int = 4,
+) -> dict:
+    """Materialize the view: full aggregate-state compute from the
+    source's LATEST committed snapshot, range-clustered on the group
+    key (tight zone maps for every later refresh merge), spec written
+    beside the data, first snapshot stamped with the source version it
+    reflects. Returns {view_version, applied_src_version, n_groups}."""
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+
+    src_versions = snapshot_versions(src_path)
+    if not src_versions:
+        raise ValueError(
+            f"source {src_path!r} has no snapshot manifest — commit one "
+            f"with write_versioned_manifest first"
+        )
+    src_v = src_versions[-1]
+    facts = read_version(spark, src_path, src_v)
+    _check_no_null_keys(facts.select(*keys), keys, "the source")
+
+    state = _with_gk(aggregate_state(facts, keys, value_col), keys)
+    n_groups = state.count()
+    if state.select(GROUP_KEY).distinct().count() != n_groups:
+        # 64-bit birthday bound: ~n^2/2^65 — vanishing below ~10^8
+        # groups, but a collision would silently fuse two groups, so
+        # the one-time exhaustive check is worth one shuffle at create.
+        raise ValueError(
+            "xxhash64 group-key collision among existing groups — use a "
+            "coarser grouping or extend the key"
+        )
+
+    write_range_clustered(state, view_path, GROUP_KEY, n_files)
+    spec = {
+        "src": os.path.abspath(src_path),
+        "keys": list(keys),
+        "value_col": value_col,
+    }
+    tmp = _spec_path(view_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(spec, fh, indent=1, sort_keys=True)
+    os.replace(tmp, _spec_path(view_path))
+    m = write_versioned_manifest(
+        view_path, extra={"matview": {"applied_src_version": src_v}}
+    )
+    return {
+        "view_version": m["version"],
+        "applied_src_version": src_v,
+        "n_groups": n_groups,
+    }
+
+
+def _read_changes(spark, src_path: str, v_from: int, v_to: int) -> DataFrame:
+    from data_pipeline_project_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    return (
+        spark.read.format("tablechanges")
+        .option("path", src_path)
+        .option("from_version", v_from)
+        .option("to_version", v_to)
+        .load()
+    )
+
+
+def refresh_agg_view(
+    spark,
+    duck,
+    view_path: str,
+    mode: str = "recompute",
+    verify_unique: bool = False,
+) -> dict:
+    """Advance the view to the source's latest committed version.
+
+    Reads the change feed over (applied, latest], derives the touched
+    group set (bounded by churn, never by table size), computes the new
+    state for exactly those groups per ``mode``, and commits ONE merge
+    on the view carrying the new watermark atomically. Groups whose
+    rows all vanished become ``_st_rows = 0`` tombstone state rows —
+    filtered by ``read_agg_view``, physically reclaimed whenever the
+    view is compacted. A refresh that finds no committed changes (or
+    only no-op commits like compactions) stamps an empty watermark
+    commit so staleness stays observable.
+
+    Crash contract: every intermediate state is merge_upsert's, so
+    ``recover_to_last_manifest(view_path)`` + rerun converges; the
+    watermark only moves in the commit itself. If the source has been
+    vacuumed past the view's watermark the feed fails loudly — rebuild
+    with create_agg_view (retention must outlive refresh cadence,
+    the same contract as any CDF consumer).
+
+    Returns {view_version, applied_src_version, groups_changed,
+    groups_dropped, mode}."""
+    if mode not in ("recompute", "delta"):
+        raise ValueError(f"mode must be recompute|delta, got {mode!r}")
+    spec = read_spec(view_path)
+    src, keys, value_col = spec["src"], spec["keys"], spec["value_col"]
+    applied = applied_src_version(view_path)
+    src_latest = (snapshot_versions(src) or [0])[-1]
+    stamp = {"matview": {"applied_src_version": src_latest, "mode": mode}}
+    if src_latest <= applied:
+        return {
+            "view_version": (snapshot_versions(view_path) or [0])[-1],
+            "applied_src_version": applied,
+            "groups_changed": 0,
+            "groups_dropped": 0,
+            "mode": mode,
+        }
+
+    changes = _read_changes(spark, src, applied, src_latest)
+    _check_no_null_keys(changes.select(*keys), keys, "the change feed")
+    touched = changes.select(*keys).distinct()
+
+    current = read_version(spark, view_path)
+    current_live = current.where(F.col("_st_rows") > 0).drop(GROUP_KEY)
+    current_touched = current_live.join(touched, keys, "left_semi").select(
+        *keys, *_STATE_COLS
+    )
+
+    if mode == "recompute":
+        # Idempotent by construction: the state of every touched group
+        # is re-derived from the source's pinned snapshot at the target
+        # version, scanning only those groups' facts.
+        facts = read_version(spark, src, src_latest)
+        fresh = aggregate_state(
+            facts.join(touched, keys, "left_semi"), keys, value_col
+        )
+    else:
+        # Pure state arithmetic: fold inserts in, subtract deletes
+        # (rows/count/decimal-sum are exact inverses), then rescan only
+        # the groups whose min/max the deletes touched. Folding the
+        # whole multi-commit range at once is sound because the monoid
+        # ops commute and repair reads the live snapshot, which already
+        # reflects every commit in the range.
+        ins = changes.where(F.col("_change_type") == "insert")
+        dels = changes.where(F.col("_change_type") == "delete")
+        ins_state = aggregate_state(ins, keys, value_col)
+        merged = merge_aggregate_states(current_touched, ins_state)
+        retracted = retract_aggregate_state(
+            merged, aggregate_state(dels, keys, value_col)
+        )
+        fresh = repair_aggregate_state(
+            retracted, read_version(spark, src, src_latest), value_col
+        ).select(*keys, *_STATE_COLS)
+
+    # Tombstone exactly the groups that WERE live and no longer are —
+    # never groups that only existed inside the refresh window.
+    src_field = {
+        f.name: f.dataType
+        for f in read_version(spark, src, src_latest).schema.fields
+    }
+    vanished = current_touched.select(*keys).join(fresh, keys, "left_anti")
+    tombs = vanished.select(
+        *keys,
+        F.lit(0).cast("long").alias("_st_rows"),
+        F.lit(0).cast("long").alias("_st_n"),
+        F.lit(None).cast(_DEC).alias("_st_sum"),
+        F.lit(None).cast(src_field[value_col]).alias("_st_min"),
+        F.lit(None).cast(src_field[value_col]).alias("_st_max"),
+    )
+    final = _with_gk(fresh.unionByName(tombs), keys).localCheckpoint()
+    n_changed = final.count()
+    n_dropped = final.where(F.col("_st_rows") == 0).count()
+
+    if n_changed == 0:
+        m = write_versioned_manifest(view_path, extra=stamp)
+        view_v = m["version"]
+    else:
+        from data_pipeline_project_spark.sinks.manifest import merge_upsert
+
+        res = merge_upsert(
+            spark, duck, view_path, GROUP_KEY, final,
+            duck_type="BIGINT", rewrite="auto", commit_extra=stamp,
+        )
+        view_v = res["version"]
+
+    if verify_unique:
+        # Optional cross-batch collision sweep: a NEW group whose hash
+        # collides with an UNTOUCHED old group would have replaced it
+        # silently (the per-batch cardinality check can't see across
+        # the merge boundary). One count-distinct over the O(groups)
+        # view makes the invariant explicit.
+        live = read_version(spark, view_path).where(F.col("_st_rows") > 0)
+        if live.count() != live.select(*keys).distinct().count():
+            raise ValueError(
+                "group-key collision detected after refresh — rebuild "
+                "the view with an extended key"
+            )
+    return {
+        "view_version": view_v,
+        "applied_src_version": src_latest,
+        "groups_changed": n_changed - n_dropped,
+        "groups_dropped": n_dropped,
+        "mode": mode,
+    }
+
+
+def read_agg_view(spark, view_path: str, version: int | None = None) -> DataFrame:
+    """Render the view as user-facing statistics (keys, n_rows,
+    sum/min/max/avg_value) — identical to a one-shot GROUP BY over the
+    source snapshot the (possibly time-traveled) view version reflects."""
+    state = read_version(spark, view_path, version)
+    return finalize_aggregate_state(
+        state.where(F.col("_st_rows") > 0).drop(GROUP_KEY)
+    )
+
+
+def view_status(view_path: str) -> dict:
+    """Metadata-only staleness probe: versions on both sides of the
+    contract, no Spark session needed."""
+    spec = read_spec(view_path)
+    applied = applied_src_version(view_path)
+    src_latest = (snapshot_versions(spec["src"]) or [0])[-1]
+    return {
+        "src": spec["src"],
+        "keys": spec["keys"],
+        "value_col": spec["value_col"],
+        "applied_src_version": applied,
+        "src_latest_version": src_latest,
+        "stale": src_latest > applied,
+    }
+
+
+def maintain_agg_view_stream(
+    spark,
+    duck,
+    view_path: str,
+    checkpoint_dir: str,
+    mode: str = "recompute",
+):
+    """Continuous maintenance: the source's change feed is the trigger,
+    ``refresh_agg_view`` is the transactional unit. The stream's
+    micro-batch CONTENT is deliberately unused — refresh re-reads the
+    window under its own watermark, so a replayed trigger after a
+    checkpoint rollback is a no-op rather than a double-apply (the
+    watermark, not the stream offset, is what's exactly-once).
+    Returns the started query; ``q.refresh_results`` accumulates the
+    per-trigger refresh dicts."""
+    from data_pipeline_project_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spec = read_spec(view_path)
+    spark.dataSource.register(TableChangesDataSource)
+    results: list[dict] = []
+
+    def _tick(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        results.append(refresh_agg_view(spark, duck, view_path, mode=mode))
+
+    q = (
+        spark.readStream.format("tablechanges")
+        .option("path", spec["src"])
+        .option("starting_version", applied_src_version(view_path))
+        .load()
+        .writeStream.foreachBatch(_tick)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.refresh_results = results  # type: ignore[attr-defined]
+    return q

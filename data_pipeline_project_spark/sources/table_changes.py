@@ -121,13 +121,22 @@ class _StepPartition(InputPartition):
 def _py(v):
     """numpy scalar -> python native (the DataSource row path converts
     per-field; numpy int64/float64 must not leak through). pandas
-    Timestamp IS a datetime subclass and passes as-is; NaT -> None."""
+    Timestamp IS a datetime subclass and passes as-is; NaT -> None.
+    NaN -> None: pandas groupby(dropna=False) normalizes EVERY na
+    flavor in its group keys to float NaN — including a null in a
+    BIGINT column (object dtype with None) — and a float NaN cannot
+    re-enter an int64 arrow column. Mapping back to None restores the
+    parquet null; the cost is that a genuine float-NaN value is also
+    reported as null in the feed (pandas already conflates the two on
+    read, so the distinction was gone before this line)."""
     import pandas as pd
 
     if v is pd.NaT:
         return None
     if type(v).__module__ == "numpy" and hasattr(v, "item"):
-        return v.item()
+        v = v.item()
+    if isinstance(v, float) and v != v:
+        return None
     return v
 
 

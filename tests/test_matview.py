@@ -1,0 +1,327 @@
+"""Incrementally-maintained materialized aggregate views
+(sinks/matview.py): create / refresh (recompute and delta modes) /
+read / streaming maintenance, exactly-once via the manifest-stamped
+watermark.
+
+The oracle everywhere is a DIRECT one-shot GROUP BY over the source's
+live snapshot, built from plain Spark aggregates (independent of the
+mergeable/retractable state machinery under test)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.sinks.layout import write_range_clustered
+from data_pipeline_project_spark.sinks.manifest import (
+    delete_rows_targeted,
+    merge_upsert,
+    read_version,
+    recover_to_last_manifest,
+    snapshot_versions,
+    write_versioned_manifest,
+)
+from data_pipeline_project_spark.sinks.matview import (
+    applied_src_version,
+    create_agg_view,
+    maintain_agg_view_stream,
+    read_agg_view,
+    refresh_agg_view,
+    view_status,
+)
+
+_DEC = "decimal(38,6)"
+
+
+def _direct_agg(df, keys, value_col):
+    """Independent oracle: one-shot GROUP BY with the same rendering
+    rules as finalize_aggregate_state (exact decimal sum, one IEEE
+    division, round 6)."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(v).alias("n_rows"),
+        F.sum(v.cast(_DEC)).cast("double").alias("sum_value"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+        F.round(
+            F.try_divide(F.sum(v.cast(_DEC)).cast("double"), F.count(v)), 6
+        ).alias("avg_value"),
+    )
+
+
+def _rows(df):
+    # repr-keyed sort: deterministic under mixed None/float/str cells
+    # (tuple comparison would raise on None vs float); equality of the
+    # sorted lists is still exact-value equality.
+    return sorted(
+        (tuple(r) for r in df.select(*sorted(df.columns)).collect()),
+        key=lambda t: [repr(x) for x in t],
+    )
+
+
+def _source(spark, path, n=400):
+    """Rows: k unique, g = k % 10 group, v value with nulls sprinkled
+    (every 11th row) so n_rows vs raw row counts stay distinguishable."""
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("g"),
+        F.when(F.col("id") % 11 == 0, F.lit(None)).otherwise(
+            (F.col("id") * 3) % 101
+        ).cast("long").alias("v"),
+    )
+    write_range_clustered(df, path, "k", 4)
+    write_versioned_manifest(path)
+
+
+def _assert_view_equals_source(spark, src, view, keys=("g",)):
+    got = _rows(read_agg_view(spark, view))
+    want = _rows(_direct_agg(spark.read.parquet(src), list(keys), "v"))
+    assert got == want
+
+
+def test_create_and_read_matches_direct_aggregate(spark, duck, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    _source(spark, src)
+    res = create_agg_view(spark, duck, src, view, ["g"], "v")
+    assert res["n_groups"] == 10 and res["applied_src_version"] == 1
+    _assert_view_equals_source(spark, src, view)
+    st = view_status(view)
+    assert st["stale"] is False and st["applied_src_version"] == 1
+
+
+def test_refresh_recompute_tracks_churn_and_is_idempotent(spark, duck, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    _source(spark, src)
+    create_agg_view(spark, duck, src, view, ["g"], "v")
+
+    # v2: update 3 rows (one moves between groups: g is part of the
+    # row), insert 2 rows into a brand-new group
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame(
+            [(5, 3, 999), (17, 7, -50), (28, 5, None), (9000, 12, 1), (9001, 12, 7)],
+            "k long, g long, v long",
+        ),
+    )
+    # v3: delete every row of group 9 (group vanishes) plus the row
+    # holding another group's minimum
+    g9 = [(int(r.k),) for r in spark.read.parquet(src).where("g = 9").collect()]
+    delete_rows_targeted(
+        spark, duck, src, "k",
+        spark.createDataFrame(g9 + [(17,)], "k long"),
+    )
+    write_versioned_manifest(src)
+
+    res = refresh_agg_view(spark, duck, view, mode="recompute")
+    assert res["applied_src_version"] == 3
+    assert res["groups_dropped"] == 1  # group 9
+    _assert_view_equals_source(spark, src, view)
+
+    # already current: no new data commit, watermark unchanged
+    res2 = refresh_agg_view(spark, duck, view, mode="recompute")
+    assert res2["groups_changed"] == 0 and res2["applied_src_version"] == 3
+
+
+def test_delta_mode_equals_recompute_mode(spark, duck, tmp_path):
+    """Same source, two views, one refreshed per mode — identical
+    rendered output, both equal to the direct oracle. The churn is
+    built to hit every delta branch: pure-insert groups, min/max-stale
+    retracts, a group losing all non-null values but keeping rows, and
+    a fully-vanished group."""
+    src = str(tmp_path / "src")
+    v_rec, v_del = str(tmp_path / "rec"), str(tmp_path / "del")
+    _source(spark, src)
+    create_agg_view(spark, duck, src, v_rec, ["g"], "v")
+    create_agg_view(spark, duck, src, v_del, ["g"], "v")
+
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame(
+            [(3, 3, -1000), (40, 0, 2000), (7777, 33, 5)],
+            "k long, g long, v long",
+        ),
+    )
+    live = spark.read.parquet(src)
+    g8 = [(int(r.k),) for r in live.where("g = 8").collect()]
+    # all of group 2's NON-NULL values (null-valued rows survive: the
+    # group must persist with n=0, like a one-shot GROUP BY)
+    g2_nonnull = [
+        (int(r.k),) for r in live.where("g = 2 AND v IS NOT NULL").collect()
+    ]
+    delete_rows_targeted(
+        spark, duck, src, "k",
+        spark.createDataFrame(g8 + g2_nonnull + [(3,)], "k long"),
+    )
+    write_versioned_manifest(src)
+
+    r1 = refresh_agg_view(spark, duck, v_rec, mode="recompute")
+    r2 = refresh_agg_view(spark, duck, v_del, mode="delta", verify_unique=True)
+    assert r1["applied_src_version"] == r2["applied_src_version"] == 3
+    assert _rows(read_agg_view(spark, v_rec)) == _rows(read_agg_view(spark, v_del))
+    _assert_view_equals_source(spark, src, v_rec)
+    # group 2 survived with n=0 (null sum/avg), group 8 vanished
+    g2 = read_agg_view(spark, v_del).where("g = 2").collect()
+    assert len(g2) == 1 and g2[0].n_rows == 0 and g2[0].sum_value is None
+    assert read_agg_view(spark, v_del).where("g = 8").count() == 0
+
+
+def test_randomized_churn_converges_every_step(spark, duck, tmp_path):
+    """Model-checker shape: random MERGE/DELETE/no-op commits on the
+    source, a refresh after each (modes alternating), the direct
+    GROUP BY oracle checked every step — plus one time-travel check
+    that an OLD view version still renders the source version its
+    manifest stamp claims."""
+    import random
+
+    rng = random.Random(87)
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    _source(spark, src, n=300)
+    create_agg_view(spark, duck, src, view, ["g"], "v")
+
+    stamped = []  # (view_version, src_version) after each refresh
+    for step in range(6):
+        op = rng.choice(["merge", "delete", "noop"])
+        if op == "merge":
+            rows = [
+                (
+                    rng.randrange(0, 600),           # half updates, half inserts
+                    rng.randrange(0, 14),            # may move groups / new groups
+                    rng.choice([None, rng.randrange(-100, 100)]),
+                )
+                for _ in range(rng.randrange(1, 25))
+            ]
+            dedup = {r[0]: r for r in rows}
+            merge_upsert(
+                spark, duck, src, "k",
+                spark.createDataFrame(list(dedup.values()), "k long, g long, v long"),
+            )
+        elif op == "delete":
+            ks = [(rng.randrange(0, 600),) for _ in range(rng.randrange(1, 20))]
+            delete_rows_targeted(
+                spark, duck, src, "k",
+                spark.createDataFrame(list(set(ks)), "k long"),
+            )
+            write_versioned_manifest(src)
+        else:
+            write_versioned_manifest(src)  # content-free commit
+
+        mode = "delta" if step % 2 else "recompute"
+        res = refresh_agg_view(spark, duck, view, mode=mode)
+        assert res["applied_src_version"] == snapshot_versions(src)[-1]
+        _assert_view_equals_source(spark, src, view)
+        stamped.append((res["view_version"], res["applied_src_version"]))
+
+    # time travel: a historical view version == oracle over the source
+    # version its stamp names
+    vv, sv = stamped[2]
+    got = _rows(read_agg_view(spark, view, version=vv))
+    want = _rows(_direct_agg(read_version(spark, src, sv), ["g"], "v"))
+    assert got == want
+
+
+def test_crash_mid_refresh_recovers_and_converges(spark, duck, tmp_path):
+    """Kill the refresh between the view's data movement and its
+    manifest commit (the widest crash window): the watermark must not
+    move, recover_to_last_manifest must restore the view, and the rerun
+    must land the exact oracle state."""
+    import data_pipeline_project_spark.sinks.manifest as manifest_mod
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    _source(spark, src)
+    create_agg_view(spark, duck, src, view, ["g"], "v")
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame([(1, 1, 500), (8888, 20, 9)], "k long, g long, v long"),
+    )
+
+    real = manifest_mod.write_versioned_manifest
+
+    def boom(path, extra=None):
+        raise RuntimeError("injected crash before manifest commit")
+
+    manifest_mod.write_versioned_manifest = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            refresh_agg_view(spark, duck, view, mode="delta")
+    finally:
+        manifest_mod.write_versioned_manifest = real
+
+    assert applied_src_version(view) == 1          # watermark unmoved
+    rec = recover_to_last_manifest(view)
+    assert rec["quarantined"] >= 1                  # uncommitted merge output
+    res = refresh_agg_view(spark, duck, view, mode="delta")
+    assert res["applied_src_version"] == 2
+    _assert_view_equals_source(spark, src, view)
+
+
+def test_streaming_maintenance_and_checkpoint_resume(spark, duck, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    _source(spark, src)
+    create_agg_view(spark, duck, src, view, ["g"], "v")
+
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame([(2, 2, 77), (7000, 15, 3)], "k long, g long, v long"),
+    )
+    q = maintain_agg_view_stream(spark, duck, view, ckpt)
+    q.awaitTermination(120)
+    assert q.refresh_results and q.refresh_results[-1]["applied_src_version"] == 2
+    _assert_view_equals_source(spark, src, view)
+
+    # new source commit, stream restarted on the same checkpoint:
+    # consumes only the new commit, view converges again
+    delete_rows_targeted(
+        spark, duck, src, "k", spark.createDataFrame([(2,), (30,)], "k long")
+    )
+    write_versioned_manifest(src)
+    q2 = maintain_agg_view_stream(spark, duck, view, ckpt)
+    q2.awaitTermination(120)
+    assert applied_src_version(view) == 3
+    _assert_view_equals_source(spark, src, view)
+
+
+def test_composite_keys_and_null_key_contract(spark, duck, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g1"),
+        (F.col("id") % 3).cast("string").alias("g2"),
+        (F.col("id") % 50).cast("long").alias("v"),
+    )
+    write_range_clustered(df, src, "k", 3)
+    write_versioned_manifest(src)
+    create_agg_view(spark, duck, src, view, ["g1", "g2"], "v")
+    _assert_view_equals_source(spark, src, view, keys=("g1", "g2"))
+
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame([(0, 3, "x", 9)], "k long, g1 long, g2 string, v long"),
+    )
+    refresh_agg_view(spark, duck, view, mode="delta")
+    _assert_view_equals_source(spark, src, view, keys=("g1", "g2"))
+
+    # null group key: refused loudly at create
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([(1, None, 5)], "k long, g long, v long").write.parquet(bad)
+    write_versioned_manifest(bad)
+    with pytest.raises(ValueError, match="non-null"):
+        create_agg_view(spark, duck, bad, str(tmp_path / "badview"), ["g"], "v")
+
+
+def test_noop_source_commit_stamps_watermark_without_data_commit(
+    spark, duck, tmp_path
+):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    _source(spark, src)
+    create_agg_view(spark, duck, src, view, ["g"], "v")
+    before = _rows(read_agg_view(spark, view))
+
+    write_versioned_manifest(src)  # source v2: no data change
+    assert view_status(view)["stale"] is True
+    res = refresh_agg_view(spark, duck, view)
+    assert res["applied_src_version"] == 2 and res["groups_changed"] == 0
+    assert view_status(view)["stale"] is False
+    assert _rows(read_agg_view(spark, view)) == before

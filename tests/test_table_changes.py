@@ -250,3 +250,31 @@ def test_sharded_step_diff_equals_unsharded(spark, duck, cdf_table):
     assert sharded.count() == one.count() == 505
     assert sharded.exceptAll(one).count() == 0
     assert one.exceptAll(sharded).count() == 0
+
+
+def test_null_valued_rows_survive_the_feed(spark, duck, tmp_path):
+    """Regression: a null in a BIGINT column used to die in the diff
+    step — pandas groupby(dropna=False) rewrites None group keys as
+    float NaN, which cannot re-enter an int64 arrow column. Nulls must
+    round-trip through BOTH feed paths (insert-only v1, diff v2)."""
+    spark.dataSource.register(TableChangesDataSource)
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k long, v long"
+    )
+    write_range_clustered(base, path, "k", 1)
+    write_versioned_manifest(path)                       # v1: insert-only path
+    merge_upsert(
+        spark, duck, path, "k",
+        spark.createDataFrame([(2, 20), (4, None)], "k long, v long"),
+    )                                                    # v2: groupby-diff path
+
+    feed = spark.read.format("tablechanges").option("path", path).load()
+    rows = {
+        (r.k, r.v, r._change_type, r._commit_version) for r in feed.collect()
+    }
+    assert (2, None, "insert", 1) in rows                # null inserted at v1
+    assert (2, None, "delete", 2) in rows                # null retracted at v2
+    assert (2, 20, "insert", 2) in rows
+    assert (4, None, "insert", 2) in rows                # null inserted via diff
+    assert len(rows) == 6  # survivors (1,10),(3,30) cancel in the v2 diff
