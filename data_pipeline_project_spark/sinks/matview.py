@@ -25,10 +25,10 @@ change-data-feed instead of by recomputation:
 Two refresh strategies, same result (pinned against each other in
 tests/test_matview.py):
 
-- ``recompute`` (default): re-aggregate the touched groups from the
-  source's live snapshot, scanning only those groups' facts (semi-join
-  prune; partition-pruned when keys align with layout). Idempotent by
-  construction — the safe default, and cheap when groups are small.
+- ``recompute``: re-aggregate the touched groups from the source's
+  live snapshot, scanning only those groups' facts (semi-join prune;
+  partition-pruned when keys align with layout). Idempotent by
+  construction — the conservative strategy.
 - ``delta``: pure state arithmetic — fold the insert batch in
   (``merge_aggregate_states``), subtract the delete batch
   (``retract_aggregate_state``: count/sum are invertible monoids),
@@ -36,6 +36,12 @@ tests/test_matview.py):
   (``repair_aggregate_state``). The scale path when touched groups are
   hot (a group with 10^9 facts costs one state row here, a group scan
   under recompute).
+- ``full``: feed-free re-aggregation of EVERY group from the live
+  snapshot — the right plan when a bulk-rewrite/backfill commit made
+  the feed footprint table-scale (measured: 14x over delta there,
+  SCALE_r08 §9).
+- ``auto`` (default): metadata-only footprint probe picks delta vs
+  full before any data is read.
 
 At 100 TB: refresh cost is O(source churn) + O(touched group state) +
 (delta mode) O(facts of min/max-stale groups only); the view table is
@@ -181,34 +187,80 @@ def create_agg_view(
     }
 
 
-def _read_changes(spark, src_path: str, v_from: int, v_to: int) -> DataFrame:
+_SHARD_TARGET_BYTES = 64 << 20  # one diff task per ~64 MB of step footprint
+_FULL_REFRESH_FRACTION = 0.5    # step footprint >= half the table: skip the feed
+
+
+def _feed_probe(src_path: str, v_from: int, v_to: int) -> dict:
+    """Manifest-metadata-only cost probe of the refresh window: the
+    BIGGEST step's byte footprint (a step diffs the non-shared files of
+    adjacent versions), the live table's bytes, and the shard count
+    that footprint wants (sharding a diff trades read amplification
+    for parallel CPU: a small targeted-merge step wants 1 shard, a
+    bulk-rewrite step wants many)."""
+    from data_pipeline_project_spark.sources.table_changes import _load_manifest
+
+    biggest, prev, table_bytes = 0, None, 0
+    for v in range(v_from, v_to + 1):
+        files = {f["path"]: f["bytes"] for f in _load_manifest(src_path, v)["files"]}
+        if prev is not None:
+            shared = set(files) & set(prev)
+            step = sum(b for p, b in files.items() if p not in shared) + sum(
+                b for p, b in prev.items() if p not in shared
+            )
+            biggest = max(biggest, step)
+        prev = files
+        table_bytes = sum(files.values())
+    return {
+        "biggest_step_bytes": biggest,
+        "table_bytes": table_bytes,
+        "shards": max(1, min(16, -(-biggest // _SHARD_TARGET_BYTES))),
+    }
+
+
+def _read_changes(
+    spark, src_path: str, v_from: int, v_to: int, shards: int | None
+) -> DataFrame:
     from data_pipeline_project_spark.sources.table_changes import (
         TableChangesDataSource,
     )
 
     spark.dataSource.register(TableChangesDataSource)
-    return (
+    if shards is None:
+        shards = _feed_probe(src_path, v_from, v_to)["shards"]
+    changes = (
         spark.read.format("tablechanges")
         .option("path", src_path)
         .option("from_version", v_from)
         .option("to_version", v_to)
+        .option("shards", shards)
         .load()
     )
+    # Materialize ONCE: the refresh fold takes several actions over the
+    # feed (null-key check, touched set, insert/delete states) and a
+    # Python-source read re-runs the worker-side diff per action — for
+    # a bulk-rewrite commit that diff is the whole table.
+    return changes.localCheckpoint()
 
 
 def refresh_agg_view(
     spark,
     duck,
     view_path: str,
-    mode: str = "recompute",
+    mode: str = "auto",
     verify_unique: bool = False,
+    feed_shards: int | None = None,
 ) -> dict:
     """Advance the view to the source's latest committed version.
 
     Reads the change feed over (applied, latest], derives the touched
     group set (bounded by churn, never by table size), computes the new
-    state for exactly those groups per ``mode``, and commits ONE merge
-    on the view carrying the new watermark atomically. Groups whose
+    state for exactly those groups per ``mode`` (``recompute`` /
+    ``delta`` — see the module docstring; ``full`` skips the feed and
+    re-aggregates every group from the snapshot, the right plan when a
+    bulk-rewrite commit made the feed table-scale; ``auto`` picks
+    delta vs full from a metadata-only footprint probe), and commits
+    ONE merge on the view carrying the new watermark atomically. Groups whose
     rows all vanished become ``_st_rows = 0`` tombstone state rows —
     filtered by ``read_agg_view``, physically reclaimed whenever the
     view is compacted. A refresh that finds no committed changes (or
@@ -223,14 +275,16 @@ def refresh_agg_view(
     the same contract as any CDF consumer).
 
     Returns {view_version, applied_src_version, groups_changed,
-    groups_dropped, mode}."""
-    if mode not in ("recompute", "delta"):
-        raise ValueError(f"mode must be recompute|delta, got {mode!r}")
+    groups_dropped, mode} (mode as RESOLVED: auto reports the strategy
+    it picked)."""
+    if mode not in ("recompute", "delta", "full", "auto"):
+        raise ValueError(
+            f"mode must be recompute|delta|full|auto, got {mode!r}"
+        )
     spec = read_spec(view_path)
     src, keys, value_col = spec["src"], spec["keys"], spec["value_col"]
     applied = applied_src_version(view_path)
     src_latest = (snapshot_versions(src) or [0])[-1]
-    stamp = {"matview": {"applied_src_version": src_latest, "mode": mode}}
     if src_latest <= applied:
         return {
             "view_version": (snapshot_versions(view_path) or [0])[-1],
@@ -239,42 +293,71 @@ def refresh_agg_view(
             "groups_dropped": 0,
             "mode": mode,
         }
-
-    changes = _read_changes(spark, src, applied, src_latest)
-    _check_no_null_keys(changes.select(*keys), keys, "the change feed")
-    touched = changes.select(*keys).distinct()
+    if mode == "auto":
+        # Metadata probe BEFORE any data read: when a step's diff
+        # footprint is table-scale (a bulk-rewrite/backfill commit),
+        # reading the feed costs more than re-aggregating the snapshot
+        # outright — pick full; otherwise the feed is O(churn) — delta.
+        probe = _feed_probe(src, applied, src_latest)
+        mode = (
+            "full"
+            if probe["biggest_step_bytes"]
+            >= _FULL_REFRESH_FRACTION * probe["table_bytes"]
+            else "delta"
+        )
+    stamp = {"matview": {"applied_src_version": src_latest, "mode": mode}}
 
     current = read_version(spark, view_path)
     current_live = current.where(F.col("_st_rows") > 0).drop(GROUP_KEY)
-    current_touched = current_live.join(touched, keys, "left_semi").select(
-        *keys, *_STATE_COLS
-    )
 
-    if mode == "recompute":
-        # Idempotent by construction: the state of every touched group
-        # is re-derived from the source's pinned snapshot at the target
-        # version, scanning only those groups' facts.
+    if mode == "full":
+        # Feed-free: one aggregation over the live snapshot replaces
+        # every group's state; the watermark/time-travel history is
+        # preserved (unlike a create-from-scratch rebuild).
         facts = read_version(spark, src, src_latest)
-        fresh = aggregate_state(
-            facts.join(touched, keys, "left_semi"), keys, value_col
-        )
+        fresh = aggregate_state(facts, keys, value_col)
+        _check_no_null_keys(fresh.select(*keys), keys, "the source")
+        tomb_scope = current_live.select(*keys)
     else:
-        # Pure state arithmetic: fold inserts in, subtract deletes
-        # (rows/count/decimal-sum are exact inverses), then rescan only
-        # the groups whose min/max the deletes touched. Folding the
-        # whole multi-commit range at once is sound because the monoid
-        # ops commute and repair reads the live snapshot, which already
-        # reflects every commit in the range.
-        ins = changes.where(F.col("_change_type") == "insert")
-        dels = changes.where(F.col("_change_type") == "delete")
-        ins_state = aggregate_state(ins, keys, value_col)
-        merged = merge_aggregate_states(current_touched, ins_state)
-        retracted = retract_aggregate_state(
-            merged, aggregate_state(dels, keys, value_col)
+        changes = _read_changes(spark, src, applied, src_latest, feed_shards)
+        _check_no_null_keys(changes.select(*keys), keys, "the change feed")
+        touched = changes.select(*keys).distinct()
+        current_touched = current_live.join(touched, keys, "left_semi").select(
+            *keys, *_STATE_COLS
         )
-        fresh = repair_aggregate_state(
-            retracted, read_version(spark, src, src_latest), value_col
-        ).select(*keys, *_STATE_COLS)
+        tomb_scope = current_touched.select(*keys)
+
+        if mode == "recompute":
+            # Idempotent by construction: the state of every touched
+            # group is re-derived from the source's pinned snapshot at
+            # the target version, scanning only those groups' facts.
+            facts = read_version(spark, src, src_latest)
+            fresh = aggregate_state(
+                facts.join(touched, keys, "left_semi"), keys, value_col
+            )
+        else:
+            # Pure state arithmetic: fold inserts in, subtract deletes
+            # (rows/count/decimal-sum are exact inverses), then rescan
+            # only the groups whose min/max the deletes touched.
+            # Folding the whole multi-commit range at once is sound
+            # because the monoid ops commute and repair reads the live
+            # snapshot, which already reflects every commit in range.
+            ins = changes.where(F.col("_change_type") == "insert")
+            dels = changes.where(F.col("_change_type") == "delete")
+            ins_state = aggregate_state(ins, keys, value_col)
+            merged = merge_aggregate_states(current_touched, ins_state)
+            retracted = retract_aggregate_state(
+                merged, aggregate_state(dels, keys, value_col)
+            ).localCheckpoint()  # churn-bounded; pins the fold
+            if retracted.where(F.col("_st_minmax_stale")).limit(1).count():
+                fresh = repair_aggregate_state(
+                    retracted, read_version(spark, src, src_latest), value_col
+                ).select(*keys, *_STATE_COLS)
+            else:
+                # no delete clipped any extreme: skip repair entirely —
+                # otherwise its semi-join plan would still SCAN the
+                # source just to filter everything out
+                fresh = retracted.drop("_st_minmax_stale")
 
     # Tombstone exactly the groups that WERE live and no longer are —
     # never groups that only existed inside the refresh window.
@@ -282,7 +365,7 @@ def refresh_agg_view(
         f.name: f.dataType
         for f in read_version(spark, src, src_latest).schema.fields
     }
-    vanished = current_touched.select(*keys).join(fresh, keys, "left_anti")
+    vanished = tomb_scope.join(fresh, keys, "left_anti")
     tombs = vanished.select(
         *keys,
         F.lit(0).cast("long").alias("_st_rows"),
@@ -359,7 +442,7 @@ def maintain_agg_view_stream(
     duck,
     view_path: str,
     checkpoint_dir: str,
-    mode: str = "recompute",
+    mode: str = "auto",
 ):
     """Continuous maintenance: the source's change feed is the trigger,
     ``refresh_agg_view`` is the transactional unit. The stream's

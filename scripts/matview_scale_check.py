@@ -1,15 +1,18 @@
 """Scale check: materialized-view maintenance cost vs recomputation.
 
-Shape chosen to stress the interesting axis — HOT groups: 4M rows in
-just 40 groups (100k facts each), then a 10k-row churn commit touching
-half the groups. Under that shape:
+Two churn shapes against a 4M-row source (400 contiguous key-range
+groups, range-clustered on the row key):
 
-- full rebuild scans 4M facts;
-- recompute-mode refresh scans the touched groups' facts (~2M here —
-  group-bounded, not churn-bounded: the worst case for recompute);
-- delta-mode refresh does state arithmetic over O(churn) feed rows +
-  O(touched) state rows, rescanning only the groups whose min/max a
-  delete actually clipped.
+A. DESIGN CASE — range-local churn: 10k changed keys inside a 200k-key
+   span (~20 groups, ~2/32 files). The merge stays targeted, the feed
+   step is O(churn), and refresh cost must sit far under a full
+   rebuild.
+
+B. WORST CASE — uniform churn: 500k keys spread over the whole key
+   space. The merge auto-flips to the bulk plan (every file rewritten),
+   so the CDF step's footprint is the WHOLE table; refresh survives by
+   sharding the feed diff, but this shape is documented as the case
+   where rebuilding the view outright is competitive.
 
 Also times the payoff side: reading the view vs running the GROUP BY
 over the source.
@@ -43,8 +46,8 @@ def main():
     )
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-    n_groups = 40
-    churn = 10_000
+    group_span = 10_000  # g = k // span -> contiguous groups
+    rng = random.Random(8)
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -55,14 +58,11 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
-    work = tempfile.mkdtemp(prefix="matview_scale_")
-    src = os.path.join(work, "src")
-    views = {m: os.path.join(work, f"view_{m}") for m in ("recompute", "delta")}
 
-    try:
+    def build_source(src):
         df = spark.range(0, n).select(
             F.col("id").alias("k"),
-            (F.col("id") % n_groups).alias("g"),
+            (F.col("id") / group_span).cast("long").alias("g"),
             F.when(F.col("id") % 97 == 0, F.lit(None))
             .otherwise((F.col("id") * 7) % 100_003)
             .cast("long")
@@ -71,35 +71,39 @@ def main():
         write_range_clustered(df, src, "k", 32)
         write_versioned_manifest(src)
 
-        t0 = time.monotonic()
-        create_agg_view(spark, duck, src, views["recompute"], ["g"], "v")
-        t_create = time.monotonic() - t0
-        create_agg_view(spark, duck, src, views["delta"], ["g"], "v")
-
-        rng = random.Random(8)
-        ks = rng.sample(range(0, n + n // 10), churn)  # updates + inserts
-        rows = [
-            (k, rng.randrange(0, n_groups // 2), rng.randrange(0, 100_003))
-            for k in ks
+    def churn_rows(keys):
+        return [
+            (k, k // group_span, rng.randrange(0, 100_003)) for k in keys
         ]
+
+    def scenario(tag, keys, work, modes):
+        src = os.path.join(work, f"src_{tag}")
+        build_source(src)
+        views = {m: os.path.join(work, f"{tag}_{m}") for m in modes}
+        t0 = time.monotonic()
+        create_agg_view(spark, duck, src, views[modes[0]], ["g"], "v")
+        t_create = time.monotonic() - t0
+        create_agg_view(spark, duck, src, views[modes[1]], ["g"], "v")
+
+        t0 = time.monotonic()
         merge_upsert(
             spark, duck, src, "k",
-            spark.createDataFrame(rows, "k long, g long, v long"),
+            spark.createDataFrame(churn_rows(keys), "k long, g long, v long"),
         )
+        t_merge = time.monotonic() - t0
 
-        walls = {}
+        walls, results = {}, {}
         for mode, view in views.items():
             t0 = time.monotonic()
-            res = refresh_agg_view(spark, duck, view, mode=mode)
+            results[mode] = refresh_agg_view(spark, duck, view, mode=mode)
             walls[mode] = time.monotonic() - t0
-            print(f"refresh[{mode}]: {walls[mode]:.2f}s  {res}")
 
-        a = sorted(map(tuple, read_agg_view(spark, views["recompute"]).collect()))
-        b = sorted(map(tuple, read_agg_view(spark, views["delta"]).collect()))
-        assert a == b, "modes diverged"
+        a = sorted(map(tuple, read_agg_view(spark, views[modes[0]]).collect()))
+        b = sorted(map(tuple, read_agg_view(spark, views[modes[1]]).collect()))
+        assert a == b, f"{tag}: modes diverged"
 
         t0 = time.monotonic()
-        read_agg_view(spark, views["delta"]).collect()
+        read_agg_view(spark, views[modes[0]]).collect()
         t_view = time.monotonic() - t0
         t0 = time.monotonic()
         spark.read.parquet(src).groupBy("g").agg(
@@ -108,13 +112,24 @@ def main():
         t_direct = time.monotonic() - t0
 
         print(
-            f"\nrows={n} groups={n_groups} churn={churn}\n"
-            f"full build        : {t_create:.2f}s\n"
-            f"refresh recompute : {walls['recompute']:.2f}s\n"
-            f"refresh delta     : {walls['delta']:.2f}s\n"
-            f"read view         : {t_view:.2f}s\n"
-            f"direct GROUP BY   : {t_direct:.2f}s"
+            f"\n[{tag}] rows={n} churn={len(keys)} "
+            f"touched_groups={results[modes[0]]['groups_changed']}\n"
+            f"  full build        : {t_create:.2f}s\n"
+            f"  source MERGE      : {t_merge:.2f}s\n"
+            + "".join(
+                f"  refresh {m:10}: {walls[m]:.2f}s"
+                f" (resolved {results[m]['mode']})\n" for m in modes
+            )
+            + f"  read view         : {t_view:.2f}s\n"
+            f"  direct GROUP BY   : {t_direct:.2f}s"
         )
+
+    work = tempfile.mkdtemp(prefix="matview_scale_")
+    try:
+        local = rng.sample(range(0, 200_000), 10_000)  # ~20 groups, ~2 files
+        scenario("range-local", local, work, ("recompute", "delta"))
+        uniform = rng.sample(range(0, n + n // 10), 500_000)  # bulk plan
+        scenario("uniform-bulk", uniform, work, ("delta", "auto"))
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

@@ -325,3 +325,41 @@ def test_noop_source_commit_stamps_watermark_without_data_commit(
     assert res["applied_src_version"] == 2 and res["groups_changed"] == 0
     assert view_status(view)["stale"] is False
     assert _rows(read_agg_view(spark, view)) == before
+
+
+def test_auto_mode_picks_full_for_bulk_churn_and_delta_for_targeted(
+    spark, duck, tmp_path
+):
+    """auto resolves from the metadata footprint probe: a bulk-rewrite
+    commit (whole table churned) refreshes feed-free as ``full``; a
+    small targeted commit goes ``delta``. Both land the oracle state
+    and keep the watermark chain intact."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("g"),
+        (F.col("id") % 37).cast("long").alias("v"),
+    )
+    write_range_clustered(df, src, "k", 8)
+    write_versioned_manifest(src)
+    create_agg_view(spark, duck, src, view, ["g"], "v")
+
+    # churn 90% of all keys: merge auto-flips to the bulk plan, every
+    # file is rewritten, the feed step's footprint is the whole table
+    bulk = [(k, (k * 3) % 10, k % 17) for k in range(0, 1800)]
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame(bulk, "k long, g long, v long"),
+    )
+    res = refresh_agg_view(spark, duck, view, mode="auto")
+    assert res["mode"] == "full" and res["applied_src_version"] == 2
+    _assert_view_equals_source(spark, src, view)
+
+    # one-row churn: targeted merge, O(churn) feed, auto goes delta
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame([(5, 5, 999)], "k long, g long, v long"),
+    )
+    res2 = refresh_agg_view(spark, duck, view, mode="auto")
+    assert res2["mode"] == "delta" and res2["applied_src_version"] == 3
+    _assert_view_equals_source(spark, src, view)
