@@ -213,6 +213,15 @@ def read_manifest(manifest_path: str) -> dict:
 
 REMOVED_DIR = "_removed"
 
+# Lossless numeric widenings the parquet vectorized reader performs on
+# read (narrow physical file type under a wider pinned logical schema).
+_TYPE_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
 
 def _resolve_snapshot_file(root: str, relpath: str) -> str | None:
     """A manifest-pinned file lives either at its original path or —
@@ -232,7 +241,15 @@ def read_snapshot(spark, manifest: dict | str) -> DataFrame:
     """Read EXACTLY the files a manifest pins — appends since the
     snapshot are invisible, and a missing file fails loudly (the
     snapshot is unreproducible; silently reading the remainder would
-    be a lie)."""
+    be a lie).
+
+    A manifest that pins a LOGICAL SCHEMA (``schema_json``, written by
+    schema-evolving commits and inherited by every later commit) is
+    read under that schema: files written before a column existed
+    simply surface nulls for it. This is the Delta/Iceberg stance —
+    the log, not the parquet footers, owns the schema — and it is what
+    makes evolved tables readable without a cluster-wide mergeSchema
+    footer scan."""
     if isinstance(manifest, str):
         manifest = read_manifest(manifest)
     root = manifest["root"]
@@ -248,7 +265,12 @@ def read_snapshot(spark, manifest: dict | str) -> DataFrame:
         )
     # basePath keeps hive partition columns (shard=N/...) alive when
     # reading an explicit file list instead of the directory.
-    return spark.read.option("basePath", root).parquet(*files)
+    reader = spark.read.option("basePath", root)
+    if manifest.get("schema_json") is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(manifest["schema_json"]))
+    return reader.parquet(*files)
 
 
 def verify_snapshot(manifest: dict | str) -> list[str]:
@@ -430,7 +452,9 @@ class ConcurrentSnapshotError(RuntimeError):
 _test_claim_interposer = None
 
 
-def write_versioned_manifest(path: str, extra: dict | None = None) -> dict:
+def write_versioned_manifest(
+    path: str, extra: dict | None = None, schema_json: dict | None = None
+) -> dict:
     """Append-only snapshot history: write the manifest as
     ``_manifests/v{N}.json`` (N = 1 + highest existing version) and
     update ``_manifests/latest.json`` last — the minimal time-travel
@@ -454,9 +478,19 @@ def write_versioned_manifest(path: str, extra: dict | None = None) -> dict:
     land before the winner's listing still get pinned — like Delta on
     a filesystem without a locking service, the layer assumes one
     writer per table at a time, and the CAS turns accidental
-    violations into errors rather than corruption."""
+    violations into errors rather than corruption.
+
+    ``schema_json`` pins the table's LOGICAL schema (StructType
+    jsonValue dict). A schema-evolving commit sets it; every later
+    commit INHERITS the previous version's pin automatically, so one
+    evolution makes the whole forward history read under the log's
+    schema rather than per-file footers (see read_snapshot)."""
     mdir = os.path.join(path, "_manifests")
     os.makedirs(mdir, exist_ok=True)
+    if schema_json is None:
+        prev = os.path.join(mdir, "latest.json")
+        if os.path.exists(prev):
+            schema_json = read_manifest(prev).get("schema_json")
     existing = [
         int(f[1:-5])
         for f in os.listdir(mdir)
@@ -478,6 +512,8 @@ def write_versioned_manifest(path: str, extra: dict | None = None) -> dict:
     manifest["version"] = version
     if extra:
         manifest["app"] = extra
+    if schema_json is not None:
+        manifest["schema_json"] = schema_json
     with open(vpath, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     tmp = os.path.join(mdir, "latest.json.tmp")
@@ -511,6 +547,20 @@ def read_version(spark, path: str, version: int | None = None) -> DataFrame:
             f"exist (never written, or dropped by vacuum)"
         )
     return read_snapshot(spark, mpath)
+
+
+def table_schema(spark, path: str):
+    """The table's LOGICAL schema: the manifest-pinned one when the log
+    carries it (schema-evolved tables, where per-file footers disagree
+    by design), else plain parquet inference."""
+    mpath = os.path.join(path, "_manifests", "latest.json")
+    if os.path.exists(mpath):
+        sj = read_manifest(mpath).get("schema_json")
+        if sj is not None:
+            from pyspark.sql.types import StructType
+
+            return StructType.fromJson(sj)
+    return spark.read.parquet(path).schema
 
 
 QUARANTINE_DIR = "_quarantine"
@@ -640,6 +690,7 @@ def merge_upsert(
     prune: str = "auto",
     rewrite: str = "targeted",
     commit_extra: dict | None = None,
+    schema_evolution: bool = False,
 ) -> dict:
     """Copy-on-write MERGE INTO (the lakehouse upsert: Delta/Iceberg's
     ``whenMatched update-all whenNotMatched insert``): rows of
@@ -690,6 +741,11 @@ def merge_upsert(
 
     if rewrite not in ("targeted", "bulk", "auto"):
         raise ValueError(f"rewrite must be targeted|bulk|auto, got {rewrite!r}")
+    if schema_evolution and rewrite == "bulk":
+        raise ValueError(
+            "schema_evolution runs on the targeted path only (the bulk "
+            "rewrite re-clusters the whole table; evolve first, then bulk)"
+        )
     if rewrite == "bulk":
         return merge_bulk(
             spark, path, key_col, updates_df, commit_extra=commit_extra
@@ -697,9 +753,47 @@ def merge_upsert(
 
     from data_pipeline_project_spark.sinks.layout import file_zone_maps
 
-    target_schema = spark.read.parquet(path).schema
+    target_schema = table_schema(spark, path)
     target_cols = [f.name for f in target_schema.fields]
-    if sorted(updates_df.columns) != sorted(target_cols):
+    new_fields = []
+    schema_widened = False
+    if schema_evolution:
+        # ADD-COLUMN / WIDEN-TYPE evolution: updates must carry every
+        # existing column; columns beyond the target schema extend it,
+        # and an existing column arriving at a strictly WIDER numeric
+        # type widens the pinned type (parquet's vectorized reader
+        # upcasts the old files' narrower physical values on read).
+        # Existing files are left untouched either way — the evolved
+        # schema is pinned in the commit's manifest and read_snapshot
+        # resolves gaps/widths from the log, so no file is rewritten
+        # just to evolve (the Delta/Iceberg metadata-only ALTER).
+        missing = [c for c in target_cols if c not in updates_df.columns]
+        if missing:
+            raise ValueError(
+                f"schema evolution may only ADD columns; updates are "
+                f"missing existing column(s) {missing}"
+            )
+        new_fields = [
+            f for f in updates_df.schema.fields if f.name not in target_cols
+        ]
+        up_types = {f.name: f.dataType for f in updates_df.schema.fields}
+        widened_fields = []
+        for f in target_schema.fields:
+            up_t = up_types[f.name]
+            if up_t != f.dataType and (
+                (f.dataType.simpleString(), up_t.simpleString())
+                in _TYPE_WIDENINGS
+            ):
+                from pyspark.sql.types import StructField
+
+                widened_fields.append(StructField(f.name, up_t, True))
+                schema_widened = True
+            else:
+                widened_fields.append(f)
+        from pyspark.sql.types import StructType as _ST
+
+        target_schema = _ST(widened_fields)
+    elif sorted(updates_df.columns) != sorted(target_cols):
         raise ValueError(
             f"merge schema mismatch: updates {sorted(updates_df.columns)} "
             f"!= target {sorted(target_cols)}"
@@ -717,8 +811,10 @@ def merge_upsert(
         *[
             F.col(f.name).cast(f.dataType).alias(f.name)
             for f in target_schema.fields
-        ]
+        ],
+        *[F.col(f.name) for f in new_fields],
     )
+    out_cols = target_cols + [f.name for f in new_fields]
     n_updates = updates_df.count()
     if n_updates == 0:
         # an empty change set is a committed no-op, not a crash (the
@@ -740,6 +836,7 @@ def merge_upsert(
     candidates = _select_candidates(spark, zone_maps, updates_df, key_col, prune)
     if (
         rewrite == "auto"
+        and not (new_fields or schema_widened)  # evolution stays targeted
         and zone_maps
         and len(candidates) >= BULK_REWRITE_FRACTION * len(zone_maps)
     ):
@@ -801,10 +898,20 @@ def merge_upsert(
     rows_updated = sum(replaced_per_file)
 
     # Append every update row (replacement or insert) in target column
-    # order as new data files under the table root.
-    updates_df.select(*target_cols).write.mode("append").parquet(path)
+    # order (evolved columns last) as new data files under the table
+    # root.
+    updates_df.select(*out_cols).write.mode("append").parquet(path)
 
-    manifest = write_versioned_manifest(path, extra=commit_extra)
+    evolved = None
+    if new_fields or schema_widened:
+        from pyspark.sql.types import StructType
+
+        evolved = StructType(
+            list(target_schema.fields) + list(new_fields)
+        ).jsonValue()
+    manifest = write_versioned_manifest(
+        path, extra=commit_extra, schema_json=evolved
+    )
     return {
         "version": manifest["version"],
         "files_rewritten": sum(1 for n in replaced_per_file if n),
@@ -873,7 +980,7 @@ def merge_bulk(
     """
     from pyspark.sql import functions as F
 
-    target_schema = spark.read.parquet(path).schema
+    target_schema = table_schema(spark, path)
     target_cols = [f.name for f in target_schema.fields]
     if sorted(updates_df.columns) != sorted(target_cols):
         raise ValueError(
@@ -908,7 +1015,10 @@ def merge_bulk(
     version = (pending[-1] + 1) if pending else 1
     n_out = n_files if n_files is not None else max(1, len(old_files))
 
-    target = spark.read.parquet(path)
+    # read under the logical schema: on an evolved table, pre-evolution
+    # files lack the newer columns and must surface nulls, not win or
+    # lose schema inference
+    target = spark.read.schema(target_schema).parquet(path)
     n_target = target.count()  # metadata-only for parquet
     merged = bulk_merge_frame(target, updates_df, key_col, target_cols)
 
@@ -1003,7 +1113,7 @@ def delete_bulk(
     version = (pending[-1] + 1) if pending else 1
     n_out = n_files if n_files is not None else max(1, len(old_files))
 
-    target = spark.read.parquet(path)
+    target = spark.read.schema(table_schema(spark, path)).parquet(path)
     n_target = target.count()  # metadata-only for parquet
     kdf = keys_df.select(F.col(key_col)).distinct().hint("shuffle_hash")
     survivors = target.join(kdf, key_col, "left_anti")
@@ -1284,6 +1394,12 @@ def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
     to_files = {f["path"] for f in m_to["files"]}
     shared = from_files & to_files
 
+    # Both sides read under the LATER version's logical schema when one
+    # is pinned (schema evolution): pre-evolution rows surface nulls in
+    # the new columns, and an update that only fills a new column still
+    # diffs as delete(old,null)+insert(old,value).
+    sj = m_to.get("schema_json") or m_from.get("schema_json")
+
     def _read(manifest, only):
         files = []
         for f in manifest["files"]:
@@ -1293,7 +1409,14 @@ def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
             if live is None:
                 raise FileNotFoundError(f"snapshot v-file vacuumed: {f['path']}")
             files.append(live)
-        return spark.read.parquet(*files) if files else None
+        if not files:
+            return None
+        reader = spark.read
+        if sj is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(sj))
+        return reader.parquet(*files)
 
     old = _read(m_from, from_files - shared)
     new = _read(m_to, to_files - shared)
@@ -1347,7 +1470,10 @@ def compact_snapshot(
     if len(small) < 2:
         return {"files_compacted": 0, "rows_compacted": 0}
 
-    merged = spark.read.parquet(*small)
+    # logical schema, not footer inference: on an evolved table the
+    # small files may disagree on columns, and a plain read would let
+    # one of them win and silently drop the others' columns
+    merged = spark.read.schema(table_schema(spark, path)).parquet(*small)
     if cluster_col is not None:
         # compaction is the cheapest moment to (re)establish clustering:
         # the data is being rewritten anyway, so sorting it here buys

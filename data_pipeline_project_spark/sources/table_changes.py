@@ -175,7 +175,13 @@ def _step_rows(
         ]
         if not frames:
             return None
-        df = pd.concat(frames, ignore_index=True)[columns]
+        df = pd.concat(frames, ignore_index=True)
+        for c in columns:
+            # schema evolution: files written before a column existed
+            # lack it — surface nulls, same as the pinned-schema read
+            if c not in df.columns:
+                df[c] = None
+        df = df[columns]
         if n_shards > 1:
             # stable across processes: fixed-algorithm row hash
             h = pd.util.hash_pandas_object(df, index=False)
@@ -296,6 +302,15 @@ class TableChangesDataSource(DataSource):
                 "option('table_schema', ...) or commit a version first"
             )
         m = _load_manifest(root, latest)
+        if m.get("schema_json") is not None:
+            # evolved table: the log owns the schema — the first file's
+            # footer may predate newer columns
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(m["schema_json"])
+            return ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in st.fields
+            )
         if not m["files"]:
             raise ValueError(
                 "tablechanges: latest snapshot is empty; pass "

@@ -86,9 +86,24 @@ def replicate_table_stream(
                     )
                     write_versioned_manifest(dst_path)
                 if ins.limit(1).count():
+                    # Schema evolution follows the feed: when the source
+                    # evolved, a restarted stream reads the feed under
+                    # the source's pinned schema and the replica evolves
+                    # through the same merge (add-column/widen rules in
+                    # merge_upsert; a RUNNING stream keeps its start-time
+                    # schema — restart to pick up evolution, the Delta
+                    # CDF contract).
+                    from data_pipeline_project_spark.sinks.manifest import (
+                        table_schema,
+                    )
+
+                    rep_cols = {
+                        f.name for f in table_schema(spark, dst_path).fields
+                    }
                     merge_upsert(
                         spark, duck, dst_path, key_col, ins,
                         duck_type=duck_type, rewrite="auto",
+                        schema_evolution=not set(ins.columns) <= rep_cols,
                     )
             applied.append(v)
 

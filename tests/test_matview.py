@@ -238,7 +238,7 @@ def test_crash_mid_refresh_recovers_and_converges(spark, duck, tmp_path):
 
     real = manifest_mod.write_versioned_manifest
 
-    def boom(path, extra=None):
+    def boom(path, *args, **kwargs):
         raise RuntimeError("injected crash before manifest commit")
 
     manifest_mod.write_versioned_manifest = boom
