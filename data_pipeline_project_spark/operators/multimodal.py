@@ -681,8 +681,11 @@ def _audio_fp60(x) -> int:
     time frames x 4 log-spaced frequency bands; bit(frame, band) = 1
     iff that band's power exceeds the FRAME's mean band power. The
     within-frame comparison makes the bit pattern the frame's spectral
-    SHAPE: invariant to global and per-frame amplitude scaling (all
-    four energies scale together), robust to added low-level noise
+    SHAPE: invariant to global and per-frame amplitude scaling in
+    exact arithmetic (all four energies scale together; in float, a
+    band energy sitting exactly ON the frame mean is a knife-edge that
+    rounding can flip — at most a few bits, inside the near-dup
+    search's Hamming radius), robust to added low-level noise
     under a dominant tone, and local in time — an edit to one section
     flips at most that section's 4 bits, which is what lets
     banded-Hamming near-dup search work on it (the same design rule as

@@ -269,7 +269,10 @@ def read_snapshot(spark, manifest: dict | str) -> DataFrame:
     if manifest.get("schema_json") is not None:
         from pyspark.sql.types import StructType
 
-        reader = reader.schema(StructType.fromJson(manifest["schema_json"]))
+        st = StructType.fromJson(manifest["schema_json"])
+        ren = manifest.get("renames") or {}
+        df = reader.schema(_extended_read_schema(st, ren)).parquet(*files)
+        return _apply_renames(df, st, ren)
     return reader.parquet(*files)
 
 
@@ -376,6 +379,7 @@ def delete_rows_targeted(
     if keys_df.select(key_col).limit(1).count() == 0:
         return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
     zone_maps = file_zone_maps(duck, path, key_col, duck_type)
+    _check_key_physical(path, key_col)
     candidates = _select_candidates(spark, zone_maps, keys_df, key_col, prune)
     kdf = F.broadcast(keys_df.select(F.col(key_col)).distinct())
     pending = snapshot_versions(path)
@@ -453,7 +457,11 @@ _test_claim_interposer = None
 
 
 def write_versioned_manifest(
-    path: str, extra: dict | None = None, schema_json: dict | None = None
+    path: str,
+    extra: dict | None = None,
+    schema_json: dict | None = None,
+    renames: dict | None = None,
+    dropped_cols: list | None = None,
 ) -> dict:
     """Append-only snapshot history: write the manifest as
     ``_manifests/v{N}.json`` (N = 1 + highest existing version) and
@@ -487,10 +495,16 @@ def write_versioned_manifest(
     schema rather than per-file footers (see read_snapshot)."""
     mdir = os.path.join(path, "_manifests")
     os.makedirs(mdir, exist_ok=True)
+    prev = os.path.join(mdir, "latest.json")
+    prev_m = read_manifest(prev) if os.path.exists(prev) else {}
     if schema_json is None:
-        prev = os.path.join(mdir, "latest.json")
-        if os.path.exists(prev):
-            schema_json = read_manifest(prev).get("schema_json")
+        schema_json = prev_m.get("schema_json")
+    # None = inherit; an explicit {} / [] clears (a physical rewrite
+    # materialized the logical changes, so the maps reset)
+    if renames is None:
+        renames = prev_m.get("renames") or {}
+    if dropped_cols is None:
+        dropped_cols = prev_m.get("dropped_cols") or []
     existing = [
         int(f[1:-5])
         for f in os.listdir(mdir)
@@ -514,6 +528,10 @@ def write_versioned_manifest(
         manifest["app"] = extra
     if schema_json is not None:
         manifest["schema_json"] = schema_json
+    if renames:
+        manifest["renames"] = renames
+    if dropped_cols:
+        manifest["dropped_cols"] = dropped_cols
     with open(vpath, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     tmp = os.path.join(mdir, "latest.json.tmp")
@@ -561,6 +579,89 @@ def table_schema(spark, path: str):
 
             return StructType.fromJson(sj)
     return spark.read.parquet(path).schema
+
+
+def table_renames(path: str) -> dict:
+    """Pending physical->logical column renames (empty once a physical
+    rewrite has materialized them)."""
+    mpath = os.path.join(path, "_manifests", "latest.json")
+    if os.path.exists(mpath):
+        return read_manifest(mpath).get("renames") or {}
+    return {}
+
+
+def table_dropped_cols(path: str) -> list:
+    """Names whose physical data still exists in old files after a
+    metadata-only DROP COLUMN (cleared by rewrite_table)."""
+    mpath = os.path.join(path, "_manifests", "latest.json")
+    if os.path.exists(mpath):
+        return read_manifest(mpath).get("dropped_cols") or []
+    return []
+
+
+def _extended_read_schema(st, renames: dict):
+    """The read schema for a table with pending renames: the logical
+    fields plus, for each old physical name, a same-typed extra field —
+    a file carries exactly one of the two names, so the other reads as
+    null and a coalesce recovers the logical column."""
+    from pyspark.sql.types import StructField, StructType
+
+    logical = {f.name: f for f in st.fields}
+    extra = [
+        StructField(p, logical[l].dataType, True)
+        for p, l in renames.items()
+        if p not in logical and l in logical
+    ]
+    return StructType(list(st.fields) + extra)
+
+
+def _apply_renames(df: DataFrame, st, renames: dict) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for p, l in renames.items():
+        if l in df.columns and p in df.columns:
+            df = df.withColumn(l, F.coalesce(F.col(l), F.col(p))).drop(p)
+    return df.select(*[f.name for f in st.fields])
+
+
+def _check_key_physical(path: str, key_col: str) -> None:
+    """Zone maps are PHYSICAL-name lookups: a file written before the
+    key column's rename has no row for the logical name, so candidate
+    selection would silently skip it — rows with matched keys would
+    survive a delete or duplicate under a merge. Fires only while a
+    pending rename targets the key AND some live file still lacks the
+    logical column in its FOOTER SCHEMA (schema, not stats: an empty
+    part file has no stats rows but cannot hide keys); rewrite_table()
+    (or any bulk rewrite) materializes the name into every live file
+    and re-enables the targeted paths. Footer-only, and only on the
+    rare renamed-key path."""
+    if key_col not in table_renames(path).values():
+        return
+    import pyarrow.parquet as pq
+
+    stale = [
+        f for f in _data_files(path) if key_col not in pq.read_schema(f).names
+    ]
+    if stale:
+        raise ValueError(
+            f"key column {key_col!r} carries a pending rename and "
+            f"{len(stale)} live file(s) still store it under the previous "
+            f"physical name — zone maps would silently miss them; run "
+            f"rewrite_table() (or any bulk merge/delete) to materialize "
+            f"the rename first"
+        )
+
+
+def read_table_logical(spark, path: str, files: list | None = None) -> DataFrame:
+    """Directory-level (or explicit-file-list) read under the table's
+    LOGICAL schema: pinned/widened types, rename coalesce, dropped
+    columns omitted. The read every whole-table rewrite goes through —
+    footer inference on an evolved table is never trustworthy."""
+    ts = table_schema(spark, path)
+    ren = table_renames(path)
+    src = files if files is not None else [path]
+    df = spark.read.schema(_extended_read_schema(ts, ren)).parquet(*src)
+    return _apply_renames(df, ts, ren)
 
 
 QUARANTINE_DIR = "_quarantine"
@@ -776,6 +877,19 @@ def merge_upsert(
         new_fields = [
             f for f in updates_df.schema.fields if f.name not in target_cols
         ]
+        dropped = table_dropped_cols(path)
+        ren_keys = set(table_renames(path))
+        clash = [
+            f.name for f in new_fields if f.name in dropped or f.name in ren_keys
+        ]
+        if clash:
+            raise ValueError(
+                f"column(s) {clash} still name physical data in old files"
+                f" (prior drop or rename) — reusing the name would"
+                f" silently resurrect stale values on read; run"
+                f" rewrite_table() first (renamed-away names stay"
+                f" reserved while historical files live)"
+            )
         up_types = {f.name: f.dataType for f in updates_df.schema.fields}
         widened_fields = []
         for f in target_schema.fields:
@@ -833,6 +947,7 @@ def merge_upsert(
         )
 
     zone_maps = file_zone_maps(duck, path, key_col, duck_type)
+    _check_key_physical(path, key_col)
     candidates = _select_candidates(spark, zone_maps, updates_df, key_col, prune)
     if (
         rewrite == "auto"
@@ -1015,10 +1130,8 @@ def merge_bulk(
     version = (pending[-1] + 1) if pending else 1
     n_out = n_files if n_files is not None else max(1, len(old_files))
 
-    # read under the logical schema: on an evolved table, pre-evolution
-    # files lack the newer columns and must surface nulls, not win or
-    # lose schema inference
-    target = spark.read.schema(target_schema).parquet(path)
+    # logical read: pinned/widened types, rename coalesce, drops omitted
+    target = read_table_logical(spark, path)
     n_target = target.count()  # metadata-only for parquet
     merged = bulk_merge_frame(target, updates_df, key_col, target_cols)
 
@@ -1086,7 +1199,18 @@ def _commit_bulk_rewrite(
             )
     shutil.rmtree(staging, ignore_errors=True)
 
-    return staged_total, write_versioned_manifest(path, extra=extra)
+    # a whole-table rewrite materializes every pending logical change
+    # into the physical files. Dropped-column tombstones clear (no live
+    # file carries the purged bytes, so the name is safely reusable);
+    # the RENAME map is kept — historical manifests still pin
+    # pre-rewrite files under their old physical names, and the change
+    # feeds must keep coalescing them. Keeping it is harmless for live
+    # reads (the old physical column is simply absent -> all-null ->
+    # coalesce no-op); the targeted-merge guard checks PHYSICAL key
+    # presence, not the map, so merges re-enable after this commit.
+    return staged_total, write_versioned_manifest(
+        path, extra=extra, dropped_cols=[]
+    )
 
 
 def delete_bulk(
@@ -1113,7 +1237,7 @@ def delete_bulk(
     version = (pending[-1] + 1) if pending else 1
     n_out = n_files if n_files is not None else max(1, len(old_files))
 
-    target = spark.read.schema(table_schema(spark, path)).parquet(path)
+    target = read_table_logical(spark, path)
     n_target = target.count()  # metadata-only for parquet
     kdf = keys_df.select(F.col(key_col)).distinct().hint("shuffle_hash")
     survivors = target.join(kdf, key_col, "left_anti")
@@ -1125,6 +1249,104 @@ def delete_bulk(
         "version": manifest["version"],
         "files_rewritten": len(old_files),
         "rows_deleted": n_target - staged_total,
+    }
+
+
+def drop_column(spark, path: str, col: str) -> dict:
+    """Metadata-only DROP COLUMN: a new snapshot whose pinned logical
+    schema omits ``col``. No file is touched — readers under an
+    explicit schema simply never materialize the extra physical column
+    — and time travel to pre-drop versions still shows it. The name
+    joins the dropped-column tombstones so a later ADD of the same name
+    cannot silently resurrect the old files' values; ``rewrite_table``
+    purges the physical data and frees the name."""
+    from pyspark.sql.types import StructType
+
+    ts = table_schema(spark, path)
+    names = [f.name for f in ts.fields]
+    if col not in names:
+        raise ValueError(f"no such column {col!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop a table's only column")
+    new_st = StructType([f for f in ts.fields if f.name != col])
+    old_ren = table_renames(path)
+    # physical aliases that fed the dropped logical column hold its
+    # data too: tombstone them alongside
+    dropped = sorted(
+        set(table_dropped_cols(path))
+        | {col}
+        | {p for p, l in old_ren.items() if l == col}
+    )
+    ren = {p: l for p, l in old_ren.items() if l != col}
+    m = write_versioned_manifest(
+        path, schema_json=new_st.jsonValue(), renames=ren, dropped_cols=dropped
+    )
+    return {"version": m["version"], "dropped": col}
+
+
+def rename_column(spark, path: str, old: str, new: str) -> dict:
+    """Metadata-only RENAME COLUMN: the pinned logical schema carries
+    the new name; files keep their physical names and reads recover the
+    logical column by coalescing over the rename map (rename chains are
+    flattened so every physical alias points at the CURRENT logical
+    name). Targeted merges on a renamed KEY column are refused until
+    ``rewrite_table`` materializes the rename — zone maps look up the
+    physical name and would silently miss pre-rename files."""
+    from pyspark.sql.types import StructField, StructType
+
+    ts = table_schema(spark, path)
+    names = [f.name for f in ts.fields]
+    if old not in names:
+        raise ValueError(f"no such column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    ren = dict(table_renames(path))
+    if new in ren or new in table_dropped_cols(path):
+        raise ValueError(
+            f"{new!r} still names physical data in old files (prior "
+            f"rename/drop); run rewrite_table() first"
+        )
+    ren = {p: (new if l == old else l) for p, l in ren.items()}
+    ren[old] = new
+    new_st = StructType(
+        [
+            StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in ts.fields
+        ]
+    )
+    m = write_versioned_manifest(
+        path, schema_json=new_st.jsonValue(), renames=ren
+    )
+    return {"version": m["version"], "renamed": {old: new}}
+
+
+def rewrite_table(
+    spark, path: str, cluster_col: str, n_files: int | None = None
+) -> dict:
+    """Materialize every pending logical-schema change (renames, drops,
+    widenings) into the physical files: one range-clustered
+    copy-on-write rewrite of the live table under the logical schema.
+    After the commit every LIVE file carries the logical names/types:
+    dropped-column tombstones clear (their names are reusable), and
+    targeted merges on a previously-renamed key re-enable (the guard
+    checks physical presence, which this rewrite establishes). The
+    rename map itself is retained — historical manifests still pin
+    pre-rewrite files under old physical names and the change feeds
+    keep coalescing them; renamed-away names therefore stay reserved.
+    Same crash windows and recovery as merge_bulk (shared commit
+    tail)."""
+    old_files = _data_files(path)
+    pending = snapshot_versions(path)
+    version = (pending[-1] + 1) if pending else 1
+    n_out = n_files if n_files is not None else max(1, len(old_files))
+    frame = read_table_logical(spark, path)
+    staged_total, manifest = _commit_bulk_rewrite(
+        spark, path, frame, cluster_col, version, n_out, old_files
+    )
+    return {
+        "version": manifest["version"],
+        "files_rewritten": len(old_files),
+        "rows": staged_total,
     }
 
 
@@ -1176,7 +1398,14 @@ def clone_snapshot(
             dst_file = os.path.join(dst_path, f["path"])
             os.makedirs(os.path.dirname(dst_file), exist_ok=True)
             shutil.copy2(src_file, dst_file)
-        manifest = write_versioned_manifest(dst_path)
+        # the copied files keep their physical schemas: the clone needs
+        # the source's logical pin / rename map / drop tombstones too
+        manifest = write_versioned_manifest(
+            dst_path,
+            schema_json=src_manifest.get("schema_json"),
+            renames=src_manifest.get("renames") or {},
+            dropped_cols=src_manifest.get("dropped_cols") or [],
+        )
     else:
         dmdir = os.path.join(dst_path, "_manifests")
         os.makedirs(dmdir, exist_ok=True)
@@ -1396,9 +1625,10 @@ def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
 
     # Both sides read under the LATER version's logical schema when one
     # is pinned (schema evolution): pre-evolution rows surface nulls in
-    # the new columns, and an update that only fills a new column still
-    # diffs as delete(old,null)+insert(old,value).
-    sj = m_to.get("schema_json") or m_from.get("schema_json")
+    # added columns, pending renames coalesce, and an update that only
+    # fills a new column still diffs as delete(old,null)+insert(old,v).
+    meta = m_to if m_to.get("schema_json") else m_from
+    sj, ren = meta.get("schema_json"), meta.get("renames") or {}
 
     def _read(manifest, only):
         files = []
@@ -1411,12 +1641,13 @@ def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
             files.append(live)
         if not files:
             return None
-        reader = spark.read
         if sj is not None:
             from pyspark.sql.types import StructType
 
-            reader = reader.schema(StructType.fromJson(sj))
-        return reader.parquet(*files)
+            st = StructType.fromJson(sj)
+            df = spark.read.schema(_extended_read_schema(st, ren)).parquet(*files)
+            return _apply_renames(df, st, ren)
+        return spark.read.parquet(*files)
 
     old = _read(m_from, from_files - shared)
     new = _read(m_to, to_files - shared)
@@ -1470,10 +1701,10 @@ def compact_snapshot(
     if len(small) < 2:
         return {"files_compacted": 0, "rows_compacted": 0}
 
-    # logical schema, not footer inference: on an evolved table the
-    # small files may disagree on columns, and a plain read would let
+    # logical read, not footer inference: on an evolved table the small
+    # files may disagree on columns/names, and a plain read would let
     # one of them win and silently drop the others' columns
-    merged = spark.read.schema(table_schema(spark, path)).parquet(*small)
+    merged = read_table_logical(spark, path, files=small)
     if cluster_col is not None:
         # compaction is the cheapest moment to (re)establish clustering:
         # the data is being rewritten anyway, so sorting it here buys

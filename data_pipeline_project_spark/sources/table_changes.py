@@ -165,12 +165,18 @@ def _step_rows(
         old_m = _load_manifest(root, version - 1)
         old_files = {f["path"] for f in old_m["files"]}
     shared = new_files & old_files
+    # pending renames (schema evolution): files carry physical names, a
+    # file has exactly one of {old, new}, so a per-file rename restores
+    # the logical column before the diff
+    ren = new_m.get("renames") or {}
 
     def _frame(rels):
         frames = [
             # integer_object_nulls: a nullable int column must not get
             # float64-ified (5 -> 5.0 would corrupt BIGINT fields)
-            pq.read_table(_resolve(root, r)).to_pandas(integer_object_nulls=True)
+            pq.read_table(_resolve(root, r))
+            .to_pandas(integer_object_nulls=True)
+            .rename(columns=ren)
             for r in sorted(rels)
         ]
         if not frames:

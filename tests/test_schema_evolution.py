@@ -249,3 +249,137 @@ def test_replication_carries_evolution_across_restart(spark, duck, tmp_path):
     )
     rep_rows = sorted((r.k, r.v, r.w) for r in live.collect())
     assert rep_rows == src_rows
+
+
+def test_drop_column_is_metadata_only_with_resurrection_guard(
+    spark, duck, table
+):
+    from data_pipeline_project_spark.sinks.manifest import (
+        drop_column,
+        rewrite_table,
+        table_dropped_cols,
+    )
+
+    _evolve(spark, duck, table)             # v2: adds w
+    drop_column(spark, table, "w")          # v3: metadata-only drop
+
+    live = read_version(spark, table)
+    assert live.columns == ["k", "v"] and live.count() == 301
+    # time travel: the pre-drop version still shows w
+    assert read_version(spark, table, 2).columns == ["k", "v", "w"]
+
+    # re-adding the dropped name is refused until a physical rewrite
+    with pytest.raises(ValueError, match="resurrect"):
+        merge_upsert(
+            spark, duck, table, "k",
+            spark.createDataFrame([(1, 0, "zombie")], "k long, v long, w string"),
+            schema_evolution=True,
+        )
+
+    # merges under the narrowed schema work
+    merge_upsert(
+        spark, duck, table, "k",
+        spark.createDataFrame([(2, 42)], "k long, v long"),
+    )
+    assert read_version(spark, table).where("k = 2").collect()[0].v == 42
+
+    # rewrite_table purges the physical bytes and frees the name
+    rewrite_table(spark, table, "k")
+    assert table_dropped_cols(table) == []
+    merge_upsert(
+        spark, duck, table, "k",
+        spark.createDataFrame([(1, 0, "fresh")], "k long, v long, w string"),
+        schema_evolution=True,
+    )
+    again = read_version(spark, table)
+    got = {r.k: r.w for r in again.where("k in (1, 5)").collect()}
+    assert got == {1: "fresh", 5: None}  # k=5's old 'a' stayed dead
+
+
+def test_rename_column_reads_and_key_guard(spark, duck, table):
+    from data_pipeline_project_spark.sinks.manifest import (
+        rename_column,
+        rewrite_table,
+        table_renames,
+    )
+
+    _evolve(spark, duck, table)                      # v2: +w
+    rename_column(spark, table, "v", "val")          # v3: non-key rename
+
+    live = read_version(spark, table)
+    assert live.columns == ["k", "val", "w"]
+    got = {r.k: r.val for r in live.where("k in (5, 7)").collect()}
+    assert got == {5: -1, 7: 7 % 9}                  # old physical v readable
+
+    # merge under the logical name works (non-key rename pending)
+    merge_upsert(
+        spark, duck, table, "k",
+        spark.createDataFrame([(7, 1000, None)], "k long, val long, w string"),
+    )
+    assert read_version(spark, table).where("k = 7").collect()[0].val == 1000
+
+    # feed across the rename: logical names end-to-end
+    ch = snapshot_changes(spark, table, 3, 4)
+    assert "val" in ch.columns and "v" not in ch.columns
+    assert (7, 1000) in {(r.k, r.val) for r in ch.collect()}
+
+    # renaming the KEY blocks targeted merges until materialized
+    rename_column(spark, table, "k", "id")
+    with pytest.raises(ValueError, match="pending rename"):
+        merge_upsert(
+            spark, duck, table, "id",
+            spark.createDataFrame([(1, 0, None)], "id long, val long, w string"),
+        )
+    rewrite_table(spark, table, "id")
+    # the map is retained for historical reads; what re-enables merges
+    # is that every LIVE file now physically carries the logical names
+    assert table_renames(table) == {"k": "id", "v": "val"}
+    merge_upsert(
+        spark, duck, table, "id",
+        spark.createDataFrame([(1, -7, "x")], "id long, val long, w string"),
+    )
+    final = read_version(spark, table)
+    assert final.columns == ["id", "val", "w"]
+    assert final.where("id = 1").collect()[0].val == -7
+    assert final.count() == 301
+
+
+def test_rename_chain_and_tablechanges_feed(spark, duck, table):
+    from data_pipeline_project_spark.sinks.manifest import rename_column
+
+    spark.dataSource.register(TableChangesDataSource)
+    _evolve(spark, duck, table)                      # v2: +w
+    rename_column(spark, table, "v", "val")          # v3
+    rename_column(spark, table, "val", "metric")     # v4: chain v->val->metric
+    merge_upsert(
+        spark, duck, table, "k",
+        spark.createDataFrame([(5, 123, "zz")], "k long, metric long, w string"),
+    )                                                # v5
+
+    live = read_version(spark, table)
+    assert live.columns == ["k", "metric", "w"]
+    assert live.where("k = 6").collect()[0].metric == -2  # through the chain
+
+    feed = spark.read.format("tablechanges").option("path", table).load()
+    assert feed.columns == ["k", "metric", "w", "_change_type", "_commit_version"]
+    v5 = {
+        (r.k, r.metric, r.w, r._change_type)
+        for r in feed.where("_commit_version = 5").collect()
+    }
+    assert (5, -1, "a", "delete") in v5 and (5, 123, "zz", "insert") in v5
+
+
+def test_deep_clone_carries_evolution_metadata(spark, duck, table, tmp_path):
+    from data_pipeline_project_spark.sinks.manifest import (
+        clone_snapshot,
+        rename_column,
+    )
+
+    _evolve(spark, duck, table)
+    rename_column(spark, table, "v", "val")
+    dst = str(tmp_path / "clone")
+    clone_snapshot(table, dst, deep=True)
+    cloned = read_version(spark, dst)
+    assert cloned.columns == ["k", "val", "w"]
+    assert cloned.count() == 301
+    assert cloned.where("k = 5").collect()[0].val == -1
