@@ -266,14 +266,15 @@ def read_snapshot(spark, manifest: dict | str) -> DataFrame:
     # basePath keeps hive partition columns (shard=N/...) alive when
     # reading an explicit file list instead of the directory.
     reader = spark.read.option("basePath", root)
+    dv = manifest.get("dv") or []
     if manifest.get("schema_json") is not None:
         from pyspark.sql.types import StructType
 
         st = StructType.fromJson(manifest["schema_json"])
         ren = manifest.get("renames") or {}
         df = reader.schema(_extended_read_schema(st, ren)).parquet(*files)
-        return _apply_renames(df, st, ren)
-    return reader.parquet(*files)
+        return _apply_renames(_dv_filter(spark, df, root, dv), st, ren)
+    return _dv_filter(spark, reader.parquet(*files), root, dv)
 
 
 def verify_snapshot(manifest: dict | str) -> list[str]:
@@ -284,6 +285,9 @@ def verify_snapshot(manifest: dict | str) -> list[str]:
         manifest = read_manifest(manifest)
     problems = []
     root = manifest["root"]
+    for rel in manifest.get("dv") or []:
+        if not os.path.exists(os.path.join(root, rel)):
+            problems.append(f"missing dv: {rel}")
     for entry in manifest["files"]:
         # a copy-on-write merge may have tombstoned the file — resolve
         # through _removed/ exactly like read_snapshot does.
@@ -380,6 +384,7 @@ def delete_rows_targeted(
         return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
     zone_maps = file_zone_maps(duck, path, key_col, duck_type)
     _check_key_physical(path, key_col)
+    dv_relpaths = table_dv(path)  # rewrites must not resurrect DV-dead rows
     candidates = _select_candidates(spark, zone_maps, keys_df, key_col, prune)
     kdf = F.broadcast(keys_df.select(F.col(key_col)).distinct())
     pending = snapshot_versions(path)
@@ -393,7 +398,7 @@ def delete_rows_targeted(
         would otherwise serialize."""
         import shutil
 
-        src = spark.read.parquet(f)
+        src = _dv_filter(spark, spark.read.parquet(f), path, dv_relpaths)
         before = src.count()
         survivors = src.join(kdf, key_col, "left_anti")
         after = survivors.count()
@@ -443,6 +448,114 @@ def delete_rows_targeted(
     }
 
 
+def delete_rows_dv(
+    spark,
+    duck,
+    path: str,
+    key_col: str,
+    keys_df: DataFrame,
+    duck_type: str = "BIGINT",
+    prune: str = "auto",
+) -> dict:
+    """Merge-on-read DELETE via a deletion vector (Delta/Iceberg v2
+    position deletes): instead of rewriting every file a key matches,
+    record the matched rows' (file, row_index) positions in a new
+    parquet under ``_dv/`` and pin it in a new snapshot — every reader
+    anti-joins the DV, so the rows are logically gone while the data
+    files stay byte-identical.
+
+    Cost model vs :func:`delete_rows_targeted`: a targeted delete
+    rewrites O(matched-file bytes); this writes O(matched positions)
+    after the same zone-map-pruned scan — the right plan for
+    high-frequency small deletes (streaming GDPR/CDC), at the price of
+    a per-scan anti-join tax that grows with DV size. Whole-table
+    rewrites (compaction, merge_bulk/delete_bulk, rewrite_table)
+    MATERIALIZE the DV away: their reads are DV-filtered and their
+    commits pin an empty DV set; targeted merges likewise purge
+    entries for the files they rewrite (rewrites read live rows only;
+    stale entries for tombstoned files are inert by construction —
+    identity is the file BASENAME, which is never reused).
+
+    Idempotent: replaying the same key set matches only already-dead
+    rows, records nothing, and commits nothing. Commits internally
+    (unlike delete_rows_targeted — the DV list must ride the manifest
+    atomically). Returns {version, rows_deleted, dv_files}."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_spark.sinks.layout import file_zone_maps
+
+    if keys_df.select(key_col).limit(1).count() == 0:
+        return {
+            "version": (snapshot_versions(path) or [0])[-1],
+            "rows_deleted": 0,
+            "dv_files": len(table_dv(path)),
+        }
+    zone_maps = file_zone_maps(duck, path, key_col, duck_type)
+    _check_key_physical(path, key_col)
+    prev_dv = table_dv(path)
+    candidates = _select_candidates(spark, zone_maps, keys_df, key_col, prune)
+    if not candidates:
+        return {
+            "version": (snapshot_versions(path) or [0])[-1],
+            "rows_deleted": 0,
+            "dv_files": len(prev_dv),
+        }
+
+    kdf = F.broadcast(keys_df.select(F.col(key_col)).distinct())
+    # live rows only: a key whose row is already DV-dead must not be
+    # recorded twice (idempotent replay, exact rows_deleted)
+    hits = (
+        _dv_filter(
+            spark,
+            spark.read.parquet(*candidates).select(
+                F.col(key_col),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("file"),
+                F.col("_metadata.row_index").alias("pos"),
+            ),
+            path,
+            prev_dv,
+        )
+        .join(kdf, key_col, "left_semi")
+        .select("file", "pos")
+        .localCheckpoint()
+    )
+    n = hits.count()
+    if n == 0:
+        return {
+            "version": (snapshot_versions(path) or [0])[-1],
+            "rows_deleted": 0,
+            "dv_files": len(prev_dv),
+        }
+
+    pending = snapshot_versions(path)
+    version = (pending[-1] + 1) if pending else 1
+    dv_dir = os.path.join(path, DV_DIR)
+    os.makedirs(dv_dir, exist_ok=True)
+    staging = os.path.join(path, f".dv.v{version}.staging")
+    hits.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = [
+        f
+        for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ][0]
+    rel = f"{DV_DIR}/dv-v{version}-{uuid.uuid4().hex[:8]}.parquet"
+    os.replace(os.path.join(staging, part), os.path.join(path, rel))
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+    manifest = write_versioned_manifest(path, dv=prev_dv + [rel])
+    return {
+        "version": manifest["version"],
+        "rows_deleted": n,
+        "dv_files": len(prev_dv) + 1,
+    }
+
+
 class ConcurrentSnapshotError(RuntimeError):
     """Another writer committed this snapshot version first. The losing
     writer's data files are uncommitted orphans; run
@@ -462,6 +575,7 @@ def write_versioned_manifest(
     schema_json: dict | None = None,
     renames: dict | None = None,
     dropped_cols: list | None = None,
+    dv: list | None = None,
 ) -> dict:
     """Append-only snapshot history: write the manifest as
     ``_manifests/v{N}.json`` (N = 1 + highest existing version) and
@@ -505,6 +619,8 @@ def write_versioned_manifest(
         renames = prev_m.get("renames") or {}
     if dropped_cols is None:
         dropped_cols = prev_m.get("dropped_cols") or []
+    if dv is None:
+        dv = prev_m.get("dv") or []
     existing = [
         int(f[1:-5])
         for f in os.listdir(mdir)
@@ -532,6 +648,8 @@ def write_versioned_manifest(
         manifest["renames"] = renames
     if dropped_cols:
         manifest["dropped_cols"] = dropped_cols
+    if dv:
+        manifest["dv"] = dv
     with open(vpath, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     tmp = os.path.join(mdir, "latest.json.tmp")
@@ -661,7 +779,63 @@ def read_table_logical(spark, path: str, files: list | None = None) -> DataFrame
     ren = table_renames(path)
     src = files if files is not None else [path]
     df = spark.read.schema(_extended_read_schema(ts, ren)).parquet(*src)
+    df = _dv_filter(spark, df, path, table_dv(path))
     return _apply_renames(df, ts, ren)
+
+
+DV_DIR = "_dv"
+
+
+def table_dv(path: str) -> list:
+    """Deletion-vector files the LATEST snapshot pins (relpaths under
+    the table root). Cleared by any whole-table rewrite."""
+    mpath = os.path.join(path, "_manifests", "latest.json")
+    if os.path.exists(mpath):
+        return read_manifest(mpath).get("dv") or []
+    return []
+
+
+def _dv_filter(spark, df: DataFrame, root: str, dv_relpaths: list) -> DataFrame:
+    """Drop rows a deletion vector marks dead. ``df`` must come straight
+    off parquet files (``_metadata`` available). Identity is (file
+    BASENAME, row_index): basenames are globally unique (task-uuid part
+    names, version-stamped rewrite names) and survive both the
+    ``_removed/`` tombstone move and snapshot resolution, so stale DV
+    entries for rewritten/tombstoned files are simply inert — no DV
+    pruning is ever needed on rewrite. Positions are broadcast (DVs are
+    churn-sized; a DV grown to table scale is what compaction /
+    rewrite_table materializes away)."""
+    from pyspark.sql import functions as F
+
+    if not dv_relpaths:
+        return df
+    dv = (
+        spark.read.parquet(*[os.path.join(root, r) for r in dv_relpaths])
+        .select(F.col("file").alias("_dvf"), F.col("pos").alias("_dvp"))
+        .distinct()
+    )
+    return (
+        df.withColumn(
+            "_dvf", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        )
+        .withColumn("_dvp", F.col("_metadata.row_index"))
+        .join(F.broadcast(dv), ["_dvf", "_dvp"], "left_anti")
+        .drop("_dvf", "_dvp")
+    )
+
+
+def _dv_positions_by_file(root: str, dv_relpaths: list) -> dict:
+    """Driver/worker-side DV load (pyarrow, no Spark): {file basename ->
+    set(positions)} — for the feeds' shared-file refinement and the
+    pandas diff path. DV files are churn-sized; loud if vacuumed."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for r in dv_relpaths or []:
+        t = pq.read_table(os.path.join(root, r))
+        for f, p in zip(t.column("file").to_pylist(), t.column("pos").to_pylist()):
+            out.setdefault(f, set()).add(p)
+    return out
 
 
 QUARANTINE_DIR = "_quarantine"
@@ -772,10 +946,31 @@ def recover_to_last_manifest(path: str) -> dict:
                 os.remove(os.path.join(mdir, f))
                 claims_removed += 1
 
+    # DV files no surviving manifest references (a delete_rows_dv killed
+    # between writing its vector and committing) are quarantined like
+    # any other uncommitted writer output. Runs AFTER the torn-claim
+    # sweep so a dead claim's references don't keep its vector alive.
+    dv_quarantined = 0
+    dv_root = os.path.join(path, DV_DIR)
+    if os.path.isdir(dv_root):
+        dv_referenced: set[str] = set()
+        for f in os.listdir(mdir):
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit():
+                dv_referenced |= set(
+                    read_manifest(os.path.join(mdir, f)).get("dv") or []
+                )
+        for f in sorted(os.listdir(dv_root)):
+            rel = f"{DV_DIR}/{f}"
+            if f.endswith(".parquet") and rel not in dv_referenced:
+                _move_with_crc(
+                    os.path.join(dv_root, f), os.path.join(qdir, rel)
+                )
+                dv_quarantined += 1
+
     return {
         "version": manifest.get("version"),
         "restored": restored,
-        "quarantined": quarantined,
+        "quarantined": quarantined + dv_quarantined,
         "staging_removed": staging_removed,
         "claims_removed": claims_removed,
     }
@@ -948,6 +1143,7 @@ def merge_upsert(
 
     zone_maps = file_zone_maps(duck, path, key_col, duck_type)
     _check_key_physical(path, key_col)
+    dv_relpaths = table_dv(path)  # rewrites must not resurrect DV-dead rows
     candidates = _select_candidates(spark, zone_maps, updates_df, key_col, prune)
     if (
         rewrite == "auto"
@@ -971,7 +1167,7 @@ def merge_upsert(
         Per-file work is independent (own tmp dir, own tombstone path,
         atomic renames), so the loop parallelizes across candidates —
         see _run_rewrites."""
-        src = spark.read.parquet(f)
+        src = _dv_filter(spark, spark.read.parquet(f), path, dv_relpaths)
         before = src.count()
         survivors = src.join(kdf, key_col, "left_anti")
         after = survivors.count()
@@ -1208,8 +1404,12 @@ def _commit_bulk_rewrite(
     # reads (the old physical column is simply absent -> all-null ->
     # coalesce no-op); the targeted-merge guard checks PHYSICAL key
     # presence, not the map, so merges re-enable after this commit.
+    # ...and deletion vectors: every pre-rewrite file is tombstoned, so
+    # the rewrite's output physically excludes DV-dead rows (the bulk
+    # frame reads through read_table_logical) and the new snapshot pins
+    # an empty DV set.
     return staged_total, write_versioned_manifest(
-        path, extra=extra, dropped_cols=[]
+        path, extra=extra, dropped_cols=[], dv=[]
     )
 
 
@@ -1559,11 +1759,22 @@ def vacuum(path: str, keep_versions: int = 2, purge_quarantine: bool = False) ->
     kept, dropped = versions[-keep_versions:], versions[:-keep_versions]
     mdir = os.path.join(path, "_manifests")
     referenced: set[str] = set()
+    dv_referenced: set[str] = set()
     for v in kept:
         m = read_manifest(os.path.join(mdir, f"v{v}.json"))
         referenced |= {f["path"] for f in m["files"]}
+        dv_referenced |= set(m.get("dv") or [])
     for v in dropped:
         os.remove(os.path.join(mdir, f"v{v}.json"))
+
+    dv_deleted = 0
+    dv_root = os.path.join(path, DV_DIR)
+    if os.path.isdir(dv_root):
+        for f in os.listdir(dv_root):
+            rel = f"{DV_DIR}/{f}"
+            if f.endswith(".parquet") and rel not in dv_referenced:
+                os.remove(os.path.join(dv_root, f))
+                dv_deleted += 1
 
     tomb_root = os.path.join(path, REMOVED_DIR)
     deleted = 0
@@ -1599,6 +1810,7 @@ def vacuum(path: str, keep_versions: int = 2, purge_quarantine: bool = False) ->
     return {
         "versions_dropped": len(dropped),
         "tombstones_deleted": deleted,
+        "dv_deleted": dv_deleted,
         "quarantine_purged": purged,
     }
 
@@ -1622,6 +1834,17 @@ def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
     from_files = {f["path"] for f in m_from["files"]}
     to_files = {f["path"] for f in m_to["files"]}
     shared = from_files & to_files
+    # deletion vectors: a file shared by path still CHANGED if its dead
+    # positions differ between the versions — force it into the diff
+    if (m_from.get("dv") or []) != (m_to.get("dv") or []):
+        old_pos = _dv_positions_by_file(m_from["root"], m_from.get("dv"))
+        new_pos = _dv_positions_by_file(m_to["root"], m_to.get("dv"))
+        shared = {
+            rel
+            for rel in shared
+            if old_pos.get(os.path.basename(rel), set())
+            == new_pos.get(os.path.basename(rel), set())
+        }
 
     # Both sides read under the LATER version's logical schema when one
     # is pinned (schema evolution): pre-evolution rows surface nulls in
@@ -1641,13 +1864,16 @@ def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
             files.append(live)
         if not files:
             return None
+        dv = manifest.get("dv") or []
         if sj is not None:
             from pyspark.sql.types import StructType
 
             st = StructType.fromJson(sj)
             df = spark.read.schema(_extended_read_schema(st, ren)).parquet(*files)
-            return _apply_renames(df, st, ren)
-        return spark.read.parquet(*files)
+            return _apply_renames(
+                _dv_filter(spark, df, manifest["root"], dv), st, ren
+            )
+        return _dv_filter(spark, spark.read.parquet(*files), manifest["root"], dv)
 
     old = _read(m_from, from_files - shared)
     new = _read(m_to, to_files - shared)

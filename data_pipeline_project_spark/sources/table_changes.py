@@ -157,28 +157,48 @@ def _step_rows(
     import pandas as pd
     import pyarrow.parquet as pq
 
+    from data_pipeline_project_spark.sinks.manifest import (
+        _dv_positions_by_file,
+    )
+
     new_m = _load_manifest(root, version)
     new_files = {f["path"] for f in new_m["files"]}
     if version == 1:
-        old_files = set()
+        old_m, old_files = {}, set()
     else:
         old_m = _load_manifest(root, version - 1)
         old_files = {f["path"] for f in old_m["files"]}
     shared = new_files & old_files
+    # deletion vectors: per-version dead positions; a path-shared file
+    # whose dead set changed between the versions must enter the diff
+    old_pos = _dv_positions_by_file(root, old_m.get("dv"))
+    new_pos = _dv_positions_by_file(root, new_m.get("dv"))
+    if (old_m.get("dv") or []) != (new_m.get("dv") or []):
+        shared = {
+            rel
+            for rel in shared
+            if old_pos.get(os.path.basename(rel), set())
+            == new_pos.get(os.path.basename(rel), set())
+        }
     # pending renames (schema evolution): files carry physical names, a
     # file has exactly one of {old, new}, so a per-file rename restores
     # the logical column before the diff
     ren = new_m.get("renames") or {}
 
-    def _frame(rels):
-        frames = [
-            # integer_object_nulls: a nullable int column must not get
-            # float64-ified (5 -> 5.0 would corrupt BIGINT fields)
-            pq.read_table(_resolve(root, r))
-            .to_pandas(integer_object_nulls=True)
-            .rename(columns=ren)
-            for r in sorted(rels)
-        ]
+    def _one(rel, dead_by_file):
+        # integer_object_nulls: a nullable int column must not get
+        # float64-ified (5 -> 5.0 would corrupt BIGINT fields)
+        df = pq.read_table(_resolve(root, rel)).to_pandas(
+            integer_object_nulls=True
+        )
+        dead = dead_by_file.get(os.path.basename(rel))
+        if dead:
+            # to_pandas preserves file row order: index == row_index
+            df = df.drop(index=[i for i in dead if i < len(df)])
+        return df.rename(columns=ren)
+
+    def _frame(rels, dead_by_file):
+        frames = [_one(r, dead_by_file) for r in sorted(rels)]
         if not frames:
             return None
         df = pd.concat(frames, ignore_index=True)
@@ -194,8 +214,8 @@ def _step_rows(
             df = df[(h % n_shards) == shard]
         return df if len(df) else None
 
-    new_df = _frame(new_files - shared)
-    old_df = _frame(old_files - shared)
+    new_df = _frame(new_files - shared, new_pos)
+    old_df = _frame(old_files - shared, old_pos)
 
     def _emit(df, change_type):
         for row in df.itertuples(index=False):

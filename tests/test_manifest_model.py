@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from data_pipeline_project_spark.sinks.manifest import (
     compact_snapshot,
     delete_bulk,
+    delete_rows_dv,
     delete_rows_targeted,
     merge_bulk,
     merge_upsert,
@@ -42,7 +43,9 @@ def _mk_rows(keys, salt):
 
 
 def _live_state(spark, path):
-    rows = spark.read.parquet(path).collect()
+    # the committed snapshot, not the raw directory: a deletion-vector
+    # delete leaves the dead rows physically in place by design
+    rows = read_version(spark, path).collect()
     return sorted((r.k, r.v, r.s) for r in rows)
 
 
@@ -67,7 +70,7 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
     for step in range(OPS_PER_SEED):
         op = rng.choice(
             ["merge", "merge", "delete", "compact", "vacuum", "merge_bulk",
-             "delete_bulk", "crash_recover"]
+             "delete_bulk", "delete_dv", "crash_recover"]
         )
         if op in ("merge", "merge_bulk"):
             n_upd = rng.randrange(1, 40)
@@ -87,6 +90,21 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
             assert res["rows_inserted"] == len(ins_keys), (step, res)
             for k, v, s in rows:
                 model[k] = (v, s)
+            history[res["version"]] = _model_state(model)
+        elif op == "delete_dv":
+            # merge-on-read delete: same model semantics as the rewrite
+            # deletes, different physics (positions in a vector, files
+            # untouched) — every downstream invariant (live equality,
+            # time travel, CDF, vacuum replay) must hold identically
+            present = rng.sample(sorted(model), min(rng.randrange(1, 30), len(model)))
+            keys = spark.createDataFrame(
+                [(int(k),) for k in present + [10_000 + rng.randrange(1000)]],
+                "k long",
+            )
+            res = delete_rows_dv(spark, duck, path, "k", keys)
+            assert res["rows_deleted"] == len(present), (step, res)
+            for k in present:
+                del model[k]
             history[res["version"]] = _model_state(model)
         elif op in ("delete", "delete_bulk"):
             present = rng.sample(sorted(model), min(rng.randrange(1, 30), len(model)))

@@ -363,3 +363,23 @@ def test_auto_mode_picks_full_for_bulk_churn_and_delta_for_targeted(
     res2 = refresh_agg_view(spark, duck, view, mode="auto")
     assert res2["mode"] == "delta" and res2["applied_src_version"] == 3
     _assert_view_equals_source(spark, src, view)
+
+
+def test_view_fails_loudly_when_source_renames_its_columns(
+    spark, duck, tmp_path
+):
+    """The spec pins logical column names at create time; if the source
+    renames the value or key column away, refresh must raise (recreate
+    the view), never silently drift."""
+    from data_pipeline_project_spark.sinks.manifest import rename_column
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    _source(spark, src)
+    create_agg_view(spark, duck, src, view, ["g"], "v")
+    rename_column(spark, src, "v", "reading")
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame([(1, 1, 5)], "k long, g long, reading long"),
+    )
+    with pytest.raises(Exception):
+        refresh_agg_view(spark, duck, view)
