@@ -326,7 +326,8 @@ def table_health(
 ) -> dict:
     """Maintenance audit of a manifest table — everything an operator
     needs to decide whether to compact, re-cluster, or vacuum, from
-    METADATA only (parquet footers + directory stat; zero data bytes):
+    metadata (parquet footers + directory stat; the only data read is
+    the churn-sized deletion vectors themselves):
 
     - ``n_files / total_bytes / total_rows / avg_file_bytes`` and the
       ``small_files`` count below ``small_file_bytes`` (compaction
@@ -348,7 +349,9 @@ def table_health(
         QUARANTINE_DIR,
         REMOVED_DIR,
         _data_files,
+        _dv_positions_by_file,
         snapshot_versions,
+        table_dv,
     )
 
     files = _data_files(path)
@@ -381,6 +384,13 @@ def table_health(
         "quarantine_files": quar_n,
         "quarantine_bytes": quar_b,
     }
+    # deletion-vector pressure: dead rows are a per-scan anti-join tax
+    # until a whole-table rewrite materializes them away
+    dv = table_dv(path)
+    health["dv_files"] = len(dv)
+    health["dv_dead_rows"] = sum(
+        len(v) for v in _dv_positions_by_file(path, dv).values()
+    )
     if key_col is not None and files:
         zm = [
             (mn, mx)
@@ -407,6 +417,9 @@ MAINTENANCE_DEFAULTS = {
     "clustering_overlap": 0.3,
     "retention_fraction": 0.25,
     "max_versions": 64,
+    # dead rows above this fraction of physical rows: the per-scan DV
+    # anti-join outweighs the one-time materializing rewrite
+    "dv_dead_fraction": 0.05,
 }
 
 
@@ -441,6 +454,15 @@ def maintenance_plan(health: dict, thresholds: dict | None = None) -> list[dict]
             "action": "recluster",
             "reason": f"adjacent zone-map overlap {overlap:.0%} exceeds "
                       f"{t['clustering_overlap']:.0%} — range scans stop pruning",
+        })
+    dead = health.get("dv_dead_rows", 0)
+    if dead and dead / max(1, health["total_rows"]) > t["dv_dead_fraction"]:
+        plan.append({
+            "action": "materialize_dv",
+            "reason": f"{dead} deletion-vector dead rows "
+                      f"({dead / max(1, health['total_rows']):.0%} of physical"
+                      f" rows) tax every scan — rewrite_table (or compaction)"
+                      f" purges them in one pass",
         })
     live = max(1, health["total_bytes"])
     retention = health["tombstone_bytes"] + health["quarantine_bytes"]

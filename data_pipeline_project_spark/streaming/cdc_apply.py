@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_pipeline_project_spark.sinks.manifest import merge_upsert
+from data_pipeline_project_spark.sinks.manifest import (
+    delete_rows_dv,
+    delete_rows_targeted,
+    merge_upsert,
+    write_versioned_manifest,
+)
 
 
 def collapse_last_write_wins(
@@ -70,6 +75,8 @@ def apply_cdc_stream(
     checkpoint_dir: str,
     duck_type: str = "BIGINT",
     rewrite: str = "auto",
+    delete_col: str | None = None,
+    delete_mode: str = "dv",
 ):
     """Start (and return) the streaming query applying ``changes`` (a
     streaming DataFrame whose schema matches the target table plus
@@ -83,7 +90,19 @@ def apply_cdc_stream(
     blanket the table would otherwise degrade into rewriting every
     file one at a time — auto flips those batches onto the bulk
     shuffle plan (merge_bulk) while steady-state trickle batches keep
-    the zone-map-targeted path."""
+    the zone-map-targeted path.
+
+    ``delete_col`` names an optional boolean column marking DELETE
+    change rows (a full CDC feed carries deletes, not just upserts);
+    per batch, after the last-write-wins collapse, delete-winners are
+    removed from the table BEFORE the upsert-winners merge.
+    ``delete_mode`` picks the physics: ``dv`` (default — merge-on-read
+    deletion vector, O(matched positions), the right plan for the
+    high-frequency small deletes a CDC stream produces; replay is a
+    no-op by construction) or ``targeted`` (copy-on-write rewrite of
+    the matched files)."""
+    if delete_mode not in ("dv", "targeted"):
+        raise ValueError(f"delete_mode must be dv|targeted, got {delete_mode!r}")
     applied: list[dict] = []
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
@@ -92,10 +111,30 @@ def apply_cdc_stream(
         collapsed = collapse_last_write_wins(batch, key_col, order_col).drop(
             order_col
         )
-        stats = merge_upsert(
-            spark, duck, target_path, key_col, collapsed,
-            duck_type=duck_type, rewrite=rewrite,
-        )
+        stats = {"batch_id": batch_id, "rows_deleted": 0}
+        if delete_col is not None:
+            dels = collapsed.where(F.col(delete_col)).select(key_col)
+            collapsed = collapsed.where(~F.col(delete_col)).drop(delete_col)
+            if dels.limit(1).count():
+                if delete_mode == "dv":
+                    d = delete_rows_dv(
+                        spark, duck, target_path, key_col, dels,
+                        duck_type=duck_type,
+                    )
+                else:
+                    d = delete_rows_targeted(
+                        spark, duck, target_path, key_col, dels,
+                        duck_type=duck_type,
+                    )
+                    write_versioned_manifest(target_path)
+                stats["rows_deleted"] = d["rows_deleted"]
+        if not collapsed.isEmpty():
+            stats.update(
+                merge_upsert(
+                    spark, duck, target_path, key_col, collapsed,
+                    duck_type=duck_type, rewrite=rewrite,
+                )
+            )
         stats["batch_id"] = batch_id
         applied.append(stats)
 

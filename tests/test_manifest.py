@@ -981,3 +981,45 @@ def test_maintenance_plan_rules(spark, duck, tmp_path):
              "retention_fraction": 10.0, "max_versions": 1}
     )
     assert [a["action"] for a in plan2] == ["vacuum"]
+
+
+def test_table_health_flags_dv_pressure(spark, duck, tmp_path):
+    """Deletion-vector dead rows show up in table_health, and the
+    maintenance planner recommends materializing once the dead
+    fraction crosses the threshold — rewrite_table clears the flag."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_spark.sinks.layout import (
+        maintenance_plan,
+        table_health,
+        write_range_clustered,
+    )
+    from data_pipeline_project_spark.sinks.manifest import (
+        delete_rows_dv,
+        rewrite_table,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1_000).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    write_range_clustered(df, path, "k", 2)
+    write_versioned_manifest(path)
+
+    h0 = table_health(duck, path, "k")
+    assert h0["dv_files"] == 0 and h0["dv_dead_rows"] == 0
+
+    delete_rows_dv(
+        spark, duck, path, "k",
+        spark.createDataFrame([(int(k),) for k in range(0, 100)], "k long"),
+    )
+    h1 = table_health(duck, path, "k")
+    assert h1["dv_files"] == 1 and h1["dv_dead_rows"] == 100
+    actions = {a["action"] for a in maintenance_plan(h1)}
+    assert "materialize_dv" in actions  # 10% dead > 5% default threshold
+
+    rewrite_table(spark, path, "k")
+    h2 = table_health(duck, path, "k")
+    assert h2["dv_dead_rows"] == 0
+    assert "materialize_dv" not in {a["action"] for a in maintenance_plan(h2)}

@@ -1042,3 +1042,88 @@ def test_stateful_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
+
+
+def test_cdc_apply_with_delete_markers_dv_mode(spark, duck, tmp_path):
+    """Full CDC feed: delete markers ride the change stream and apply
+    as deletion vectors before the batch's upserts merge; a delete and
+    a later update to the same key collapse last-write-wins; drained
+    replay is a no-op."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        read_version,
+        snapshot_versions,
+        table_dv,
+        write_versioned_manifest,
+    )
+    from data_pipeline_project_spark.streaming.cdc_apply import apply_cdc_stream
+
+    target = str(tmp_path / "t")
+    df = spark.range(0, 1_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v")
+    )
+    write_range_clustered(df, target, "user_id", 4)
+    write_versioned_manifest(target)
+
+    drop = tmp_path / "changes"
+    drop.mkdir()
+    with open(drop / "c1.jsonl", "w") as fh:
+        for rec in [
+            {"user_id": 3, "v": None, "seq": 1, "deleted": True},
+            {"user_id": 5, "v": -2, "seq": 2, "deleted": False},
+            {"user_id": 2_000, "v": -3, "seq": 3, "deleted": False},
+            # delete then a LATER update to the same key: LWW keeps the update
+            {"user_id": 7, "v": None, "seq": 4, "deleted": True},
+            {"user_id": 7, "v": -7, "seq": 5, "deleted": False},
+        ]:
+            fh.write(json.dumps(rec) + "\n")
+
+    schema = "user_id BIGINT, v BIGINT, seq BIGINT, deleted BOOLEAN"
+    ckpt = str(tmp_path / "ckpt")
+    q = apply_cdc_stream(
+        spark, duck,
+        spark.readStream.schema(schema).json(str(drop)),
+        target, "user_id", "seq", ckpt,
+        delete_col="deleted", delete_mode="dv",
+    )
+    q.awaitTermination(120)
+    assert q.applied_stats[0]["rows_deleted"] == 1      # user 3
+    assert q.applied_stats[0]["rows_updated"] == 2      # users 5, 7
+    assert q.applied_stats[0]["rows_inserted"] == 1     # user 2000
+    assert table_dv(target)                              # a vector is pinned
+
+    live = read_version(spark, target)
+    assert live.count() == 1_000                         # -1 delete +1 insert
+    got = {r.user_id: r.v for r in live.where(
+        F.col("user_id").isin([3, 5, 7, 2_000])).collect()}
+    assert got == {5: -2, 7: -7, 2_000: -3}              # 3 gone, 7 survived
+    v_after = snapshot_versions(target)[-1]
+
+    # drained replay: no new batch, no version
+    q2 = apply_cdc_stream(
+        spark, duck,
+        spark.readStream.schema(schema).json(str(drop)),
+        target, "user_id", "seq", ckpt,
+        delete_col="deleted", delete_mode="dv",
+    )
+    q2.awaitTermination(120)
+    assert not q2.applied_stats
+    assert snapshot_versions(target)[-1] == v_after
+
+    # a later delete-only batch applies incrementally
+    with open(drop / "c2.jsonl", "w") as fh:
+        fh.write(json.dumps(
+            {"user_id": 5, "v": None, "seq": 6, "deleted": True}) + "\n")
+    q3 = apply_cdc_stream(
+        spark, duck,
+        spark.readStream.schema(schema).json(str(drop)),
+        target, "user_id", "seq", ckpt,
+        delete_col="deleted", delete_mode="dv",
+    )
+    q3.awaitTermination(120)
+    assert q3.applied_stats[0]["rows_deleted"] == 1
+    assert read_version(spark, target).count() == 999
