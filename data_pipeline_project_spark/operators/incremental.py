@@ -412,3 +412,142 @@ def repair_aggregate_state(
     )
     clean = state.where(~F.col("_st_minmax_stale")).drop("_st_minmax_stale")
     return clean.unionByName(fresh)
+
+
+# ---- multi-column aggregate state (suffixed per value column) --------
+#
+# The single-column functions above stay the canonical, oracle-checked
+# primitives; these generalize the same monoid/retract/repair algebra
+# to several value columns in ONE groupBy (state columns suffixed
+# "__<col>", one shared _st_rows). sinks/matview.py is the consumer.
+
+
+def _mc(name: str, col: str) -> str:
+    return f"{name}__{col}"
+
+
+def aggregate_state_multi(
+    df: DataFrame, keys: list[str], value_cols: list[str]
+) -> DataFrame:
+    """Per-group mergeable state over several value columns in one
+    hash aggregate: shared ``_st_rows`` plus per-column
+    ``_st_n__c / _st_sum__c / _st_min__c / _st_max__c`` with the same
+    semantics as :func:`aggregate_state`."""
+    aggs = [F.count(F.lit(1)).alias("_st_rows")]
+    for c in value_cols:
+        v = F.col(c)
+        aggs += [
+            F.count(v).alias(_mc("_st_n", c)),
+            F.sum(v.cast(_DEC)).alias(_mc("_st_sum", c)),
+            F.min(v).alias(_mc("_st_min", c)),
+            F.max(v).alias(_mc("_st_max", c)),
+        ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_aggregate_states_multi(
+    value_cols: list[str], *states: DataFrame
+) -> DataFrame:
+    keys = [c for c in states[0].columns if not c.startswith("_st_")]
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    aggs = [F.sum("_st_rows").alias("_st_rows")]
+    for c in value_cols:
+        aggs += [
+            F.sum(_mc("_st_n", c)).alias(_mc("_st_n", c)),
+            F.sum(_mc("_st_sum", c)).alias(_mc("_st_sum", c)),
+            F.min(_mc("_st_min", c)).alias(_mc("_st_min", c)),
+            F.max(_mc("_st_max", c)).alias(_mc("_st_max", c)),
+        ]
+    return merged.groupBy(*keys).agg(*aggs)
+
+
+def retract_aggregate_state_multi(
+    value_cols: list[str], state: DataFrame, deleted: DataFrame
+) -> DataFrame:
+    """Multi-column retract: counts and decimal sums subtract exactly
+    per column; ONE combined ``_st_minmax_stale`` flag fires if ANY
+    column's deleted values touch its current extremes (repair
+    recomputes the whole group row anyway, so per-column flags would
+    buy nothing)."""
+    keys = [c for c in state.columns if not c.startswith("_st_")]
+    sel = [*keys, F.col("_st_rows").alias("_d_rows")]
+    for c in value_cols:
+        sel += [
+            F.col(_mc("_st_n", c)).alias(_mc("_d_n", c)),
+            F.col(_mc("_st_sum", c)).alias(_mc("_d_sum", c)),
+            F.col(_mc("_st_min", c)).alias(_mc("_d_min", c)),
+            F.col(_mc("_st_max", c)).alias(_mc("_d_max", c)),
+        ]
+    j = state.join(deleted.select(*sel), keys, "left")
+    out = [
+        *keys,
+        (F.col("_st_rows") - F.coalesce(F.col("_d_rows"), F.lit(0))).alias(
+            "_st_rows"
+        ),
+    ]
+    stale = F.lit(False)
+    for c in value_cols:
+        out += [
+            (
+                F.col(_mc("_st_n", c))
+                - F.coalesce(F.col(_mc("_d_n", c)), F.lit(0))
+            ).alias(_mc("_st_n", c)),
+            (
+                F.col(_mc("_st_sum", c))
+                - F.coalesce(F.col(_mc("_d_sum", c)), F.lit(0).cast(_DEC))
+            ).alias(_mc("_st_sum", c)),
+            F.col(_mc("_st_min", c)),
+            F.col(_mc("_st_max", c)),
+        ]
+        stale = stale | F.coalesce(
+            F.col(_mc("_d_n", c)).isNotNull()
+            & (
+                (F.col(_mc("_d_min", c)) <= F.col(_mc("_st_min", c)))
+                | (F.col(_mc("_d_max", c)) >= F.col(_mc("_st_max", c)))
+            ),
+            F.lit(False),
+        )
+    return (
+        j.select(*out, stale.alias("_st_minmax_stale"))
+        .where(F.col("_st_rows") > 0)
+    )
+
+
+def repair_aggregate_state_multi(
+    value_cols: list[str], state: DataFrame, facts: DataFrame
+) -> DataFrame:
+    keys = [c for c in state.columns if not c.startswith("_st_")]
+    stale_keys = state.where(F.col("_st_minmax_stale")).select(*keys)
+    fresh = aggregate_state_multi(
+        facts.join(F.broadcast(stale_keys), keys, "left_semi"), keys, value_cols
+    )
+    clean = state.where(~F.col("_st_minmax_stale")).drop("_st_minmax_stale")
+    return clean.unionByName(fresh)
+
+
+def finalize_aggregate_state_multi(
+    value_cols: list[str], state: DataFrame
+) -> DataFrame:
+    """Render multi-column state as user-facing statistics. A
+    single-column view keeps the classic unsuffixed names (n_rows,
+    sum_value, ...); several columns get ``__<col>`` suffixes."""
+    keys = [c for c in state.columns if not c.startswith("_st_")]
+    cols = list(keys)
+    for c in value_cols:
+        sfx = "" if len(value_cols) == 1 else f"__{c}"
+        cols += [
+            F.col(_mc("_st_n", c)).alias(f"n_rows{sfx}"),
+            F.col(_mc("_st_sum", c)).cast("double").alias(f"sum_value{sfx}"),
+            F.col(_mc("_st_min", c)).alias(f"min_value{sfx}"),
+            F.col(_mc("_st_max", c)).alias(f"max_value{sfx}"),
+            F.round(
+                F.try_divide(
+                    F.col(_mc("_st_sum", c)).cast("double"),
+                    F.col(_mc("_st_n", c)),
+                ),
+                6,
+            ).alias(f"avg_value{sfx}"),
+        ]
+    return state.select(*cols)

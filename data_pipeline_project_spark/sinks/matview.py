@@ -67,11 +67,12 @@ from pyspark.sql import functions as F
 
 from data_pipeline_project_spark.operators.incremental import (
     _DEC,
-    aggregate_state,
-    finalize_aggregate_state,
-    merge_aggregate_states,
-    repair_aggregate_state,
-    retract_aggregate_state,
+    _mc,
+    aggregate_state_multi,
+    finalize_aggregate_state_multi,
+    merge_aggregate_states_multi,
+    repair_aggregate_state_multi,
+    retract_aggregate_state_multi,
 )
 from data_pipeline_project_spark.sinks.manifest import (
     read_manifest,
@@ -82,7 +83,13 @@ from data_pipeline_project_spark.sinks.manifest import (
 
 GROUP_KEY = "_gk"
 SPEC_FILE = "_matview.json"
-_STATE_COLS = ["_st_rows", "_st_n", "_st_sum", "_st_min", "_st_max"]
+
+
+def _state_cols(value_cols: list[str]) -> list[str]:
+    out = ["_st_rows"]
+    for c in value_cols:
+        out += [_mc("_st_n", c), _mc("_st_sum", c), _mc("_st_min", c), _mc("_st_max", c)]
+    return out
 
 
 def _spec_path(view_path: str) -> str:
@@ -136,14 +143,23 @@ def create_agg_view(
     src_path: str,
     view_path: str,
     keys: list[str],
-    value_col: str,
+    value_col: str | list[str],
     n_files: int = 4,
+    filter_sql: str | None = None,
 ) -> dict:
     """Materialize the view: full aggregate-state compute from the
     source's LATEST committed snapshot, range-clustered on the group
     key (tight zone maps for every later refresh merge), spec written
     beside the data, first snapshot stamped with the source version it
-    reflects. Returns {view_version, applied_src_version, n_groups}."""
+    reflects. ``value_col`` may be a LIST of columns — one state table
+    then maintains count/sum/min/max/avg for every column (rendered
+    with ``__<col>`` suffixes; a single column keeps the classic
+    unsuffixed names). ``filter_sql`` (a Spark SQL predicate over the source's
+    columns) makes it a FILTERED view — ``WHERE <filter> GROUP BY
+    keys`` — applied identically to the snapshot at create, to the
+    change feed and touched-group rescans at refresh (a filtered-out
+    row simply never enters any fold), and recorded in the spec.
+    Returns {view_version, applied_src_version, n_groups}."""
     from data_pipeline_project_spark.sinks.layout import write_range_clustered
 
     src_versions = snapshot_versions(src_path)
@@ -152,11 +168,14 @@ def create_agg_view(
             f"source {src_path!r} has no snapshot manifest — commit one "
             f"with write_versioned_manifest first"
         )
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
     src_v = src_versions[-1]
     facts = read_version(spark, src_path, src_v)
+    if filter_sql:
+        facts = facts.where(filter_sql)
     _check_no_null_keys(facts.select(*keys), keys, "the source")
 
-    state = _with_gk(aggregate_state(facts, keys, value_col), keys)
+    state = _with_gk(aggregate_state_multi(facts, keys, value_cols), keys)
     n_groups = state.count()
     if state.select(GROUP_KEY).distinct().count() != n_groups:
         # 64-bit birthday bound: ~n^2/2^65 — vanishing below ~10^8
@@ -171,7 +190,8 @@ def create_agg_view(
     spec = {
         "src": os.path.abspath(src_path),
         "keys": list(keys),
-        "value_col": value_col,
+        "value_cols": value_cols,
+        "filter_sql": filter_sql,
     }
     tmp = _spec_path(view_path) + ".tmp"
     with open(tmp, "w") as fh:
@@ -282,7 +302,9 @@ def refresh_agg_view(
             f"mode must be recompute|delta|full|auto, got {mode!r}"
         )
     spec = read_spec(view_path)
-    src, keys, value_col = spec["src"], spec["keys"], spec["value_col"]
+    src, keys = spec["src"], spec["keys"]
+    value_cols = spec.get("value_cols") or [spec["value_col"]]
+    filter_sql = spec.get("filter_sql")
     applied = applied_src_version(view_path)
     src_latest = (snapshot_versions(src) or [0])[-1]
     if src_latest <= applied:
@@ -315,15 +337,23 @@ def refresh_agg_view(
         # every group's state; the watermark/time-travel history is
         # preserved (unlike a create-from-scratch rebuild).
         facts = read_version(spark, src, src_latest)
-        fresh = aggregate_state(facts, keys, value_col)
+        if filter_sql:
+            facts = facts.where(filter_sql)
+        fresh = aggregate_state_multi(facts, keys, value_cols)
         _check_no_null_keys(fresh.select(*keys), keys, "the source")
         tomb_scope = current_live.select(*keys)
     else:
         changes = _read_changes(spark, src, applied, src_latest, feed_shards)
+        if filter_sql:
+            # a filtered view never sees rows outside its predicate: an
+            # update moving a row OUT of the filter arrives as
+            # delete(old, passes) + insert(new, filtered away) — the
+            # group correctly loses the row, and vice versa
+            changes = changes.where(filter_sql)
         _check_no_null_keys(changes.select(*keys), keys, "the change feed")
         touched = changes.select(*keys).distinct()
         current_touched = current_live.join(touched, keys, "left_semi").select(
-            *keys, *_STATE_COLS
+            *keys, *_state_cols(value_cols)
         )
         tomb_scope = current_touched.select(*keys)
 
@@ -332,8 +362,10 @@ def refresh_agg_view(
             # group is re-derived from the source's pinned snapshot at
             # the target version, scanning only those groups' facts.
             facts = read_version(spark, src, src_latest)
-            fresh = aggregate_state(
-                facts.join(touched, keys, "left_semi"), keys, value_col
+            if filter_sql:
+                facts = facts.where(filter_sql)
+            fresh = aggregate_state_multi(
+                facts.join(touched, keys, "left_semi"), keys, value_cols
             )
         else:
             # Pure state arithmetic: fold inserts in, subtract deletes
@@ -344,15 +376,20 @@ def refresh_agg_view(
             # snapshot, which already reflects every commit in range.
             ins = changes.where(F.col("_change_type") == "insert")
             dels = changes.where(F.col("_change_type") == "delete")
-            ins_state = aggregate_state(ins, keys, value_col)
-            merged = merge_aggregate_states(current_touched, ins_state)
-            retracted = retract_aggregate_state(
-                merged, aggregate_state(dels, keys, value_col)
+            ins_state = aggregate_state_multi(ins, keys, value_cols)
+            merged = merge_aggregate_states_multi(
+                value_cols, current_touched, ins_state
+            )
+            retracted = retract_aggregate_state_multi(
+                value_cols, merged, aggregate_state_multi(dels, keys, value_cols)
             ).localCheckpoint()  # churn-bounded; pins the fold
             if retracted.where(F.col("_st_minmax_stale")).limit(1).count():
-                fresh = repair_aggregate_state(
-                    retracted, read_version(spark, src, src_latest), value_col
-                ).select(*keys, *_STATE_COLS)
+                repair_facts = read_version(spark, src, src_latest)
+                if filter_sql:
+                    repair_facts = repair_facts.where(filter_sql)
+                fresh = repair_aggregate_state_multi(
+                    value_cols, retracted, repair_facts
+                ).select(*keys, *_state_cols(value_cols))
             else:
                 # no delete clipped any extreme: skip repair entirely —
                 # otherwise its semi-join plan would still SCAN the
@@ -366,14 +403,15 @@ def refresh_agg_view(
         for f in read_version(spark, src, src_latest).schema.fields
     }
     vanished = tomb_scope.join(fresh, keys, "left_anti")
-    tombs = vanished.select(
-        *keys,
-        F.lit(0).cast("long").alias("_st_rows"),
-        F.lit(0).cast("long").alias("_st_n"),
-        F.lit(None).cast(_DEC).alias("_st_sum"),
-        F.lit(None).cast(src_field[value_col]).alias("_st_min"),
-        F.lit(None).cast(src_field[value_col]).alias("_st_max"),
-    )
+    tomb_cols = [*keys, F.lit(0).cast("long").alias("_st_rows")]
+    for c in value_cols:
+        tomb_cols += [
+            F.lit(0).cast("long").alias(_mc("_st_n", c)),
+            F.lit(None).cast(_DEC).alias(_mc("_st_sum", c)),
+            F.lit(None).cast(src_field[c]).alias(_mc("_st_min", c)),
+            F.lit(None).cast(src_field[c]).alias(_mc("_st_max", c)),
+        ]
+    tombs = vanished.select(*tomb_cols)
     final = _with_gk(fresh.unionByName(tombs), keys).localCheckpoint()
     n_changed = final.count()
     n_dropped = final.where(F.col("_st_rows") == 0).count()
@@ -413,11 +451,14 @@ def refresh_agg_view(
 
 def read_agg_view(spark, view_path: str, version: int | None = None) -> DataFrame:
     """Render the view as user-facing statistics (keys, n_rows,
-    sum/min/max/avg_value) — identical to a one-shot GROUP BY over the
-    source snapshot the (possibly time-traveled) view version reflects."""
+    sum/min/max/avg_value — suffixed ``__<col>`` for multi-column
+    views) — identical to a one-shot GROUP BY over the source snapshot
+    the (possibly time-traveled) view version reflects."""
+    spec = read_spec(view_path)
+    value_cols = spec.get("value_cols") or [spec["value_col"]]
     state = read_version(spark, view_path, version)
-    return finalize_aggregate_state(
-        state.where(F.col("_st_rows") > 0).drop(GROUP_KEY)
+    return finalize_aggregate_state_multi(
+        value_cols, state.where(F.col("_st_rows") > 0).drop(GROUP_KEY)
     )
 
 
@@ -430,7 +471,8 @@ def view_status(view_path: str) -> dict:
     return {
         "src": spec["src"],
         "keys": spec["keys"],
-        "value_col": spec["value_col"],
+        "value_cols": spec.get("value_cols") or [spec["value_col"]],
+        "filter_sql": spec.get("filter_sql"),
         "applied_src_version": applied,
         "src_latest_version": src_latest,
         "stale": src_latest > applied,

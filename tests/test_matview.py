@@ -383,3 +383,120 @@ def test_view_fails_loudly_when_source_renames_its_columns(
     )
     with pytest.raises(Exception):
         refresh_agg_view(spark, duck, view)
+
+
+def test_filtered_view_tracks_rows_moving_across_the_predicate(
+    spark, duck, tmp_path
+):
+    """A filtered view (WHERE v >= 0 GROUP BY g) under churn that moves
+    rows INTO and OUT OF the predicate: updates arrive in the feed as
+    delete(old)+insert(new), and whichever side fails the filter simply
+    never enters the fold — both refresh strategies land the filtered
+    GROUP BY oracle."""
+    src = str(tmp_path / "src")
+    v_rec, v_del = str(tmp_path / "rec"), str(tmp_path / "del")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 6).alias("g"),
+        (F.col("id") % 21 - 10).cast("long").alias("v"),  # mixed signs
+    )
+    write_range_clustered(df, src, "k", 3)
+    write_versioned_manifest(src)
+    create_agg_view(spark, duck, src, v_rec, ["g"], "v", filter_sql="v >= 0")
+    create_agg_view(spark, duck, src, v_del, ["g"], "v", filter_sql="v >= 0")
+
+    def check():
+        want = _rows(
+            _direct_agg(spark.read.parquet(src).where("v >= 0"), ["g"], "v")
+        )
+        assert _rows(read_agg_view(spark, v_rec)) == want
+        assert _rows(read_agg_view(spark, v_del)) == want
+
+    check()
+    # churn: k=10 moves OUT of the filter (v 0 -> -5), k=3 moves IN
+    # (v -7 -> 7), k=5000 inserts inside, k=5001 inserts outside
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame(
+            [(10, 4, -5), (3, 3, 7), (5000, 2, 50), (5001, 2, -50)],
+            "k long, g long, v long",
+        ),
+    )
+    refresh_agg_view(spark, duck, v_rec, mode="recompute")
+    refresh_agg_view(spark, duck, v_del, mode="delta")
+    check()
+
+    # delete a mix of in-filter and out-of-filter rows
+    delete_rows_targeted(
+        spark, duck, src, "k",
+        spark.createDataFrame([(3,), (2,), (5001,)], "k long"),
+    )
+    write_versioned_manifest(src)
+    refresh_agg_view(spark, duck, v_rec, mode="recompute")
+    refresh_agg_view(spark, duck, v_del, mode="delta")
+    check()
+
+
+def test_multi_value_column_view(spark, duck, tmp_path):
+    """One state table maintains count/sum/min/max/avg for SEVERAL
+    value columns (suffixed rendering); both refresh strategies track
+    churn that moves each column's extremes independently."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 6).alias("g"),
+        ((F.col("id") * 3) % 50).cast("long").alias("a"),
+        F.when(F.col("id") % 13 == 0, F.lit(None)).otherwise(
+            (F.col("id") * 7) % 31
+        ).cast("long").alias("b"),
+    )
+    write_range_clustered(df, src, "k", 3)
+    write_versioned_manifest(src)
+    create_agg_view(spark, duck, src, view, ["g"], ["a", "b"])
+
+    def oracle():
+        rows = []
+        for c in ("a", "b"):
+            v = F.col(c)
+            rows.append(
+                spark.read.parquet(src).groupBy("g").agg(
+                    F.count(v).alias(f"n_rows__{c}"),
+                    F.sum(v.cast(_DEC)).cast("double").alias(f"sum_value__{c}"),
+                    F.min(v).alias(f"min_value__{c}"),
+                    F.max(v).alias(f"max_value__{c}"),
+                    F.round(
+                        F.try_divide(F.sum(v.cast(_DEC)).cast("double"), F.count(v)), 6
+                    ).alias(f"avg_value__{c}"),
+                )
+            )
+        return _rows(rows[0].join(rows[1], "g"))
+
+    got = read_agg_view(spark, view)
+    assert "sum_value__a" in got.columns and "avg_value__b" in got.columns
+    assert _rows(got) == oracle()
+
+    # churn: delete column a's global max holder AND column b's min
+    # holder; update rows; insert a new group
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame(
+            [(5, 5, 100, None), (900, 9, -1, -1)], "k long, g long, a long, b long",
+        ),
+    )
+    amax = spark.read.parquet(src).orderBy(F.desc("a")).first().k
+    delete_rows_targeted(
+        spark, duck, src, "k",
+        spark.createDataFrame([(int(amax),)], "k long"),
+    )
+    write_versioned_manifest(src)
+
+    refresh_agg_view(spark, duck, view, mode="delta")
+    assert _rows(read_agg_view(spark, view)) == oracle()
+
+    refresh_agg_view(spark, duck, view, mode="full")  # no-op (current)
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame([(6, 0, 7, 7)], "k long, g long, a long, b long"),
+    )
+    refresh_agg_view(spark, duck, view, mode="recompute")
+    assert _rows(read_agg_view(spark, view)) == oracle()
