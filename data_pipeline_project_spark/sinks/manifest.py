@@ -1348,6 +1348,7 @@ def _commit_bulk_rewrite(
     spark, path: str, frame: DataFrame, key_col: str,
     version: int, n_out: int, old_files: list[str],
     extra: dict | None = None,
+    drop_cluster_col: str | None = None,
 ) -> tuple[int, dict]:
     """Shared commit tail of the table-wide rewrites (merge_bulk,
     delete_bulk): range-cluster ``frame`` into a hidden staging dir,
@@ -1360,7 +1361,20 @@ def _commit_bulk_rewrite(
     from data_pipeline_project_spark.sinks.layout import write_range_clustered
 
     staging = os.path.join(path, f".bulk.v{version}.staging")
-    write_range_clustered(frame, staging, key_col, n_out)
+    if drop_cluster_col:
+        # synthetic cluster key (z-order): sort by it, then project it
+        # away before the write — a projection never reorders rows
+        from pyspark.sql import functions as F
+
+        (
+            frame.repartitionByRange(n_out, F.col(key_col))
+            .sortWithinPartitions(F.col(key_col))
+            .drop(drop_cluster_col)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+    else:
+        write_range_clustered(frame, staging, key_col, n_out)
     staged_total = spark.read.parquet(staging).count()
 
     parts = sorted(
@@ -1521,7 +1535,10 @@ def rename_column(spark, path: str, old: str, new: str) -> dict:
 
 
 def rewrite_table(
-    spark, path: str, cluster_col: str, n_files: int | None = None
+    spark,
+    path: str,
+    cluster_col: str | list[str],
+    n_files: int | None = None,
 ) -> dict:
     """Materialize every pending logical-schema change (renames, drops,
     widenings) into the physical files: one range-clustered
@@ -1534,14 +1551,55 @@ def rewrite_table(
     pre-rewrite files under old physical names and the change feeds
     keep coalescing them; renamed-away names therefore stay reserved.
     Same crash windows and recovery as merge_bulk (shared commit
-    tail)."""
+    tail).
+
+    ``cluster_col`` may be a LIST of columns: the rewrite then
+    interleaves them with a Z-ORDER key (sinks/layout.zorder_key) so
+    zone maps prune on EVERY listed dimension — the multi-dimensional
+    OPTIMIZE ZORDER BY, folded into the same maintenance pass that
+    materializes deletion vectors and pending schema changes. Integer
+    or orderable-numeric columns only (the z-key quantizes per-column
+    min/max into bit-interleaved buckets)."""
     old_files = _data_files(path)
     pending = snapshot_versions(path)
     version = (pending[-1] + 1) if pending else 1
     n_out = n_files if n_files is not None else max(1, len(old_files))
     frame = read_table_logical(spark, path)
+    if isinstance(cluster_col, (list, tuple)) and len(cluster_col) > 1:
+        from pyspark.sql import functions as F
+
+        from data_pipeline_project_spark.sinks.layout import zorder_key
+
+        cols = list(cluster_col)
+        stats = frame.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        if any(stats[f"mn_{c}"] is None for c in cols):
+            raise ValueError(
+                "z-order columns need non-null min/max statistics"
+            )
+        zkey = "_zkey"
+        frame = frame.withColumn(
+            zkey,
+            zorder_key(
+                [F.col(c) for c in cols],
+                [stats[f"mn_{c}"] for c in cols],
+                [stats[f"mx_{c}"] for c in cols],
+            ),
+        )
+        staged_total, manifest = _commit_bulk_rewrite(
+            spark, path, frame, zkey, version, n_out, old_files,
+            drop_cluster_col=zkey,
+        )
+        return {
+            "version": manifest["version"],
+            "files_rewritten": len(old_files),
+            "rows": staged_total,
+        }
+    key = cluster_col[0] if isinstance(cluster_col, (list, tuple)) else cluster_col
     staged_total, manifest = _commit_bulk_rewrite(
-        spark, path, frame, cluster_col, version, n_out, old_files
+        spark, path, frame, key, version, n_out, old_files
     )
     return {
         "version": manifest["version"],

@@ -77,7 +77,9 @@ def _source(spark, path, n=400):
 
 def _assert_view_equals_source(spark, src, view, keys=("g",)):
     got = _rows(read_agg_view(spark, view))
-    want = _rows(_direct_agg(spark.read.parquet(src), list(keys), "v"))
+    # the committed snapshot, not the raw directory: a deletion-vector
+    # delete leaves dead rows physically in place by design
+    want = _rows(_direct_agg(read_version(spark, src), list(keys), "v"))
     assert got == want
 
 
@@ -182,7 +184,7 @@ def test_randomized_churn_converges_every_step(spark, duck, tmp_path):
 
     stamped = []  # (view_version, src_version) after each refresh
     for step in range(6):
-        op = rng.choice(["merge", "delete", "noop"])
+        op = rng.choice(["merge", "delete", "delete_dv", "noop"])
         if op == "merge":
             rows = [
                 (
@@ -197,13 +199,18 @@ def test_randomized_churn_converges_every_step(spark, duck, tmp_path):
                 spark, duck, src, "k",
                 spark.createDataFrame(list(dedup.values()), "k long, g long, v long"),
             )
-        elif op == "delete":
+        elif op in ("delete", "delete_dv"):
+            from data_pipeline_project_spark.sinks.manifest import delete_rows_dv
+
             ks = [(rng.randrange(0, 600),) for _ in range(rng.randrange(1, 20))]
-            delete_rows_targeted(
-                spark, duck, src, "k",
-                spark.createDataFrame(list(set(ks)), "k long"),
-            )
-            write_versioned_manifest(src)
+            kdf = spark.createDataFrame(list(set(ks)), "k long")
+            if op == "delete_dv":
+                # merge-on-read delete: the view must track it through
+                # the feed exactly like a rewrite delete
+                delete_rows_dv(spark, duck, src, "k", kdf)
+            else:
+                delete_rows_targeted(spark, duck, src, "k", kdf)
+                write_versioned_manifest(src)
         else:
             write_versioned_manifest(src)  # content-free commit
 

@@ -383,3 +383,47 @@ def test_deep_clone_carries_evolution_metadata(spark, duck, table, tmp_path):
     assert cloned.columns == ["k", "val", "w"]
     assert cloned.count() == 301
     assert cloned.where("k = 5").collect()[0].val == -1
+
+
+def test_rewrite_table_zorder_multi_dimensional(spark, duck, tmp_path):
+    """rewrite_table with a column LIST interleaves a z-order key:
+    after the rewrite, zone maps prune on BOTH dimensions (each file
+    covers a fraction of each column's range), content is unchanged,
+    and the synthetic key never reaches the files."""
+    from data_pipeline_project_spark.sinks.layout import file_zone_maps
+    from data_pipeline_project_spark.sinks.manifest import rewrite_table
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 40_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 200).alias("x"),
+        (F.col("id") / 200).cast("long").alias("y"),
+        (F.col("id") % 7).alias("v"),
+    )
+    write_range_clustered(df, path, "k", 16)  # clustered on k: x/y smeared
+    write_versioned_manifest(path)
+    before = spark.read.parquet(path).agg(
+        F.sum("v"), F.count("v"), F.sum("x"), F.sum("y")
+    ).collect()
+
+    res = rewrite_table(spark, path, ["x", "y"], n_files=16)
+    assert res["rows"] == 40_000
+
+    live = read_version(spark, path)
+    assert live.columns == ["k", "x", "y", "v"]  # no synthetic key leaked
+    assert live.agg(
+        F.sum("v"), F.count("v"), F.sum("x"), F.sum("y")
+    ).collect() == before
+
+    # both dimensions prune: the average file covers well under the
+    # full range on x AND y (k-clustering gave x full-range smear)
+    def avg_span(col, full):
+        zm = [
+            (mn, mx)
+            for _, mn, mx in file_zone_maps(duck, path, col)
+            if mn is not None
+        ]
+        return sum(mx - mn for mn, mx in zm) / len(zm) / full
+
+    assert avg_span("x", 200) < 0.6
+    assert avg_span("y", 200) < 0.6
