@@ -57,63 +57,127 @@ def _zone_map_candidates(
     return out
 
 
+_STR_RANK_BYTES = 7  # 56 bits: keeps the big-endian prefix rank positive
+
+
+def _rank_py(v):
+    """Order-preserving int64 rank of a zone-map stat value, driver
+    side. Integers rank as themselves; dates as epoch days; strings as
+    their first 7 UTF-8 bytes, big-endian, ZERO-PADDED to fixed width
+    (without padding, 'b' would rank below 'aaa'). Rank collisions
+    (keys sharing a 7-byte prefix) are harmless — ranks only pick the
+    BUCKET; containment is decided by an exact comparison on the
+    original values. Raises TypeError for types with no rank (the
+    caller falls back to the driver path)."""
+    import datetime
+
+    if isinstance(v, bool):
+        raise TypeError("boolean zone-map stats have no bucket rank")
+    if isinstance(v, int):
+        return v
+    if isinstance(v, datetime.datetime):
+        raise TypeError("timestamp keys: use the driver path")
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if isinstance(v, str):
+        b = v.encode("utf-8")[:_STR_RANK_BYTES]
+        return int.from_bytes(b.ljust(_STR_RANK_BYTES, b"\x00"), "big")
+    raise TypeError(f"no bucket rank for zone-map stat type {type(v)}")
+
+
+def _rank_expr(key_col: str, sample):
+    """The Spark expression computing the SAME rank as _rank_py for the
+    key column — pure built-ins (encode/substring/hex/rpad/conv for
+    strings, datediff for dates), so the key side stays whole-stage
+    codegen with no UDF."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    c = F.col(key_col)
+    if isinstance(sample, int):
+        return c.cast("bigint")
+    if isinstance(sample, datetime.date) and not isinstance(
+        sample, datetime.datetime
+    ):
+        return F.datediff(c, F.lit("1970-01-01")).cast("bigint")
+    # string: hex of the first-7-byte slice, right-padded to 14 hex
+    # digits (the zero-byte padding), then base-16 -> base-10
+    hx = F.rpad(
+        F.hex(F.substring(F.encode(c, "UTF-8"), 1, _STR_RANK_BYTES)),
+        2 * _STR_RANK_BYTES,
+        "0",
+    )
+    return F.conv(hx, 16, 10).cast("bigint")
+
+
 def _zone_map_candidates_spark(
     spark, zone_maps: list[tuple[str, object, object]], keys_df, key_col: str
 ) -> list[str]:
     """Candidate selection WITHOUT collecting the keys: a bucketed
     range join, for change batches too large to pull to the driver
-    (the billion-key CDC shape). Each file's [min,max] interval
-    explodes into fixed-width buckets; keys hash to their bucket; an
-    equi-join on bucket + an exact range filter finds every
-    (key, file) containment, and `distinct(file)` reduces to the
-    candidate list — whose size is file-count-bounded, so collecting
-    IT is always safe. The zone-map side (files × ~4 buckets) is tiny
-    and broadcast; the key side is never moved to the driver and never
-    shuffled (broadcast hash join + partial-agg distinct).
+    (the billion-key CDC shape). Each file's [min,max] interval —
+    mapped to an order-preserving int64 RANK (identity for integers,
+    epoch days for dates, fixed-width byte prefix for strings) —
+    explodes into fixed-width buckets; keys rank-hash to their bucket;
+    an equi-join on bucket + an EXACT range filter on the original
+    values finds every (key, file) containment, and `distinct(file)`
+    reduces to the candidate list — whose size is file-count-bounded,
+    so collecting IT is always safe. The zone-map side (files × a few
+    buckets) is tiny and broadcast; the key side never moves to the
+    driver and never shuffles (broadcast hash join + partial-agg
+    distinct).
 
-    Bucket width = span / (4 × files): ~4 buckets per file when the
-    ranges tile the key space (the clustered-layout case this path
-    serves), so the exploded build side stays O(files). Files with
-    absent footer stats always survive, exactly like the driver path."""
+    Bucketing math is exact: ranks shift to non-negative and divide
+    with integer DIV on both sides (double-precision floor misbuckets
+    above 2^53 — string prefix ranks reach 2^56). Bucket width =
+    rank span / (4 × files), floored so no file explodes into more
+    than ~64 buckets even when one file's range spans the key space —
+    wider buckets admit more false candidates, which the exact filter
+    removes; correctness never depends on the width. Files with absent
+    footer stats always survive, exactly like the driver path.
+    Timestamp (and other unranked) key stats raise TypeError and fall
+    back to the driver path."""
     from pyspark.sql import functions as F
 
-    if not all(
-        isinstance(v, int)
-        for _, mn, mx in zone_maps
-        for v in (mn, mx)
-        if v is not None
-    ):
-        raise TypeError(
-            "spark-side zone-map pruning needs integer key stats "
-            "(bucketing divides the key space); use the driver path "
-            "for string/date keys"
-        )
-    finite = [
-        (f, mn, mx)
-        for f, mn, mx in zone_maps
-        if mn is not None and mx is not None
-    ]
-    always = [f for f, mn, mx in zone_maps if mn is None or mx is None]
+    finite, ranked = [], []
+    always = []
+    for f, mn, mx in zone_maps:
+        if mn is None or mx is None:
+            always.append(f)
+        else:
+            finite.append((f, mn, mx))
+            ranked.append((_rank_py(mn), _rank_py(mx)))
     if not finite:
         return always
-    lo = min(mn for _, mn, _ in finite)
-    hi = max(mx for _, _, mx in finite)
-    width = max(1, (hi - lo + 1) // max(1, 4 * len(finite)))
-    zdf = spark.createDataFrame(finite, ["file", "mn", "mx"])
-    zb = zdf.select(
-        "file",
-        "mn",
-        "mx",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("mn") / width), F.floor(F.col("mx") / width)
-            )
-        ).alias("bucket"),
+    types = {type(mn) for _, mn, _ in finite} | {type(mx) for _, _, mx in finite}
+    if len(types) > 1:
+        raise TypeError(f"mixed zone-map stat types {types}: driver path")
+    lo = min(r for r, _ in ranked)
+    hi = max(r for _, r in ranked)
+    max_span = max(rmx - rmn for rmn, rmx in ranked)
+    width = max(
+        1,
+        (hi - lo + 1) // max(1, 4 * len(finite)),
+        max_span // 64,
+    )
+    rows = [
+        (f, mn, mx, b)
+        for (f, mn, mx), (rmn, rmx) in zip(finite, ranked)
+        for b in range((rmn - lo) // width, (rmx - lo) // width + 1)
+    ]
+    sample = finite[0][1]
+    zb = spark.createDataFrame(
+        rows, spark.createDataFrame(finite, ["file", "mn", "mx"]).schema.add(
+            "bucket", "long"
+        )
     )
     kb = (
         keys_df.select(F.col(key_col).alias("k"))
         .where(F.col("k").isNotNull())
-        .withColumn("bucket", F.floor(F.col("k") / width))
+        .withColumn("_krank", _rank_expr("k", sample))
+        .withColumn("bucket", F.expr(f"(_krank - {lo}L) DIV {width}L"))
+        .drop("_krank")
     )
     hits = (
         kb.join(F.broadcast(zb), "bucket")
@@ -311,7 +375,9 @@ def _select_candidates(
     ``spark`` runs the bucketed range join with the keys never leaving
     the cluster — right for CDC-scale batches (and required beyond
     driver memory); ``auto`` picks spark above SPARK_PRUNE_THRESHOLD
-    distinct keys, falling back to driver for non-integer key stats."""
+    distinct keys. Integer, string, and date keys all bucket via an
+    order-preserving rank (see _rank_py); only unranked stat types
+    (timestamps, exotics) fall back to the driver path under auto."""
     distinct_keys = keys_df.select(key_col).distinct()
     if prune not in ("auto", "driver", "spark"):
         raise ValueError(f"prune must be auto|driver|spark, got {prune!r}")
@@ -326,6 +392,45 @@ def _select_candidates(
             pass  # non-integer stats: the driver path handles any type
     keys = [r[0] for r in distinct_keys.collect()]
     return _zone_map_candidates(zone_maps, keys)
+
+
+def _snapshot_zone_maps(
+    duck, head: dict, key_col: str, duck_type: str
+) -> tuple[list[tuple[str, object, object]], dict]:
+    """(resolved_path, min, max) zone maps for the HEAD snapshot's
+    pinned files — the snapshot-isolated twin of layout.file_zone_maps.
+    Concurrent writers make the directory an unreliable input: it may
+    hold another writer's in-flight (uncommitted) rewrites and appends,
+    and a merge that consumes those both re-pins uncommitted data and
+    double-counts rows its delta commit cannot express. Candidate
+    selection therefore reads exactly the head's file set, resolving
+    files a racing rewrite has tombstoned through ``_removed/`` just
+    like readers do. Returns (zone_maps, {resolved_path: manifest
+    relpath})."""
+    root = head["root"]
+    resolved, rel_by_path = [], {}
+    for f in head["files"]:
+        live = _resolve_snapshot_file(root, f["path"])
+        if live is None:
+            raise FileNotFoundError(
+                f"snapshot file {f['path']} unresolvable (vacuumed?)"
+            )
+        resolved.append(live)
+        rel_by_path[live] = f["path"]
+    if not resolved:
+        return [], rel_by_path
+    rows = duck.execute(
+        f"""
+        SELECT file_name,
+               min(try_cast(stats_min_value AS {duck_type})),
+               max(try_cast(stats_max_value AS {duck_type}))
+        FROM parquet_metadata(?)
+        WHERE path_in_schema = ?
+        GROUP BY file_name
+        """,
+        [resolved, key_col],
+    ).fetchall()
+    return sorted((f, lo, hi) for f, lo, hi in rows), rel_by_path
 
 
 def delete_rows_targeted(
@@ -474,7 +579,8 @@ def delete_rows_dv(
     commits pin an empty DV set; targeted merges likewise purge
     entries for the files they rewrite (rewrites read live rows only;
     stale entries for tombstoned files are inert by construction —
-    identity is the file BASENAME, which is never reused).
+    identity is the file path RELATIVE TO THE TABLE ROOT, and rewrites
+    mint new version-stamped names, never reuse one).
 
     Idempotent: replaying the same key set matches only already-dead
     rows, records nothing, and commits nothing. Commits internally
@@ -492,13 +598,23 @@ def delete_rows_dv(
             "rows_deleted": 0,
             "dv_files": len(table_dv(path)),
         }
-    zone_maps = file_zone_maps(duck, path, key_col, duck_type)
     _check_key_physical(path, key_col)
-    prev_dv = table_dv(path)
+    pending = snapshot_versions(path)
+    if pending:
+        # snapshot isolation, same as merge_upsert: candidates and the
+        # prior DV list come from the head snapshot, not the directory
+        head = read_manifest(
+            os.path.join(path, "_manifests", f"v{pending[-1]}.json")
+        )
+        zone_maps, _rels = _snapshot_zone_maps(duck, head, key_col, duck_type)
+        prev_dv = head.get("dv") or []
+    else:
+        zone_maps = file_zone_maps(duck, path, key_col, duck_type)
+        prev_dv = table_dv(path)
     candidates = _select_candidates(spark, zone_maps, keys_df, key_col, prune)
     if not candidates:
         return {
-            "version": (snapshot_versions(path) or [0])[-1],
+            "version": (pending or [0])[-1],
             "rows_deleted": 0,
             "dv_files": len(prev_dv),
         }
@@ -511,9 +627,7 @@ def delete_rows_dv(
             spark,
             spark.read.parquet(*candidates).select(
                 F.col(key_col),
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("file"),
+                _dv_relpath_expr(path).alias("file"),
                 F.col("_metadata.row_index").alias("pos"),
             ),
             path,
@@ -526,33 +640,66 @@ def delete_rows_dv(
     n = hits.count()
     if n == 0:
         return {
-            "version": (snapshot_versions(path) or [0])[-1],
+            "version": (pending or [0])[-1],
             "rows_deleted": 0,
             "dv_files": len(prev_dv),
         }
 
-    pending = snapshot_versions(path)
+    # base = the snapshot the candidates were read from — re-listing
+    # here would let a racing commit slip past the conflict check
     version = (pending[-1] + 1) if pending else 1
+    stamp = uuid.uuid4().hex[:8]  # racing writers must never share names
     dv_dir = os.path.join(path, DV_DIR)
     os.makedirs(dv_dir, exist_ok=True)
-    staging = os.path.join(path, f".dv.v{version}.staging")
+    staging = os.path.join(path, f".dv.v{version}.{stamp}.staging")
     hits.coalesce(1).write.mode("overwrite").parquet(staging)
     part = [
         f
         for f in os.listdir(staging)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     ][0]
-    rel = f"{DV_DIR}/dv-v{version}-{uuid.uuid4().hex[:8]}.parquet"
+    rel = f"{DV_DIR}/dv-v{version}-{stamp}.parquet"
     os.replace(os.path.join(staging, part), os.path.join(path, rel))
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
 
-    manifest = write_versioned_manifest(path, dv=prev_dv + [rel])
+    # Optimistic commit: the vector APPENDS to whatever DV list the head
+    # carries at commit time (a racing DV delete's vector is never
+    # dropped by the rebase); intent records the targeted files so a
+    # racing REWRITE of one of them is a detected conflict.
+    if not pending:
+        # bootstrap: no head to delta against
+        manifest = write_versioned_manifest(path, dv=prev_dv + [rel])
+        return {
+            "version": manifest["version"],
+            "rows_deleted": n,
+            "dv_files": len(manifest.get("dv") or []),
+        }
+    dv_targets = sorted({r.file for r in hits.select("file").distinct().collect()})
+    krange = keys_df.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
+    manifest = commit_optimistic(
+        path,
+        added=[],
+        removed=[],
+        intent={
+            "op": "delete_rows_dv",
+            "removed": [],
+            "dv_targets": dv_targets,
+            "schema_change": False,
+            "key_col": key_col,
+            "key_min": _json_key(krange["lo"]),
+            "key_max": _json_key(krange["hi"]),
+        },
+        base_version=pending[-1] if pending else 0,
+        dv_add=[rel],
+    )
     return {
         "version": manifest["version"],
         "rows_deleted": n,
-        "dv_files": len(prev_dv) + 1,
+        "dv_files": len(manifest.get("dv") or []),
     }
 
 
@@ -592,15 +739,16 @@ def write_versioned_manifest(
 
     The version slot is CLAIMED with an exclusive create (O_EXCL) —
     the compare-and-swap every log-based table format commits through.
-    Two writers racing to the same next version now lose LOUDLY
+    Two writers racing to the same next version lose LOUDLY
     (ConcurrentSnapshotError) instead of silently overwriting each
-    other's snapshot; the loser recovers with recover_to_last_manifest
-    and reruns. Honest scope note: the manifest body is built from a
-    directory listing, so a CONCURRENT writer's uncommitted files that
-    land before the winner's listing still get pinned — like Delta on
-    a filesystem without a locking service, the layer assumes one
-    writer per table at a time, and the CAS turns accidental
-    violations into errors rather than corruption.
+    other's snapshot. Honest scope note: THIS function's manifest body
+    is built from a directory listing, so a CONCURRENT writer's
+    uncommitted files that land before the winner's listing still get
+    pinned — it is the right commit for single-writer ops (bootstrap,
+    appends, bulk rewrites). Writers that need to COEXIST commit
+    through :func:`commit_optimistic` instead: explicit delta bodies,
+    intent stamps, and rebase-and-retry on disjoint commits
+    (merge_upsert's targeted path and delete_rows_dv already do).
 
     ``schema_json`` pins the table's LOGICAL schema (StructType
     jsonValue dict). A schema-evolving commit sets it; every later
@@ -667,6 +815,246 @@ def snapshot_versions(path: str) -> list[int]:
         int(f[1:-5])
         for f in os.listdir(mdir)
         if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency: intent-stamped delta commits with rebase-and-retry
+# (the Delta/Iceberg commit protocol). A writer records WHAT its commit did
+# (files removed, DV targets, key range) in the manifest's ``txn`` field; a
+# writer that loses the version CAS re-reads the new head, checks its intent
+# against every commit that beat it, and — when the commits are provably
+# disjoint — rebases its manifest body onto the new head and retries, instead
+# of failing. True conflicts (same file rewritten twice, a DV landing on a
+# rewritten file, overlapping key ranges, any schema change, or a commit with
+# no intent to check) still raise ConcurrentSnapshotError loudly.
+# ---------------------------------------------------------------------------
+
+MAX_COMMIT_RETRIES = 5
+
+
+def _json_key(v):
+    """Key-range bounds must survive json.dump AND order-compare across
+    commits: ints/floats/strings pass through; dates/timestamps fall
+    back to their ISO str(), which compares in value order."""
+    return v if isinstance(v, (int, float, str, type(None))) else str(v)
+
+
+def _intents_conflict(mine: dict, theirs: dict | None) -> str | None:
+    """Why two commit intents cannot both apply — or None when they are
+    provably disjoint. Conservative by construction: anything that
+    cannot be PROVEN disjoint conflicts.
+
+    The rules, and why each suffices:
+
+    - no intent on theirs: a legacy/unknown writer (plain
+      write_versioned_manifest) — nothing to check against, so refuse.
+    - schema change by either side: the later writer's files were
+      written under the older schema pin; refuse.
+    - removed ∩ removed: both rewrote the same file — one rewrite read
+      rows the other replaced; lost update.
+    - removed ∩ dv_targets (either direction): a rewrite of a file a
+      deletion vector targets may have read pre-DV rows (resurrection)
+      or strands the vector; refuse. Two DVs on the SAME file are fine
+      — vectors union and positions of distinct keys are distinct.
+    - key ranges: disjoint file sets alone don't prove row
+      disjointness — the other writer's INSERTED rows may carry my
+      merge keys (they land in freshly appended files no zone map saw).
+      Both sides must declare the same key column and non-overlapping
+      [min,max] ranges. ``row_preserving`` maintenance (compaction,
+      rewrite_table) changes no row content and skips the key rule.
+    """
+    if theirs is None:
+        return "concurrent commit carries no intent (unknown writer)"
+    if mine.get("schema_change") or theirs.get("schema_change"):
+        return "a schema change cannot commute with a concurrent commit"
+    r_mine = set(mine.get("removed") or [])
+    r_theirs = set(theirs.get("removed") or [])
+    both = r_mine & r_theirs
+    if both:
+        return f"both commits rewrote {sorted(both)[:3]}"
+    d_mine = set(mine.get("dv_targets") or [])
+    d_theirs = set(theirs.get("dv_targets") or [])
+    if r_mine & d_theirs:
+        return "this commit rewrote a file a concurrent deletion vector targets"
+    if d_mine & r_theirs:
+        return "a concurrent commit rewrote a file this deletion vector targets"
+    if mine.get("row_preserving") or theirs.get("row_preserving"):
+        return None
+    kc_m, kc_t = mine.get("key_col"), theirs.get("key_col")
+    if kc_m is None or kc_t is None or kc_m != kc_t:
+        return "cannot prove key disjointness (missing/different key columns)"
+    try:
+        overlap = not (
+            mine["key_max"] < theirs["key_min"]
+            or theirs["key_max"] < mine["key_min"]
+        )
+    except (KeyError, TypeError):
+        return "cannot prove key disjointness (missing key range)"
+    if overlap:
+        return (
+            f"overlapping {kc_m!r} ranges "
+            f"[{mine['key_min']}, {mine['key_max']}] vs "
+            f"[{theirs['key_min']}, {theirs['key_max']}]"
+        )
+    return None
+
+
+def _read_manifest_settled(mpath: str, tries: int = 20) -> dict:
+    """Read a version manifest that a racing writer may be BETWEEN
+    claiming (empty file) and writing (torn JSON) — that window is
+    microseconds, so poll briefly; a claim that never settles is a
+    crashed writer and recovery's job."""
+    import time
+
+    for _ in range(tries):
+        try:
+            m = read_manifest(mpath)
+            if "files" in m:
+                return m
+        except (json.JSONDecodeError, FileNotFoundError):
+            pass
+        time.sleep(0.05)
+    raise ConcurrentSnapshotError(
+        f"claimed snapshot {mpath} never settled — a concurrent writer "
+        f"crashed mid-commit; run recover_to_last_manifest and rerun"
+    )
+
+
+def _update_latest_monotonic(mdir: str, manifest: dict) -> None:
+    """Move latest.json forward, never backward: two racing committers
+    both update it after their version files land, and the lower
+    version must not overwrite the higher. Self-healing loop — the
+    last actor leaves latest at the max it saw."""
+    latest = os.path.join(mdir, "latest.json")
+    for _ in range(3):
+        if os.path.exists(latest):
+            try:
+                cur = read_manifest(latest)
+                if cur.get("version", 0) >= manifest["version"]:
+                    return
+            except json.JSONDecodeError:
+                pass
+        tmp = os.path.join(mdir, f"latest.json.{manifest['version']}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, latest)
+        try:
+            if read_manifest(latest).get("version", 0) >= manifest["version"]:
+                return
+        except json.JSONDecodeError:
+            pass
+
+
+def commit_optimistic(
+    path: str,
+    added: list[str],
+    removed: list[str],
+    intent: dict,
+    base_version: int,
+    extra: dict | None = None,
+    schema_json: dict | None = None,
+    dv_add: list[str] | None = None,
+    max_retries: int = MAX_COMMIT_RETRIES,
+) -> dict:
+    """Commit a snapshot as an explicit DELTA against the current head:
+    body = head.files − ``removed`` + ``added`` — metadata reads touch
+    only the ADDED files' footers, so the commit costs O(churn), not
+    O(table) (write_versioned_manifest re-reads every footer; at 10⁶
+    files that is the difference between milliseconds and minutes).
+    The delta body also never pins a CONCURRENT writer's in-flight
+    files — the listing-based path's torn-pin hazard.
+
+    On losing the version CAS: re-read the head, run ``intent``
+    against the ``txn`` stamp of every commit since ``base_version``
+    (see _intents_conflict), and rebase-and-retry when disjoint —
+    inheriting the new head's schema pin / renames / DV list, so a
+    racing DV delete's vector is never dropped by the rebase. A true
+    conflict raises ConcurrentSnapshotError; the loser's data-phase
+    files are uncommitted orphans that recover_to_last_manifest
+    quarantines (its tombstoned files restore — copy-on-write means a
+    loser never destroyed the originals).
+
+    ``dv_add`` APPENDS vectors to whatever DV list the head carries at
+    commit time (rebase-safe, unlike passing a full list read earlier).
+    Returns the committed manifest. Requires an existing snapshot
+    (bootstrap the first version with write_versioned_manifest)."""
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(path, "_manifests")
+    checked_through = base_version
+    for _ in range(max_retries):
+        versions = snapshot_versions(path)
+        if not versions:
+            raise ValueError(
+                "commit_optimistic needs an existing snapshot; write the "
+                "first version with write_versioned_manifest"
+            )
+        head_v = versions[-1]
+        for v in range(checked_through + 1, head_v + 1):
+            theirs = _read_manifest_settled(
+                os.path.join(mdir, f"v{v}.json")
+            ).get("txn")
+            reason = _intents_conflict(intent, theirs)
+            if reason:
+                raise ConcurrentSnapshotError(
+                    f"cannot rebase onto concurrent commit v{v}: {reason}; "
+                    f"recover_to_last_manifest({path!r}) and rerun"
+                )
+        checked_through = head_v
+        head = _read_manifest_settled(os.path.join(mdir, f"v{head_v}.json"))
+        version = head_v + 1
+        vpath = os.path.join(mdir, f"v{version}.json")
+        if _test_claim_interposer is not None:
+            _test_claim_interposer(version, mdir)
+        try:
+            fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race — loop re-reads and re-checks
+        os.close(fd)
+
+        removed_set = set(removed)
+        files = [f for f in head["files"] if f["path"] not in removed_set]
+        for rel in added:
+            full = os.path.join(path, rel)
+            files.append(
+                {
+                    "path": rel,
+                    "bytes": os.path.getsize(full),
+                    "rows": pq.read_metadata(full).num_rows,
+                }
+            )
+        files.sort(key=lambda f: f["path"])
+        manifest = {
+            "root": os.path.abspath(path),
+            "n_files": len(files),
+            "total_rows": sum(f["rows"] for f in files),
+            "files": files,
+            "version": version,
+            "txn": intent,
+        }
+        if schema_json is not None:
+            manifest["schema_json"] = schema_json
+        elif head.get("schema_json") is not None:
+            manifest["schema_json"] = head["schema_json"]
+        if head.get("renames"):
+            manifest["renames"] = head["renames"]
+        if head.get("dropped_cols"):
+            manifest["dropped_cols"] = head["dropped_cols"]
+        dv = list(head.get("dv") or [])
+        if dv_add:
+            dv += [r for r in dv_add if r not in dv]
+        if dv:
+            manifest["dv"] = dv
+        if extra:
+            manifest["app"] = extra
+        with open(vpath, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        _update_latest_monotonic(mdir, manifest)
+        return manifest
+    raise ConcurrentSnapshotError(
+        f"lost the commit race {max_retries} times on {path!r} — "
+        f"contention too high for optimistic retry"
     )
 
 
@@ -795,16 +1183,37 @@ def table_dv(path: str) -> list:
     return []
 
 
+def _dv_relpath_expr(root: str):
+    """Table-root-relative path of the row's source file, from
+    ``_metadata.file_path``, resolved through the ``_removed/``
+    tombstone area (a tombstoned file keeps its DV identity). Built
+    with locate+substr, not regex — the root path is data, not a
+    pattern."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.abspath(root).rstrip("/") + "/"
+    fp = F.col("_metadata.file_path")
+    rel = fp.substr(
+        F.locate(marker, fp) + F.lit(len(marker)), F.lit(1 << 20)
+    )
+    return F.regexp_replace(rel, f"^{REMOVED_DIR}/", "")
+
+
 def _dv_filter(spark, df: DataFrame, root: str, dv_relpaths: list) -> DataFrame:
     """Drop rows a deletion vector marks dead. ``df`` must come straight
-    off parquet files (``_metadata`` available). Identity is (file
-    BASENAME, row_index): basenames are globally unique (task-uuid part
-    names, version-stamped rewrite names) and survive both the
-    ``_removed/`` tombstone move and snapshot resolution, so stale DV
-    entries for rewritten/tombstoned files are simply inert — no DV
-    pruning is ever needed on rewrite. Positions are broadcast (DVs are
-    churn-sized; a DV grown to table scale is what compaction /
-    rewrite_table materializes away)."""
+    off parquet files (``_metadata`` available). Identity is (file path
+    RELATIVE TO THE TABLE ROOT, row_index): hive-partitioned writes
+    reuse the same part-file BASENAME across sibling partition
+    directories (one task writes one ``part-NNNNN-<uuid>`` name into
+    every partition it touches), so a basename key would kill rows at
+    the same row_index in sibling files — the relpath is the unique
+    identity. It survives both the ``_removed/`` tombstone move
+    (the leading ``_removed/`` is stripped on read) and snapshot
+    resolution, and rewrites mint NEW names (``.m{N}``/``.d{N}``/
+    ``bulk-v{N}`` stamps) so stale DV entries for rewritten files are
+    simply inert — no DV pruning is ever needed on rewrite. Positions
+    are broadcast (DVs are churn-sized; a DV grown to table scale is
+    what compaction / rewrite_table materializes away)."""
     from pyspark.sql import functions as F
 
     if not dv_relpaths:
@@ -815,9 +1224,7 @@ def _dv_filter(spark, df: DataFrame, root: str, dv_relpaths: list) -> DataFrame:
         .distinct()
     )
     return (
-        df.withColumn(
-            "_dvf", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-        )
+        df.withColumn("_dvf", _dv_relpath_expr(root))
         .withColumn("_dvp", F.col("_metadata.row_index"))
         .join(F.broadcast(dv), ["_dvf", "_dvp"], "left_anti")
         .drop("_dvf", "_dvp")
@@ -825,9 +1232,12 @@ def _dv_filter(spark, df: DataFrame, root: str, dv_relpaths: list) -> DataFrame:
 
 
 def _dv_positions_by_file(root: str, dv_relpaths: list) -> dict:
-    """Driver/worker-side DV load (pyarrow, no Spark): {file basename ->
-    set(positions)} — for the feeds' shared-file refinement and the
-    pandas diff path. DV files are churn-sized; loud if vacuumed."""
+    """Driver/worker-side DV load (pyarrow, no Spark): {table-root-
+    relative file path -> set(positions)} — for the feeds' shared-file
+    refinement and the pandas diff path. Keys match the manifests'
+    ``files[].path`` relpaths directly (DV entries are recorded as
+    relpaths — see _dv_filter). DV files are churn-sized; loud if
+    vacuumed."""
     import pyarrow.parquet as pq
 
     out: dict = {}
@@ -1141,9 +1551,28 @@ def merge_upsert(
             f"only {n_keys} distinct {key_col!r} values"
         )
 
-    zone_maps = file_zone_maps(duck, path, key_col, duck_type)
+    import uuid as _uuid
+
+    pending = snapshot_versions(path)
+    base_version = pending[-1] if pending else 0
+    version = base_version + 1
+    stamp = _uuid.uuid4().hex[:8]
     _check_key_physical(path, key_col)
-    dv_relpaths = table_dv(path)  # rewrites must not resurrect DV-dead rows
+    if pending:
+        # snapshot isolation: candidates, DV list, and rewrite inputs
+        # all come from the HEAD SNAPSHOT, never the directory — the
+        # directory may hold a concurrent writer's in-flight files
+        head = read_manifest(
+            os.path.join(path, "_manifests", f"v{base_version}.json")
+        )
+        zone_maps, rel_by_path = _snapshot_zone_maps(
+            duck, head, key_col, duck_type
+        )
+        dv_relpaths = head.get("dv") or []
+    else:
+        zone_maps = file_zone_maps(duck, path, key_col, duck_type)
+        rel_by_path = {f: os.path.relpath(f, path) for f, _, _ in zone_maps}
+        dv_relpaths = table_dv(path)
     candidates = _select_candidates(spark, zone_maps, updates_df, key_col, prune)
     if (
         rewrite == "auto"
@@ -1158,24 +1587,34 @@ def merge_upsert(
             spark, path, key_col, updates_df, commit_extra=commit_extra
         )
 
-    pending = snapshot_versions(path)
-    version = (pending[-1] + 1) if pending else 1
     kdf = F.broadcast(updates_df.select(F.col(key_col)).distinct())
 
-    def rewrite_one(f: str) -> int:
-        """Returns rows replaced out of this file (0 == untouched).
-        Per-file work is independent (own tmp dir, own tombstone path,
-        atomic renames), so the loop parallelizes across candidates —
-        see _run_rewrites."""
+    def rewrite_one(f: str) -> tuple[int, str | None]:
+        """Returns (rows replaced out of this file, rewritten file's new
+        relpath) — (0, None) == untouched. Per-file work is independent
+        (own tmp dir, own tombstone path, atomic renames), so the loop
+        parallelizes across candidates — see _run_rewrites."""
         src = _dv_filter(spark, spark.read.parquet(f), path, dv_relpaths)
         before = src.count()
         survivors = src.join(kdf, key_col, "left_anti")
         after = survivors.count()
         if after == before:
-            return 0  # zone map said maybe; the data says no match
-        d, base = os.path.split(f)
-        new_name = os.path.join(d, f"{base[:-len('.parquet')]}.m{version}.parquet")
-        tmp_dir = f + ".rewrite"
+            return 0, None  # zone map said maybe; the data says no match
+        # The new file lands beside the ORIGINAL's live location (``f``
+        # may be a _removed/ tombstone path if a racing rewrite beat us
+        # to the move — that race is a commit-time conflict, but the
+        # data phase must stay well-formed). Name embeds the writer's
+        # stamp: two racing writers rewriting the same stem must never
+        # overwrite each other's output.
+        rel = rel_by_path[f]
+        base = os.path.basename(rel)
+        new_rel = os.path.join(
+            os.path.dirname(rel),
+            f"{base[:-len('.parquet')]}.m{version}-{stamp}.parquet",
+        )
+        new_name = os.path.join(path, new_rel)
+        d = os.path.dirname(new_name)
+        tmp_dir = new_name + ".rewrite"
         survivors.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
         part = [
             p
@@ -1192,26 +1631,52 @@ def merge_upsert(
         # Tombstone, don't delete: the replaced file moves to the hidden
         # _removed/ retention area (directory scans skip underscore
         # prefixes) so older snapshots stay readable until vacuum().
-        rel = os.path.relpath(f, path)
+        live = os.path.join(path, rel)
         tomb = os.path.join(path, REMOVED_DIR, rel)
-        os.makedirs(os.path.dirname(tomb), exist_ok=True)
-        os.replace(f, tomb)
-        old_crc = os.path.join(d, f".{base}.crc")
-        if os.path.exists(old_crc):
-            os.replace(
-                old_crc,
-                os.path.join(os.path.dirname(tomb), f".{base}.crc"),
-            )
+        if os.path.exists(live):
+            os.makedirs(os.path.dirname(tomb), exist_ok=True)
+            os.replace(live, tomb)
+            ld = os.path.dirname(live)
+            old_crc = os.path.join(ld, f".{base}.crc")
+            if os.path.exists(old_crc):
+                os.replace(
+                    old_crc,
+                    os.path.join(os.path.dirname(tomb), f".{base}.crc"),
+                )
+        # else: a racing rewrite already tombstoned it — the original
+        # bytes already sit at the tombstone path (we just read them
+        # from there); the conflict surfaces at commit (removed ∩
+        # removed), never as a data-phase crash.
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        return before - after
+        return before - after, new_rel
 
-    replaced_per_file = _run_rewrites(rewrite_one, candidates)
-    rows_updated = sum(replaced_per_file)
+    rewrites = _run_rewrites(rewrite_one, candidates)
+    rows_updated = sum(n for n, _ in rewrites)
+    removed_rels = [
+        rel_by_path[f] for f, (n, _) in zip(candidates, rewrites) if n
+    ]
+    added_rels = [rel for n, rel in rewrites if n]
 
     # Append every update row (replacement or insert) in target column
     # order (evolved columns last) as new data files under the table
-    # root.
-    updates_df.select(*out_cols).write.mode("append").parquet(path)
+    # root — staged then moved in under KNOWN names, so the commit can
+    # be an explicit delta (and a concurrent writer's listing never
+    # half-sees a plain append in flight).
+    staging = os.path.join(path, f".merge.v{version}.{stamp}.staging")
+    updates_df.select(*out_cols).write.mode("overwrite").parquet(staging)
+    parts = sorted(
+        p
+        for p in os.listdir(staging)
+        if p.endswith(".parquet") and not p.startswith((".", "_"))
+    )
+    for i, p in enumerate(parts):
+        name = f"merge-v{version}-{stamp}-{i:05d}.parquet"
+        os.replace(os.path.join(staging, p), os.path.join(path, name))
+        crc = os.path.join(staging, f".{p}.crc")
+        if os.path.exists(crc):
+            os.replace(crc, os.path.join(path, f".{name}.crc"))
+        added_rels.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
 
     evolved = None
     if new_fields or schema_widened:
@@ -1220,12 +1685,36 @@ def merge_upsert(
         evolved = StructType(
             list(target_schema.fields) + list(new_fields)
         ).jsonValue()
-    manifest = write_versioned_manifest(
-        path, extra=commit_extra, schema_json=evolved
-    )
+    if base_version == 0:
+        # bootstrap: no head to delta against — the listing-based commit
+        # (single-writer by contract for a table's first version)
+        manifest = write_versioned_manifest(
+            path, extra=commit_extra, schema_json=evolved
+        )
+    else:
+        krange = updates_df.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        manifest = commit_optimistic(
+            path,
+            added=added_rels,
+            removed=removed_rels,
+            intent={
+                "op": "merge_upsert",
+                "removed": removed_rels,
+                "dv_targets": [],
+                "schema_change": evolved is not None,
+                "key_col": key_col,
+                "key_min": _json_key(krange["lo"]),
+                "key_max": _json_key(krange["hi"]),
+            },
+            base_version=base_version,
+            extra=commit_extra,
+            schema_json=evolved,
+        )
     return {
         "version": manifest["version"],
-        "files_rewritten": sum(1 for n in replaced_per_file if n),
+        "files_rewritten": len(removed_rels),
         "rows_updated": rows_updated,
         "rows_inserted": n_updates - rows_updated,
     }
@@ -1656,6 +2145,15 @@ def clone_snapshot(
             dst_file = os.path.join(dst_path, f["path"])
             os.makedirs(os.path.dirname(dst_file), exist_ok=True)
             shutil.copy2(src_file, dst_file)
+        # deletion vectors travel with the clone: data files keep their
+        # relpaths (DV identity), so the source's vectors apply to the
+        # copies verbatim — without them, DV-deleted rows would silently
+        # RESURRECT in the clone.
+        src_dv = src_manifest.get("dv") or []
+        for rel in src_dv:
+            dst_file = os.path.join(dst_path, rel)
+            os.makedirs(os.path.dirname(dst_file), exist_ok=True)
+            shutil.copy2(os.path.join(root, rel), dst_file)
         # the copied files keep their physical schemas: the clone needs
         # the source's logical pin / rename map / drop tombstones too
         manifest = write_versioned_manifest(
@@ -1663,6 +2161,7 @@ def clone_snapshot(
             schema_json=src_manifest.get("schema_json"),
             renames=src_manifest.get("renames") or {},
             dropped_cols=src_manifest.get("dropped_cols") or [],
+            dv=src_dv,
         )
     else:
         dmdir = os.path.join(dst_path, "_manifests")
@@ -1900,8 +2399,7 @@ def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
         shared = {
             rel
             for rel in shared
-            if old_pos.get(os.path.basename(rel), set())
-            == new_pos.get(os.path.basename(rel), set())
+            if old_pos.get(rel, set()) == new_pos.get(rel, set())
         }
 
     # Both sides read under the LATER version's logical schema when one

@@ -430,15 +430,26 @@ def refresh_agg_view(
 
     if verify_unique:
         # Optional cross-batch collision sweep: a NEW group whose hash
-        # collides with an UNTOUCHED old group would have replaced it
-        # silently (the per-batch cardinality check can't see across
-        # the merge boundary). One count-distinct over the O(groups)
-        # view makes the invariant explicit.
+        # collides with an UNTOUCHED old group REPLACES that group's
+        # row via the _gk merge — the view then still holds one row per
+        # distinct key (the colliding group's row is GONE, not doubled),
+        # so an internal distinct-vs-count check can never fire. The
+        # invariant that CAN see it: the live view must hold exactly as
+        # many groups as the SOURCE snapshot it claims to reflect.
         live = read_version(spark, view_path).where(F.col("_st_rows") > 0)
-        if live.count() != live.select(*keys).distinct().count():
+        src_at = read_version(spark, src, src_latest)
+        if filter_sql:
+            src_at = src_at.where(filter_sql)
+        src_keys = src_at.select(*keys).distinct()
+        live_keys = live.select(*keys)
+        missing = src_keys.join(live_keys, keys, "left_anti").limit(1).count()
+        extra = live_keys.join(src_keys, keys, "left_anti").limit(1).count()
+        if missing or extra:
             raise ValueError(
-                "group-key collision detected after refresh — rebuild "
-                "the view with an extended key"
+                f"group-key collision detected after refresh (view and "
+                f"source snapshot v{src_latest} disagree on the live "
+                f"group set: missing={bool(missing)} extra={bool(extra)})"
+                f" — rebuild the view with an extended key"
             )
     return {
         "view_version": view_v,

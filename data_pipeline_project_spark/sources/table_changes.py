@@ -177,8 +177,7 @@ def _step_rows(
         shared = {
             rel
             for rel in shared
-            if old_pos.get(os.path.basename(rel), set())
-            == new_pos.get(os.path.basename(rel), set())
+            if old_pos.get(rel, set()) == new_pos.get(rel, set())
         }
     # pending renames (schema evolution): files carry physical names, a
     # file has exactly one of {old, new}, so a per-file rename restores
@@ -191,7 +190,9 @@ def _step_rows(
         df = pq.read_table(_resolve(root, rel)).to_pandas(
             integer_object_nulls=True
         )
-        dead = dead_by_file.get(os.path.basename(rel))
+        # DV identity is the manifest's relpath (see _dv_filter) — a
+        # basename lookup would collide across partition directories
+        dead = dead_by_file.get(rel)
         if dead:
             # to_pandas preserves file row order: index == row_index
             df = df.drop(index=[i for i in dead if i < len(df)])

@@ -113,8 +113,13 @@ def apply_cdc_stream(
         )
         stats = {"batch_id": batch_id, "rows_deleted": 0}
         if delete_col is not None:
-            dels = collapsed.where(F.col(delete_col)).select(key_col)
-            collapsed = collapsed.where(~F.col(delete_col)).drop(delete_col)
+            # a feed that leaves the flag NULL on upsert rows means "not
+            # a delete" — both branches must coalesce, or NULL-flag rows
+            # fall out of BOTH (where(flag) and where(~flag) each drop
+            # NULLs) and the changes are silently lost
+            flag = F.coalesce(F.col(delete_col), F.lit(False))
+            dels = collapsed.where(flag).select(key_col)
+            collapsed = collapsed.where(~flag).drop(delete_col)
             if dels.limit(1).count():
                 if delete_mode == "dv":
                     d = delete_rows_dv(

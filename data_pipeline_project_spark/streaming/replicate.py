@@ -94,16 +94,35 @@ def replicate_table_stream(
                     # schema — restart to pick up evolution, the Delta
                     # CDF contract).
                     from data_pipeline_project_spark.sinks.manifest import (
+                        _TYPE_WIDENINGS,
                         table_schema,
                     )
 
-                    rep_cols = {
-                        f.name for f in table_schema(spark, dst_path).fields
+                    rep_fields = {
+                        f.name: f.dataType
+                        for f in table_schema(spark, dst_path).fields
                     }
+                    # evolution isn't only new COLUMNS: a source that
+                    # widened a type (int -> bigint) ships no new names,
+                    # and a non-evolving merge would cast feed values
+                    # DOWN to the replica's narrow type — silently
+                    # wrapping/nulling out-of-range values. Widened
+                    # TYPES must trip evolution too.
+                    widened = any(
+                        f.name in rep_fields
+                        and f.dataType != rep_fields[f.name]
+                        and (
+                            rep_fields[f.name].simpleString(),
+                            f.dataType.simpleString(),
+                        )
+                        in _TYPE_WIDENINGS
+                        for f in ins.schema.fields
+                    )
                     merge_upsert(
                         spark, duck, dst_path, key_col, ins,
                         duck_type=duck_type, rewrite="auto",
-                        schema_evolution=not set(ins.columns) <= rep_cols,
+                        schema_evolution=widened
+                        or not set(ins.columns) <= set(rep_fields),
                     )
             applied.append(v)
 

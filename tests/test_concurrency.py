@@ -1,0 +1,305 @@
+"""Optimistic multi-writer concurrency on the manifest layer
+(sinks/manifest.py::commit_optimistic): intent-stamped delta commits
+with Delta/Iceberg-style rebase-and-retry.
+
+Contracts under test:
+
+- two interleaved merges on DISJOINT key ranges both commit — the
+  loser of the version CAS rebases onto the winner's head and the
+  final state is the UNION of both merges (every intermediate version
+  stays readable: copy-on-write means a loser never destroyed bytes);
+- a TRUE conflict (overlapping key ranges / same file rewritten / a
+  deletion vector racing a rewrite of its target file / any schema
+  change / a commit with no intent) still fails loudly with
+  ConcurrentSnapshotError, and recover + rerun converges;
+- a racing DV delete's vector is never dropped by a rebase (dv_add
+  appends to the head's list at commit time);
+- a real two-thread race (no interposer) converges to the union.
+
+The deterministic interleavings ride the ``_test_claim_interposer``
+seam — the real race window is microseconds, so tests interpose
+between the version listing and the O_EXCL claim to lose it on
+purpose instead of shipping a flaky thread race.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.sinks import manifest as M
+from data_pipeline_project_spark.sinks.layout import write_range_clustered
+from data_pipeline_project_spark.sinks.manifest import (
+    ConcurrentSnapshotError,
+    delete_rows_dv,
+    merge_upsert,
+    read_version,
+    recover_to_last_manifest,
+    snapshot_versions,
+    write_versioned_manifest,
+)
+
+
+def _table(spark, path, n=1000, files=4):
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), ((F.col("id") * 7) % 101).alias("v")
+    )
+    write_range_clustered(df, path, "k", files)
+    write_versioned_manifest(path)
+
+
+def _updates(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v long")
+
+
+class _InterposeOnce:
+    """On writer B's FIRST claim attempt, run writer A's entire
+    operation inline (A claims and commits first), then let B proceed
+    to lose the CAS and exercise the rebase. Reentrancy-guarded: A's
+    own commit passes through untouched."""
+
+    def __init__(self, run_a):
+        self.run_a = run_a
+        self.fired = False
+        self.inside = False
+
+    def __call__(self, version, mdir):
+        if self.fired or self.inside:
+            return
+        self.fired = True
+        self.inside = True
+        try:
+            self.run_a()
+        finally:
+            self.inside = False
+
+
+@pytest.fixture(autouse=True)
+def _clean_interposer():
+    yield
+    M._test_claim_interposer = None
+
+
+def test_disjoint_merges_rebase_to_union(spark, duck, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path)
+
+    # A: low key range (updates 5,6 + insert -5 — inserts must stay
+    # INSIDE the writer's window or the declared ranges overlap)
+    # B: high key range (updates 900,901 + insert 3000) — disjoint
+    # files on a range-clustered layout AND disjoint key ranges.
+    a_updates = _updates(spark, [(5, -1), (6, -2), (-5, -3)])
+    b_updates = _updates(spark, [(900, -4), (901, -5), (3000, -6)])
+    a_result = {}
+
+    def run_a():
+        a_result.update(merge_upsert(spark, duck, path, "k", a_updates))
+
+    M._test_claim_interposer = _InterposeOnce(run_a)
+    b_result = merge_upsert(spark, duck, path, "k", b_updates)
+    M._test_claim_interposer = None
+
+    # A won the race at v2; B rebased and committed v3
+    assert a_result["version"] == 2
+    assert b_result["version"] == 3
+    assert snapshot_versions(path) == [1, 2, 3]
+
+    # head = the union of both merges
+    live = read_version(spark, path)
+    assert live.count() == 1002
+    got = {r.k: r.v for r in live.where(
+        "k in (5, 6, 900, 901, -5, 3000)").collect()}
+    assert got == {5: -1, 6: -2, 900: -4, 901: -5, -5: -3, 3000: -6}
+
+    # every intermediate version stays readable: v2 shows A only
+    v2 = read_version(spark, path, 2)
+    assert v2.count() == 1001
+    got2 = {r.k: r.v for r in v2.where("k in (5, 900, -5)").collect()}
+    assert got2 == {5: -1, 900: (900 * 7) % 101, -5: -3}
+    # and v1 is the pre-merge table
+    assert read_version(spark, path, 1).count() == 1000
+
+    # intent stamps landed on both commits
+    m2 = M.read_manifest(os.path.join(path, "_manifests", "v2.json"))
+    m3 = M.read_manifest(os.path.join(path, "_manifests", "v3.json"))
+    assert m2["txn"]["op"] == "merge_upsert" and m2["txn"]["key_min"] == -5
+    assert m3["txn"]["key_min"] == 900
+
+
+def test_overlapping_merges_fail_loudly_and_recover(spark, duck, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path)
+
+    a_updates = _updates(spark, [(5, -1), (700, -2)])   # wide range
+    b_updates = _updates(spark, [(600, -4), (610, -5)])  # inside A's range
+
+    def run_a():
+        merge_upsert(spark, duck, path, "k", a_updates)
+
+    M._test_claim_interposer = _InterposeOnce(run_a)
+    with pytest.raises(ConcurrentSnapshotError, match="overlapping"):
+        merge_upsert(spark, duck, path, "k", b_updates)
+    M._test_claim_interposer = None
+
+    # loser's data-phase output is uncommitted: recovery quarantines it
+    # and restores any tombstones, then a rerun converges
+    rec = recover_to_last_manifest(path)
+    assert rec["version"] == 2
+    merge_upsert(spark, duck, path, "k", b_updates)
+    live = read_version(spark, path)
+    got = {r.k: r.v for r in live.where("k in (5, 600, 610, 700)").collect()}
+    assert got == {5: -1, 600: -4, 610: -5, 700: -2}
+    assert live.count() == 1000
+
+
+def test_same_file_rewrite_conflict_detected(spark, duck, tmp_path):
+    """Even with key-range disjointness unprovable the FILE rule fires:
+    two writers rewriting the same file is a lost update."""
+    path = str(tmp_path / "t")
+    _table(spark, path, n=100, files=1)  # one file: all merges collide
+
+    def run_a():
+        merge_upsert(spark, duck, path, "k", _updates(spark, [(1, -1)]))
+
+    M._test_claim_interposer = _InterposeOnce(run_a)
+    with pytest.raises(ConcurrentSnapshotError):
+        merge_upsert(spark, duck, path, "k", _updates(spark, [(99, -2)]))
+
+
+def test_dv_delete_rebases_and_rewrite_vs_dv_conflicts(spark, duck, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path)
+
+    # disjoint: A merges low keys (rewrites file 1), B DV-deletes high
+    # keys (targets file 4) — both commit, and the rebase keeps BOTH
+    # A's rewrite and B's vector
+    def run_a():
+        merge_upsert(spark, duck, path, "k", _updates(spark, [(5, -1)]))
+
+    M._test_claim_interposer = _InterposeOnce(run_a)
+    res = delete_rows_dv(
+        spark, duck, path, "k", spark.createDataFrame([(990,)], "k long")
+    )
+    M._test_claim_interposer = None
+    assert res["version"] == 3 and res["rows_deleted"] == 1
+    live = read_version(spark, path)
+    assert live.count() == 999
+    assert live.where("k = 990").count() == 0
+    assert {r.k: r.v for r in live.where("k = 5").collect()} == {5: -1}
+
+    # true conflict: a merge racing a DV delete WHOSE TARGET FILE the
+    # merge rewrote — the later committer must refuse (the rewrite may
+    # have read pre-DV rows and would resurrect the deleted ones)
+    def run_dv():
+        delete_rows_dv(
+            spark, duck, path, "k", spark.createDataFrame([(7,)], "k long")
+        )
+
+    M._test_claim_interposer = _InterposeOnce(run_dv)
+    with pytest.raises(ConcurrentSnapshotError, match="deletion vector"):
+        merge_upsert(spark, duck, path, "k", _updates(spark, [(8, -8)]))
+
+
+def test_commit_without_intent_blocks_rebase(spark, duck, tmp_path):
+    """A concurrent commit from an unknown writer (plain
+    write_versioned_manifest, no txn stamp) can't be checked —
+    the loser must fail, exactly as before the optimistic tier."""
+    path = str(tmp_path / "t")
+    _table(spark, path)
+
+    def run_a():
+        write_versioned_manifest(path)  # e.g. an append-style committer
+
+    M._test_claim_interposer = _InterposeOnce(run_a)
+    with pytest.raises(ConcurrentSnapshotError, match="no intent"):
+        merge_upsert(spark, duck, path, "k", _updates(spark, [(5, -1)]))
+
+
+def test_real_thread_race_converges_to_union(spark, duck, tmp_path):
+    """Two genuine threads, disjoint key ranges, no interposer: both
+    merges must succeed (whichever order the CAS resolves) and the head
+    must be the union. Spark's scheduler is thread-safe; the barrier
+    maximizes overlap."""
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    barrier = threading.Barrier(2)
+    results, errors = {}, []
+
+    def worker(name, pairs):
+        try:
+            upd = _updates(spark, pairs)
+            barrier.wait(timeout=60)
+            results[name] = merge_upsert(spark, duck, path, "k", upd)
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errors.append((name, e))
+
+    ta = threading.Thread(
+        target=worker, args=("a", [(int(k), -1) for k in range(0, 30)])
+    )
+    tb = threading.Thread(
+        target=worker, args=("b", [(int(k), -2) for k in range(950, 980)])
+    )
+    ta.start(), tb.start()
+    ta.join(300), tb.join(300)
+    assert not errors, errors
+    assert {results["a"]["version"], results["b"]["version"]} == {2, 3}
+
+    live = read_version(spark, path)
+    assert live.count() == 1000
+    assert live.where("k < 30 and v != -1").count() == 0
+    assert live.where("k >= 950 and k < 980 and v != -2").count() == 0
+
+
+def test_randomized_disjoint_writer_pairs(spark, duck, tmp_path):
+    """Model-checker style: random disjoint (merge|dv) op pairs, always
+    interleaved via the interposer, every outcome compared against the
+    sequential reference (ops applied one after the other)."""
+    import random
+
+    for seed in (11, 12, 13):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"t{seed}")
+        _table(spark, path, n=600, files=4)
+        # two disjoint key windows, random ops in each
+        lo_keys = rng.sample(range(0, 150), 4)
+        hi_keys = rng.sample(range(450, 600), 4)
+
+        def op(keys):
+            kind = rng.choice(["merge", "dv"])
+            if kind == "merge":
+                upd = _updates(spark, [(int(k), -rng.randint(1, 9)) for k in keys])
+                return kind, upd, None
+            return kind, spark.createDataFrame(
+                [(int(k),) for k in keys], "k long"
+            ), None
+
+        kind_a, df_a, _ = op(lo_keys)
+        kind_b, df_b, _ = op(hi_keys)
+
+        def run(kind, df):
+            if kind == "merge":
+                return merge_upsert(spark, duck, path, "k", df)
+            return delete_rows_dv(spark, duck, path, "k", df)
+
+        M._test_claim_interposer = _InterposeOnce(lambda: run(kind_a, df_a))
+        run(kind_b, df_b)
+        M._test_claim_interposer = None
+
+        live = sorted(map(tuple, read_version(spark, path).collect()))
+
+        # sequential reference on a twin table
+        ref = str(tmp_path / f"ref{seed}")
+        _table(spark, ref, n=600, files=4)
+
+        def run_ref(kind, df):
+            if kind == "merge":
+                return merge_upsert(spark, duck, ref, "k", df)
+            return delete_rows_dv(spark, duck, ref, "k", df)
+
+        run_ref(kind_a, df_a)
+        run_ref(kind_b, df_b)
+        want = sorted(map(tuple, read_version(spark, ref).collect()))
+        assert live == want, f"seed {seed}: interleaved != sequential"

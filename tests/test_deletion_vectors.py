@@ -245,3 +245,81 @@ def test_matview_tracks_dv_churned_source(spark, duck, tmp_path):
         )
     )
     assert got == want
+
+def test_dv_identity_is_relpath_on_partitioned_layout(spark, duck, tmp_path):
+    """Hive-partitioned writes reuse the same part-file BASENAME across
+    partition directories (one task writes the same part-NNNNN-<uuid>
+    name into every partition it touches) — DV row identity must be the
+    table-root-relative path, or a 1-key delete kills the row at the
+    same row_index in every sibling file."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 101, 0) for k in range(50)]
+        + [(k, k % 101, 1) for k in range(100, 150)],
+        "k long, v long, shard int",
+    )
+    # one task writes both partitions -> identical basenames in both dirs
+    df.repartition(1).sortWithinPartitions("k").write.partitionBy(
+        "shard"
+    ).parquet(path)
+    write_versioned_manifest(path)
+    names = {
+        s: sorted(os.listdir(os.path.join(path, f"shard={s}"))) for s in (0, 1)
+    }
+    parquets = {
+        s: [f for f in names[s] if f.endswith(".parquet")] for s in (0, 1)
+    }
+    assert parquets[0] == parquets[1], "test premise: basenames collide"
+
+    res = delete_rows_dv(
+        spark, duck, path, "k", spark.createDataFrame([(5,)], "k long")
+    )
+    assert res["rows_deleted"] == 1
+
+    live = read_version(spark, path)
+    assert live.count() == 99  # exactly one row gone
+    assert live.where("k = 5").count() == 0
+    # the sibling file's row at the same row_index is untouched
+    assert live.where("k = 105").count() == 1
+    # partition column still reads through the snapshot
+    assert live.where("shard = 1").count() == 50
+
+    # the change feed sees exactly the one delete
+    ch = snapshot_changes(spark, path, 1, 2)
+    rows = [(r.k, r._change_type) for r in ch.collect()]
+    assert rows == [(5, "delete")]
+
+
+def test_deep_clone_carries_deletion_vectors(spark, duck, tmp_path):
+    """clone_snapshot(deep=True) must copy the _dv/ files and pin the
+    vector list in the clone's manifest — otherwise DV-deleted rows
+    silently resurrect in the clone."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        clone_snapshot,
+        verify_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _table(spark, src, n=100)
+    delete_rows_dv(
+        spark, duck, src, "k",
+        spark.createDataFrame([(3,), (7,), (11,)], "k long"),
+    )
+    src_rows = sorted(map(tuple, read_version(spark, src).collect()))
+    assert len(src_rows) == 97
+
+    info = clone_snapshot(src, dst, deep=True)
+    assert info["deep"]
+    assert verify_snapshot(
+        os.path.join(dst, "_manifests", "latest.json")
+    ) == []
+    clone_rows = sorted(map(tuple, read_version(spark, dst).collect()))
+    assert clone_rows == src_rows  # 97 rows — the 3 dead rows stayed dead
+
+    # the clone is independent: materializing its vector away changes
+    # nothing logically and leaves the source's vector alone
+    rewrite_table(spark, dst, "k")
+    assert table_dv(dst) == []
+    assert sorted(map(tuple, read_version(spark, dst).collect())) == src_rows
+    assert table_dv(src) != []

@@ -624,13 +624,122 @@ def test_spark_side_zone_map_pruning(spark, duck, tmp_path):
         == 0
     )
 
-    # (3) string stats refuse the spark path, loudly
+    # (3) unranked stat types (timestamps) refuse the spark path, loudly
+    import datetime
+
     import pytest
 
-    with pytest.raises(TypeError, match="integer key stats"):
+    with pytest.raises(TypeError, match="driver path"):
         _zone_map_candidates_spark(
-            spark, [("f0", "a", "z")], kdf, "k"
+            spark,
+            [("f0", datetime.datetime(2024, 1, 1), datetime.datetime(2024, 2, 1))],
+            kdf,
+            "k",
         )
+
+
+def test_spark_side_zone_map_pruning_string_and_date_keys(spark, duck, tmp_path):
+    """r9: the spark-side prune extends beyond integer stats via an
+    order-preserving rank (7-byte big-endian UTF-8 prefix for strings —
+    zero-padded, so 'b' ranks above 'aaa'; epoch days for dates).
+    Asserts (1) candidate parity with the driver path on adversarial
+    string keys (shared 8+-byte prefixes collapsing to one bucket,
+    unicode, empty string, boundary hits), (2) date-key parity, (3) an
+    end-to-end string-keyed merge through prune='spark', (4) exact
+    integer DIV bucketing at ranks beyond double precision (2^53+)."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        _zone_map_candidates,
+        _zone_map_candidates_spark,
+        merge_upsert,
+        write_versioned_manifest,
+    )
+
+    # (1) adversarial string geometry: long shared prefixes (every rank
+    # collides into one bucket), unicode, empty string, exact-boundary
+    # keys, None-stat files
+    zone_maps = [
+        ("f_pref1", "aaaaaaaaaa0000", "aaaaaaaaaa4999"),
+        ("f_pref2", "aaaaaaaaaa5000", "aaaaaaaaaa9999"),
+        ("f_uni", "héllo", "日本語のドキュメント"),
+        ("f_low", "", "aaaaaaaaaa"),
+        ("f_none", None, None),
+        ("f_point", "kkk", "kkk"),
+    ]
+    keys = (
+        [f"aaaaaaaaaa{i:04d}" for i in (0, 4999, 5000, 7500)]
+        + ["", "zzz", "kkk", "kkj", "kkl", "héllz", "aaaaaaaaab", "日本語"]
+    )
+    kdf = spark.createDataFrame([(k,) for k in keys], ["k"])
+    spark_c = _zone_map_candidates_spark(spark, zone_maps, kdf, "k")
+    driver_c = _zone_map_candidates(zone_maps, keys)
+    assert spark_c == driver_c
+    assert "f_point" in spark_c and "f_none" in spark_c
+
+    # randomized string parity
+    rng = random.Random(7)
+    alpha = "abcdefg"
+    rmaps, rkeys = [], []
+    for i in range(120):
+        lo = "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 12)))
+        hi = lo + "".join(rng.choice(alpha) for _ in range(3))
+        rmaps.append((f"r{i}", min(lo, hi), max(lo, hi)))
+    rkeys = [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        for _ in range(800)
+    ]
+    rk = spark.createDataFrame([(k,) for k in rkeys], ["k"])
+    assert _zone_map_candidates_spark(spark, rmaps, rk, "k") == \
+        _zone_map_candidates(rmaps, rkeys)
+
+    # (2) date keys
+    d = datetime.date
+    dmaps = [
+        (f"d{i}", d(2024, 1, 1) + datetime.timedelta(days=i * 30),
+         d(2024, 1, 1) + datetime.timedelta(days=i * 30 + 29))
+        for i in range(12)
+    ] + [("dnone", None, None)]
+    dkeys = [d(2024, 1, 1) + datetime.timedelta(days=x) for x in
+             (0, 29, 30, 100, 400, 5000)]
+    dk = spark.createDataFrame([(k,) for k in dkeys], "k date")
+    assert _zone_map_candidates_spark(spark, dmaps, dk, "k") == \
+        _zone_map_candidates(dmaps, dkeys)
+
+    # (4) huge integer ranks: double floor would misbucket near 2^53
+    big = 1 << 55
+    bmaps = [(f"b{i}", big + i * 1000, big + i * 1000 + 999) for i in range(40)]
+    bkeys = [big + 500, big + 39 * 1000 + 999, big - 1, big + 40 * 1000]
+    bk = spark.createDataFrame([(k,) for k in bkeys], "k long")
+    assert _zone_map_candidates_spark(spark, bmaps, bk, "k") == \
+        _zone_map_candidates(bmaps, bkeys)
+
+    # (3) end-to-end: string-keyed table, merge through prune='spark'
+    path = str(tmp_path / "t")
+    df = spark.range(0, 5_000).select(
+        F2.format_string("user-%07d", F2.col("id")).alias("uid"),
+        (F2.col("id") % 13).alias("v"),
+    )
+    write_range_clustered(df, path, "uid", 6)
+    write_versioned_manifest(path)
+    updates = spark.createDataFrame(
+        [(f"user-{i:07d}", -5) for i in range(4_000, 4_100)]
+        + [(f"zuser-{i}", -6) for i in range(10)],
+        "uid string, v bigint",
+    )
+    stats = merge_upsert(
+        spark, duck, path, "uid", updates, duck_type="VARCHAR", prune="spark"
+    )
+    assert stats["rows_updated"] == 100 and stats["rows_inserted"] == 10
+    live = spark.read.parquet(path)
+    assert live.count() == 5_010
+    assert live.where("uid >= 'user-0004000' and uid <= 'user-0004099' "
+                      "and v != -5").count() == 0
+    assert live.where("uid like 'zuser%' and v != -6").count() == 10 - 10
 
 
 def test_merge_bulk_matches_targeted_semantics(spark, duck, tmp_path):

@@ -243,17 +243,22 @@ def test_crash_mid_refresh_recovers_and_converges(spark, duck, tmp_path):
         spark.createDataFrame([(1, 1, 500), (8888, 20, 9)], "k long, g long, v long"),
     )
 
-    real = manifest_mod.write_versioned_manifest
+    # merge_upsert commits through commit_optimistic (r9); the stamped
+    # watermark commit itself rides it — crash BOTH commit doors
+    real_wvm = manifest_mod.write_versioned_manifest
+    real_opt = manifest_mod.commit_optimistic
 
     def boom(path, *args, **kwargs):
         raise RuntimeError("injected crash before manifest commit")
 
     manifest_mod.write_versioned_manifest = boom
+    manifest_mod.commit_optimistic = boom
     try:
         with pytest.raises(RuntimeError, match="injected crash"):
             refresh_agg_view(spark, duck, view, mode="delta")
     finally:
-        manifest_mod.write_versioned_manifest = real
+        manifest_mod.write_versioned_manifest = real_wvm
+        manifest_mod.commit_optimistic = real_opt
 
     assert applied_src_version(view) == 1          # watermark unmoved
     rec = recover_to_last_manifest(view)
@@ -507,3 +512,43 @@ def test_multi_value_column_view(spark, duck, tmp_path):
     )
     refresh_agg_view(spark, duck, view, mode="recompute")
     assert _rows(read_agg_view(spark, view)) == oracle()
+
+
+def test_verify_unique_checks_view_against_source(spark, duck, tmp_path):
+    """The collision failure mode is a REPLACEMENT: a new group whose
+    xxhash64 collides with an untouched old group overwrites that
+    group's state row via the _gk merge — the view still holds one row
+    per distinct key, so an internal distinct-vs-count sweep can never
+    fire. verify_unique must compare the live group set against the
+    SOURCE snapshot instead."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    _source(spark, src, n=100)
+    create_agg_view(spark, duck, src, view, ["g"], "v")
+
+    # honest churn passes the sweep
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame([(0, 0, -5)], "k long, g long, v long"),
+    )
+    res = refresh_agg_view(spark, duck, view, verify_unique=True)
+    assert res["applied_src_version"] == 2
+    _assert_view_equals_source(spark, src, view)
+
+    # emulate the post-collision state: group g=1's state row is
+    # replaced by a row carrying DIFFERENT keys under the SAME _gk
+    # (exactly what the merge does when hashes collide)
+    state = read_version(spark, view)
+    g1 = state.where("g = 1")
+    # materialize before merging INTO the same table (the merge
+    # tombstones the files a lazy frame would still be reading)
+    corrupted = spark.createDataFrame(
+        g1.withColumn("g", F.lit(999).cast("long")).collect(), g1.schema
+    )
+    merge_upsert(spark, duck, view, "_gk", corrupted)
+    # touch the source so refresh actually runs its sweep
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame([(1, 0, -6)], "k long, g long, v long"),
+    )
+    with pytest.raises(ValueError, match="collision"):
+        refresh_agg_view(spark, duck, view, verify_unique=True)

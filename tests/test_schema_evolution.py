@@ -427,3 +427,49 @@ def test_rewrite_table_zorder_multi_dimensional(spark, duck, tmp_path):
 
     assert avg_span("x", 200) < 0.6
     assert avg_span("y", 200) < 0.6
+
+
+def test_replication_follows_type_widening(spark, duck, tmp_path):
+    """A source that WIDENED a type (int -> bigint) ships no new column
+    names, so a name-superset check alone would run the replica merge
+    non-evolving and cast feed values down to the replica's narrow type
+    (silently wrapping/nulling out-of-range values). The replica must
+    widen instead."""
+    from data_pipeline_project_spark.streaming.replicate import (
+        replicate_table_stream,
+    )
+
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 3).cast("int").alias("v"),
+    )
+    write_range_clustered(base, src, "k", 2)
+    write_versioned_manifest(src)
+
+    q = replicate_table_stream(spark, duck, src, rep, "k", ckpt,
+                               duck_type="INTEGER")
+    q.awaitTermination(120)
+    assert {
+        f.name: f.dataType.simpleString()
+        for f in read_version(spark, rep).schema.fields
+    } == {"k": "int", "v": "int"}
+
+    # source widens v to bigint with a value no int can hold
+    big = 10_000_000_000
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame([(3, big)], "k int, v long"),
+        schema_evolution=True,
+    )
+    q2 = replicate_table_stream(spark, duck, src, rep, "k", ckpt,
+                                duck_type="INTEGER")
+    q2.awaitTermination(120)
+
+    live = read_version(spark, rep)
+    assert live.schema["v"].dataType.simpleString() == "bigint"
+    assert live.where("k = 3").collect()[0].v == big  # not wrapped, not null
+    src_rows = sorted((r.k, r.v) for r in read_version(spark, src).collect())
+    assert sorted((r.k, r.v) for r in live.collect()) == src_rows

@@ -1127,3 +1127,56 @@ def test_cdc_apply_with_delete_markers_dv_mode(spark, duck, tmp_path):
     q3.awaitTermination(120)
     assert q3.applied_stats[0]["rows_deleted"] == 1
     assert read_version(spark, target).count() == 999
+
+
+def test_cdc_apply_null_delete_flags_are_upserts(spark, duck, tmp_path):
+    """A CDC feed that leaves the delete flag NULL on upsert rows must
+    not lose those changes: where(flag) and where(~flag) each drop
+    NULL-flag rows, so both branches coalesce the flag to false."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        read_version,
+        write_versioned_manifest,
+    )
+    from data_pipeline_project_spark.streaming.cdc_apply import apply_cdc_stream
+
+    target = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v")
+    )
+    write_range_clustered(df, target, "user_id", 2)
+    write_versioned_manifest(target)
+
+    drop = tmp_path / "changes"
+    drop.mkdir()
+    with open(drop / "c1.jsonl", "w") as fh:
+        for rec in [
+            # upserts with the flag simply ABSENT (null) — the common
+            # CDC shape where only delete rows carry the marker
+            {"user_id": 3, "v": -1, "seq": 1},
+            {"user_id": 500, "v": -2, "seq": 2},
+            {"user_id": 9, "v": None, "seq": 3, "deleted": True},
+        ]:
+            fh.write(json.dumps(rec) + "\n")
+
+    schema = "user_id BIGINT, v BIGINT, seq BIGINT, deleted BOOLEAN"
+    q = apply_cdc_stream(
+        spark, duck,
+        spark.readStream.schema(schema).json(str(drop)),
+        target, "user_id", "seq", str(tmp_path / "ckpt"),
+        delete_col="deleted", delete_mode="dv",
+    )
+    q.awaitTermination(120)
+    assert q.applied_stats[0]["rows_deleted"] == 1
+    assert q.applied_stats[0]["rows_updated"] == 1   # user 3, NOT dropped
+    assert q.applied_stats[0]["rows_inserted"] == 1  # user 500
+
+    live = read_version(spark, target)
+    got = {r.user_id: r.v for r in live.where(
+        F.col("user_id").isin([3, 9, 500])).collect()}
+    assert got == {3: -1, 500: -2}
+    assert live.count() == 100  # -1 delete, +1 insert
