@@ -328,17 +328,39 @@ def read_snapshot(spark, manifest: dict | str) -> DataFrame:
             f"gone, e.g. {missing[:3]}"
         )
     # basePath keeps hive partition columns (shard=N/...) alive when
-    # reading an explicit file list instead of the directory.
-    reader = spark.read.option("basePath", root)
+    # reading an explicit file list instead of the directory. Files a
+    # later rewrite tombstoned live under _removed/ with the same
+    # partition-relative layout — a MIXED read would trip Spark's
+    # 'conflicting directory structures' check, so each group reads
+    # under its own base and the groups union.
+    tomb_root = os.path.join(root, REMOVED_DIR)
+    live_files = [f for f in files if not f.startswith(tomb_root + os.sep)]
+    tomb_files = [f for f in files if f.startswith(tomb_root + os.sep)]
     dv = manifest.get("dv") or []
-    if manifest.get("schema_json") is not None:
-        from pyspark.sql.types import StructType
 
-        st = StructType.fromJson(manifest["schema_json"])
-        ren = manifest.get("renames") or {}
-        df = reader.schema(_extended_read_schema(st, ren)).parquet(*files)
-        return _apply_renames(_dv_filter(spark, df, root, dv), st, ren)
-    return _dv_filter(spark, reader.parquet(*files), root, dv)
+    def _rd(group, base):
+        reader = spark.read.option("basePath", base)
+        if manifest.get("schema_json") is not None:
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(manifest["schema_json"])
+            ren = manifest.get("renames") or {}
+            df = reader.schema(_extended_read_schema(st, ren)).parquet(*group)
+            return _apply_renames(_dv_filter(spark, df, root, dv), st, ren)
+        return _dv_filter(spark, reader.parquet(*group), root, dv)
+
+    parts = []
+    if live_files:
+        parts.append(_rd(live_files, root))
+    if tomb_files:
+        parts.append(_rd(tomb_files, tomb_root))
+    if not parts:
+        # a snapshot pinning zero files: derive schema from the live dir
+        return spark.read.parquet(root).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def verify_snapshot(manifest: dict | str) -> list[str]:
@@ -392,6 +414,39 @@ def _select_candidates(
             pass  # non-integer stats: the driver path handles any type
     keys = [r[0] for r in distinct_keys.collect()]
     return _zone_map_candidates(zone_maps, keys)
+
+
+def _partition_cols_of(relpaths) -> list[str]:
+    """Hive partition column names implied by a table's file relpaths
+    (``shard=1/dt=2024-01-01/part-...parquet`` -> ['shard', 'dt']).
+    Empty for flat layouts. Mixed layouts (some files partitioned,
+    some not) are refused — Spark's partition discovery refuses them
+    too ('conflicting directory structures')."""
+    shapes = set()
+    for rel in relpaths:
+        segs = rel.replace("\\", "/").split("/")[:-1]
+        cols = tuple(s.split("=", 1)[0] for s in segs if "=" in s)
+        if len(cols) != len(segs):
+            cols = ()  # non-k=v subdir: treat as flat (reader will fail loudly)
+        shapes.add(cols)
+    if not shapes:
+        return []
+    if len(shapes) > 1:
+        raise ValueError(
+            f"mixed partition layouts in one table: {sorted(shapes)} — "
+            f"every data file must share the same partition directory shape"
+        )
+    return list(shapes.pop())
+
+
+def _partition_values_of(rel: str) -> dict:
+    """{col: raw string value} from a hive relpath's k=v segments."""
+    out = {}
+    for seg in rel.replace("\\", "/").split("/")[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = v
+    return out
 
 
 def _snapshot_zone_maps(
@@ -1573,9 +1628,19 @@ def merge_upsert(
         zone_maps = file_zone_maps(duck, path, key_col, duck_type)
         rel_by_path = {f: os.path.relpath(f, path) for f, _, _ in zone_maps}
         dv_relpaths = table_dv(path)
+    pcols = _partition_cols_of(rel_by_path.values())
+    if key_col in pcols:
+        raise ValueError(
+            f"merge key {key_col!r} is a hive PARTITION column: partition "
+            f"values live in directory names, not parquet footers — zone "
+            f"maps cannot prune on it and the per-file anti-join cannot "
+            f"see it; key on a data column (a partition-changing update "
+            f"then lands in its new partition automatically)"
+        )
     candidates = _select_candidates(spark, zone_maps, updates_df, key_col, prune)
     if (
         rewrite == "auto"
+        and not pcols  # bulk re-clustering would flatten partition dirs
         and not (new_fields or schema_widened)  # evolution stays targeted
         and zone_maps
         and len(candidates) >= BULK_REWRITE_FRACTION * len(zone_maps)
@@ -1661,21 +1726,39 @@ def merge_upsert(
     # order (evolved columns last) as new data files under the table
     # root — staged then moved in under KNOWN names, so the commit can
     # be an explicit delta (and a concurrent writer's listing never
-    # half-sees a plain append in flight).
+    # half-sees a plain append in flight). On a hive-partitioned layout
+    # the staging write partitions too, and each part moves into its
+    # partition DIRECTORY — a flat append at the root would break
+    # partition discovery for every later read ('conflicting directory
+    # structures'), and an update that changes a row's partition value
+    # lands in its new directory through this same write.
     staging = os.path.join(path, f".merge.v{version}.{stamp}.staging")
-    updates_df.select(*out_cols).write.mode("overwrite").parquet(staging)
-    parts = sorted(
-        p
-        for p in os.listdir(staging)
-        if p.endswith(".parquet") and not p.startswith((".", "_"))
-    )
-    for i, p in enumerate(parts):
-        name = f"merge-v{version}-{stamp}-{i:05d}.parquet"
-        os.replace(os.path.join(staging, p), os.path.join(path, name))
-        crc = os.path.join(staging, f".{p}.crc")
-        if os.path.exists(crc):
-            os.replace(crc, os.path.join(path, f".{name}.crc"))
-        added_rels.append(name)
+    writer = updates_df.select(*out_cols).write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    i = 0
+    for sroot, sdirs, sfiles in os.walk(staging):
+        sdirs.sort()
+        for p in sorted(sfiles):
+            if not p.endswith(".parquet") or p.startswith((".", "_")):
+                continue
+            pdir = os.path.relpath(sroot, staging)
+            pdir = "" if pdir == "." else pdir
+            name = f"merge-v{version}-{stamp}-{i:05d}.parquet"
+            dst_rel = os.path.join(pdir, name) if pdir else name
+            os.makedirs(os.path.join(path, pdir) if pdir else path, exist_ok=True)
+            os.replace(os.path.join(sroot, p), os.path.join(path, dst_rel))
+            crc = os.path.join(sroot, f".{p}.crc")
+            if os.path.exists(crc):
+                os.replace(
+                    crc,
+                    os.path.join(path, pdir, f".{name}.crc")
+                    if pdir
+                    else os.path.join(path, f".{name}.crc"),
+                )
+            added_rels.append(dst_rel)
+            i += 1
     shutil.rmtree(staging, ignore_errors=True)
 
     evolved = None
@@ -1848,6 +1931,16 @@ def _commit_bulk_rewrite(
     import shutil
 
     from data_pipeline_project_spark.sinks.layout import write_range_clustered
+
+    pcols = _partition_cols_of(os.path.relpath(f, path) for f in old_files)
+    if pcols:
+        raise ValueError(
+            f"table-wide rewrite on a hive-partitioned layout (partition "
+            f"cols {pcols}) would flatten the partition directories and "
+            f"silently drop the partition columns — use the targeted "
+            f"merge/delete paths (partition-aware) or "
+            f"sinks.compact.compact_dataset per partition"
+        )
 
     staging = os.path.join(path, f".bulk.v{version}.staging")
     if drop_cluster_col:
@@ -2410,26 +2503,42 @@ def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
     sj, ren = meta.get("schema_json"), meta.get("renames") or {}
 
     def _read(manifest, only):
-        files = []
+        root = manifest["root"]
+        tomb_root = os.path.join(root, REMOVED_DIR)
+        live_files, tomb_files = [], []
         for f in manifest["files"]:
             if f["path"] not in only:
                 continue
-            live = _resolve_snapshot_file(manifest["root"], f["path"])
+            live = _resolve_snapshot_file(root, f["path"])
             if live is None:
                 raise FileNotFoundError(f"snapshot v-file vacuumed: {f['path']}")
-            files.append(live)
-        if not files:
+            (tomb_files if live.startswith(tomb_root + os.sep) else live_files).append(live)
+        if not live_files and not tomb_files:
             return None
         dv = manifest.get("dv") or []
-        if sj is not None:
-            from pyspark.sql.types import StructType
 
-            st = StructType.fromJson(sj)
-            df = spark.read.schema(_extended_read_schema(st, ren)).parquet(*files)
-            return _apply_renames(
-                _dv_filter(spark, df, manifest["root"], dv), st, ren
-            )
-        return _dv_filter(spark, spark.read.parquet(*files), manifest["root"], dv)
+        def _rd(files, base):
+            # basePath keeps hive partition columns alive; tombstoned
+            # files sit under _removed/ with the SAME partition-relative
+            # layout, so that directory is its own base
+            reader = spark.read.option("basePath", base)
+            if sj is not None:
+                from pyspark.sql.types import StructType
+
+                st = StructType.fromJson(sj)
+                df = reader.schema(_extended_read_schema(st, ren)).parquet(*files)
+                return _apply_renames(_dv_filter(spark, df, root, dv), st, ren)
+            return _dv_filter(spark, reader.parquet(*files), root, dv)
+
+        parts = []
+        if live_files:
+            parts.append(_rd(live_files, root))
+        if tomb_files:
+            parts.append(_rd(tomb_files, tomb_root))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     old = _read(m_from, from_files - shared)
     new = _read(m_to, to_files - shared)

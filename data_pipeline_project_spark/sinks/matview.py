@@ -490,6 +490,291 @@ def view_status(view_path: str) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Distinct-count materialized views (round 9).
+#
+# COUNT(DISTINCT x) GROUP BY keys is the one common aggregate the
+# rows/sum/min/max state above cannot carry: distinctness is not a
+# monoid over scalars. Two physics, mirroring expectations.expect_unique_auto:
+#
+# - ``exact``: the classic two-level maintenance — state is the
+#   per-(group, value) MULTIPLICITY table (xxhash64 group key over
+#   keys+value). Multiplicity is an invertible monoid (inserts +1,
+#   deletes -1), so the view folds AND retracts exactly; the read
+#   renders n_distinct as the per-group count of multiplicity>0 rows.
+#   State is O(distinct pairs) — the honest price of exact distinct
+#   under churn; refresh cost is O(churn).
+# - ``sketch``: per-group HLL register state (Spark's hll_sketch_agg /
+#   hll_union — Apache DataSketches). O(groups × ~KB) state, O(groups)
+#   reads, inserts FOLD (register max-merge is order-independent, so
+#   the folded sketch is byte-identical to a from-scratch one) — but
+#   HLL registers can NEVER retract: a refresh window containing any
+#   delete recomputes the touched groups from the pinned snapshot
+#   (still O(touched groups' facts), never the table).
+#
+# Aggregates that can never be incrementally retracted and are NOT
+# offered as view statistics: exact percentiles/medians (order
+# statistics need the full multiset — materialize the multiplicity
+# table and compute at read if needed), top-k heavy hitters (same),
+# and HLL/theta sketches under deletion (registers only grow — hence
+# the recompute path above). min/max sit in between: retractable with
+# a rescan only when a delete clips an extreme (the agg view's
+# _st_minmax_stale machinery).
+# ---------------------------------------------------------------------------
+
+DISTINCT_SKETCH_THRESHOLD = 2_000_000
+
+
+def create_distinct_view(
+    spark,
+    duck,
+    src_path: str,
+    view_path: str,
+    keys: list[str],
+    distinct_col: str,
+    mode: str = "auto",
+    n_files: int = 4,
+    threshold: int = DISTINCT_SKETCH_THRESHOLD,
+    filter_sql: str | None = None,
+) -> dict:
+    """Materialize ``SELECT keys, count(DISTINCT distinct_col) GROUP BY
+    keys`` as a manifest table maintained from the source's change feed.
+    ``mode='auto'`` measures the exact state size (distinct pairs) at
+    create and picks ``exact`` at or below ``threshold``, ``sketch``
+    above — the same exact-small/sketch-large split as
+    expectations.expect_unique_auto. NULL values never count (SQL
+    COUNT DISTINCT semantics); NULL group keys are refused (same
+    contract as create_agg_view). Returns {view_version,
+    applied_src_version, n_groups, mode}."""
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+
+    if mode not in ("auto", "exact", "sketch"):
+        raise ValueError(f"mode must be auto|exact|sketch, got {mode!r}")
+    src_versions = snapshot_versions(src_path)
+    if not src_versions:
+        raise ValueError(
+            f"source {src_path!r} has no snapshot manifest — commit one "
+            f"with write_versioned_manifest first"
+        )
+    src_v = src_versions[-1]
+    facts = read_version(spark, src_path, src_v)
+    if filter_sql:
+        facts = facts.where(filter_sql)
+    _check_no_null_keys(facts.select(*keys), keys, "the source")
+    vals = facts.where(F.col(distinct_col).isNotNull())
+
+    if mode == "auto":
+        pairs = vals.select(*keys, distinct_col).distinct().count()
+        mode = "exact" if pairs <= threshold else "sketch"
+
+    if mode == "exact":
+        state = (
+            vals.groupBy(*keys, distinct_col)
+            .agg(F.count(F.lit(1)).alias("_st_mult"))
+            .withColumn(
+                GROUP_KEY,
+                F.xxhash64(*[F.col(k) for k in keys], F.col(distinct_col)),
+            )
+        )
+    else:
+        state = _with_gk(
+            vals.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("_st_rows"),
+                F.hll_sketch_agg(distinct_col).alias("_st_hll"),
+            ),
+            keys,
+        )
+    n_state = state.count()
+    if state.select(GROUP_KEY).distinct().count() != n_state:
+        raise ValueError(
+            "xxhash64 state-key collision — extend the grouping key"
+        )
+    write_range_clustered(state, view_path, GROUP_KEY, n_files)
+    spec = {
+        "kind": "distinct",
+        "mode": mode,
+        "src": os.path.abspath(src_path),
+        "keys": list(keys),
+        "distinct_col": distinct_col,
+        "filter_sql": filter_sql,
+    }
+    tmp = _spec_path(view_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(spec, fh, indent=1, sort_keys=True)
+    os.replace(tmp, _spec_path(view_path))
+    m = write_versioned_manifest(
+        view_path, extra={"matview": {"applied_src_version": src_v}}
+    )
+    n_groups = (
+        state.select(*keys).distinct().count() if mode == "exact" else n_state
+    )
+    return {
+        "view_version": m["version"],
+        "applied_src_version": src_v,
+        "n_groups": n_groups,
+        "mode": mode,
+    }
+
+
+def refresh_distinct_view(
+    spark, duck, view_path: str, feed_shards: int | None = None
+) -> dict:
+    """Advance a distinct-count view to the source's latest committed
+    version. ``exact``: fold the window's per-(group, value) insert
+    minus delete multiplicities into the state (pure invertible-monoid
+    arithmetic, O(churn)); a pair folding below zero means the feed
+    and state diverged and raises. ``sketch``: a window with only
+    inserts FOLDS (hll_union with the batch's sketch); any delete
+    forces a recompute of the TOUCHED groups from the pinned snapshot
+    (HLL cannot retract — see the tier comment). The watermark commits
+    atomically with the state, exactly like refresh_agg_view."""
+    spec = read_spec(view_path)
+    if spec.get("kind") != "distinct":
+        raise ValueError(f"{view_path!r} is not a distinct-count view")
+    src, keys = spec["src"], spec["keys"]
+    dcol, mode = spec["distinct_col"], spec["mode"]
+    filter_sql = spec.get("filter_sql")
+    applied = applied_src_version(view_path)
+    src_latest = (snapshot_versions(src) or [0])[-1]
+    if src_latest <= applied:
+        return {
+            "view_version": (snapshot_versions(view_path) or [0])[-1],
+            "applied_src_version": applied,
+            "state_rows_changed": 0,
+            "mode": mode,
+        }
+    stamp = {"matview": {"applied_src_version": src_latest, "mode": mode}}
+    changes = _read_changes(spark, src, applied, src_latest, feed_shards)
+    if filter_sql:
+        changes = changes.where(filter_sql)
+    _check_no_null_keys(changes.select(*keys), keys, "the change feed")
+    changes = changes.where(F.col(dcol).isNotNull())
+    current = read_version(spark, view_path)
+
+    if mode == "exact":
+        delta = changes.groupBy(*keys, dcol).agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("_d")
+        )
+        cur_live = current.where(F.col("_st_mult") > 0).drop(GROUP_KEY)
+        cur_t = cur_live.join(delta.select(*keys, dcol), [*keys, dcol], "left_semi")
+        merged = cur_t.join(delta, [*keys, dcol], "full").select(
+            *keys,
+            dcol,
+            (
+                F.coalesce(F.col("_st_mult"), F.lit(0))
+                + F.coalesce(F.col("_d"), F.lit(0))
+            ).alias("_st_mult"),
+        )
+        final = merged.withColumn(
+            GROUP_KEY,
+            F.xxhash64(*[F.col(k) for k in keys], F.col(dcol)),
+        ).localCheckpoint()
+        if final.where(F.col("_st_mult") < 0).limit(1).count():
+            raise ValueError(
+                "distinct-view state underflow: the change feed retracted "
+                "a (group, value) pair below zero — feed and view diverged; "
+                "rebuild with create_distinct_view"
+            )
+    else:
+        touched = changes.select(*keys).distinct()
+        cur_t = current.where(F.col("_st_rows") > 0).drop(GROUP_KEY).join(
+            touched, keys, "left_semi"
+        )
+        has_deletes = (
+            changes.where(F.col("_change_type") == "delete").limit(1).count() > 0
+        )
+        if has_deletes:
+            # HLL cannot retract: recompute the touched groups' sketches
+            # from the pinned snapshot (O(touched groups' facts))
+            facts = read_version(spark, src, src_latest)
+            if filter_sql:
+                facts = facts.where(filter_sql)
+            fresh = (
+                facts.where(F.col(dcol).isNotNull())
+                .join(touched, keys, "left_semi")
+                .groupBy(*keys)
+                .agg(
+                    F.count(F.lit(1)).alias("_st_rows"),
+                    F.hll_sketch_agg(dcol).alias("_st_hll"),
+                )
+            )
+            # groups whose rows all vanished tombstone with _st_rows=0
+            vanished = cur_t.select(*keys).join(fresh, keys, "left_anti")
+            tombs = vanished.select(
+                *keys,
+                F.lit(0).cast("long").alias("_st_rows"),
+                F.lit(None).cast("binary").alias("_st_hll"),
+            )
+            final = _with_gk(fresh.unionByName(tombs), keys).localCheckpoint()
+        else:
+            ins = changes.where(F.col("_change_type") == "insert")
+            batch = ins.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("_b_rows"),
+                F.hll_sketch_agg(dcol).alias("_b_hll"),
+            )
+            final = _with_gk(
+                batch.join(cur_t, keys, "left").select(
+                    *keys,
+                    (
+                        F.coalesce(F.col("_st_rows"), F.lit(0))
+                        + F.col("_b_rows")
+                    ).alias("_st_rows"),
+                    F.when(
+                        F.col("_st_hll").isNull(), F.col("_b_hll")
+                    )
+                    .otherwise(F.hll_union(F.col("_st_hll"), F.col("_b_hll")))
+                    .alias("_st_hll"),
+                ),
+                keys,
+            ).localCheckpoint()
+
+    n_changed = final.count()
+    if n_changed == 0:
+        m = write_versioned_manifest(view_path, extra=stamp)
+        view_v = m["version"]
+    else:
+        from data_pipeline_project_spark.sinks.manifest import merge_upsert
+
+        res = merge_upsert(
+            spark, duck, view_path, GROUP_KEY, final,
+            duck_type="BIGINT", rewrite="auto", commit_extra=stamp,
+        )
+        view_v = res["version"]
+    return {
+        "view_version": view_v,
+        "applied_src_version": src_latest,
+        "state_rows_changed": n_changed,
+        "mode": mode,
+    }
+
+
+def read_distinct_view(
+    spark, view_path: str, version: int | None = None
+) -> DataFrame:
+    """Render (keys..., n_distinct) — identical to ``SELECT keys,
+    count(DISTINCT col)`` over the source snapshot the view reflects
+    (exact mode), or its DataSketches HLL estimate (sketch mode, the
+    same estimate a direct hll_sketch_agg over the snapshot returns —
+    register max-merge makes the folded sketch bit-identical)."""
+    spec = read_spec(view_path)
+    if spec.get("kind") != "distinct":
+        raise ValueError(f"{view_path!r} is not a distinct-count view")
+    keys = spec["keys"]
+    state = read_version(spark, view_path, version)
+    if spec["mode"] == "exact":
+        return (
+            state.where(F.col("_st_mult") > 0)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+        )
+    return state.where(F.col("_st_rows") > 0).select(
+        *keys,
+        F.hll_sketch_estimate(F.col("_st_hll")).alias("n_distinct"),
+    )
+
+
 def maintain_agg_view_stream(
     spark,
     duck,

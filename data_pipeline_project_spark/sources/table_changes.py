@@ -69,6 +69,31 @@ _ARROW_TO_DDL = {
 }
 
 
+def _hive_parts(rel: str) -> dict:
+    """{col: raw value} from a relpath's k=v directory segments."""
+    out = {}
+    for seg in rel.replace("\\", "/").split("/")[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = v
+    return out
+
+
+def _hive_cast(v: str):
+    """Match Spark's partition-value inference for the layouts this
+    repo writes: all-digit -> int (Spark: IntegerType), ISO date ->
+    date, else string. A table_schema option must declare partition
+    columns with these same types."""
+    import datetime
+
+    if v.lstrip("-").isdigit():
+        return int(v)
+    try:
+        return datetime.date.fromisoformat(v)
+    except ValueError:
+        return v
+
+
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, "_manifests", f"v{version}.json")
 
@@ -196,6 +221,11 @@ def _step_rows(
         if dead:
             # to_pandas preserves file row order: index == row_index
             df = df.drop(index=[i for i in dead if i < len(df)])
+        # hive partition columns live in the directory name, not the
+        # file — surface them like a basePath read would
+        for k, v in _hive_parts(rel).items():
+            if k not in df.columns:
+                df[k] = _hive_cast(v)
         return df.rename(columns=ren)
 
     def _frame(rels, dead_by_file):
@@ -343,7 +373,8 @@ class TableChangesDataSource(DataSource):
                 "tablechanges: latest snapshot is empty; pass "
                 "option('table_schema', ...)"
             )
-        sch = pq.read_schema(_resolve(root, m["files"][0]["path"]))
+        first_rel = m["files"][0]["path"]
+        sch = pq.read_schema(_resolve(root, first_rel))
         parts = []
         for field in sch:
             t = str(field.type)
@@ -354,6 +385,20 @@ class TableChangesDataSource(DataSource):
                     "option('table_schema', ...)"
                 )
             parts.append(f"{field.name} {_ARROW_TO_DDL[t]}")
+        # hive partition columns (directory k=v segments) come last,
+        # mirroring Spark's partition-discovery column order
+        import datetime
+
+        for k, v in _hive_parts(first_rel).items():
+            cast = _hive_cast(v)
+            ddl_t = (
+                "INT"
+                if isinstance(cast, int)
+                else "DATE"
+                if isinstance(cast, datetime.date)
+                else "STRING"
+            )
+            parts.append(f"{k} {ddl_t}")
         return ", ".join(parts)
 
     def _columns(self) -> list[str]:

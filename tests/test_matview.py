@@ -552,3 +552,190 @@ def test_verify_unique_checks_view_against_source(spark, duck, tmp_path):
     )
     with pytest.raises(ValueError, match="collision"):
         refresh_agg_view(spark, duck, view, verify_unique=True)
+
+
+def _distinct_oracle(spark, src, keys=("g",), col="k"):
+    return _rows(
+        read_version(spark, src)
+        .where(F.col(col).isNotNull())
+        .groupBy(*keys)
+        .agg(F.count_distinct(col).alias("n_distinct"))
+    )
+
+
+def test_distinct_view_exact_folds_and_retracts(spark, duck, tmp_path):
+    """Exact mode: per-(group, value) multiplicity state — inserts and
+    deletes fold/retract exactly; the rendered view equals a direct
+    COUNT(DISTINCT) over every committed snapshot it reflects."""
+    from data_pipeline_project_spark.sinks.manifest import delete_rows_dv
+    from data_pipeline_project_spark.sinks.matview import (
+        create_distinct_view,
+        read_distinct_view,
+        refresh_distinct_view,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    # v = duplicated values (k % 17) so multiplicity > 1 happens; a few
+    # NULL values which COUNT DISTINCT must ignore
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        F.when(F.col("id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("id") % 17)
+        .cast("long")
+        .alias("val"),
+    )
+    write_range_clustered(df, src, "k", 3)
+    write_versioned_manifest(src)
+
+    res = create_distinct_view(spark, duck, src, view, ["g"], "val")
+    assert res["mode"] == "exact" and res["n_groups"] == 5
+
+    def oracle():
+        return _rows(
+            read_version(spark, src)
+            .where("val is not null")
+            .groupBy("g")
+            .agg(F.count_distinct("val").alias("n_distinct"))
+        )
+
+    assert _rows(read_distinct_view(spark, view)) == oracle()
+
+    # churn: an update that REMOVES the last copy of one (g, val) pair,
+    # inserts that add a brand-new value, and a DV delete
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame(
+            [(0, 0, 999), (5000, 0, 999), (5001, 1, 1000)],
+            "k long, g long, val long",
+        ),
+    )
+    refresh_distinct_view(spark, duck, view)
+    assert _rows(read_distinct_view(spark, view)) == oracle()
+
+    delete_rows_dv(
+        spark, duck, src, "k",
+        spark.createDataFrame([(5000,), (5001,), (34,)], "k long"),
+    )
+    refresh_distinct_view(spark, duck, view)
+    assert _rows(read_distinct_view(spark, view)) == oracle()
+
+    # no-op refresh stamps the watermark only
+    r = refresh_distinct_view(spark, duck, view)
+    assert r["state_rows_changed"] == 0
+
+
+def test_distinct_view_sketch_folds_inserts_recomputes_deletes(
+    spark, duck, tmp_path
+):
+    """Sketch mode: insert-only windows FOLD via hll_union and stay
+    bit-identical to a from-scratch sketch of the snapshot; a window
+    with deletes recomputes the touched groups; a group losing all its
+    rows tombstones."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        delete_rows_targeted,
+    )
+    from data_pipeline_project_spark.sinks.matview import (
+        create_distinct_view,
+        read_distinct_view,
+        refresh_distinct_view,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 23).cast("long").alias("val"),
+    )
+    write_range_clustered(df, src, "k", 3)
+    write_versioned_manifest(src)
+    res = create_distinct_view(
+        spark, duck, src, view, ["g"], "val", mode="sketch"
+    )
+    assert res["mode"] == "sketch"
+
+    def sketch_oracle():
+        return _rows(
+            read_version(spark, src)
+            .where("val is not null")
+            .groupBy("g")
+            .agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("val")).alias(
+                    "n_distinct"
+                )
+            )
+        )
+
+    assert _rows(read_distinct_view(spark, view)) == sketch_oracle()
+
+    # insert-only window folds (no recompute) and matches from-scratch
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame(
+            [(9000 + i, i % 4, 100 + i) for i in range(20)],
+            "k long, g long, val long",
+        ),
+    )  # all-new keys: pure inserts
+    refresh_distinct_view(spark, duck, view)
+    assert _rows(read_distinct_view(spark, view)) == sketch_oracle()
+    # sketch estimates are exact at these cardinalities
+    got = {r.g: r.n_distinct for r in read_distinct_view(spark, view).collect()}
+    want = {
+        r.g: r.n_distinct
+        for r in read_version(spark, src)
+        .groupBy("g")
+        .agg(F.count_distinct("val").alias("n_distinct"))
+        .collect()
+    }
+    assert got == want
+
+    # deletes force the recompute path; kill an entire group -> tombstone
+    g3 = [(int(r.k),) for r in read_version(spark, src).where("g = 3").collect()]
+    delete_rows_targeted(
+        spark, duck, src, "k",
+        spark.createDataFrame(g3 + [(0,)], "k long"),
+    )
+    write_versioned_manifest(src)
+    refresh_distinct_view(spark, duck, view)
+    view_rows = _rows(read_distinct_view(spark, view))
+    assert view_rows == sketch_oracle()
+    assert {r[0] for r in view_rows} == {0, 1, 2}  # g=3 vanished
+
+
+def test_distinct_view_auto_threshold_and_null_key_contract(
+    spark, duck, tmp_path
+):
+    from data_pipeline_project_spark.sinks.matview import (
+        create_distinct_view,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 7).cast("long").alias("val"),
+    )
+    write_range_clustered(df, src, "k", 2)
+    write_versioned_manifest(src)
+
+    r1 = create_distinct_view(
+        spark, duck, src, str(tmp_path / "v1"), ["g"], "val"
+    )
+    assert r1["mode"] == "exact"  # 35 pairs << default threshold
+    r2 = create_distinct_view(
+        spark, duck, src, str(tmp_path / "v2"), ["g"], "val", threshold=10
+    )
+    assert r2["mode"] == "sketch"  # 35 pairs > 10
+
+    nsrc = str(tmp_path / "nsrc")
+    spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("id") % 2)
+        .alias("g"),
+        F.col("id").alias("val"),
+    ).write.parquet(nsrc)
+    write_versioned_manifest(nsrc)
+    with pytest.raises(ValueError, match="non-null"):
+        create_distinct_view(
+            spark, duck, nsrc, str(tmp_path / "v3"), ["g"], "val"
+        )
