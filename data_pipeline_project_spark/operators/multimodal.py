@@ -670,6 +670,107 @@ def extract_video_metadata(
     return media.mapInPandas(extract, schema=VIDEO_META_SCHEMA)
 
 
+# MJPEG-family sample-entry fourccs: each MP4 SAMPLE is a complete,
+# standalone JPEG image — the one video codec family the image gate
+# can decode with zero new dependencies. ('jpeg' is the QuickTime/MP4
+# motion-JPEG entry; mjpa/mjpb are the fielded variants.)
+MJPEG_FOURCCS = {"jpeg", "mjpa", "mjpb", "mjpg"}
+
+FRAME_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _decode_frames_with(image_mod, media_type, payload, max_frames=None):
+    """Decode a video payload's KEYFRAMES to images: [(frame_no, width,
+    height)]. Factored like `_decode_with` so the codec branch is
+    unit-testable without a Spark worker.
+
+    MJPEG tracks (stsd fourcc in MJPEG_FOURCCS) route each keyframe
+    sample — a complete JPEG — through the IMAGE codec gate: the MP4
+    sample walk already yields real access-unit bytes, so motion-JPEG
+    frame decode needs no new dependency. Every other codec's access
+    units need an actual video decoder and raise NotImplementedError
+    (the declared ffmpeg/pyav gate — this function is the seam a real
+    decoder plugs into). ``*/fake`` payloads keep the deterministic
+    chunker-dims stub so the Spark plumbing tests hermetically."""
+    import io
+
+    b = bytes(payload)
+    cap = max_frames if max_frames is not None else MAX_FRAMES
+    if _is_codec_video(media_type):
+        codec = _parse_mp4_meta(b)[4]
+        if codec.strip().lower() not in MJPEG_FOURCCS:
+            raise NotImplementedError(
+                f"frame decode for codec {codec!r} needs a video decoder "
+                f"(ffmpeg/pyav), which is out of scope here — only "
+                f"MJPEG-family tracks decode through the image codec"
+            )
+        if image_mod is None:
+            raise NotImplementedError(
+                "MJPEG decode needs the image codec (Pillow) on this worker"
+            )
+        out = []
+        for i, (off, size, is_sync) in enumerate(_mp4_samples(b)):
+            if not is_sync:
+                continue
+            img = image_mod.open(io.BytesIO(b[off : off + size]))
+            out.append((i, int(img.width), int(img.height)))
+            if len(out) >= cap:
+                break
+        return out
+    if not b:
+        raise NotImplementedError("empty payload: nothing to decode")
+    # deterministic fake: chunker frame count, byte-derived dims
+    n = min(cap, (len(b) + FRAME_SIZE - 1) // FRAME_SIZE)
+    return [
+        (i, *(_fake_decode(b[i * FRAME_SIZE : (i + 1) * FRAME_SIZE] or b)))
+        for i in range(n)
+    ]
+
+
+def decode_frames(media: DataFrame, use_codec: bool | None = None) -> DataFrame:
+    """Keyframes decoded to images, as a row-expanding mapInPandas over
+    binary payloads — the decode completion of :func:`sample_frames`
+    (which extracts the access-unit BYTES). Same worker-side capability
+    gate as the image operators: MJPEG tracks decode for real wherever
+    Pillow is installed; other codecs raise the declared
+    NotImplementedError; fake payloads stay deterministic. Schema:
+    (doc_id, frame_no, width, height)."""
+
+    def do_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _pil_image() if use_codec in (None, True) else None
+        if use_codec is True and image_mod is None:
+            raise RuntimeError(
+                "use_codec=True but Pillow is not installed on this worker"
+            )
+        for pdf in batches:
+            ids, nos, ws, hs = [], [], [], []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                for no, w, h in _decode_frames_with(image_mod, mt, payload):
+                    ids.append(doc_id)
+                    nos.append(no)
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": pd.array(nos, dtype="Int32"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(do_decode, schema=FRAME_PIXEL_SCHEMA)
+
+
 # ---- audio fingerprint (audio near-dup) -------------------------------------
 
 AUDIO_FP_BITS = 60  # 15 time frames x 4 log-spaced bands, rides the

@@ -122,7 +122,10 @@ EXTRA_ORACLE_QUERIES = [
     # Round-8 additions.
     ("llmops_queries", "pii_redaction", "PII_REDACTION_ORACLE"),
     ("relational_queries", "variant_json_path", "VARIANT_JSON_PATH_ORACLE"),
-    ("relational_queries", "stat_correlations", "STAT_CORRELATIONS_ORACLE"),
+    # Round-9 registry swap: stat_correlations took q14_promo_revenue's
+    # driver-board slot (3 groups x 8 float stats hash harder than one
+    # scalar ratio row).
+    ("relational_queries", "q14_promo_revenue", "Q14_PROMO_REVENUE_ORACLE"),
 ]
 
 

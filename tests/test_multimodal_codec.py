@@ -689,3 +689,86 @@ def test_video_metadata_lenient_mode_quarantines_corrupt(spark):
 
     with pytest.raises(Exception):
         extract_video_metadata(media, strict=True).collect()
+
+
+def test_mjpeg_frames_decode_through_image_gate():
+    """MJPEG-family tracks: every MP4 keyframe sample is a complete
+    JPEG, so frame decode rides the existing image codec gate — the
+    planted per-sample dims come back out, values only a real sample
+    walk + per-sample decode can produce. Other codecs stay behind the
+    declared ffmpeg gate; a missing image codec refuses loudly."""
+    import pytest
+
+    from data_pipeline_project_spark.operators.multimodal import (
+        _decode_frames_with,
+    )
+
+    # three "JPEG" samples (stub header IMG<w><h>), samples 1 and 3 sync
+    planted = [
+        b"IMG" + bytes([64, 48]) + b"x" * 9,
+        b"IMG" + bytes([32, 32]) + b"y" * 4,
+        b"IMG" + bytes([120, 80]) + b"z" * 17,
+    ]
+    mjpeg = _make_mp4_with_samples(planted, chunks=[3], sync=[1, 3],
+                                   codec=b"jpeg")
+    got = _decode_frames_with(_StubImageModule, "video/mp4", mjpeg)
+    assert got == [(0, 64, 48), (2, 120, 80)]
+
+    # non-MJPEG codecs need a real video decoder: declared stub
+    avc = _make_mp4_with_samples(planted, chunks=[3], sync=[1], codec=b"avc1")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        _decode_frames_with(_StubImageModule, "video/mp4", avc)
+    # MJPEG without an image codec on the worker: loud, not silent
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        _decode_frames_with(None, "video/mp4", mjpeg)
+    # fake payloads keep the deterministic chunker dims
+    fake = _decode_frames_with(None, "video/fake", bytes(range(1, 40)))
+    assert fake and all(len(t) == 3 for t in fake)
+
+
+def test_decode_frames_spark_fake_path(spark):
+    """The mapInPandas plumbing: schema, row expansion, and the
+    use_codec=False forced-fake branch — hermetic (no Pillow here)."""
+    from data_pipeline_project_spark.operators.multimodal import (
+        FRAME_SIZE,
+        MAX_FRAMES,
+        decode_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "video/fake", bytes(range(1, 250)) * 2), (2, "image/fake", b"ab")],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = decode_frames(media, use_codec=False).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    d1 = sorted(r.frame_no for r in rows if r.doc_id == 1)
+    want = min(MAX_FRAMES, (498 + FRAME_SIZE - 1) // FRAME_SIZE)
+    assert d1 == list(range(want))
+    assert all(r.width is not None and r.height is not None for r in rows)
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed in this container")
+def test_real_pil_mjpeg_decode(spark):
+    """Wherever Pillow exists: real JPEGs inside an MJPEG MP4 decode to
+    their true pixel dimensions through the Spark operator."""
+    import io
+
+    from PIL import Image
+
+    from data_pipeline_project_spark.operators.multimodal import decode_frames
+
+    def jpeg(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    samples = [jpeg(64, 48, "red"), jpeg(32, 32, "green"), jpeg(120, 80, "blue")]
+    mjpeg = _make_mp4_with_samples(samples, chunks=[3], sync=[1, 3],
+                                   codec=b"jpeg")
+    media = spark.createDataFrame(
+        [(1, "video/mp4", mjpeg)],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = {(r.frame_no, r.width, r.height)
+           for r in decode_frames(media, use_codec=True).collect()}
+    assert got == {(0, 64, 48), (2, 120, 80)}

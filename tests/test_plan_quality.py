@@ -232,7 +232,6 @@ _BNLJ_BY_DESIGN = {
 # agg — bounded by partition count, not data size. The anti-pattern
 # this sweep hunts is a full-data global window/sort.
 _SINGLE_PARTITION_BY_DESIGN = {
-    "q14_promo_revenue",           # single-row promo-revenue ratio
     "set_union_intersect_except",  # 3-row set-op cardinality summary
     "tfidf_top_terms",             # single-row corpus-size scalar
     "watermark_late_events",       # prefix max over the per-bucket
@@ -323,6 +322,7 @@ def test_deregistered_query_plan_sweep(spark):
         "q11_important_stock",  # 1-row grand total off the persisted agg
         "q15_top_supplier",  # 1-row max off the persisted revenue agg
         "q17_small_qty_revenue",  # single-row global revenue scalar
+        "q14_promo_revenue",  # single-row promo-revenue ratio (r9 swap-out)
         "q22_global_sales",  # 1-row cohort average off the persisted cohort
         "set_ops_all_variants",  # three global scalar counts (one per set op):
                                  # only partial-agg rows reach each final agg
