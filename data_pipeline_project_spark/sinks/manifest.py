@@ -2575,12 +2575,44 @@ def compact_snapshot(
 
     Returns {version, files_compacted, rows_compacted}; a no-op (fewer
     than two small files) returns {"files_compacted": 0} without a
-    version bump."""
-    import shutil
+    version bump.
 
-    all_files = _data_files(path)
-    if any(os.path.dirname(f) != os.path.abspath(path).rstrip("/")
-           and os.path.dirname(f) != path.rstrip("/") for f in all_files):
+    Concurrency (r9): on a versioned table, inputs come from the HEAD
+    SNAPSHOT (byte sizes straight off the manifest — no stat calls —
+    and files a racing rewrite tombstoned resolve through _removed/),
+    and the commit is an intent-stamped optimistic delta marked
+    ``row_preserving``: a compaction and a MERGE on files it didn't
+    touch both commit (the loser rebases); a merge that rewrote a
+    compacted file, or a DV landing on one, is a detected conflict."""
+    import shutil
+    import uuid as _uuid
+
+    pending = snapshot_versions(path)
+    version = (pending[-1] + 1) if pending else 1
+    stamp = _uuid.uuid4().hex[:8]
+    if pending:
+        head = read_manifest(
+            os.path.join(path, "_manifests", f"v{pending[-1]}.json")
+        )
+        entries = [(f["path"], f["bytes"]) for f in head["files"]]
+        resolved = {
+            rel: _resolve_snapshot_file(head["root"], rel)
+            for rel, _ in entries
+        }
+        gone = [rel for rel, live in resolved.items() if live is None]
+        if gone:
+            raise FileNotFoundError(
+                f"snapshot file(s) unresolvable (vacuumed?): {gone[:3]}"
+            )
+        rels = [rel for rel, _ in entries]
+        small_rels = [rel for rel, b in entries if b < small_bytes]
+        small = [resolved[rel] for rel in small_rels]
+    else:
+        all_files = _data_files(path)
+        rels = [os.path.relpath(f, path) for f in all_files]
+        small = [f for f in all_files if os.path.getsize(f) < small_bytes]
+        small_rels = [os.path.relpath(f, path) for f in small]
+    if any(os.sep in rel or "/" in rel for rel in rels):
         # hive-partitioned layout: merging across partition directories
         # into one flat file would silently DROP the partition column —
         # use sinks/compact.compact_dataset (partition-aware) instead.
@@ -2588,7 +2620,6 @@ def compact_snapshot(
             "compact_snapshot supports flat layouts only; this dataset "
             "has partition subdirectories — use sinks.compact.compact_dataset"
         )
-    small = [f for f in all_files if os.path.getsize(f) < small_bytes]
     if len(small) < 2:
         return {"files_compacted": 0, "rows_compacted": 0}
 
@@ -2604,31 +2635,48 @@ def compact_snapshot(
 
         merged = merged.sort(F.col(cluster_col))
     rows = merged.count()
-    pending = snapshot_versions(path)
-    version = (pending[-1] + 1) if pending else 1
-    tmp_dir = os.path.join(path, f".compact_v{version}")
+    tmp_dir = os.path.join(path, f".compact.v{version}.{stamp}.staging")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
     parts = [
         p
         for p in os.listdir(tmp_dir)
         if p.endswith(".parquet") and not p.startswith((".", "_"))
     ]
-    target = os.path.join(path, f"part-compact-v{version}.parquet")
+    # stamped name: racing maintenance jobs must never share an output
+    target_rel = f"part-compact-v{version}-{stamp}.parquet"
+    target = os.path.join(path, target_rel)
     os.replace(os.path.join(tmp_dir, parts[0]), target)
     crc = os.path.join(tmp_dir, f".{parts[0]}.crc")
     if os.path.exists(crc):
         os.replace(crc, os.path.join(path, f".{os.path.basename(target)}.crc"))
-    for f in small:
-        rel = os.path.relpath(f, path)
+    for rel in small_rels:
+        live = os.path.join(path, rel)
         tomb = os.path.join(path, REMOVED_DIR, rel)
+        if not os.path.exists(live):
+            continue  # already tombstoned by a racer: conflict at commit
         os.makedirs(os.path.dirname(tomb), exist_ok=True)
-        os.replace(f, tomb)
-        d, base = os.path.split(f)
+        os.replace(live, tomb)
+        d, base = os.path.split(live)
         old_crc = os.path.join(d, f".{base}.crc")
         if os.path.exists(old_crc):
             os.replace(old_crc, os.path.join(os.path.dirname(tomb), f".{base}.crc"))
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    manifest = write_versioned_manifest(path)
+    if pending:
+        manifest = commit_optimistic(
+            path,
+            added=[target_rel],
+            removed=small_rels,
+            intent={
+                "op": "compact",
+                "removed": small_rels,
+                "dv_targets": [],
+                "schema_change": False,
+                "row_preserving": True,
+            },
+            base_version=pending[-1],
+        )
+    else:
+        manifest = write_versioned_manifest(path)
     return {
         "version": manifest["version"],
         "files_compacted": len(small),

@@ -303,3 +303,72 @@ def test_randomized_disjoint_writer_pairs(spark, duck, tmp_path):
         run_ref(kind_b, df_b)
         want = sorted(map(tuple, read_version(spark, ref).collect()))
         assert live == want, f"seed {seed}: interleaved != sequential"
+
+
+def test_compaction_interleaves_with_disjoint_merge(spark, duck, tmp_path):
+    """Compaction is row_preserving: a merge on files the compaction
+    didn't touch and the compaction itself BOTH commit (the loser
+    rebases); a merge that rewrote a compacted file is a detected
+    conflict."""
+    from data_pipeline_project_spark.sinks.manifest import compact_snapshot
+
+    path = str(tmp_path / "t")
+    # 4 clustered files + 2 tiny appended files (the compaction bait)
+    _table(spark, path, n=1000, files=4)
+    spark.createDataFrame([(5000, -1)], "k long, v long").coalesce(1) \
+        .write.mode("append").parquet(path)
+    spark.createDataFrame([(5001, -2)], "k long, v long").coalesce(1) \
+        .write.mode("append").parquet(path)
+    write_versioned_manifest(path)
+
+    # sizes: the 2 appended singleton files are tiny; the 4 clustered
+    # files are big — pick a threshold between them
+    import os as _os
+
+    sizes = sorted(
+        _os.path.getsize(_os.path.join(path, f))
+        for f in _os.listdir(path) if f.endswith(".parquet")
+    )
+    thresh = sizes[2] - 1 if sizes[2] > sizes[1] else sizes[1] + 1
+
+    merged = {}
+
+    def run_merge():
+        merged.update(
+            merge_upsert(
+                spark, duck, path, "k", _updates(spark, [(10, -9), (11, -8)])
+            )
+        )
+
+    M._test_claim_interposer = _InterposeOnce(run_merge)
+    res = compact_snapshot(spark, path, small_bytes=thresh)
+    M._test_claim_interposer = None
+    assert res["files_compacted"] == 2 and res["rows_compacted"] == 2
+    assert merged["version"] == 3 and res["version"] == 4
+
+    live = read_version(spark, path)
+    assert live.count() == 1002
+    got = {r.k: r.v for r in live.where(
+        "k in (10, 11, 5000, 5001)").collect()}
+    assert got == {10: -9, 11: -8, 5000: -1, 5001: -2}
+
+    # true conflict: a merge that rewrites one of the small files the
+    # compaction is consuming (key 6000 lives in an appended tiny file)
+    spark.createDataFrame([(6000, -3)], "k long, v long").coalesce(1) \
+        .write.mode("append").parquet(path)
+    spark.createDataFrame([(6001, -4)], "k long, v long").coalesce(1) \
+        .write.mode("append").parquet(path)
+    write_versioned_manifest(path)
+
+    def run_conflicting_merge():
+        merge_upsert(spark, duck, path, "k", _updates(spark, [(6000, -99)]))
+
+    M._test_claim_interposer = _InterposeOnce(run_conflicting_merge)
+    with pytest.raises(ConcurrentSnapshotError, match="rewrote"):
+        compact_snapshot(spark, path, small_bytes=thresh)
+    M._test_claim_interposer = None
+    recover_to_last_manifest(path)
+    # rerun converges
+    compact_snapshot(spark, path, small_bytes=thresh)
+    live2 = read_version(spark, path)
+    assert {r.v for r in live2.where("k = 6000").collect()} == {-99}
