@@ -496,6 +496,7 @@ def delete_rows_targeted(
     keys_df: DataFrame,
     duck_type: str = "BIGINT",
     prune: str = "auto",
+    commit: bool = False,
 ) -> dict:
     """Targeted row deletion (the GDPR/right-to-be-forgotten shape):
     rewrite ONLY the parquet files whose footer zone maps can contain a
@@ -508,11 +509,15 @@ def delete_rows_targeted(
     is either additive or an atomic rename):
 
     1. zone-map prune: candidate files = those whose [min,max] overlaps
-       any requested key (file-level, metadata only);
+       any requested key (file-level, metadata only) — read from the
+       HEAD SNAPSHOT on a versioned table (snapshot isolation, same as
+       merge_upsert: the directory may hold a concurrent writer's
+       in-flight files);
     2. write each candidate file's survivors to a NEW name beside it
-       (``<stem>.d{version}.parquet``; left_anti join against the
-       BROADCAST key set — deletes are assumed human-scale, millions
-       not billions);
+       (``<stem>.d{version}-{stamp}.parquet``; left_anti join against
+       the BROADCAST key set — deletes are assumed human-scale,
+       millions not billions; the stamp keeps racing writers' outputs
+       apart);
     3. TOMBSTONE the original into ``_removed/`` (same copy-on-write
        discipline as merge_upsert — never rewrite bytes under a name
        an older manifest pins: the model checker in
@@ -522,8 +527,15 @@ def delete_rows_targeted(
     Returns {files_total, files_rewritten, rows_deleted}. Keys absent
     from the table are a no-op. Not transactional across files (a
     crash mid-swap leaves some files deleted-from and others not —
-    rerunning converges, since the operation is idempotent); pair with
-    write_versioned_manifest for an auditable before/after.
+    rerunning converges, since the operation is idempotent).
+
+    ``commit=True`` (versioned tables only) pins the post-delete file
+    set itself through :func:`commit_optimistic` with a delete intent
+    (adds ``version`` to the return dict) — the multi-writer-safe way
+    to version a delete, and what the streaming CDC/replication paths
+    use. The default keeps the historical contract: pair with
+    write_versioned_manifest for an auditable before/after
+    (single-writer).
 
     GDPR caveat that follows from retention: the deleted rows' BYTES
     survive in ``_removed/`` until :func:`vacuum` drops the versions
@@ -535,6 +547,7 @@ def delete_rows_targeted(
     key sets, Spark bucketed range join beyond
     SPARK_PRUNE_THRESHOLD)."""
     import os
+    import uuid as _uuid
 
     from pyspark.sql import functions as F
 
@@ -542,20 +555,36 @@ def delete_rows_targeted(
 
     if keys_df.select(key_col).limit(1).count() == 0:
         return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
-    zone_maps = file_zone_maps(duck, path, key_col, duck_type)
     _check_key_physical(path, key_col)
-    dv_relpaths = table_dv(path)  # rewrites must not resurrect DV-dead rows
-    candidates = _select_candidates(spark, zone_maps, keys_df, key_col, prune)
-    kdf = F.broadcast(keys_df.select(F.col(key_col)).distinct())
     pending = snapshot_versions(path)
     version = (pending[-1] + 1) if pending else 1
+    stamp = _uuid.uuid4().hex[:8]
+    if pending:
+        head = read_manifest(
+            os.path.join(path, "_manifests", f"v{pending[-1]}.json")
+        )
+        zone_maps, rel_by_path = _snapshot_zone_maps(
+            duck, head, key_col, duck_type
+        )
+        dv_relpaths = head.get("dv") or []
+    else:
+        if commit:
+            raise ValueError(
+                "commit=True needs an existing snapshot; bootstrap with "
+                "write_versioned_manifest first"
+            )
+        zone_maps = file_zone_maps(duck, path, key_col, duck_type)
+        rel_by_path = {f: os.path.relpath(f, path) for f, _, _ in zone_maps}
+        dv_relpaths = table_dv(path)
+    candidates = _select_candidates(spark, zone_maps, keys_df, key_col, prune)
+    kdf = F.broadcast(keys_df.select(F.col(key_col)).distinct())
 
-    def rewrite_one(f: str) -> int:
-        """Returns rows deleted from this file (0 == untouched).
-        Independent per file (own tmp dir, own tombstone path, atomic
-        renames), so the loop parallelizes: Spark's scheduler is
-        thread-safe and each iteration is a small job whose latency
-        would otherwise serialize."""
+    def rewrite_one(f: str) -> tuple[int, str | None]:
+        """Returns (rows deleted from this file, new file's relpath) —
+        (0, None) == untouched. Independent per file (own tmp dir, own
+        tombstone path, atomic renames), so the loop parallelizes:
+        Spark's scheduler is thread-safe and each iteration is a small
+        job whose latency would otherwise serialize."""
         import shutil
 
         src = _dv_filter(spark, spark.read.parquet(f), path, dv_relpaths)
@@ -563,10 +592,16 @@ def delete_rows_targeted(
         survivors = src.join(kdf, key_col, "left_anti")
         after = survivors.count()
         if after == before:
-            return 0  # zone map said maybe; the data says no match
-        d, base = os.path.split(f)
-        new_name = os.path.join(d, f"{base[:-len('.parquet')]}.d{version}.parquet")
-        tmp_dir = f + ".rewrite"
+            return 0, None  # zone map said maybe; the data says no match
+        rel = rel_by_path[f]
+        base = os.path.basename(rel)
+        new_rel = os.path.join(
+            os.path.dirname(rel),
+            f"{base[:-len('.parquet')]}.d{version}-{stamp}.parquet",
+        )
+        new_name = os.path.join(path, new_rel)
+        d = os.path.dirname(new_name)
+        tmp_dir = new_name + ".rewrite"
         survivors.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
         part = [
             p
@@ -587,25 +622,52 @@ def delete_rows_targeted(
         # original name — it must either resolve to the ORIGINAL bytes
         # (in _removed/ until vacuum) or fail loudly, never silently
         # serve the survivors-only rewrite.
-        rel = os.path.relpath(f, path)
+        live = os.path.join(path, rel)
         tomb = os.path.join(path, REMOVED_DIR, rel)
-        os.makedirs(os.path.dirname(tomb), exist_ok=True)
-        os.replace(f, tomb)
-        old_crc = os.path.join(d, f".{base}.crc")
-        if os.path.exists(old_crc):
-            os.replace(
-                old_crc,
-                os.path.join(os.path.dirname(tomb), f".{base}.crc"),
-            )
+        if os.path.exists(live):
+            os.makedirs(os.path.dirname(tomb), exist_ok=True)
+            os.replace(live, tomb)
+            ld, lbase = os.path.split(live)
+            old_crc = os.path.join(ld, f".{lbase}.crc")
+            if os.path.exists(old_crc):
+                os.replace(
+                    old_crc,
+                    os.path.join(os.path.dirname(tomb), f".{lbase}.crc"),
+                )
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        return before - after
+        return before - after, new_rel
 
-    deleted_per_file = _run_rewrites(rewrite_one, candidates)
-    return {
+    rewrites = _run_rewrites(rewrite_one, candidates)
+    out = {
         "files_total": len(zone_maps),
-        "files_rewritten": sum(1 for n in deleted_per_file if n),
-        "rows_deleted": sum(deleted_per_file),
+        "files_rewritten": sum(1 for n, _ in rewrites if n),
+        "rows_deleted": sum(n for n, _ in rewrites),
     }
+    if commit:
+        removed_rels = [
+            rel_by_path[f] for f, (n, _) in zip(candidates, rewrites) if n
+        ]
+        added_rels = [rel for n, rel in rewrites if n]
+        krange = keys_df.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        manifest = commit_optimistic(
+            path,
+            added=added_rels,
+            removed=removed_rels,
+            intent={
+                "op": "delete_rows_targeted",
+                "removed": removed_rels,
+                "dv_targets": [],
+                "schema_change": False,
+                "key_col": key_col,
+                "key_min": _json_key(krange["lo"]),
+                "key_max": _json_key(krange["hi"]),
+            },
+            base_version=pending[-1],
+        )
+        out["version"] = manifest["version"]
+    return out
 
 
 def delete_rows_dv(

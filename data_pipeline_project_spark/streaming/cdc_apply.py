@@ -38,7 +38,6 @@ from data_pipeline_project_spark.sinks.manifest import (
     delete_rows_dv,
     delete_rows_targeted,
     merge_upsert,
-    write_versioned_manifest,
 )
 
 
@@ -127,11 +126,13 @@ def apply_cdc_stream(
                         duck_type=duck_type,
                     )
                 else:
+                    # commit=True: the post-delete snapshot pins through
+                    # the optimistic path (intent-stamped, multi-writer
+                    # safe) instead of a listing-based manifest
                     d = delete_rows_targeted(
                         spark, duck, target_path, key_col, dels,
-                        duck_type=duck_type,
+                        duck_type=duck_type, commit=True,
                     )
-                    write_versioned_manifest(target_path)
                 stats["rows_deleted"] = d["rows_deleted"]
         if not collapsed.isEmpty():
             stats.update(

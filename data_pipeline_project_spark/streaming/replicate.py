@@ -82,9 +82,9 @@ def replicate_table_stream(
             else:
                 if dels.limit(1).count():
                     delete_rows_targeted(
-                        spark, duck, dst_path, key_col, dels, duck_type=duck_type
+                        spark, duck, dst_path, key_col, dels,
+                        duck_type=duck_type, commit=True,
                     )
-                    write_versioned_manifest(dst_path)
                 if ins.limit(1).count():
                     # Schema evolution follows the feed: when the source
                     # evolved, a restarted stream reads the feed under

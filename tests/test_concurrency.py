@@ -372,3 +372,53 @@ def test_compaction_interleaves_with_disjoint_merge(spark, duck, tmp_path):
     compact_snapshot(spark, path, small_bytes=thresh)
     live2 = read_version(spark, path)
     assert {r.v for r in live2.where("k = 6000").collect()} == {-99}
+
+
+def test_committed_targeted_delete_rebases_and_conflicts(spark, duck, tmp_path):
+    """delete_rows_targeted(commit=True) rides the optimistic path: a
+    delete and a disjoint merge both commit; a delete racing a merge
+    that rewrote the same file fails loudly."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        delete_rows_targeted,
+    )
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+
+    def run_a():
+        merge_upsert(spark, duck, path, "k", _updates(spark, [(5, -1)]))
+
+    M._test_claim_interposer = _InterposeOnce(run_a)
+    res = delete_rows_targeted(
+        spark, duck, path, "k",
+        spark.createDataFrame([(990,)], "k long"), commit=True,
+    )
+    M._test_claim_interposer = None
+    assert res["rows_deleted"] == 1 and res["version"] == 3
+    live = read_version(spark, path)
+    assert live.count() == 999
+    assert live.where("k = 990").count() == 0
+    assert {r.v for r in live.where("k = 5").collect()} == {-1}
+    # v2 (the merge alone) still time-travels
+    assert read_version(spark, path, 2).where("k = 990").count() == 1
+
+    # same-file race: both touch the low-key file
+    def run_b():
+        merge_upsert(spark, duck, path, "k", _updates(spark, [(6, -6)]))
+
+    M._test_claim_interposer = _InterposeOnce(run_b)
+    with pytest.raises(ConcurrentSnapshotError):
+        delete_rows_targeted(
+            spark, duck, path, "k",
+            spark.createDataFrame([(7,)], "k long"), commit=True,
+        )
+    M._test_claim_interposer = None
+    recover_to_last_manifest(path)
+    res2 = delete_rows_targeted(
+        spark, duck, path, "k",
+        spark.createDataFrame([(7,)], "k long"), commit=True,
+    )
+    assert res2["rows_deleted"] == 1
+    live2 = read_version(spark, path)
+    assert live2.count() == 998
+    assert {r.v for r in live2.where("k = 6").collect()} == {-6}
