@@ -8,15 +8,14 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 All real logic lives in ``data_pipeline_project_spark``; this module
 only adapts the registry to the driver's interface.
 
-The 50-slot registry is full; 32 FURTHER oracle-checked queries live
+The 50-slot registry is full; 92 FURTHER oracle-checked queries live
 outside it (tests/conftest.py EXTRA_ORACLE_QUERIES) and keep identical
 DuckDB parity + 100 TB plan-sweep coverage via
 tests/test_queries_vs_duckdb.py and tests/test_plan_quality.py.
-Round 6 swapped three driver-board slots toward the corpus tier:
-duplicate_passages, incremental_agg_merge, decontamination_overlap in;
-dedup_ngram_jaccard, preprocess_rename_project_dropna,
-round_robin_synthetic_key out (all three stay fully oracle-checked in
-the deregistered harness).
+Board slots swap toward higher-signal queries over rounds (r6: corpus
+tier in; r8: table_checksum_digest in; r9: stat_correlations in,
+q14_promo_revenue out) — every swapped-out query stays fully
+oracle-checked in the deregistered harness.
 """
 
 from __future__ import annotations
