@@ -27,6 +27,29 @@ from data_pipeline_project_spark.plans.registry import get_queries  # noqa: E402
 from data_pipeline_project_spark.session import get_spark  # noqa: E402
 
 
+def _load_sample() -> dict:
+    """Ambient-load snapshot so the emitted JSON is self-attributing:
+    this box carries co-tenant load (observed 1-min averages of 15-18
+    with zero local processes), which has swung per-round walls up to
+    4x on unchanged plans (NOTES_r08/SCALE_r09). Embedding /proc/loadavg
+    per timed pass lets the artifact itself say whether a regression is
+    engine work or a neighbor's — no out-of-band rerun needed."""
+    out: dict = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            parts = fh.read().split()
+        out["loadavg_1m"] = float(parts[0])
+        out["loadavg_5m"] = float(parts[1])
+        out["loadavg_15m"] = float(parts[2])
+    except Exception:  # noqa: BLE001 — non-Linux / unreadable: omit
+        pass
+    try:
+        out["cpus"] = os.cpu_count()
+    except Exception:  # noqa: BLE001
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -80,6 +103,7 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     samples: dict[str, list[float]] = {name: [] for name in queries}
     errors: dict[str, str] = {}
+    load_samples: list[dict] = [_load_sample()]
     for _ in range(passes):
         for name in sorted(queries):
             if name in errors:
@@ -91,6 +115,7 @@ def main() -> None:
                 samples[name].append(time.perf_counter() - t0)
             except Exception as exc:  # noqa: BLE001 — record, keep benching
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        load_samples.append(_load_sample())
     timings = {
         name: round(statistics.median(s), 3)
         for name, s in samples.items()
@@ -101,6 +126,7 @@ def main() -> None:
         ingest = _bench_ingest(spark)
     except Exception as exc:  # noqa: BLE001
         ingest = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+    load_samples.append(_load_sample())
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -111,6 +137,9 @@ def main() -> None:
         "passes": passes,
         "sf": sf,
         "ingest": ingest,
+        # one sample before pass 1, one after each query pass, one after
+        # ingest — a loaded-box round shows up in the artifact itself
+        "load": load_samples,
     }
     if errors:
         payload["errors"] = errors
