@@ -62,13 +62,15 @@ _STR_RANK_BYTES = 7  # 56 bits: keeps the big-endian prefix rank positive
 
 def _rank_py(v):
     """Order-preserving int64 rank of a zone-map stat value, driver
-    side. Integers rank as themselves; dates as epoch days; strings as
-    their first 7 UTF-8 bytes, big-endian, ZERO-PADDED to fixed width
-    (without padding, 'b' would rank below 'aaa'). Rank collisions
-    (keys sharing a 7-byte prefix) are harmless — ranks only pick the
-    BUCKET; containment is decided by an exact comparison on the
-    original values. Raises TypeError for types with no rank (the
-    caller falls back to the driver path)."""
+    side. Integers rank as themselves; dates as epoch days; timestamps
+    as epoch MICROS (exact integer arithmetic — float total_seconds
+    loses sub-µs precision at epoch magnitude); strings as their first
+    7 UTF-8 bytes, big-endian, ZERO-PADDED to fixed width (without
+    padding, 'b' would rank below 'aaa'). Rank collisions (keys sharing
+    a 7-byte prefix) are harmless — ranks only pick the BUCKET;
+    containment is decided by an exact comparison on the original
+    values. Raises TypeError for types with no rank (the caller falls
+    back to the driver path)."""
     import datetime
 
     if isinstance(v, bool):
@@ -76,7 +78,16 @@ def _rank_py(v):
     if isinstance(v, int):
         return v
     if isinstance(v, datetime.datetime):
-        raise TypeError("timestamp keys: use the driver path")
+        # Parquet stores timestamps as UTC-normalized epoch micros;
+        # DuckDB surfaces the stats as naive UTC wall clock. tz-aware
+        # values normalize to the same instant first, so the rank is
+        # the file's true [min,max] in epoch micros regardless of the
+        # wall-clock zone (DST folds/gaps cannot reorder instants).
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return (v - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+            microseconds=1
+        )
     if isinstance(v, datetime.date):
         return (v - datetime.date(1970, 1, 1)).days
     if isinstance(v, str):
@@ -97,9 +108,12 @@ def _rank_expr(key_col: str, sample):
     c = F.col(key_col)
     if isinstance(sample, int):
         return c.cast("bigint")
-    if isinstance(sample, datetime.date) and not isinstance(
-        sample, datetime.datetime
-    ):
+    if isinstance(sample, datetime.datetime):
+        # epoch micros of the instant — the exact integer the parquet
+        # footer stores, so parity with _rank_py is by construction
+        # (session tz only affects DISPLAY, not the instant)
+        return F.unix_micros(c)
+    if isinstance(sample, datetime.date):
         return F.datediff(c, F.lit("1970-01-01")).cast("bigint")
     # string: hex of the first-7-byte slice, right-padded to 14 hex
     # digits (the zero-byte padding), then base-16 -> base-10
@@ -136,8 +150,8 @@ def _zone_map_candidates_spark(
     wider buckets admit more false candidates, which the exact filter
     removes; correctness never depends on the width. Files with absent
     footer stats always survive, exactly like the driver path.
-    Timestamp (and other unranked) key stats raise TypeError and fall
-    back to the driver path."""
+    Unranked key stat types (floats, booleans, exotics) raise
+    TypeError and fall back to the driver path."""
     from pyspark.sql import functions as F
 
     finite, ranked = [], []
@@ -397,9 +411,10 @@ def _select_candidates(
     ``spark`` runs the bucketed range join with the keys never leaving
     the cluster — right for CDC-scale batches (and required beyond
     driver memory); ``auto`` picks spark above SPARK_PRUNE_THRESHOLD
-    distinct keys. Integer, string, and date keys all bucket via an
-    order-preserving rank (see _rank_py); only unranked stat types
-    (timestamps, exotics) fall back to the driver path under auto."""
+    distinct keys. Integer, string, date, and timestamp keys all
+    bucket via an order-preserving rank (see _rank_py); only unranked
+    stat types (floats, exotics) fall back to the driver path under
+    auto."""
     distinct_keys = keys_df.select(key_col).distinct()
     if prune not in ("auto", "driver", "spark"):
         raise ValueError(f"prune must be auto|driver|spark, got {prune!r}")

@@ -624,15 +624,13 @@ def test_spark_side_zone_map_pruning(spark, duck, tmp_path):
         == 0
     )
 
-    # (3) unranked stat types (timestamps) refuse the spark path, loudly
-    import datetime
-
+    # (3) unranked stat types (floats) refuse the spark path, loudly
     import pytest
 
-    with pytest.raises(TypeError, match="driver path"):
+    with pytest.raises(TypeError, match="no bucket rank"):
         _zone_map_candidates_spark(
             spark,
-            [("f0", datetime.datetime(2024, 1, 1), datetime.datetime(2024, 2, 1))],
+            [("f0", 1.25, 9.75)],
             kdf,
             "k",
         )
@@ -740,6 +738,95 @@ def test_spark_side_zone_map_pruning_string_and_date_keys(spark, duck, tmp_path)
     assert live.where("uid >= 'user-0004000' and uid <= 'user-0004099' "
                       "and v != -5").count() == 0
     assert live.where("uid like 'zuser%' and v != -6").count() == 10 - 10
+
+
+def test_spark_side_zone_map_pruning_timestamp_keys(spark, duck, tmp_path):
+    """r10: timestamp keys rank as epoch MICROS (unix_micros Spark-side,
+    exact integer timedelta division driver-side), retiring the last
+    key type that collected keys to the driver above the bisect path.
+    Asserts (1) candidate parity with the driver path on sub-second,
+    DST-boundary, and pre-epoch stats, (2) an end-to-end
+    timestamp-keyed merge and DV delete through prune='spark'."""
+    import datetime
+
+    from pyspark.sql import functions as F2
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        _zone_map_candidates,
+        _zone_map_candidates_spark,
+        delete_rows_dv,
+        merge_upsert,
+        read_version,
+        write_versioned_manifest,
+    )
+
+    ts = datetime.datetime
+    us = datetime.timedelta(microseconds=1)
+    # (1) parity: sub-second boundaries, the 2024-03-31 01:00 UTC
+    # instant (a European DST gap — an ambiguous WALL time, but a
+    # unique instant, which is what both rank paths compare), and a
+    # pre-epoch range (negative micros)
+    dst = ts(2024, 3, 31, 1, 0, 0)
+    tmaps = [
+        ("t_sub1", ts(2024, 1, 1, 0, 0, 0, 0), ts(2024, 1, 1, 0, 0, 0, 499_999)),
+        ("t_sub2", ts(2024, 1, 1, 0, 0, 0, 500_000), ts(2024, 1, 1, 0, 0, 1)),
+        ("t_dst", dst - 3600 * 1_000_000 * us, dst + 3600 * 1_000_000 * us),
+        ("t_pre", ts(1969, 12, 31, 23, 0, 0), ts(1969, 12, 31, 23, 59, 59)),
+        ("t_none", None, None),
+    ]
+    tkeys = [
+        ts(2024, 1, 1, 0, 0, 0, 499_999),
+        ts(2024, 1, 1, 0, 0, 0, 500_000),
+        dst,
+        ts(1969, 12, 31, 23, 30, 0),
+        ts(2030, 1, 1),
+    ]
+    tk = spark.createDataFrame([(k,) for k in tkeys], "k timestamp")
+    assert _zone_map_candidates_spark(spark, tmaps, tk, "k") == \
+        _zone_map_candidates(tmaps, tkeys)
+    # tz-aware stats (how some engines surface footer stats) rank to
+    # the same instant as their naive-UTC twins
+    utc = datetime.timezone.utc
+    from data_pipeline_project_spark.sinks.manifest import _rank_py
+
+    assert _rank_py(dst.replace(tzinfo=utc)) == _rank_py(dst)
+
+    # (2) end-to-end: timestamp-keyed table through prune='spark'
+    path = str(tmp_path / "t")
+    base = spark.range(0, 5_000).select(
+        F2.timestamp_micros(
+            F2.lit(1_700_000_000_000_000) + F2.col("id") * 250_000
+        ).alias("event_ts"),
+        (F2.col("id") % 13).alias("v"),
+    )
+    write_range_clustered(base, path, "event_ts", 6)
+    write_versioned_manifest(path)
+    upd = spark.range(4_900, 5_100).select(
+        F2.timestamp_micros(
+            F2.lit(1_700_000_000_000_000) + F2.col("id") * 250_000
+        ).alias("event_ts"),
+        F2.lit(-5).cast("long").alias("v"),
+    )
+    stats = merge_upsert(
+        spark, duck, path, "event_ts", upd, duck_type="TIMESTAMP",
+        prune="spark",
+    )
+    assert stats["rows_updated"] == 100 and stats["rows_inserted"] == 100
+    live = spark.read.parquet(path)
+    assert live.count() == 5_100
+    assert live.where("v = -5").count() == 200
+
+    dstats = delete_rows_dv(
+        spark, duck, path, "event_ts",
+        spark.createDataFrame(
+            [(datetime.datetime.utcfromtimestamp(1_700_000_000),)],
+            "event_ts timestamp",
+        ),
+        duck_type="TIMESTAMP", prune="spark",
+    )
+    assert dstats["rows_deleted"] == 1
+    assert read_version(spark, path).count() == 5_099
 
 
 def test_merge_bulk_matches_targeted_semantics(spark, duck, tmp_path):
