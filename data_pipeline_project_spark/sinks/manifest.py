@@ -876,11 +876,14 @@ def write_versioned_manifest(
     other's snapshot. Honest scope note: THIS function's manifest body
     is built from a directory listing, so a CONCURRENT writer's
     uncommitted files that land before the winner's listing still get
-    pinned — it is the right commit for single-writer ops (bootstrap,
-    appends, bulk rewrites). Writers that need to COEXIST commit
-    through :func:`commit_optimistic` instead: explicit delta bodies,
-    intent stamps, and rebase-and-retry on disjoint commits
-    (merge_upsert's targeted path and delete_rows_dv already do).
+    pinned — as of r10 it is the commit for BOOTSTRAP only (a table's
+    first version must pin whatever the directory already held) plus
+    the explicitly listing-based audit pattern (delete_rows_targeted
+    with commit=False). Every other writer — appends, targeted and
+    bulk merges/deletes, DV deletes, compaction, schema evolution,
+    deep clone, metadata stamps — commits through
+    :func:`commit_optimistic`: explicit delta bodies, intent stamps,
+    and rebase-and-retry on disjoint commits.
 
     ``schema_json`` pins the table's LOGICAL schema (StructType
     jsonValue dict). A schema-evolving commit sets it; every later
@@ -981,6 +984,11 @@ def _intents_conflict(mine: dict, theirs: dict | None) -> str | None:
 
     - no intent on theirs: a legacy/unknown writer (plain
       write_versioned_manifest) — nothing to check against, so refuse.
+    - whole-table rewrite by either side (merge_bulk, delete_bulk,
+      rewrite_table): its output replaces EVERY file of its base
+      snapshot, so no concurrent commit can be rebased across it (and
+      it cannot rebase across anyone). Checked first, so whole-table
+      intents may omit their — possibly million-entry — removed list.
     - schema change by either side: the later writer's files were
       written under the older schema pin; refuse.
     - removed ∩ removed: both rewrote the same file — one rewrite read
@@ -989,6 +997,15 @@ def _intents_conflict(mine: dict, theirs: dict | None) -> str | None:
       deletion vector targets may have read pre-DV rows (resurrection)
       or strands the vector; refuse. Two DVs on the SAME file are fine
       — vectors union and positions of distinct keys are distinct.
+    - ``inserts_only`` (append): removes nothing and targets no DVs,
+      so it commutes with every non-schema-change commit — Delta's
+      WriteSerializable stance, where a blind append may land "inside"
+      a concurrent merge's read window. Opt-in stricter check: an
+      append that DECLARES a key range conflicts with a concurrent
+      keyed merge/delete whose range overlaps (serializable w.r.t.
+      that key — the merge would have replaced/deleted the appended
+      rows in one serial order but not the other). Two appends always
+      commute.
     - key ranges: disjoint file sets alone don't prove row
       disjointness — the other writer's INSERTED rows may carry my
       merge keys (they land in freshly appended files no zone map saw).
@@ -998,6 +1015,8 @@ def _intents_conflict(mine: dict, theirs: dict | None) -> str | None:
     """
     if theirs is None:
         return "concurrent commit carries no intent (unknown writer)"
+    if mine.get("whole_table") or theirs.get("whole_table"):
+        return "a whole-table rewrite cannot commute with any concurrent commit"
     if mine.get("schema_change") or theirs.get("schema_change"):
         return "a schema change cannot commute with a concurrent commit"
     r_mine = set(mine.get("removed") or [])
@@ -1011,6 +1030,25 @@ def _intents_conflict(mine: dict, theirs: dict | None) -> str | None:
         return "this commit rewrote a file a concurrent deletion vector targets"
     if d_mine & r_theirs:
         return "a concurrent commit rewrote a file this deletion vector targets"
+    if mine.get("inserts_only") or theirs.get("inserts_only"):
+        if mine.get("inserts_only") and theirs.get("inserts_only"):
+            return None
+        kc_m, kc_t = mine.get("key_col"), theirs.get("key_col")
+        if kc_m is not None and kc_m == kc_t:
+            try:
+                overlap = not (
+                    mine["key_max"] < theirs["key_min"]
+                    or theirs["key_max"] < mine["key_min"]
+                )
+            except (KeyError, TypeError):
+                return None  # blind side: write-serializable, commutes
+            if overlap:
+                return (
+                    f"appended rows overlap a concurrent commit's "
+                    f"{kc_m!r} range "
+                    f"[{theirs['key_min']}, {theirs['key_max']}]"
+                )
+        return None
     if mine.get("row_preserving") or theirs.get("row_preserving"):
         return None
     kc_m, kc_t = mine.get("key_col"), theirs.get("key_col")
@@ -1088,6 +1126,10 @@ def commit_optimistic(
     schema_json: dict | None = None,
     dv_add: list[str] | None = None,
     max_retries: int = MAX_COMMIT_RETRIES,
+    renames: dict | None = None,
+    dropped_cols: list | None = None,
+    dv_set: list[str] | None = None,
+    allow_bootstrap: bool = False,
 ) -> dict:
     """Commit a snapshot as an explicit DELTA against the current head:
     body = head.files − ``removed`` + ``added`` — metadata reads touch
@@ -1108,21 +1150,28 @@ def commit_optimistic(
     loser never destroyed the originals).
 
     ``dv_add`` APPENDS vectors to whatever DV list the head carries at
-    commit time (rebase-safe, unlike passing a full list read earlier).
-    Returns the committed manifest. Requires an existing snapshot
-    (bootstrap the first version with write_versioned_manifest)."""
+    commit time (rebase-safe, unlike passing a full list read earlier);
+    ``dv_set`` REPLACES the inherited list outright (a whole-table
+    rewrite pins an empty one). ``renames`` / ``dropped_cols``: None
+    inherits the head's maps, an explicit value sets them (schema-
+    evolving commits). Returns the committed manifest. Requires an
+    existing snapshot unless ``allow_bootstrap`` — a bootstrap commit
+    (version 1) pins EXACTLY ``added``, never a directory listing, so
+    a deep clone / explicit-body first commit still carries its intent
+    stamp and never pins a concurrent writer's in-flight files."""
     import pyarrow.parquet as pq
 
     mdir = os.path.join(path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
     checked_through = base_version
     for _ in range(max_retries):
         versions = snapshot_versions(path)
-        if not versions:
+        if not versions and not allow_bootstrap:
             raise ValueError(
                 "commit_optimistic needs an existing snapshot; write the "
                 "first version with write_versioned_manifest"
             )
-        head_v = versions[-1]
+        head_v = versions[-1] if versions else 0
         for v in range(checked_through + 1, head_v + 1):
             theirs = _read_manifest_settled(
                 os.path.join(mdir, f"v{v}.json")
@@ -1134,7 +1183,11 @@ def commit_optimistic(
                     f"recover_to_last_manifest({path!r}) and rerun"
                 )
         checked_through = head_v
-        head = _read_manifest_settled(os.path.join(mdir, f"v{head_v}.json"))
+        head = (
+            _read_manifest_settled(os.path.join(mdir, f"v{head_v}.json"))
+            if versions
+            else {"files": []}
+        )
         version = head_v + 1
         vpath = os.path.join(mdir, f"v{version}.json")
         if _test_claim_interposer is not None:
@@ -1169,11 +1222,13 @@ def commit_optimistic(
             manifest["schema_json"] = schema_json
         elif head.get("schema_json") is not None:
             manifest["schema_json"] = head["schema_json"]
-        if head.get("renames"):
-            manifest["renames"] = head["renames"]
-        if head.get("dropped_cols"):
-            manifest["dropped_cols"] = head["dropped_cols"]
-        dv = list(head.get("dv") or [])
+        ren = head.get("renames") if renames is None else renames
+        if ren:
+            manifest["renames"] = ren
+        dcols = head.get("dropped_cols") if dropped_cols is None else dropped_cols
+        if dcols:
+            manifest["dropped_cols"] = dcols
+        dv = list(head.get("dv") or []) if dv_set is None else list(dv_set)
         if dv_add:
             dv += [r for r in dv_add if r not in dv]
         if dv:
@@ -1187,6 +1242,32 @@ def commit_optimistic(
     raise ConcurrentSnapshotError(
         f"lost the commit race {max_retries} times on {path!r} — "
         f"contention too high for optimistic retry"
+    )
+
+
+def commit_metadata(path: str, extra: dict | None = None) -> dict:
+    """Commit application metadata (``app`` key) with an UNCHANGED file
+    body: body = head.files, zero footer reads, ``row_preserving``
+    intent — so a watermark-only matview stamp coexists with any
+    concurrent optimistic writer instead of conflicting as an unknown
+    lister. Bootstraps through the listing path when no snapshot
+    exists yet."""
+    versions = snapshot_versions(path)
+    if not versions:
+        return write_versioned_manifest(path, extra=extra)
+    return commit_optimistic(
+        path,
+        added=[],
+        removed=[],
+        intent={
+            "op": "metadata",
+            "removed": [],
+            "dv_targets": [],
+            "schema_change": False,
+            "row_preserving": True,
+        },
+        base_version=versions[-1],
+        extra=extra,
     )
 
 
@@ -1518,6 +1599,175 @@ def recover_to_last_manifest(path: str) -> dict:
     }
 
 
+def _move_staged_parts(path: str, staging: str, name_fn) -> list[str]:
+    """Move every staged parquet part — possibly under hive partition
+    subdirectories, which are preserved — into the table under the
+    deterministic stamped names ``name_fn(i)`` yields, carrying Hadoop
+    ``.crc`` sidecars alongside (a stale sidecar throws
+    ChecksumException on later reads). Returns the added relpaths in
+    walk order. Shared by every writer that stages then moves in
+    (merge_upsert, append_snapshot, partitioned bulk rewrites) so the
+    commit can be an explicit delta and a concurrent lister never
+    half-sees an in-flight write."""
+    added: list[str] = []
+    i = 0
+    for sroot, sdirs, sfiles in os.walk(staging):
+        sdirs.sort()
+        for p in sorted(sfiles):
+            if not p.endswith(".parquet") or p.startswith((".", "_")):
+                continue
+            pdir = os.path.relpath(sroot, staging)
+            pdir = "" if pdir == "." else pdir
+            name = name_fn(i)
+            dst_rel = os.path.join(pdir, name) if pdir else name
+            os.makedirs(
+                os.path.join(path, pdir) if pdir else path, exist_ok=True
+            )
+            os.replace(os.path.join(sroot, p), os.path.join(path, dst_rel))
+            crc = os.path.join(sroot, f".{p}.crc")
+            if os.path.exists(crc):
+                os.replace(
+                    crc,
+                    os.path.join(path, pdir, f".{name}.crc")
+                    if pdir
+                    else os.path.join(path, f".{name}.crc"),
+                )
+            added.append(dst_rel)
+            i += 1
+    return added
+
+
+def append_snapshot(
+    spark,
+    path: str,
+    df: DataFrame,
+    key_col: str | None = None,
+    commit_extra: dict | None = None,
+) -> dict:
+    """INSERT INTO under the snapshot model: stage ``df``, move the
+    parts in under stamped names (inside partition directories on hive
+    layouts), and commit an intent-stamped optimistic DELTA — the
+    manifest body is head.files + the added files, so the commit reads
+    O(added) parquet footers, never O(table) (the listing-based
+    write_versioned_manifest re-reads every footer; at 10⁶ files that
+    is minutes per commit), and an append racing a merge / DV delete /
+    compaction / another append both commit, the loser rebasing.
+
+    Isolation contract (Delta's WriteSerializable stance): a BLIND
+    append (``key_col=None``) commutes with every concurrent commit
+    except a schema change or a whole-table rewrite — it may land
+    "inside" a concurrent merge's read window (the merge did not see
+    these rows; the serial order where the merge ran second would have
+    replaced them). Passing ``key_col`` opts into SERIALIZABLE checking
+    for that key: the intent stamps the appended rows' [min,max] key
+    range, and a concurrent keyed merge/delete whose range overlaps is
+    a detected conflict instead of a silent anomaly.
+
+    Schema must match the target by name (types normalize to the
+    target's — the same cast contract as merge_upsert); column ADDs go
+    through merge_upsert(schema_evolution=True). Requires an existing
+    snapshot: a BOOTSTRAP must pin whatever files the directory held
+    before the table was ever snapshotted, which only the listing-based
+    write_versioned_manifest sees. Returns {version, files_added,
+    rows_appended}."""
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    pending = snapshot_versions(path)
+    if not pending:
+        raise ValueError(
+            "append_snapshot needs an existing snapshot; bootstrap the "
+            "first version with write_versioned_manifest"
+        )
+    base_version = pending[-1]
+    head = read_manifest(
+        os.path.join(path, "_manifests", f"v{base_version}.json")
+    )
+    target_schema = table_schema(spark, path)
+    target_cols = [f.name for f in target_schema.fields]
+    if sorted(df.columns) != sorted(target_cols):
+        raise ValueError(
+            f"append schema mismatch: data {sorted(df.columns)} != "
+            f"target {sorted(target_cols)} (column ADDs go through "
+            f"merge_upsert(schema_evolution=True))"
+        )
+    df = df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in target_schema.fields
+        ]
+    )
+    if df.limit(1).count() == 0:
+        return {
+            "version": base_version,
+            "files_added": 0,
+            "rows_appended": 0,
+        }
+    krange = None
+    if key_col is not None:
+        if key_col not in target_cols:
+            raise ValueError(f"no such key column {key_col!r}")
+        krange = df.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+
+    version = base_version + 1  # optimistic: a rebase may commit higher
+    stamp = _uuid.uuid4().hex[:8]
+    pcols = _partition_cols_of([f["path"] for f in head["files"]])
+    staging = os.path.join(path, f".append.v{version}.{stamp}.staging")
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    # drop zero-row parts before move-in (an input partition that held
+    # no rows still emits a part file) — appends are the op that runs
+    # thousands of times a day, so empty-file pollution compounds
+    for sroot, _dirs, sfiles in os.walk(staging):
+        for p in sfiles:
+            if p.endswith(".parquet") and not p.startswith((".", "_")):
+                fp = os.path.join(sroot, p)
+                if pq.read_metadata(fp).num_rows == 0:
+                    os.unlink(fp)
+                    crc = os.path.join(sroot, f".{p}.crc")
+                    if os.path.exists(crc):
+                        os.unlink(crc)
+    added = _move_staged_parts(
+        path, staging, lambda i: f"append-v{version}-{stamp}-{i:05d}.parquet"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    intent = {
+        "op": "append",
+        "removed": [],
+        "dv_targets": [],
+        "schema_change": False,
+        "inserts_only": True,
+    }
+    if krange is not None:
+        intent["key_col"] = key_col
+        intent["key_min"] = _json_key(krange["lo"])
+        intent["key_max"] = _json_key(krange["hi"])
+    manifest = commit_optimistic(
+        path,
+        added=added,
+        removed=[],
+        intent=intent,
+        base_version=base_version,
+        extra=commit_extra,
+    )
+    rows = sum(
+        pq.read_metadata(os.path.join(path, r)).num_rows for r in added
+    )
+    return {
+        "version": manifest["version"],
+        "files_added": len(added),
+        "rows_appended": rows,
+    }
+
+
 def merge_upsert(
     spark,
     duck,
@@ -1814,28 +2064,9 @@ def merge_upsert(
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(staging)
-    i = 0
-    for sroot, sdirs, sfiles in os.walk(staging):
-        sdirs.sort()
-        for p in sorted(sfiles):
-            if not p.endswith(".parquet") or p.startswith((".", "_")):
-                continue
-            pdir = os.path.relpath(sroot, staging)
-            pdir = "" if pdir == "." else pdir
-            name = f"merge-v{version}-{stamp}-{i:05d}.parquet"
-            dst_rel = os.path.join(pdir, name) if pdir else name
-            os.makedirs(os.path.join(path, pdir) if pdir else path, exist_ok=True)
-            os.replace(os.path.join(sroot, p), os.path.join(path, dst_rel))
-            crc = os.path.join(sroot, f".{p}.crc")
-            if os.path.exists(crc):
-                os.replace(
-                    crc,
-                    os.path.join(path, pdir, f".{name}.crc")
-                    if pdir
-                    else os.path.join(path, f".{name}.crc"),
-                )
-            added_rels.append(dst_rel)
-            i += 1
+    added_rels += _move_staged_parts(
+        path, staging, lambda i: f"merge-v{version}-{stamp}-{i:05d}.parquet"
+    )
     shutil.rmtree(staging, ignore_errors=True)
 
     evolved = None
@@ -2036,19 +2267,9 @@ def _commit_bulk_rewrite(
         write_range_clustered(frame, staging, key_col, n_out)
     staged_total = spark.read.parquet(staging).count()
 
-    parts = sorted(
-        p
-        for p in os.listdir(staging)
-        if p.endswith(".parquet") and not p.startswith((".", "_"))
+    added_rels = _move_staged_parts(
+        path, staging, lambda i: f"bulk-v{version}-{i:05d}.parquet"
     )
-    for i, p in enumerate(parts):
-        new_name = os.path.join(path, f"bulk-v{version}-{i:05d}.parquet")
-        os.replace(os.path.join(staging, p), new_name)
-        crc = os.path.join(staging, f".{p}.crc")
-        if os.path.exists(crc):
-            os.replace(
-                crc, os.path.join(path, f".{os.path.basename(new_name)}.crc")
-            )
     for f in old_files:
         rel = os.path.relpath(f, path)
         tomb = os.path.join(path, REMOVED_DIR, rel)
@@ -2081,9 +2302,38 @@ def _commit_bulk_rewrite(
     # the rewrite's output physically excludes DV-dead rows (the bulk
     # frame reads through read_table_logical) and the new snapshot pins
     # an empty DV set.
-    return staged_total, write_versioned_manifest(
-        path, extra=extra, dropped_cols=[], dv=[]
-    )
+    #
+    # Commit: intent-stamped whole-table rewrite (r10). The DATA phase
+    # is single-writer by contract (it reads the directory), but the
+    # COMMIT now carries a ``whole_table`` txn stamp, so a racing
+    # optimistic writer conflicts with an explicit reason instead of
+    # "no intent" — and this commit itself refuses to rebase across
+    # ANY commit that landed since its base (a whole-table rewrite's
+    # removed set IS its base snapshot; there is nothing to rebase).
+    # The huge removed list is omitted from the intent — whole_table
+    # is checked first and supersedes it (see _intents_conflict).
+    if version > 1:
+        manifest = commit_optimistic(
+            path,
+            added=added_rels,
+            removed=[os.path.relpath(f, path) for f in old_files],
+            intent={
+                "op": "bulk_rewrite",
+                "removed": [],
+                "dv_targets": [],
+                "schema_change": False,
+                "whole_table": True,
+            },
+            base_version=version - 1,
+            extra=extra,
+            dropped_cols=[],
+            dv_set=[],
+        )
+    else:
+        manifest = write_versioned_manifest(
+            path, extra=extra, dropped_cols=[], dv=[]
+        )
+    return staged_total, manifest
 
 
 def delete_bulk(
@@ -2151,10 +2401,45 @@ def drop_column(spark, path: str, col: str) -> dict:
         | {p for p, l in old_ren.items() if l == col}
     )
     ren = {p: l for p, l in old_ren.items() if l != col}
-    m = write_versioned_manifest(
-        path, schema_json=new_st.jsonValue(), renames=ren, dropped_cols=dropped
+    m = _commit_schema_change(
+        path, "drop_column", new_st.jsonValue(), ren, dropped
     )
     return {"version": m["version"], "dropped": col}
+
+
+def _commit_schema_change(
+    path: str, op: str, schema_json: dict, renames: dict, dropped_cols: list
+) -> dict:
+    """Commit a metadata-only schema evolution (drop/rename) as an
+    intent-stamped zero-delta optimistic commit: body = head.files,
+    no footer re-reads (O(1), not the listing path's O(table)), and
+    the ``schema_change`` intent makes ANY racing writer a detected
+    conflict in both directions — files staged under the old pin must
+    never land after the evolution. Tables without a snapshot yet
+    bootstrap through the listing path."""
+    versions = snapshot_versions(path)
+    if not versions:
+        return write_versioned_manifest(
+            path,
+            schema_json=schema_json,
+            renames=renames,
+            dropped_cols=dropped_cols,
+        )
+    return commit_optimistic(
+        path,
+        added=[],
+        removed=[],
+        intent={
+            "op": op,
+            "removed": [],
+            "dv_targets": [],
+            "schema_change": True,
+        },
+        base_version=versions[-1],
+        schema_json=schema_json,
+        renames=renames,
+        dropped_cols=dropped_cols,
+    )
 
 
 def rename_column(spark, path: str, old: str, new: str) -> dict:
@@ -2187,8 +2472,9 @@ def rename_column(spark, path: str, old: str, new: str) -> dict:
             for f in ts.fields
         ]
     )
-    m = write_versioned_manifest(
-        path, schema_json=new_st.jsonValue(), renames=ren
+    m = _commit_schema_change(
+        path, "rename_column", new_st.jsonValue(), ren,
+        table_dropped_cols(path),
     )
     return {"version": m["version"], "renamed": {old: new}}
 
@@ -2325,13 +2611,31 @@ def clone_snapshot(
             os.makedirs(os.path.dirname(dst_file), exist_ok=True)
             shutil.copy2(os.path.join(root, rel), dst_file)
         # the copied files keep their physical schemas: the clone needs
-        # the source's logical pin / rename map / drop tombstones too
-        manifest = write_versioned_manifest(
+        # the source's logical pin / rename map / drop tombstones too.
+        # Explicit-body bootstrap commit (r10): pins EXACTLY the copied
+        # files — a directory listing would also pin anything else that
+        # happened to be under dst_path — and stamps a txn intent like
+        # every other writer. Racing clones into one destination are a
+        # loud conflict (max_retries=1: silently unioning two clones'
+        # bodies would double the table).
+        manifest = commit_optimistic(
             dst_path,
+            added=[f["path"] for f in src_manifest["files"]],
+            removed=[],
+            intent={
+                "op": "clone",
+                "removed": [],
+                "dv_targets": [],
+                "schema_change": False,
+                "inserts_only": True,
+            },
+            base_version=0,
             schema_json=src_manifest.get("schema_json"),
             renames=src_manifest.get("renames") or {},
             dropped_cols=src_manifest.get("dropped_cols") or [],
-            dv=src_dv,
+            dv_set=src_dv,
+            allow_bootstrap=True,
+            max_retries=1,
         )
     else:
         dmdir = os.path.join(dst_path, "_manifests")
@@ -2425,7 +2729,12 @@ def checked_write(
     staging; to pay one scan at 100 TB, write to a staging dir first
     and promote on pass — same contract, same suite. Returns
     {passed, version (when written), report: [(rule, metric, ok)]}.
-    """
+
+    Commit path (r10): an append onto an already-snapshotted table
+    goes through :func:`append_snapshot` — an intent-stamped O(added)
+    delta commit that coexists with concurrent optimistic writers.
+    First-ever writes (and non-append modes) stay on the listing-based
+    bootstrap/rewrite path."""
     from data_pipeline_project_spark.operators.expectations import (
         expectation_report,
     )
@@ -2436,6 +2745,9 @@ def checked_write(
     ]
     if not all(ok for _, _, ok in report):
         return {"passed": False, "report": report}
+    if mode == "append" and snapshot_versions(path):
+        res = append_snapshot(df.sparkSession, path, df)
+        return {"passed": True, "version": res["version"], "report": report}
     df.write.mode(mode).parquet(path)
     manifest = write_versioned_manifest(path)
     return {"passed": True, "version": manifest["version"], "report": report}

@@ -75,6 +75,7 @@ from data_pipeline_project_spark.operators.incremental import (
     retract_aggregate_state_multi,
 )
 from data_pipeline_project_spark.sinks.manifest import (
+    commit_metadata,
     read_manifest,
     read_version,
     snapshot_versions,
@@ -417,7 +418,7 @@ def refresh_agg_view(
     n_dropped = final.where(F.col("_st_rows") == 0).count()
 
     if n_changed == 0:
-        m = write_versioned_manifest(view_path, extra=stamp)
+        m = commit_metadata(view_path, extra=stamp)
         view_v = m["version"]
     else:
         from data_pipeline_project_spark.sinks.manifest import merge_upsert
@@ -732,7 +733,7 @@ def refresh_distinct_view(
 
     n_changed = final.count()
     if n_changed == 0:
-        m = write_versioned_manifest(view_path, extra=stamp)
+        m = commit_metadata(view_path, extra=stamp)
         view_v = m["version"]
     else:
         from data_pipeline_project_spark.sinks.manifest import merge_upsert

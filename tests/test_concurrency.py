@@ -422,3 +422,290 @@ def test_committed_targeted_delete_rebases_and_conflicts(spark, duck, tmp_path):
     live2 = read_version(spark, path)
     assert live2.count() == 998
     assert {r.v for r in live2.where("k = 6").collect()} == {-6}
+
+
+# ---------------------------------------------------------------------------
+# r10: every writer carries an intent — appends, bulk rewrites, schema
+# evolution, metadata stamps. Appends are the most common concurrent op
+# a lakehouse sees: blind appends commute with everything but a schema
+# change / whole-table rewrite (WriteSerializable); keyed appends opt
+# into serializable range checking.
+# ---------------------------------------------------------------------------
+
+
+def test_append_rebases_with_merge_dv_compaction_and_append(
+    spark, duck, tmp_path
+):
+    """A blind append interleaved with a merge, a DV delete, a
+    compaction, and ANOTHER append: all five commits land (losers
+    rebase), the final state equals the sequential reference, and every
+    intermediate version time-travels."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        append_snapshot,
+        compact_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+
+    # append ∥ merge
+    def run_merge():
+        merge_upsert(spark, duck, path, "k", _updates(spark, [(5, -1)]))
+
+    M._test_claim_interposer = _InterposeOnce(run_merge)
+    r1 = append_snapshot(spark, path, _updates(spark, [(7000, -70)]))
+    M._test_claim_interposer = None
+    assert r1["version"] == 3 and r1["rows_appended"] == 1
+
+    # append ∥ DV delete
+    def run_dv():
+        delete_rows_dv(
+            spark, duck, path, "k", spark.createDataFrame([(990,)], "k long")
+        )
+
+    M._test_claim_interposer = _InterposeOnce(run_dv)
+    r2 = append_snapshot(spark, path, _updates(spark, [(7001, -71)]))
+    M._test_claim_interposer = None
+    assert r2["version"] == 5
+
+    # append ∥ append (two tiny files also become compaction bait)
+    def run_other_append():
+        append_snapshot(spark, path, _updates(spark, [(7002, -72)]))
+
+    M._test_claim_interposer = _InterposeOnce(run_other_append)
+    r3 = append_snapshot(spark, path, _updates(spark, [(7003, -73)]))
+    M._test_claim_interposer = None
+    assert r3["version"] == 7
+
+    # compaction ∥ append — compaction consumes the small appended
+    # files; the racing append's NEW file is not in its removed set
+    import os as _os
+
+    sizes = sorted(
+        _os.path.getsize(_os.path.join(path, f))
+        for f in _os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    appended = {}
+
+    def run_append():
+        appended.update(
+            append_snapshot(spark, path, _updates(spark, [(7004, -74)]))
+        )
+
+    M._test_claim_interposer = _InterposeOnce(run_append)
+    res = compact_snapshot(spark, path, small_bytes=sizes[-4] - 1)
+    M._test_claim_interposer = None
+    assert res["files_compacted"] >= 2
+    assert appended["version"] == 8 and res["version"] == 9
+
+    live = read_version(spark, path)
+    assert live.count() == 1000 - 1 + 5
+    got = {r.k: r.v for r in live.where("k >= 7000").collect()}
+    assert got == {7000: -70, 7001: -71, 7002: -72, 7003: -73, 7004: -74}
+    assert live.where("k = 990").count() == 0
+    assert {r.v for r in live.where("k = 5").collect()} == {-1}
+    for v in snapshot_versions(path):
+        read_version(spark, path, v).count()
+
+
+def test_keyed_append_vs_overlapping_merge_conflicts(spark, duck, tmp_path):
+    """An append that declares its key range is SERIALIZABLE w.r.t.
+    that key: racing a merge whose range overlaps is a detected
+    conflict (order matters: merge-then-append keeps the appended row,
+    append-then-merge replaces it); a disjoint keyed merge commutes."""
+    from data_pipeline_project_spark.sinks.manifest import append_snapshot
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+
+    def run_merge():
+        merge_upsert(
+            spark, duck, path, "k", _updates(spark, [(500, -5), (520, -6)])
+        )
+
+    M._test_claim_interposer = _InterposeOnce(run_merge)
+    with pytest.raises(ConcurrentSnapshotError, match="overlap"):
+        append_snapshot(
+            spark, path, _updates(spark, [(510, -99)]), key_col="k"
+        )
+    M._test_claim_interposer = None
+    recover_to_last_manifest(path)
+
+    # disjoint keyed append both-commit
+    def run_merge2():
+        merge_upsert(spark, duck, path, "k", _updates(spark, [(10, -7)]))
+
+    M._test_claim_interposer = _InterposeOnce(run_merge2)
+    r = append_snapshot(
+        spark, path, _updates(spark, [(8000, -80)]), key_col="k"
+    )
+    M._test_claim_interposer = None
+    live = read_version(spark, path)
+    assert {r2.v for r2 in live.where("k = 8000").collect()} == {-80}
+    assert {r2.v for r2 in live.where("k = 10").collect()} == {-7}
+    m = M.read_manifest(
+        os.path.join(path, "_manifests", f"v{r['version']}.json")
+    )
+    assert m["txn"]["inserts_only"] and m["txn"]["key_min"] == 8000
+
+
+def test_append_vs_schema_change_conflicts(spark, duck, tmp_path):
+    """An append staged under the old schema pin must not land after a
+    concurrent rename/drop commits — and the schema change itself
+    refuses to rebase across a concurrent append."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        append_snapshot,
+        rename_column,
+    )
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+
+    def run_rename():
+        rename_column(spark, path, "v", "val")
+
+    M._test_claim_interposer = _InterposeOnce(run_rename)
+    with pytest.raises(ConcurrentSnapshotError, match="schema change"):
+        append_snapshot(spark, path, _updates(spark, [(9000, -90)]))
+    M._test_claim_interposer = None
+    recover_to_last_manifest(path)
+
+    # the other direction: rename loses the CAS to an append
+    def run_append():
+        df = spark.createDataFrame([(9001, -91)], "k long, val long")
+        append_snapshot(spark, path, df)
+
+    M._test_claim_interposer = _InterposeOnce(run_append)
+    with pytest.raises(ConcurrentSnapshotError, match="schema change"):
+        rename_column(spark, path, "val", "value")
+    M._test_claim_interposer = None
+    # the append itself committed; the table stays consistent
+    assert {r.val for r in read_version(spark, path).where(
+        "k = 9001").collect()} == {-91}
+
+
+def test_bulk_rewrite_whole_table_intent_conflicts_everything(
+    spark, duck, tmp_path
+):
+    """merge_bulk / delete_bulk / rewrite_table stamp whole_table: a
+    racing optimistic writer that loses the CAS to one sees an explicit
+    whole-table reason (not 'no intent'), and the bulk rewrite itself
+    refuses to rebase across ANY commit since its base — even a blind
+    append it would silently drop."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        append_snapshot,
+        merge_bulk,
+    )
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+
+    # bulk wins, optimistic merge loses -> explicit whole-table reason
+    def run_bulk():
+        merge_bulk(spark, path, "k", _updates(spark, [(1, -1)]))
+
+    M._test_claim_interposer = _InterposeOnce(run_bulk)
+    with pytest.raises(ConcurrentSnapshotError, match="whole-table"):
+        merge_upsert(spark, duck, path, "k", _updates(spark, [(900, -9)]))
+    M._test_claim_interposer = None
+    recover_to_last_manifest(path)
+    assert {r.v for r in read_version(spark, path).where(
+        "k = 1").collect()} == {-1}
+
+    # append wins, bulk loses -> bulk aborts (its output lacks the
+    # appended rows; committing would silently drop them)
+    def run_append():
+        append_snapshot(spark, path, _updates(spark, [(9100, -91)]))
+
+    M._test_claim_interposer = _InterposeOnce(run_append)
+    with pytest.raises(ConcurrentSnapshotError, match="whole-table"):
+        merge_bulk(spark, path, "k", _updates(spark, [(2, -2)]))
+    M._test_claim_interposer = None
+    recover_to_last_manifest(path)
+    live = read_version(spark, path)
+    assert {r.v for r in live.where("k = 9100").collect()} == {-91}
+    # rerun converges and pins the appended row in the bulk output
+    merge_bulk(spark, path, "k", _updates(spark, [(2, -2)]))
+    live2 = read_version(spark, path)
+    assert {r.v for r in live2.where("k = 9100").collect()} == {-91}
+    assert {r.v for r in live2.where("k = 2").collect()} == {-2}
+    m = M.read_manifest(os.path.join(path, "_manifests", "latest.json"))
+    assert m["txn"]["whole_table"] is True
+
+
+def test_append_commit_cost_is_o_added_not_o_table(spark, tmp_path):
+    """The append path's parquet-footer reads touch ONLY the appended
+    files (plus the staging sweep of those same parts) — never the
+    table's existing files. At 10⁶ files this is the difference between
+    milliseconds and minutes per commit."""
+    import pyarrow.parquet as _pq
+
+    from data_pipeline_project_spark.sinks import manifest as _m
+    from data_pipeline_project_spark.sinks.manifest import append_snapshot
+
+    path = str(tmp_path / "t")
+    _table(spark, path, n=1000, files=8)  # 8 pre-existing data files
+
+    seen = []
+    real = _pq.read_metadata
+
+    def counting(f, *a, **kw):
+        seen.append(str(f))
+        return real(f, *a, **kw)
+
+    _pq.read_metadata = counting
+    try:
+        r = append_snapshot(
+            spark, path, _updates(spark, [(5000, -1)]).coalesce(1)
+        )
+    finally:
+        _pq.read_metadata = real
+    assert r["files_added"] == 1
+    # every footer read is the appended part (staged or moved-in) —
+    # none of the 8 pre-existing files is ever opened
+    offenders = [
+        f for f in seen
+        if "append-v" not in f and ".staging" not in f
+    ]
+    assert offenders == [], offenders
+
+
+def test_checked_write_append_carries_intent(spark, tmp_path):
+    """checked_write onto a snapshotted table commits through the
+    intent-stamped append path (O(added) delta), not the listing."""
+    from data_pipeline_project_spark.operators.expectations import (
+        expect_not_null,
+    )
+    from data_pipeline_project_spark.sinks.manifest import checked_write
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    rules = [expect_not_null("k")]
+    res = checked_write(
+        _updates(spark, [(6000, -60)]).coalesce(1), path, rules
+    )
+    assert res["passed"] and res["version"] == 2
+    m = M.read_manifest(os.path.join(path, "_manifests", "v2.json"))
+    assert m["txn"]["op"] == "append" and m["txn"]["inserts_only"]
+    assert read_version(spark, path).count() == 1001
+
+
+def test_metadata_commit_coexists_with_writers(spark, duck, tmp_path):
+    """A watermark-only metadata stamp (matview's no-change refresh) is
+    row_preserving: racing a merge, BOTH commit."""
+    from data_pipeline_project_spark.sinks.manifest import commit_metadata
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+
+    def run_merge():
+        merge_upsert(spark, duck, path, "k", _updates(spark, [(5, -1)]))
+
+    M._test_claim_interposer = _InterposeOnce(run_merge)
+    m = commit_metadata(path, extra={"watermark": 42})
+    M._test_claim_interposer = None
+    assert m["version"] == 3 and m["app"] == {"watermark": 42}
+    live = read_version(spark, path)
+    assert live.count() == 1000
+    assert {r.v for r in live.where("k = 5").collect()} == {-1}

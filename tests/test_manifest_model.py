@@ -21,6 +21,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_project_spark.sinks.manifest import (
+    append_snapshot,
     compact_snapshot,
     delete_bulk,
     delete_rows_dv,
@@ -70,9 +71,25 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
     for step in range(OPS_PER_SEED):
         op = rng.choice(
             ["merge", "merge", "delete", "compact", "vacuum", "merge_bulk",
-             "delete_bulk", "delete_dv", "crash_recover"]
+             "delete_bulk", "delete_dv", "crash_recover", "append"]
         )
-        if op in ("merge", "merge_bulk"):
+        if op == "append":
+            # intent-stamped O(added) delta commit — must satisfy the
+            # same model / time-travel / CDF invariants as every writer
+            n_ins = rng.randrange(1, 15)
+            ins_keys = list(range(next_key, next_key + n_ins))
+            next_key += n_ins
+            rows = _mk_rows(ins_keys, salt=step + 1)
+            res = append_snapshot(
+                spark, path,
+                spark.createDataFrame(rows, "k long, v long, s string"),
+                key_col="k" if rng.random() < 0.5 else None,
+            )
+            assert res["rows_appended"] == n_ins, (step, res)
+            for k, v, s in rows:
+                model[k] = (v, s)
+            history[res["version"]] = _model_state(model)
+        elif op in ("merge", "merge_bulk"):
             n_upd = rng.randrange(1, 40)
             n_ins = rng.randrange(0, 20)
             upd_keys = rng.sample(sorted(model), min(n_upd, len(model)))
