@@ -384,6 +384,22 @@ def table_health(
         "quarantine_files": quar_n,
         "quarantine_bytes": quar_b,
     }
+    # hive-partitioned layouts: per-directory fragmentation, so the
+    # plan can name WHICH partitions the per-partition compactor
+    # (manifest.compact_snapshot) will touch
+    by_dir: dict[str, list[int]] = {}
+    for f, s in zip(files, sizes):
+        d = os.path.dirname(os.path.relpath(f, path)).replace("\\", "/")
+        by_dir.setdefault(d, []).append(s)
+    if set(by_dir) != {""} and by_dir:
+        health["partitions"] = {
+            d: {
+                "n_files": len(ss),
+                "small_files": sum(1 for s in ss if s < small_file_bytes),
+                "bytes": sum(ss),
+            }
+            for d, ss in sorted(by_dir.items())
+        }
     # deletion-vector pressure: dead rows are a per-scan anti-join tax
     # until a whole-table rewrite materializes them away
     dv = table_dv(path)
@@ -443,11 +459,20 @@ def maintenance_plan(health: dict, thresholds: dict | None = None) -> list[dict]
     n = max(1, health["n_files"])
     small_frac = health["small_files"] / n
     if small_frac > t["small_file_fraction"]:
-        plan.append({
+        item = {
             "action": "compact",
             "reason": f"{health['small_files']}/{n} files below the "
                       f"small-file threshold ({small_frac:.0%})",
-        })
+        }
+        if health.get("partitions"):
+            # name the fragmented directories: per-partition compaction
+            # (compact_snapshot) touches exactly these, nothing else
+            item["partitions"] = sorted(
+                d
+                for d, p in health["partitions"].items()
+                if p["small_files"] >= 2
+            )
+        plan.append(item)
     overlap = health.get("clustering_overlap")
     if overlap is not None and overlap > t["clustering_overlap"]:
         plan.append({

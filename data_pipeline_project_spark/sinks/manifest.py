@@ -1371,13 +1371,27 @@ def _check_key_physical(path: str, key_col: str) -> None:
         )
 
 
-def read_table_logical(spark, path: str, files: list | None = None) -> DataFrame:
+def read_table_logical(
+    spark, path: str, files: list | None = None, exclude_cols=()
+) -> DataFrame:
     """Directory-level (or explicit-file-list) read under the table's
     LOGICAL schema: pinned/widened types, rename coalesce, dropped
     columns omitted. The read every whole-table rewrite goes through —
-    footer inference on an evolved table is never trustworthy."""
+    footer inference on an evolved table is never trustworthy.
+
+    ``exclude_cols`` drops columns from the read schema — the
+    partitioned-compaction case: hive partition values live in
+    directory names, so an explicit-FILE read must exclude them from
+    the schema (they are not in the parquet) and the caller re-derives
+    them from the file's directory."""
     ts = table_schema(spark, path)
     ren = table_renames(path)
+    if exclude_cols:
+        from pyspark.sql.types import StructType
+
+        ts = StructType(
+            [f for f in ts.fields if f.name not in set(exclude_cols)]
+        )
     src = files if files is not None else [path]
     df = spark.read.schema(_extended_read_schema(ts, ren)).parquet(*src)
     df = _dv_filter(spark, df, path, table_dv(path))
@@ -1967,7 +1981,6 @@ def merge_upsert(
     candidates = _select_candidates(spark, zone_maps, updates_df, key_col, prune)
     if (
         rewrite == "auto"
-        and not pcols  # bulk re-clustering would flatten partition dirs
         and not (new_fields or schema_widened)  # evolution stays targeted
         and zone_maps
         and len(candidates) >= BULK_REWRITE_FRACTION * len(zone_maps)
@@ -2151,7 +2164,11 @@ def merge_bulk(
       (beyond ~10⁷–10⁸ keys);
     - output is re-clustered on ``key_col`` via write_range_clustered
       (``n_files`` defaults to the current file count), so zone maps
-      are tight again after the churn a giant merge implies;
+      are tight again after the churn a giant merge implies; on a
+      hive-partitioned layout the rewrite keeps the partition
+      directories (partitionBy staging + per-directory move-in,
+      key-sorted within each file — see _commit_bulk_rewrite) and an
+      update that changes a row's partition value migrates it;
     - copy-on-write discipline is preserved: new files land under
       version-stamped names (``bulk-v{N}-*.parquet``), EVERY pre-merge
       data file moves to the ``_removed/`` tombstone area, and the new
@@ -2231,27 +2248,42 @@ def _commit_bulk_rewrite(
     drop_cluster_col: str | None = None,
 ) -> tuple[int, dict]:
     """Shared commit tail of the table-wide rewrites (merge_bulk,
-    delete_bulk): range-cluster ``frame`` into a hidden staging dir,
-    move the parts in under version-stamped names, tombstone every
-    pre-rewrite file, pin the new file set. Names can never collide:
-    the version only ever increments and every writer embeds it (or a
-    uuid) in the file name. Returns (staged_row_count, manifest)."""
+    delete_bulk, rewrite_table): range-cluster ``frame`` into a hidden
+    staging dir, move the parts in under version-stamped names,
+    tombstone every pre-rewrite file, pin the new file set. Names can
+    never collide: the version only ever increments and every writer
+    embeds it (or a uuid) in the file name. Returns
+    (staged_row_count, manifest).
+
+    Hive-partitioned layouts (r10): the staged write partitions on the
+    table's partition columns and rows sort by (partition cols...,
+    cluster key) within each range partition, so every output file
+    lands INSIDE its partition directory, key-clustered within it —
+    partition pruning and zone-map pruning both survive the rewrite,
+    and an update that changes a row's partition value migrates to its
+    new directory through this same write. A row's partition column is
+    stored in the directory name only (hive layout), exactly like the
+    pre-rewrite files."""
     import shutil
 
     from data_pipeline_project_spark.sinks.layout import write_range_clustered
 
     pcols = _partition_cols_of(os.path.relpath(f, path) for f in old_files)
-    if pcols:
-        raise ValueError(
-            f"table-wide rewrite on a hive-partitioned layout (partition "
-            f"cols {pcols}) would flatten the partition directories and "
-            f"silently drop the partition columns — use the targeted "
-            f"merge/delete paths (partition-aware) or "
-            f"sinks.compact.compact_dataset per partition"
-        )
 
     staging = os.path.join(path, f".bulk.v{version}.staging")
-    if drop_cluster_col:
+    if pcols:
+        from pyspark.sql import functions as F
+
+        sort_cols = [F.col(c) for c in pcols if c != key_col] + [
+            F.col(key_col)
+        ]
+        out = frame.repartitionByRange(
+            n_out, *sort_cols
+        ).sortWithinPartitions(*sort_cols)
+        if drop_cluster_col:
+            out = out.drop(drop_cluster_col)
+        out.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
+    elif drop_cluster_col:
         # synthetic cluster key (z-order): sort by it, then project it
         # away before the write — a projection never reorders rows
         from pyspark.sql import functions as F
@@ -2962,9 +2994,17 @@ def compact_snapshot(
     what the streaming CDC/ingest paths should run periodically —
     their micro-batch appends are exactly the small files this merges.
 
-    Returns {version, files_compacted, rows_compacted}; a no-op (fewer
-    than two small files) returns {"files_compacted": 0} without a
-    version bump.
+    Hive-partitioned layouts compact PER PARTITION DIRECTORY (r10):
+    each directory holding ≥2 small files merges into one stamped file
+    INSIDE that directory (the partition value lives in the dir name —
+    merging across directories would drop it), fragmented partitions
+    compact in parallel under one atomic commit, and healthy
+    partitions stay byte-identical. This subsumes the nightly
+    maintenance job a dt=-partitioned ingest table needs.
+
+    Returns {version, files_compacted, rows_compacted,
+    partitions_compacted}; a no-op (no directory with two small files)
+    returns {"files_compacted": 0} without a version bump.
 
     Concurrency (r9): on a versioned table, inputs come from the HEAD
     SNAPSHOT (byte sizes straight off the manifest — no stat calls —
@@ -2994,66 +3034,111 @@ def compact_snapshot(
                 f"snapshot file(s) unresolvable (vacuumed?): {gone[:3]}"
             )
         rels = [rel for rel, _ in entries]
-        small_rels = [rel for rel, b in entries if b < small_bytes]
-        small = [resolved[rel] for rel in small_rels]
     else:
         all_files = _data_files(path)
-        rels = [os.path.relpath(f, path) for f in all_files]
-        small = [f for f in all_files if os.path.getsize(f) < small_bytes]
-        small_rels = [os.path.relpath(f, path) for f in small]
-    if any(os.sep in rel or "/" in rel for rel in rels):
-        # hive-partitioned layout: merging across partition directories
-        # into one flat file would silently DROP the partition column —
-        # use sinks/compact.compact_dataset (partition-aware) instead.
+        entries = [
+            (os.path.relpath(f, path), os.path.getsize(f)) for f in all_files
+        ]
+        resolved = {rel: os.path.join(path, rel) for rel, _ in entries}
+        rels = [rel for rel, _ in entries]
+
+    # Hive-partitioned layouts compact PER PARTITION DIRECTORY (r10):
+    # merging across partitions would drop the partition column (its
+    # value lives in the directory name). A flat table is the
+    # degenerate single-partition ('') case of the same algorithm.
+    # Healthy partitions are untouched byte-for-byte — cost stays
+    # proportional to the fragmentation, never the table.
+    pcols = _partition_cols_of(rels)
+    if cluster_col is not None and cluster_col in pcols:
         raise ValueError(
-            "compact_snapshot supports flat layouts only; this dataset "
-            "has partition subdirectories — use sinks.compact.compact_dataset"
+            f"cluster_col {cluster_col!r} is a partition column — it is "
+            f"constant within each compacted directory; cluster on a "
+            f"data column or pass None"
         )
-    if len(small) < 2:
-        return {"files_compacted": 0, "rows_compacted": 0}
-
-    # logical read, not footer inference: on an evolved table the small
-    # files may disagree on columns/names, and a plain read would let
-    # one of them win and silently drop the others' columns
-    merged = read_table_logical(spark, path, files=small)
-    if cluster_col is not None:
-        # compaction is the cheapest moment to (re)establish clustering:
-        # the data is being rewritten anyway, so sorting it here buys
-        # tight zone maps for free (the OPTIMIZE ... ZORDER/ORDER idea).
-        from pyspark.sql import functions as F
-
-        merged = merged.sort(F.col(cluster_col))
-    rows = merged.count()
-    tmp_dir = os.path.join(path, f".compact.v{version}.{stamp}.staging")
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-    parts = [
-        p
-        for p in os.listdir(tmp_dir)
-        if p.endswith(".parquet") and not p.startswith((".", "_"))
+    groups: dict[str, list[str]] = {}
+    for rel, b in entries:
+        if b < small_bytes:
+            groups.setdefault(
+                os.path.dirname(rel).replace("\\", "/"), []
+            ).append(rel)
+    plan = [
+        (pdir, sorted(srels))
+        for pdir, srels in sorted(groups.items())
+        if len(srels) >= 2
     ]
-    # stamped name: racing maintenance jobs must never share an output
-    target_rel = f"part-compact-v{version}-{stamp}.parquet"
-    target = os.path.join(path, target_rel)
-    os.replace(os.path.join(tmp_dir, parts[0]), target)
-    crc = os.path.join(tmp_dir, f".{parts[0]}.crc")
-    if os.path.exists(crc):
-        os.replace(crc, os.path.join(path, f".{os.path.basename(target)}.crc"))
-    for rel in small_rels:
-        live = os.path.join(path, rel)
-        tomb = os.path.join(path, REMOVED_DIR, rel)
-        if not os.path.exists(live):
-            continue  # already tombstoned by a racer: conflict at commit
-        os.makedirs(os.path.dirname(tomb), exist_ok=True)
-        os.replace(live, tomb)
-        d, base = os.path.split(live)
-        old_crc = os.path.join(d, f".{base}.crc")
-        if os.path.exists(old_crc):
-            os.replace(old_crc, os.path.join(os.path.dirname(tomb), f".{base}.crc"))
-    shutil.rmtree(tmp_dir, ignore_errors=True)
+    if not plan:
+        return {
+            "files_compacted": 0,
+            "rows_compacted": 0,
+            "partitions_compacted": 0,
+        }
+
+    def compact_partition(args) -> tuple[int, str]:
+        """Merge one directory's small files into one stamped file
+        inside that directory; returns (rows, new relpath). Work is
+        independent per partition (own staging dir, atomic renames),
+        so the loop parallelizes — see _run_rewrites."""
+        idx, (pdir, srels) = args
+        files = [resolved[rel] for rel in srels]
+        # logical read, not footer inference: on an evolved table the
+        # small files may disagree on columns/names, and a plain read
+        # would let one win and silently drop the others' columns.
+        # Partition columns are excluded — they are not IN the files.
+        merged = read_table_logical(
+            spark, path, files=files, exclude_cols=pcols
+        )
+        if cluster_col is not None:
+            # compaction is the cheapest moment to (re)establish
+            # clustering: the data is rewritten anyway, so sorting here
+            # buys tight zone maps for free (OPTIMIZE ... ORDER).
+            from pyspark.sql import functions as F
+
+            merged = merged.sort(F.col(cluster_col))
+        rows = merged.count()
+        tmp_dir = os.path.join(
+            path, f".compact.v{version}.{stamp}.{idx}.staging"
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        parts = [
+            p
+            for p in os.listdir(tmp_dir)
+            if p.endswith(".parquet") and not p.startswith((".", "_"))
+        ]
+        # stamped name: racing maintenance jobs never share an output
+        name = f"part-compact-v{version}-{stamp}-{idx:04d}.parquet"
+        target_rel = f"{pdir}/{name}" if pdir else name
+        target = os.path.join(path, target_rel)
+        os.replace(os.path.join(tmp_dir, parts[0]), target)
+        crc = os.path.join(tmp_dir, f".{parts[0]}.crc")
+        if os.path.exists(crc):
+            os.replace(
+                crc, os.path.join(os.path.dirname(target), f".{name}.crc")
+            )
+        for rel in srels:
+            live = os.path.join(path, rel)
+            tomb = os.path.join(path, REMOVED_DIR, rel)
+            if not os.path.exists(live):
+                continue  # already tombstoned by a racer: conflict at commit
+            os.makedirs(os.path.dirname(tomb), exist_ok=True)
+            os.replace(live, tomb)
+            d, base = os.path.split(live)
+            old_crc = os.path.join(d, f".{base}.crc")
+            if os.path.exists(old_crc):
+                os.replace(
+                    old_crc,
+                    os.path.join(os.path.dirname(tomb), f".{base}.crc"),
+                )
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return rows, target_rel
+
+    results = _run_rewrites(compact_partition, list(enumerate(plan)))
+    rows = sum(r for r, _ in results)
+    added_rels = [rel for _, rel in results]
+    small_rels = [rel for _, srels in plan for rel in srels]
     if pending:
         manifest = commit_optimistic(
             path,
-            added=[target_rel],
+            added=added_rels,
             removed=small_rels,
             intent={
                 "op": "compact",
@@ -3068,6 +3153,7 @@ def compact_snapshot(
         manifest = write_versioned_manifest(path)
     return {
         "version": manifest["version"],
-        "files_compacted": len(small),
+        "files_compacted": len(small_rels),
         "rows_compacted": rows,
+        "partitions_compacted": len(plan),
     }

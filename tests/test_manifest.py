@@ -437,8 +437,9 @@ def test_compact_snapshot_reclusters(spark, duck, tmp_path):
 
 def test_lakehouse_edge_guards(spark, duck, tmp_path):
     """Edge cases that must fail loudly or no-op cleanly: empty MERGE
-    change set, vacuum(0), and compaction over a hive-partitioned
-    layout (which would silently drop the partition column)."""
+    change set, vacuum(0), per-partition compaction no-op on healthy
+    directories, and a cluster_col naming a partition column (constant
+    within each compacted directory — a user error)."""
     import pytest
 
     from data_pipeline_project_spark.sinks.manifest import (
@@ -469,9 +470,17 @@ def test_lakehouse_edge_guards(spark, duck, tmp_path):
     part = str(tmp_path / "p")
     spark.range(0, 100).select(
         F.col("id").alias("k"), (F.col("id") % 3).alias("shard")
-    ).write.partitionBy("shard").parquet(part)
-    with pytest.raises(ValueError, match="flat layouts"):
-        compact_snapshot(spark, part)
+    ).repartition(1).write.partitionBy("shard").parquet(part)
+    # one file per partition directory: nothing to merge anywhere
+    res = compact_snapshot(spark, part, small_bytes=1 << 30)
+    assert res == {
+        "files_compacted": 0, "rows_compacted": 0,
+        "partitions_compacted": 0,
+    }
+    with pytest.raises(ValueError, match="partition column"):
+        compact_snapshot(
+            spark, part, small_bytes=1 << 30, cluster_col="shard"
+        )
 
 
 def test_zone_map_pruning_scales_to_cdc_size_key_batches(spark, duck, tmp_path):
@@ -1219,3 +1228,44 @@ def test_table_health_flags_dv_pressure(spark, duck, tmp_path):
     h2 = table_health(duck, path, "k")
     assert h2["dv_dead_rows"] == 0
     assert "materialize_dv" not in {a["action"] for a in maintenance_plan(h2)}
+
+
+def test_maintenance_plan_names_fragmented_partitions(spark, duck, tmp_path):
+    """On a hive layout, table_health carries a per-partition
+    breakdown and the compact advice names exactly the directories the
+    per-partition compactor would touch."""
+    from data_pipeline_project_spark.sinks.layout import (
+        maintenance_plan,
+        table_health,
+    )
+    from data_pipeline_project_spark.sinks.manifest import (
+        append_snapshot,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("v"),
+        (F.col("id") % 4).cast("int").alias("shard"),
+    )
+    df.repartition(1).write.partitionBy("shard").parquet(path)
+    write_versioned_manifest(path)
+    # fragment shards 1 and 3
+    for k, shard in ((900, 1), (901, 1), (902, 3), (903, 3)):
+        append_snapshot(
+            spark, path,
+            spark.createDataFrame(
+                [(k, -1, shard)], "k long, v long, shard int"
+            ).coalesce(1),
+        )
+
+    h = table_health(duck, path, "k")
+    parts = h["partitions"]
+    assert set(parts) == {f"shard={s}" for s in range(4)}
+    assert parts["shard=1"]["n_files"] == 3  # 1 base + 2 appends
+    assert parts["shard=0"]["n_files"] == 1
+
+    plan = maintenance_plan(h)  # tiny files: compaction pressure
+    compact = [a for a in plan if a["action"] == "compact"][0]
+    assert compact["partitions"] == ["shard=1", "shard=3"]

@@ -11,9 +11,13 @@ Contracts under test:
 - merge on the partition column itself is refused loudly (its values
   live in directory names, not parquet footers — zone maps can't see
   it);
-- table-wide rewrites (merge_bulk / delete_bulk / rewrite_table /
-  compact_snapshot) refuse partitioned layouts loudly instead of
-  flattening the directories;
+- table-wide rewrites (merge_bulk / delete_bulk / rewrite_table) are
+  partition-aware (r10): output files land inside partition
+  directories, key-clustered within each, and partition-changing
+  updates migrate;
+- compact_snapshot compacts PER PARTITION (r10): only fragmented
+  directories are touched, healthy partitions stay byte-identical,
+  one atomic row_preserving commit covers all of them;
 - both change feeds (snapshot_changes and the tablechanges source)
   surface the partition columns, exactly like a basePath read;
 - partition PRUNING: a filter on the partition column reaches the
@@ -92,7 +96,10 @@ def test_partitioned_merge_updates_inserts_and_moves_rows(spark, duck, tmp_path)
     assert root_parquets == []
 
 
-def test_partition_column_key_and_bulk_ops_refused(spark, duck, tmp_path):
+def test_partition_column_merge_key_refused(spark, duck, tmp_path):
+    """Targeted merge on the partition column stays refused (its values
+    live in directory names, not parquet footers — zone maps can't
+    prune on it); bulk rewrites are partition-aware as of r10 (below)."""
     path = str(tmp_path / "t")
     _ptable(spark, path)
 
@@ -101,16 +108,179 @@ def test_partition_column_key_and_bulk_ops_refused(spark, duck, tmp_path):
             spark, duck, path, "shard",
             spark.createDataFrame([(1, 0, 0)], "k long, v long, shard int"),
         )
-    upd = spark.range(0, 5).select(
-        F.col("id").alias("k"), F.lit(0).alias("v"),
-        F.lit(0).cast("int").alias("shard"),
+
+
+def test_partitioned_bulk_merge_and_delete(spark, duck, tmp_path):
+    """merge_bulk / delete_bulk on a hive layout: every output file
+    lands INSIDE a partition directory, partition-changing updates
+    migrate, results match the targeted twin, partition pruning still
+    reaches the scan, and time travel spans the rewrite."""
+    import os
+
+    path = str(tmp_path / "t")
+    twin = str(tmp_path / "twin")
+    _ptable(spark, path)
+    _ptable(spark, twin)
+
+    # k=5 moves shard 1 -> 2; k=900 is an insert into shard 3
+    upd = spark.createDataFrame(
+        [(5, -1, 2), (6, -2, 2), (900, -3, 3)], "k long, v long, shard int"
     )
-    with pytest.raises(ValueError, match="partition"):
-        merge_bulk(spark, path, "k", upd)
-    with pytest.raises(ValueError, match="partition"):
-        delete_bulk(spark, path, "k", upd.select("k"))
-    with pytest.raises(ValueError, match="partition"):
-        rewrite_table(spark, path, "k")
+    res = merge_bulk(spark, path, "k", upd)
+    assert res["rows_updated"] == 2 and res["rows_inserted"] == 1
+    merge_upsert(spark, duck, twin, "k", upd)
+
+    live = read_version(spark, path)
+    want = sorted(
+        (r.k, r.v, r.shard) for r in read_version(spark, twin).collect()
+    )
+    assert sorted((r.k, r.v, r.shard) for r in live.collect()) == want
+    # no flat files at the root; the partition layout survived
+    root_files = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    assert root_files == []
+    assert {r.shard for r in live.where("k in (5, 6)").collect()} == {2}
+
+    # partition pruning still reaches the scan after the bulk rewrite
+    probe = read_version(spark, path).where("shard = 2")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+
+    dres = delete_bulk(
+        spark, path, "k",
+        spark.createDataFrame([(5,), (100,), (9999,)], "k long"),
+    )
+    assert dres["rows_deleted"] == 2
+    assert read_version(spark, path).count() == 399
+    # time travel across both bulk rewrites
+    assert read_version(spark, path, 1).count() == 400
+    assert {
+        r.shard for r in read_version(spark, path, 2).where("k = 5").collect()
+    } == {2}
+
+
+def test_partitioned_rewrite_table_and_zorder(spark, duck, tmp_path):
+    """rewrite_table on a hive layout materializes pending schema
+    changes and deletion vectors into per-partition, key-clustered
+    files; the z-order variant interleaves two data columns. Untouched
+    history still time-travels."""
+    import os
+
+    from data_pipeline_project_spark.sinks.manifest import (
+        drop_column,
+        read_manifest,
+        rename_column,
+        table_dv,
+    )
+
+    path = str(tmp_path / "t")
+    _ptable(spark, path)
+    rename_column(spark, path, "v", "val")
+    delete_rows_dv(
+        spark, duck, path, "k", spark.createDataFrame([(7,)], "k long")
+    )
+    assert table_dv(path)
+
+    res = rewrite_table(spark, path, "k", n_files=4)
+    assert res["rows"] == 399
+    assert table_dv(path) == []  # DV materialized away
+    live = read_version(spark, path)
+    assert set(live.columns) == {"k", "val", "shard"}
+    assert live.where("k = 7").count() == 0
+    root_files = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    assert root_files == []
+    # physical files now carry the logical name: a fresh footer read
+    # (no schema pin) of one partition dir shows 'val'
+    shard_dir = os.path.join(path, "shard=1")
+    assert "val" in spark.read.parquet(shard_dir).columns
+    # pre-rewrite versions still replay (v1 under the original name)
+    assert read_version(spark, path, 1).count() == 400
+
+    # z-order over (k, val) on the partitioned layout
+    res2 = rewrite_table(spark, path, ["k", "val"], n_files=4)
+    assert res2["rows"] == 399
+    assert read_version(spark, path).count() == 399
+    m = read_manifest(os.path.join(path, "_manifests", "latest.json"))
+    assert m["txn"]["whole_table"] is True
+    assert all("/" in f["path"] or os.sep in f["path"] for f in m["files"])
+
+
+def test_partitioned_compact_snapshot(spark, duck, tmp_path):
+    """Per-partition compaction: only directories with ≥2 small files
+    are touched (one merged file INSIDE each), healthy partitions stay
+    byte-identical, rows are preserved exactly, the commit is one
+    atomic row_preserving version, and pre-compaction versions still
+    time-travel. cluster_col naming a partition column is refused."""
+    import os
+
+    from data_pipeline_project_spark.sinks.manifest import (
+        append_snapshot,
+        compact_snapshot,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    _ptable(spark, path)
+    # fragment shards 0 and 2 with two tiny appends each
+    for k, shard in ((1000, 0), (1001, 0), (1002, 2), (1003, 2)):
+        append_snapshot(
+            spark, path,
+            spark.createDataFrame(
+                [(k, -k, shard)], "k long, v long, shard int"
+            ).coalesce(1),
+        )
+
+    def snap(shard):
+        d = os.path.join(path, f"shard={shard}")
+        return {
+            f: os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        }
+
+    before = {s: snap(s) for s in range(4)}
+    sizes = sorted(
+        b for s in range(4) for b in before[s].values()
+    )
+    n_before = read_version(spark, path).count()
+
+    with pytest.raises(ValueError, match="partition column"):
+        compact_snapshot(spark, path, small_bytes=1 << 30, cluster_col="shard")
+
+    res = compact_snapshot(spark, path, small_bytes=sizes[4] + 1,
+                           cluster_col="k")
+    # 2 small files + the original small-ish part in each fragmented
+    # shard dir may vary; at minimum both appended pairs merged
+    assert res["partitions_compacted"] >= 2
+    assert res["rows_compacted"] >= 4
+
+    after = {s: snap(s) for s in range(4)}
+    # every untouched partition is byte-identical
+    touched = {
+        d.split("=", 1)[1]
+        for d in read_manifest(
+            os.path.join(path, "_manifests", "latest.json")
+        )["txn"]["removed"]
+        for d in [os.path.dirname(d)]
+    }
+    for s in range(4):
+        if str(s) not in touched:
+            assert after[s] == before[s], f"shard {s} not byte-identical"
+    # rows preserved exactly; one compacted file per touched dir
+    assert read_version(spark, path).count() == n_before
+    live = {(r.k, r.v, r.shard) for r in read_version(spark, path).collect()}
+    assert (1000, -1000, 0) in live and (1003, -1003, 2) in live
+    # time travel to the fragmented state still works
+    assert read_version(spark, path, 5).count() == n_before
+    m = read_manifest(os.path.join(path, "_manifests", "latest.json"))
+    assert m["txn"]["op"] == "compact" and m["txn"]["row_preserving"]
 
 
 def test_partitioned_change_feeds_carry_partition_columns(spark, duck, tmp_path):
@@ -196,20 +366,54 @@ def test_partitioned_op_sequences_match_reference_model(spark, duck, tmp_path):
             assert live == model, f"seed {seed}: live state diverged"
 
         for _ in range(6):
-            op = rng.choice(["merge", "delete", "delete_dv"])
+            op = rng.choice(
+                ["merge", "delete", "delete_dv", "merge_bulk", "compact",
+                 "append"]
+            )
             keys = rng.sample(range(0, n + 40), rng.randrange(1, 6))
             v_before = snapshot_versions(path)[-1]
-            if op == "merge":
+            if op in ("merge", "merge_bulk"):
                 rows = [
                     (k, -rng.randrange(1, 50), rng.randrange(0, shards))
                     for k in keys
                 ]
-                merge_upsert(
-                    spark, duck, path, "k",
-                    spark.createDataFrame(rows, "k long, v long, shard int"),
+                upd = spark.createDataFrame(
+                    rows, "k long, v long, shard int"
                 )
+                if op == "merge_bulk":
+                    merge_bulk(spark, path, "k", upd)
+                else:
+                    merge_upsert(spark, duck, path, "k", upd)
                 for k, v, s in rows:
                     model[k] = (v, s)
+            elif op == "compact":
+                # per-partition compaction is row-preserving: model
+                # unchanged, but the version (when fragmented dirs
+                # existed) must replay identically
+                from data_pipeline_project_spark.sinks.manifest import (
+                    compact_snapshot,
+                )
+
+                compact_snapshot(spark, path, small_bytes=1 << 20)
+            elif op == "append":
+                from data_pipeline_project_spark.sinks.manifest import (
+                    append_snapshot,
+                )
+
+                new = [
+                    (k, -1, rng.randrange(0, shards))
+                    for k in keys
+                    if k not in model
+                ]
+                if new:
+                    append_snapshot(
+                        spark, path,
+                        spark.createDataFrame(
+                            new, "k long, v long, shard int"
+                        ).coalesce(1),
+                    )
+                    for k, v, s in new:
+                        model[k] = (v, s)
             elif op == "delete":
                 delete_rows_targeted(
                     spark, duck, path, "k",
