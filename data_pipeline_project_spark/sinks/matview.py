@@ -513,14 +513,34 @@ def view_status(view_path: str) -> dict:
 #   delete recomputes the touched groups from the pinned snapshot
 #   (still O(touched groups' facts), never the table).
 #
-# Aggregates that can never be incrementally retracted and are NOT
-# offered as view statistics: exact percentiles/medians (order
-# statistics need the full multiset — materialize the multiplicity
-# table and compute at read if needed), top-k heavy hitters (same),
-# and HLL/theta sketches under deletion (registers only grow — hence
-# the recompute path above). min/max sit in between: retractable with
-# a rescan only when a delete clips an extreme (the agg view's
-# _st_minmax_stale machinery).
+# THE MAINTENANCE-TIER TABLE (r10) — every view kind, its state, and
+# what each change type costs. "Churn groups" = groups the refresh
+# window touches; no tier ever rescans the table.
+#
+#   kind / mode          state                 insert        delete
+#   ------------------   -------------------   -----------   -----------
+#   agg (count/sum/       per-group monoid      fold O(churn) retract
+#   avg/min/max)          counters              rows)         O(churn), +
+#                                                             bounded
+#                                                             rescan only
+#                                                             when a
+#                                                             delete clips
+#                                                             a min/max
+#   distinct exact        per-(group, value)    fold +1       retract -1
+#                         multiplicity          (invertible monoid)
+#   distinct sketch       per-group HLL         fold (register recompute
+#                         registers             max-merge)    TOUCHED
+#                                                             groups only
+#   recompute (exact      the rendered result   recompute     recompute
+#   percentile / top-k /  per group + _st_rows  TOUCHED       TOUCHED
+#   any order statistic)                        groups        groups
+#
+# Order statistics need the full multiset — there is no fold and no
+# retract (a delta refresh is REFUSED loudly, see
+# refresh_recompute_view) — but the recompute is still bounded by the
+# churn's groups: the window names the touched groups, the pinned
+# snapshot is rescanned for THOSE groups only (semi-join prune), and
+# untouched groups' state rows are never read or written.
 # ---------------------------------------------------------------------------
 
 DISTINCT_SKETCH_THRESHOLD = 2_000_000
@@ -776,6 +796,181 @@ def read_distinct_view(
     )
 
 
+def create_recompute_view(
+    spark,
+    duck,
+    src_path: str,
+    view_path: str,
+    keys: list[str],
+    exprs: dict[str, str],
+    n_files: int = 4,
+    filter_sql: str | None = None,
+) -> dict:
+    """Materialize per-group ORDER STATISTICS (exact percentiles,
+    top-k, medians — any Spark SQL aggregate expression) as a
+    manifest table maintained from the source's change feed. These
+    aggregates have no fold and no retract (the full multiset decides
+    them), so maintenance is RECOMPUTE-ONLY — but bounded by churn:
+    the refresh rescans the pinned snapshot for the TOUCHED groups
+    only, never the table (see the tier table above).
+
+    ``exprs`` maps output column → aggregate SQL, e.g.
+    ``{"p50_v": "percentile(v, 0.5)", "top3": "slice(sort_array(
+    collect_list(v), false), 1, 3)"}``. NULL group keys are refused
+    (same contract as create_agg_view); ``filter_sql`` makes it a
+    filtered view. Returns {view_version, applied_src_version,
+    n_groups}."""
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+
+    src_versions = snapshot_versions(src_path)
+    if not src_versions:
+        raise ValueError(
+            f"source {src_path!r} has no snapshot manifest — commit one "
+            f"with write_versioned_manifest first"
+        )
+    if not exprs:
+        raise ValueError("exprs must name at least one aggregate")
+    clash = set(exprs) & (set(keys) | {GROUP_KEY, "_st_rows"})
+    if clash:
+        raise ValueError(f"output column(s) {sorted(clash)} collide")
+    src_v = src_versions[-1]
+    facts = read_version(spark, src_path, src_v)
+    if filter_sql:
+        facts = facts.where(filter_sql)
+    _check_no_null_keys(facts.select(*keys), keys, "the source")
+
+    state = _with_gk(_recompute_groups(facts, keys, exprs), keys)
+    n_groups = state.count()
+    if state.select(GROUP_KEY).distinct().count() != n_groups:
+        raise ValueError(
+            "xxhash64 group-key collision — extend the grouping key"
+        )
+    write_range_clustered(state, view_path, GROUP_KEY, n_files)
+    spec = {
+        "kind": "recompute",
+        "src": os.path.abspath(src_path),
+        "keys": list(keys),
+        "exprs": dict(exprs),
+        "filter_sql": filter_sql,
+    }
+    tmp = _spec_path(view_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(spec, fh, indent=1, sort_keys=True)
+    os.replace(tmp, _spec_path(view_path))
+    m = write_versioned_manifest(
+        view_path, extra={"matview": {"applied_src_version": src_v}}
+    )
+    return {
+        "view_version": m["version"],
+        "applied_src_version": src_v,
+        "n_groups": n_groups,
+    }
+
+
+def _recompute_groups(facts: DataFrame, keys: list[str], exprs: dict) -> DataFrame:
+    """One aggregation pass rendering every expression plus _st_rows
+    (live-row count: 0 marks a vanished group's tombstone state row)."""
+    return facts.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_st_rows"),
+        *[F.expr(e).alias(c) for c, e in sorted(exprs.items())],
+    )
+
+
+def refresh_recompute_view(
+    spark, duck, view_path: str, mode: str = "recompute",
+    feed_shards: int | None = None,
+) -> dict:
+    """Advance a recompute-only view to the source's latest committed
+    version: the change window names the TOUCHED groups (any change
+    type — order statistics treat inserts and deletes alike), the
+    pinned snapshot is rescanned for those groups only (semi-join
+    prune), vanished groups tombstone with _st_rows=0, and the state
+    upserts through the same atomic merge+watermark commit as every
+    view tier. ``mode='delta'`` is REFUSED loudly — there is no fold
+    for an order statistic; the refusal is the tier's honest contract,
+    not a missing feature. Cost: O(touched groups' facts), never the
+    table."""
+    if mode not in ("recompute", "auto"):
+        raise ValueError(
+            f"recompute-only view: mode must be 'recompute' (or 'auto'), "
+            f"got {mode!r} — order statistics (percentiles, top-k) have "
+            f"no incremental fold; the refresh rescans touched groups"
+        )
+    spec = read_spec(view_path)
+    if spec.get("kind") != "recompute":
+        raise ValueError(f"{view_path!r} is not a recompute-only view")
+    src, keys, exprs = spec["src"], spec["keys"], spec["exprs"]
+    filter_sql = spec.get("filter_sql")
+    applied = applied_src_version(view_path)
+    src_latest = (snapshot_versions(src) or [0])[-1]
+    if src_latest <= applied:
+        return {
+            "view_version": (snapshot_versions(view_path) or [0])[-1],
+            "applied_src_version": applied,
+            "state_rows_changed": 0,
+        }
+    stamp = {"matview": {"applied_src_version": src_latest}}
+    changes = _read_changes(spark, src, applied, src_latest, feed_shards)
+    if filter_sql:
+        changes = changes.where(filter_sql)
+    _check_no_null_keys(changes.select(*keys), keys, "the change feed")
+    touched = changes.select(*keys).distinct()
+
+    facts = read_version(spark, src, src_latest)
+    if filter_sql:
+        facts = facts.where(filter_sql)
+    fresh = _recompute_groups(
+        facts.join(touched, keys, "left_semi"), keys, exprs
+    )
+    current = read_version(spark, view_path)
+    cur_t = current.where(F.col("_st_rows") > 0).drop(GROUP_KEY).join(
+        touched, keys, "left_semi"
+    )
+    vanished = cur_t.select(*keys).join(fresh, keys, "left_anti")
+    expr_fields = [
+        f for f in fresh.schema.fields
+        if f.name not in keys and f.name != "_st_rows"
+    ]
+    tombs = vanished.select(
+        *keys,
+        F.lit(0).cast("long").alias("_st_rows"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in expr_fields],
+    )
+    final = _with_gk(fresh.unionByName(tombs), keys).localCheckpoint()
+    n_changed = final.count()
+    if n_changed == 0:
+        m = commit_metadata(view_path, extra=stamp)
+        view_v = m["version"]
+    else:
+        from data_pipeline_project_spark.sinks.manifest import merge_upsert
+
+        res = merge_upsert(
+            spark, duck, view_path, GROUP_KEY, final,
+            duck_type="BIGINT", rewrite="auto", commit_extra=stamp,
+        )
+        view_v = res["version"]
+    return {
+        "view_version": view_v,
+        "applied_src_version": src_latest,
+        "state_rows_changed": n_changed,
+    }
+
+
+def read_recompute_view(
+    spark, view_path: str, version: int | None = None
+) -> DataFrame:
+    """Render (keys..., expr cols...) for live groups — identical to
+    running the spec's aggregate expressions directly over the source
+    snapshot the view reflects."""
+    spec = read_spec(view_path)
+    if spec.get("kind") != "recompute":
+        raise ValueError(f"{view_path!r} is not a recompute-only view")
+    state = read_version(spark, view_path, version)
+    return state.where(F.col("_st_rows") > 0).select(
+        *spec["keys"], *sorted(spec["exprs"])
+    )
+
+
 def maintain_agg_view_stream(
     spark,
     duck,
@@ -784,13 +979,17 @@ def maintain_agg_view_stream(
     mode: str = "auto",
 ):
     """Continuous maintenance: the source's change feed is the trigger,
-    ``refresh_agg_view`` is the transactional unit. The stream's
-    micro-batch CONTENT is deliberately unused — refresh re-reads the
-    window under its own watermark, so a replayed trigger after a
-    checkpoint rollback is a no-op rather than a double-apply (the
-    watermark, not the stream offset, is what's exactly-once).
-    Returns the started query; ``q.refresh_results`` accumulates the
-    per-trigger refresh dicts."""
+    the view-kind's refresh function is the transactional unit — the
+    spec's ``kind`` dispatches (``distinct`` → refresh_distinct_view,
+    ``recompute`` → refresh_recompute_view, aggregate views →
+    refresh_agg_view; ``mode`` applies to the aggregate kind only —
+    distinct views pick fold vs recompute from the window's change
+    types, recompute views always rescan their touched groups). The stream's micro-batch CONTENT is
+    deliberately unused — refresh re-reads the window under its own
+    watermark, so a replayed trigger after a checkpoint rollback is a
+    no-op rather than a double-apply (the watermark, not the stream
+    offset, is what's exactly-once). Returns the started query;
+    ``q.refresh_results`` accumulates the per-trigger refresh dicts."""
     from data_pipeline_project_spark.sources.table_changes import (
         TableChangesDataSource,
     )
@@ -802,7 +1001,14 @@ def maintain_agg_view_stream(
     def _tick(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        results.append(refresh_agg_view(spark, duck, view_path, mode=mode))
+        if spec.get("kind") == "distinct":
+            results.append(refresh_distinct_view(spark, duck, view_path))
+        elif spec.get("kind") == "recompute":
+            results.append(refresh_recompute_view(spark, duck, view_path))
+        else:
+            results.append(
+                refresh_agg_view(spark, duck, view_path, mode=mode)
+            )
 
     q = (
         spark.readStream.format("tablechanges")

@@ -739,3 +739,192 @@ def test_distinct_view_auto_threshold_and_null_key_contract(
         create_distinct_view(
             spark, duck, nsrc, str(tmp_path / "v3"), ["g"], "val"
         )
+
+
+def test_streaming_maintenance_of_distinct_view(spark, duck, tmp_path):
+    """r10: maintain_agg_view_stream dispatches on the spec kind — a
+    distinct-count view gets the same tablechanges-triggered loop as
+    aggregate views. Insert-only windows FOLD; a delete-bearing window
+    recomputes touched groups; a restarted stream on the same
+    checkpoint consumes only new commits (replayed trigger = no-op)."""
+    from data_pipeline_project_spark.sinks.manifest import delete_rows_dv
+    from data_pipeline_project_spark.sinks.matview import (
+        applied_src_version,
+        create_distinct_view,
+        maintain_agg_view_stream,
+        read_distinct_view,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 17).cast("long").alias("val"),
+    )
+    write_range_clustered(df, src, "k", 3)
+    write_versioned_manifest(src)
+    res = create_distinct_view(spark, duck, src, view, ["g"], "val")
+    assert res["mode"] == "exact"
+
+    def oracle():
+        return _rows(
+            read_version(spark, src)
+            .where("val is not null")
+            .groupBy("g")
+            .agg(F.count_distinct("val").alias("n_distinct"))
+        )
+
+    # v2: insert-only commit -> the stream folds it
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame(
+            [(5000, 0, 999), (5001, 1, 1000)], "k long, g long, val long"
+        ),
+    )
+    q = maintain_agg_view_stream(spark, duck, view, ckpt)
+    q.awaitTermination(120)
+    assert q.refresh_results
+    assert q.refresh_results[-1]["applied_src_version"] == 2
+    assert q.refresh_results[-1]["mode"] == "exact"
+    assert _rows(read_distinct_view(spark, view)) == oracle()
+
+    # v3: a delete-bearing commit; restart on the SAME checkpoint —
+    # only the new commit is consumed and the view converges again
+    delete_rows_dv(
+        spark, duck, src, "k",
+        spark.createDataFrame([(5000,), (34,)], "k long"),
+    )
+    q2 = maintain_agg_view_stream(spark, duck, view, ckpt)
+    q2.awaitTermination(120)
+    assert applied_src_version(view) == 3
+    assert _rows(read_distinct_view(spark, view)) == oracle()
+
+    # replayed trigger with no new source commit: watermark no-op
+    q3 = maintain_agg_view_stream(spark, duck, view, ckpt)
+    q3.awaitTermination(120)
+    assert applied_src_version(view) == 3
+    assert _rows(read_distinct_view(spark, view)) == oracle()
+
+
+def test_recompute_view_percentiles_under_churn(spark, duck, tmp_path):
+    """r10 recompute-only tier: exact per-group percentiles + top-k
+    maintained under inserts, updates, DV deletes, and a group that
+    vanishes entirely — after every refresh the rendered view equals
+    the aggregate run directly over the committed snapshot. A 'delta'
+    refresh is refused loudly (order statistics cannot fold), and the
+    touched-group machinery keeps untouched groups' state rows
+    byte-identical."""
+    from data_pipeline_project_spark.sinks.manifest import delete_rows_dv
+    from data_pipeline_project_spark.sinks.matview import (
+        create_recompute_view,
+        read_recompute_view,
+        refresh_recompute_view,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        ((F.col("id") * 13) % 97).cast("long").alias("v"),
+    )
+    write_range_clustered(df, src, "k", 4)
+    write_versioned_manifest(src)
+
+    exprs = {
+        "p50_v": "percentile(v, 0.5)",
+        "top3_v": "slice(sort_array(collect_list(v), false), 1, 3)",
+    }
+    res = create_recompute_view(spark, duck, src, view, ["g"], exprs)
+    assert res["n_groups"] == 5
+
+    def oracle():
+        rows = (
+            read_version(spark, src)
+            .groupBy("g")
+            .agg(
+                F.expr(exprs["p50_v"]).alias("p50_v"),
+                F.expr(exprs["top3_v"]).alias("top3_v"),
+            )
+            .collect()
+        )
+        return sorted((r.g, r.p50_v, tuple(r.top3_v)) for r in rows)
+
+    def rendered():
+        rows = read_recompute_view(spark, view).collect()
+        return sorted((r.g, r.p50_v, tuple(r.top3_v)) for r in rows)
+
+    assert rendered() == oracle()
+
+    # churn: updates that shift one group's median + inserts
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame(
+            [(0, 0, 999), (5, 0, 998), (7000, 1, 997)],
+            "k long, g long, v long",
+        ),
+    )
+    r = refresh_recompute_view(spark, duck, view)
+    assert r["applied_src_version"] == 2
+    assert rendered() == oracle()
+
+    # DV delete that empties group 4 entirely -> tombstoned state row
+    g4_keys = [(int(k),) for k in range(400) if k % 5 == 4]
+    delete_rows_dv(
+        spark, duck, src, "k", spark.createDataFrame(g4_keys, "k long")
+    )
+    refresh_recompute_view(spark, duck, view)
+    assert rendered() == oracle()
+    assert {r.g for r in read_recompute_view(spark, view).collect()} == {
+        0, 1, 2, 3
+    }
+
+    # delta refusal pinned: the honest contract of the tier
+    with pytest.raises(ValueError, match="no incremental fold"):
+        refresh_recompute_view(spark, duck, view, mode="delta")
+
+    # no-op refresh stamps the watermark only
+    r2 = refresh_recompute_view(spark, duck, view)
+    assert r2["state_rows_changed"] == 0
+
+
+def test_streaming_maintenance_of_recompute_view(spark, duck, tmp_path):
+    """The stream loop dispatches kind='recompute' too: a committed
+    source change triggers a bounded touched-group rescan."""
+    from data_pipeline_project_spark.sinks.matview import (
+        applied_src_version,
+        create_recompute_view,
+        maintain_agg_view_stream,
+        read_recompute_view,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 31).cast("long").alias("v"),
+    )
+    write_range_clustered(df, src, "k", 3)
+    write_versioned_manifest(src)
+    create_recompute_view(
+        spark, duck, src, view, ["g"], {"p90_v": "percentile(v, 0.9)"}
+    )
+    merge_upsert(
+        spark, duck, src, "k",
+        spark.createDataFrame([(0, 0, 500)], "k long, g long, v long"),
+    )
+    q = maintain_agg_view_stream(spark, duck, view, ckpt)
+    q.awaitTermination(120)
+    assert applied_src_version(view) == 2
+    want = sorted(
+        (r.g, r.p90_v)
+        for r in read_version(spark, src)
+        .groupBy("g")
+        .agg(F.expr("percentile(v, 0.9)").alias("p90_v"))
+        .collect()
+    )
+    got = sorted(
+        (r.g, r.p90_v) for r in read_recompute_view(spark, view).collect()
+    )
+    assert got == want
