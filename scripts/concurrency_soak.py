@@ -1,16 +1,18 @@
 """Soak the optimistic-concurrency tier beyond its CI seeds.
 
-Each seed: a fresh range-clustered table, a random PAIR of writers
-drawn from the full optimistic op set — merge_upsert, delete_rows_dv,
-delete_rows_targeted(commit=True), compact_snapshot — on DISJOINT key
-windows, interleaved deterministically through the claim seam (writer
-A runs entirely inside writer B's commit window, so B always loses the
-CAS and exercises the rebase). The final head is compared against a
-sequential reference (same ops, one after the other, on a twin table):
-equality proves the rebase commutes. Every intermediate version is
-also replayed (time travel over interleaved commits).
+Each seed: a fresh range-clustered table and N=3 writers drawn from
+the full optimistic op set — merge_upsert, delete_rows_dv,
+delete_rows_targeted(commit=True), compact_snapshot, append_snapshot
+(r10) — on DISJOINT key windows, interleaved deterministically through
+the claim seam as a CHAIN: writer C's first claim runs writer B in
+full, whose first claim runs writer A in full, so commits land A, B, C
+with B rebasing once and C rebasing across BOTH (multi-commit rebase).
+The final head is compared against a sequential reference (same ops,
+same order, on a twin table): equality proves the rebases commute.
+Every intermediate version is also replayed (time travel over
+interleaved commits).
 
-Compaction pairs only with non-compaction ops (two compactions share
+Compaction appears at most once per seed (two compactions share
 removed files — a designed conflict, covered by CI's conflict tests).
 
 Usage: python scripts/concurrency_soak.py [n_seeds]
@@ -25,21 +27,20 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-class _InterposeOnce:
-    def __init__(self, run_a):
-        self.run_a = run_a
-        self.fired = False
-        self.inside = False
+class _InterposeChain:
+    """On each claim attempt of the CURRENTLY-running writer, pop and
+    run the next queued writer in full (which may itself trigger the
+    next pop — the nesting is what produces the A-inside-B-inside-C
+    interleaving). Once the stack drains, claims pass through."""
+
+    def __init__(self, runs):
+        self.stack = list(runs)  # popped last-first
 
     def __call__(self, version, mdir):
-        if self.fired or self.inside:
+        if not self.stack:
             return
-        self.fired = True
-        self.inside = True
-        try:
-            self.run_a()
-        finally:
-            self.inside = False
+        run = self.stack.pop()
+        run()
 
 
 def main():
@@ -49,6 +50,7 @@ def main():
     from data_pipeline_project_spark.sinks import manifest as M
     from data_pipeline_project_spark.sinks.layout import write_range_clustered
     from data_pipeline_project_spark.sinks.manifest import (
+        append_snapshot,
         compact_snapshot,
         delete_rows_dv,
         delete_rows_targeted,
@@ -58,7 +60,7 @@ def main():
         write_versioned_manifest,
     )
 
-    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 15
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -69,7 +71,7 @@ def main():
     duck = duckdb.connect()
     work = tempfile.mkdtemp(prefix="conc_soak_")
 
-    N, FILES = 800, 4
+    N, FILES = 900, 3
 
     def fresh(name, small_tail):
         """Range-clustered table; with small_tail, two tiny appended
@@ -87,13 +89,19 @@ def main():
         write_versioned_manifest(path)
         return path
 
-    def draw_op(rng, window, allow_compact):
-        kinds = ["merge", "dv", "delete"] + (["compact"] if allow_compact else [])
+    def draw_op(rng, window, fresh_base, allow_compact):
+        kinds = ["merge", "dv", "delete", "append"] + (
+            ["compact"] if allow_compact else []
+        )
         kind = rng.choice(kinds)
+        if kind == "append":
+            # brand-new keys, outside every window (inserts only)
+            n = rng.randrange(1, 4)
+            rows = [(fresh_base + i, -7) for i in range(n)]
+            return kind, rows
         keys = rng.sample(window, rng.randrange(1, 5))
         if kind == "merge":
-            rows = [(int(k), -rng.randrange(1, 50)) for k in keys]
-            return kind, rows
+            return kind, [(int(k), -rng.randrange(1, 50)) for k in keys]
         if kind == "compact":
             return kind, None
         return kind, [(int(k),) for k in keys]
@@ -103,6 +111,12 @@ def main():
             merge_upsert(
                 spark, duck, path, "k",
                 spark.createDataFrame(payload, "k long, v long"),
+            )
+        elif kind == "append":
+            append_snapshot(
+                spark, path,
+                spark.createDataFrame(payload, "k long, v long").coalesce(1),
+                key_col="k",
             )
         elif kind == "dv":
             delete_rows_dv(
@@ -115,45 +129,52 @@ def main():
                 spark.createDataFrame(payload, "k long"), commit=True,
             )
         else:
-            # threshold between the tiny appended singletons and the
-            # clustered quarter-table files
-            sizes = sorted(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            # threshold below the FILES clustered third-of-table files
+            # (the largest), from the committed head — the directory
+            # may hold a nested writer's in-flight parts
+            head = M.read_manifest(
+                os.path.join(path, "_manifests", "latest.json")
             )
-            compact_snapshot(spark, path, small_bytes=sizes[2] - 1)
+            sizes = sorted(e["bytes"] for e in head["files"])
+            compact_snapshot(spark, path, small_bytes=sizes[-FILES] - 1)
 
     failures = 0
-    for seed in range(300, 300 + n_seeds):
+    for seed in range(500, 500 + n_seeds):
         rng = random.Random(seed)
-        lo_window = list(range(0, N // 4))           # file 1's range
-        hi_window = list(range(3 * N // 4, N))       # file 4's range
-
-        kind_a, pay_a = draw_op(rng, lo_window, allow_compact=True)
-        kind_b, pay_b = draw_op(rng, hi_window, allow_compact=kind_a != "compact")
-        if kind_b == "compact" and kind_a == "compact":
-            kind_b = "merge"
-        small_tail = "compact" in (kind_a, kind_b)
+        windows = [
+            list(range(0, N // 3)),
+            list(range(N // 3, 2 * N // 3)),
+            list(range(2 * N // 3, N)),
+        ]
+        ops = []
+        compact_drawn = False
+        for i, window in enumerate(windows):
+            kind, pay = draw_op(
+                rng, window, 20_000 + 100 * i, allow_compact=not compact_drawn
+            )
+            compact_drawn = compact_drawn or kind == "compact"
+            ops.append((kind, pay))
+        small_tail = compact_drawn
 
         path = fresh(f"t{seed}", small_tail)
         ref = fresh(f"r{seed}", small_tail)
 
-        M._test_claim_interposer = _InterposeOnce(
-            lambda: run_op(path, kind_a, pay_a)
+        # chain: C (ops[2]) runs live; its claim fires B (ops[1]);
+        # B's claim fires A (ops[0]) — commit order A, B, C
+        M._test_claim_interposer = _InterposeChain(
+            [lambda: run_op(path, *ops[0]), lambda: run_op(path, *ops[1])]
         )
         try:
-            run_op(path, kind_b, pay_b)
+            run_op(path, *ops[2])
         finally:
             M._test_claim_interposer = None
 
-        run_op(ref, kind_a, pay_a)
-        run_op(ref, kind_b, pay_b)
+        for kind, pay in ops:
+            run_op(ref, kind, pay)
 
         live = sorted(map(tuple, read_version(spark, path).collect()))
         want = sorted(map(tuple, read_version(spark, ref).collect()))
         ok = live == want
-        # time travel: every interleaved version must still read
         replayable = True
         for v in snapshot_versions(path):
             try:
@@ -164,7 +185,9 @@ def main():
         status = "ok" if ok and replayable else "DIVERGED"
         if status != "ok":
             failures += 1
-        print(f"seed {seed}: {kind_a}+{kind_b} -> {status}")
+        names = "+".join(k for k, _ in ops)
+        print(f"seed {seed}: {names} -> {status} "
+              f"({len(snapshot_versions(path))} versions)")
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(ref, ignore_errors=True)
 

@@ -709,3 +709,105 @@ def test_metadata_commit_coexists_with_writers(spark, duck, tmp_path):
     live = read_version(spark, path)
     assert live.count() == 1000
     assert {r.v for r in live.where("k = 5").collect()} == {-1}
+
+
+def test_retry_exhaustion_fails_loudly_and_recovers(spark, duck, tmp_path):
+    """Contention beyond MAX_COMMIT_RETRIES: a writer that loses the
+    CAS on every attempt (a commuting append lands in each of its
+    claim windows) exhausts its retries and raises the race-loss
+    ConcurrentSnapshotError — loudly, never a silent partial commit —
+    and recover + rerun converges with every append intact."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        MAX_COMMIT_RETRIES,
+        append_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+
+    class _AlwaysLose:
+        """Commit a commuting (inserts-only) append inside EVERY claim
+        window of the writer under test, so it can rebase but never
+        win the CAS."""
+
+        def __init__(self):
+            self.inside = False
+            self.count = 0
+
+        def __call__(self, version, mdir):
+            if self.inside:
+                return
+            self.inside = True
+            try:
+                append_snapshot(
+                    spark, path,
+                    _updates(
+                        spark, [(10_000 + self.count, -1)]
+                    ).coalesce(1),
+                )
+                self.count += 1
+            finally:
+                self.inside = False
+
+    loser = _AlwaysLose()
+    M._test_claim_interposer = loser
+    with pytest.raises(ConcurrentSnapshotError, match="lost the commit race"):
+        merge_upsert(spark, duck, path, "k", _updates(spark, [(5, -1)]))
+    M._test_claim_interposer = None
+    assert loser.count == MAX_COMMIT_RETRIES
+
+    # the loser's staged output is uncommitted; recovery quarantines it
+    # and the rerun lands on top of every append
+    recover_to_last_manifest(path)
+    res = merge_upsert(spark, duck, path, "k", _updates(spark, [(5, -1)]))
+    assert res["version"] == 1 + MAX_COMMIT_RETRIES + 1
+    live = read_version(spark, path)
+    assert live.count() == 1000 + MAX_COMMIT_RETRIES
+    assert {r.v for r in live.where("k = 5").collect()} == {-1}
+    assert live.where("k >= 10000").count() == MAX_COMMIT_RETRIES
+
+
+def test_real_three_thread_race_converges(spark, duck, tmp_path):
+    """Three genuine threads — a merge, a DV delete, and a keyed
+    append on disjoint key spaces — no interposer: all three commit
+    (in whatever CAS order), and the head shows all three effects."""
+    from data_pipeline_project_spark.sinks.manifest import append_snapshot
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    barrier = threading.Barrier(3)
+    results, errors = {}, []
+
+    def run(name, fn):
+        try:
+            barrier.wait(timeout=60)
+            results[name] = fn()
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errors.append((name, e))
+
+    threads = [
+        threading.Thread(target=run, args=("merge", lambda: merge_upsert(
+            spark, duck, path, "k",
+            _updates(spark, [(int(k), -1) for k in range(0, 20)]),
+        ))),
+        threading.Thread(target=run, args=("dv", lambda: delete_rows_dv(
+            spark, duck, path, "k",
+            spark.createDataFrame([(990,), (991,)], "k long"),
+        ))),
+        threading.Thread(target=run, args=("append", lambda: append_snapshot(
+            spark, path,
+            _updates(spark, [(12_000, -12)]).coalesce(1), key_col="k",
+        ))),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errors, errors
+    assert {r["version"] for r in results.values()} == {2, 3, 4}
+
+    live = read_version(spark, path)
+    assert live.count() == 1000 - 2 + 1
+    assert live.where("k < 20 and v != -1").count() == 0
+    assert live.where("k in (990, 991)").count() == 0
+    assert {r.v for r in live.where("k = 12000").collect()} == {-12}
