@@ -1708,25 +1708,14 @@ def append_snapshot(
             f"target {sorted(target_cols)} (column ADDs go through "
             f"merge_upsert(schema_evolution=True))"
         )
+    if key_col is not None and key_col not in target_cols:
+        raise ValueError(f"no such key column {key_col!r}")
     df = df.select(
         *[
             F.col(f.name).cast(f.dataType).alias(f.name)
             for f in target_schema.fields
         ]
     )
-    if df.limit(1).count() == 0:
-        return {
-            "version": base_version,
-            "files_added": 0,
-            "rows_appended": 0,
-        }
-    krange = None
-    if key_col is not None:
-        if key_col not in target_cols:
-            raise ValueError(f"no such key column {key_col!r}")
-        krange = df.agg(
-            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-        ).collect()[0]
 
     version = base_version + 1  # optimistic: a rebase may commit higher
     stamp = _uuid.uuid4().hex[:8]
@@ -1736,18 +1725,43 @@ def append_snapshot(
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(staging)
-    # drop zero-row parts before move-in (an input partition that held
-    # no rows still emits a part file) — appends are the op that runs
-    # thousands of times a day, so empty-file pollution compounds
+    # One footer sweep does triple duty — an append must stay CHEAP
+    # (it is the op that runs thousands of times a day), so emptiness
+    # and the row count come from the staged footers instead of extra
+    # Spark jobs over the input: drop zero-row parts (an input
+    # partition that held no rows still emits one — empty-file
+    # pollution compounds), and total the appended rows.
+    rows = 0
     for sroot, _dirs, sfiles in os.walk(staging):
         for p in sfiles:
             if p.endswith(".parquet") and not p.startswith((".", "_")):
                 fp = os.path.join(sroot, p)
-                if pq.read_metadata(fp).num_rows == 0:
+                n = pq.read_metadata(fp).num_rows
+                rows += n
+                if n == 0:
                     os.unlink(fp)
                     crc = os.path.join(sroot, f".{p}.crc")
                     if os.path.exists(crc):
                         os.unlink(crc)
+    if rows == 0:
+        import shutil as _sh
+
+        _sh.rmtree(staging, ignore_errors=True)
+        return {
+            "version": base_version,
+            "files_added": 0,
+            "rows_appended": 0,
+        }
+    krange = None
+    if key_col is not None:
+        # range from the STAGED bytes, not the input plan — the input
+        # may be an expensive query the staging write already executed
+        # once; re-running it for min/max would double its cost.
+        # (Partition discovery on the staged dirs restores hive
+        # partition columns, so a partition-column key works too.)
+        krange = spark.read.parquet(staging).agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
     added = _move_staged_parts(
         path, staging, lambda i: f"append-v{version}-{stamp}-{i:05d}.parquet"
     )
@@ -1771,9 +1785,6 @@ def append_snapshot(
         intent=intent,
         base_version=base_version,
         extra=commit_extra,
-    )
-    rows = sum(
-        pq.read_metadata(os.path.join(path, r)).num_rows for r in added
     )
     return {
         "version": manifest["version"],
