@@ -56,16 +56,37 @@ def write_range_clustered(
 
 
 def zorder_key(cols: list, mins: list, maxs: list, bits: int = 8):
-    """Z-value (Morton code) expression over numeric columns: each
-    column min-max-scales to a ``bits``-bit bucket, then bucket bits
-    interleave — nearby points in ANY dimension get nearby z-values.
-    Pure JVM bit arithmetic (shiftleft/or chain built statically), no
-    UDF. ``mins``/``maxs`` come from one tiny agg over the data (or
-    table stats at warehouse scale)."""
+    """Z-value (Morton code) expression: each column min-max-scales to
+    a ``bits``-bit bucket, then bucket bits interleave — nearby points
+    in ANY dimension get nearby z-values. Pure JVM bit arithmetic
+    (shiftleft/or chain built statically), no UDF. ``mins``/``maxs``
+    come from one tiny agg over the data (or table stats at warehouse
+    scale).
+
+    Column types (r10): numerics scale directly; strings, dates, and
+    timestamps go through the manifest layer's order-preserving int64
+    rank first (7-byte big-endian prefix / epoch days / epoch micros —
+    the same rank zone-map pruning buckets with), so OPTIMIZE ZORDER
+    works on e.g. (country_code, event_ts). Rank spans can exceed
+    2^53, where the double-precision scale rounds a few ULPs — that
+    only nudges BUCKET boundaries, and bucketing is a clustering
+    heuristic: zone-map pruning stays exact regardless."""
+    import datetime
+
+    from data_pipeline_project_spark.sinks.manifest import (
+        _rank_expr,
+        _rank_py,
+    )
+
     n = len(cols)
     top = (1 << bits) - 1
     buckets = []
     for c, lo, hi in zip(cols, mins, maxs):
+        if isinstance(lo, (str, datetime.date)) and not isinstance(
+            lo, bool
+        ):  # datetime.datetime subclasses date
+            c = _rank_expr(c, lo)
+            lo, hi = _rank_py(lo), _rank_py(hi)
         span = float(hi - lo) or 1.0
         b = F.floor((c.cast("double") - float(lo)) / span * top).cast("bigint")
         buckets.append(F.greatest(F.least(b, F.lit(top)), F.lit(0)))

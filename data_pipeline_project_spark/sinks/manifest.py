@@ -96,16 +96,16 @@ def _rank_py(v):
     raise TypeError(f"no bucket rank for zone-map stat type {type(v)}")
 
 
-def _rank_expr(key_col: str, sample):
+def _rank_expr(key_col, sample):
     """The Spark expression computing the SAME rank as _rank_py for the
-    key column — pure built-ins (encode/substring/hex/rpad/conv for
-    strings, datediff for dates), so the key side stays whole-stage
-    codegen with no UDF."""
+    key column (a name or a Column) — pure built-ins (encode/substring/
+    hex/rpad/conv for strings, unix_micros for timestamps, datediff for
+    dates), so the key side stays whole-stage codegen with no UDF."""
     import datetime
 
     from pyspark.sql import functions as F
 
-    c = F.col(key_col)
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
     if isinstance(sample, int):
         return c.cast("bigint")
     if isinstance(sample, datetime.datetime):
@@ -940,6 +940,41 @@ def write_versioned_manifest(
         json.dump(manifest, fh, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(mdir, "latest.json"))
     return manifest
+
+
+def table_history(path: str, limit: int | None = None) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per snapshot version, newest first —
+    the operation (from the commit's txn intent; listing-based
+    bootstraps surface as 'bootstrap'), file/row totals, churn summary
+    (removed-file and DV-target counts, schema-change / whole-table
+    flags), and the application metadata that rode the commit (matview
+    watermarks, streaming batch stamps). Pure manifest-JSON reads —
+    no data I/O, O(limit) when a limit is given. The audit view an
+    operator reads before trusting, vacuuming, or debugging a table."""
+    out = []
+    for v in reversed(snapshot_versions(path)):
+        m = read_manifest(os.path.join(path, "_manifests", f"v{v}.json"))
+        txn = m.get("txn") or {}
+        entry = {
+            "version": v,
+            "op": txn.get("op", "bootstrap"),
+            "n_files": m["n_files"],
+            "total_rows": m["total_rows"],
+            "files_removed": len(txn.get("removed") or []),
+            "dv_targets": len(txn.get("dv_targets") or []),
+            "schema_change": bool(txn.get("schema_change")),
+            "whole_table": bool(txn.get("whole_table")),
+        }
+        if txn.get("key_col") is not None:
+            entry["key_range"] = [
+                txn.get("key_col"), txn.get("key_min"), txn.get("key_max")
+            ]
+        if m.get("app"):
+            entry["app"] = m["app"]
+        out.append(entry)
+        if limit is not None and len(out) >= limit:
+            break
+    return out
 
 
 def snapshot_versions(path: str) -> list[int]:
@@ -2545,9 +2580,10 @@ def rewrite_table(
     interleaves them with a Z-ORDER key (sinks/layout.zorder_key) so
     zone maps prune on EVERY listed dimension — the multi-dimensional
     OPTIMIZE ZORDER BY, folded into the same maintenance pass that
-    materializes deletion vectors and pending schema changes. Integer
-    or orderable-numeric columns only (the z-key quantizes per-column
-    min/max into bit-interleaved buckets)."""
+    materializes deletion vectors and pending schema changes. Numeric,
+    string, date, and timestamp columns all z-order (non-numerics map
+    through the same order-preserving int64 rank zone-map pruning
+    uses — see layout.zorder_key)."""
     old_files = _data_files(path)
     pending = snapshot_versions(path)
     version = (pending[-1] + 1) if pending else 1

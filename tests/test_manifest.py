@@ -1269,3 +1269,91 @@ def test_maintenance_plan_names_fragmented_partitions(spark, duck, tmp_path):
     plan = maintenance_plan(h)  # tiny files: compaction pressure
     compact = [a for a in plan if a["action"] == "compact"][0]
     assert compact["partitions"] == ["shard=1", "shard=3"]
+
+
+def test_table_history_describes_every_commit(spark, duck, tmp_path):
+    """DESCRIBE HISTORY: one entry per version, newest first, naming
+    the op from the txn intent (bootstrap for listing-based first
+    commits), churn summary, key ranges, and app metadata."""
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        append_snapshot,
+        compact_snapshot,
+        delete_rows_dv,
+        merge_upsert,
+        rename_column,
+        table_history,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    write_range_clustered(df, path, "k", 3)
+    write_versioned_manifest(path)                                   # v1
+    merge_upsert(
+        spark, duck, path, "k",
+        spark.createDataFrame([(5, -1)], "k long, v long"),
+        commit_extra={"job": "nightly"},
+    )                                                                # v2
+    append_snapshot(
+        spark, path,
+        spark.createDataFrame([(900, -9)], "k long, v long").coalesce(1),
+        key_col="k",
+    )                                                                # v3
+    delete_rows_dv(
+        spark, duck, path, "k", spark.createDataFrame([(7,)], "k long")
+    )                                                                # v4
+    compact_snapshot(spark, path, small_bytes=1 << 10)               # v5 (maybe)
+    rename_column(spark, path, "v", "val")                           # v6
+
+    hist = table_history(path)
+    assert [h["version"] for h in hist] == sorted(
+        (h["version"] for h in hist), reverse=True
+    )
+    by_op = {h["op"]: h for h in hist}
+    assert by_op["bootstrap"]["version"] == 1
+    assert by_op["merge_upsert"]["app"] == {"job": "nightly"}
+    assert by_op["merge_upsert"]["files_removed"] >= 1
+    assert by_op["append"]["key_range"] == ["k", 900, 900]
+    assert by_op["delete_rows_dv"]["dv_targets"] >= 1
+    assert by_op["rename_column"]["schema_change"] is True
+    assert all(
+        h["total_rows"] >= 0 and h["n_files"] >= 1 for h in hist
+    )
+    # limit=2 returns only the two newest
+    assert len(table_history(path, limit=2)) == 2
+
+
+def test_rewrite_table_zorder_on_string_timestamp(spark, duck, tmp_path):
+    """r10: OPTIMIZE ZORDER over (string, timestamp) — the rank-mapped
+    z-key rewrites cleanly, rows survive exactly, and both dimensions'
+    zone maps become selective."""
+    from data_pipeline_project_spark.sinks.layout import file_zone_maps
+    from data_pipeline_project_spark.sinks.manifest import (
+        read_version,
+        rewrite_table,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    side = 60
+    df = spark.range(0, side * side).select(
+        F.col("id").alias("k"),
+        F.format_string("c%04d", F.col("id") % side).alias("cc"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + (F.col("id") / side).cast("long") * 86_400_000_000
+        ).alias("ts"),
+    )
+    df.repartition(6).write.parquet(path)
+    write_versioned_manifest(path)
+
+    res = rewrite_table(spark, path, ["cc", "ts"], n_files=16)
+    assert res["rows"] == side * side
+    assert read_version(spark, path).count() == side * side
+
+    zc = file_zone_maps(duck, path, "cc", "VARCHAR")
+    hit_c = sum(1 for _, mn, mx in zc if mn <= "c0015" and "c0005" <= mx)
+    assert hit_c <= 10, hit_c  # selective, not 16/16
