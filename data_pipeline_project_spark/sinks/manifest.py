@@ -923,6 +923,9 @@ def write_versioned_manifest(
     os.close(fd)
     manifest = write_manifest(path, vpath)
     manifest["version"] = version
+    import time as _time
+
+    manifest["committed_at"] = int(_time.time() * 1000)
     if extra:
         manifest["app"] = extra
     if schema_json is not None:
@@ -958,6 +961,7 @@ def table_history(path: str, limit: int | None = None) -> list[dict]:
         entry = {
             "version": v,
             "op": txn.get("op", "bootstrap"),
+            "committed_at": m.get("committed_at"),
             "n_files": m["n_files"],
             "total_rows": m["total_rows"],
             "files_removed": len(txn.get("removed") or []),
@@ -1245,12 +1249,15 @@ def commit_optimistic(
                 }
             )
         files.sort(key=lambda f: f["path"])
+        import time as _time
+
         manifest = {
             "root": os.path.abspath(path),
             "n_files": len(files),
             "total_rows": sum(f["rows"] for f in files),
             "files": files,
             "version": version,
+            "committed_at": int(_time.time() * 1000),
             "txn": intent,
         }
         if schema_json is not None:
@@ -1306,10 +1313,51 @@ def commit_metadata(path: str, extra: dict | None = None) -> dict:
     )
 
 
-def read_version(spark, path: str, version: int | None = None) -> DataFrame:
+def version_as_of(path: str, ts) -> int:
+    """The newest snapshot version committed AT OR BEFORE ``ts`` —
+    Delta's ``timestampAsOf`` resolution. ``ts`` may be a datetime
+    (naive = UTC), an ISO-8601 string, or epoch seconds. Every commit
+    records ``committed_at`` (epoch millis, r10); manifests from older
+    tables without the field count as infinitely old (always
+    eligible). Raises ValueError when the table's first commit is
+    already later than ``ts``."""
+    import datetime
+
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        ts = ts.timestamp()
+    ms = int(float(ts) * 1000)
+    mdir = os.path.join(path, "_manifests")
+    best = None
+    for v in snapshot_versions(path):
+        ca = read_manifest(os.path.join(mdir, f"v{v}.json")).get(
+            "committed_at", 0
+        )
+        if ca <= ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no snapshot of {path!r} committed at or before {ts}"
+        )
+    return best
+
+
+def read_version(
+    spark, path: str, version: int | None = None, as_of=None
+) -> DataFrame:
     """Time travel: read the dataset as of snapshot ``version`` (None =
-    latest). A version whose files were since compacted away fails
-    loudly via read_snapshot's missing-file check."""
+    latest), or as of a wall-clock instant via ``as_of`` (datetime /
+    ISO string / epoch seconds — resolved through version_as_of; the
+    two selectors are mutually exclusive). A version whose files were
+    since compacted away fails loudly via read_snapshot's missing-file
+    check."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = version_as_of(path, as_of)
     mdir = os.path.join(path, "_manifests")
     name = "latest.json" if version is None else f"v{version}.json"
     mpath = os.path.join(mdir, name)
@@ -2717,10 +2765,13 @@ def clone_snapshot(
             max_retries=1,
         )
     else:
+        import time as _time
+
         dmdir = os.path.join(dst_path, "_manifests")
         os.makedirs(dmdir, exist_ok=True)
         manifest = dict(src_manifest)
         manifest["version"] = 1
+        manifest["committed_at"] = int(_time.time() * 1000)
         manifest["cloned_from"] = {
             "root": src_manifest["root"],
             "version": src_version,
@@ -2856,7 +2907,12 @@ def read_with_schema_evolution(
     return df
 
 
-def vacuum(path: str, keep_versions: int = 2, purge_quarantine: bool = False) -> dict:
+def vacuum(
+    path: str,
+    keep_versions: int = 2,
+    purge_quarantine: bool = False,
+    dry_run: bool = False,
+) -> dict:
     """Reclaim retention space: keep the newest ``keep_versions``
     snapshot manifests, delete older manifest JSONs, and delete every
     ``_removed/`` tombstone file that no KEPT manifest references.
@@ -2865,8 +2921,12 @@ def vacuum(path: str, keep_versions: int = 2, purge_quarantine: bool = False) ->
     ``purge_quarantine=True`` also empties ``_quarantine/`` (crash
     recovery parks uncommitted writer output there for inspection, and
     nothing else ever deletes it — vacuum is the retention decision
-    point, so it is the explicit opt-in to discard). Returns
-    {versions_dropped, tombstones_deleted, quarantine_purged}."""
+    point, so it is the explicit opt-in to discard).
+    ``dry_run=True`` (r10) computes the same report while deleting
+    NOTHING — what an operator reads before an irreversible retention
+    decision (vacuum is the one op here that destroys bytes). Returns
+    {versions_dropped, tombstones_deleted, dv_deleted,
+    quarantine_purged, dry_run}."""
     import shutil
 
     if keep_versions < 1:
@@ -2882,8 +2942,9 @@ def vacuum(path: str, keep_versions: int = 2, purge_quarantine: bool = False) ->
         m = read_manifest(os.path.join(mdir, f"v{v}.json"))
         referenced |= {f["path"] for f in m["files"]}
         dv_referenced |= set(m.get("dv") or [])
-    for v in dropped:
-        os.remove(os.path.join(mdir, f"v{v}.json"))
+    if not dry_run:
+        for v in dropped:
+            os.remove(os.path.join(mdir, f"v{v}.json"))
 
     dv_deleted = 0
     dv_root = os.path.join(path, DV_DIR)
@@ -2891,7 +2952,8 @@ def vacuum(path: str, keep_versions: int = 2, purge_quarantine: bool = False) ->
         for f in os.listdir(dv_root):
             rel = f"{DV_DIR}/{f}"
             if f.endswith(".parquet") and rel not in dv_referenced:
-                os.remove(os.path.join(dv_root, f))
+                if not dry_run:
+                    os.remove(os.path.join(dv_root, f))
                 dv_deleted += 1
 
     tomb_root = os.path.join(path, REMOVED_DIR)
@@ -2905,14 +2967,15 @@ def vacuum(path: str, keep_versions: int = 2, purge_quarantine: bool = False) ->
                     data_rel = os.path.join(
                         os.path.dirname(rel), f[1:-len(".crc")]
                     )
-                    if data_rel not in referenced:
+                    if data_rel not in referenced and not dry_run:
                         os.remove(full)
                         continue
                     continue
                 if rel not in referenced:
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     deleted += 1
-            if not os.listdir(root):
+            if not dry_run and not os.listdir(root):
                 shutil.rmtree(root, ignore_errors=True)
 
     purged = 0
@@ -2924,12 +2987,14 @@ def vacuum(path: str, keep_versions: int = 2, purge_quarantine: bool = False) ->
             for f in fs
             if f.endswith(".parquet")
         )
-        shutil.rmtree(qroot, ignore_errors=True)
+        if not dry_run:
+            shutil.rmtree(qroot, ignore_errors=True)
     return {
         "versions_dropped": len(dropped),
         "tombstones_deleted": deleted,
         "dv_deleted": dv_deleted,
         "quarantine_purged": purged,
+        "dry_run": dry_run,
     }
 
 

@@ -1357,3 +1357,74 @@ def test_rewrite_table_zorder_on_string_timestamp(spark, duck, tmp_path):
     zc = file_zone_maps(duck, path, "cc", "VARCHAR")
     hit_c = sum(1 for _, mn, mx in zc if mn <= "c0015" and "c0005" <= mx)
     assert hit_c <= 10, hit_c  # selective, not 16/16
+
+
+def test_time_travel_by_timestamp_and_vacuum_dry_run(spark, duck, tmp_path):
+    """r10: every commit records committed_at (epoch millis);
+    read_version(as_of=...) resolves the newest snapshot at or before
+    the instant (datetime, ISO string, or epoch seconds), and
+    table_history surfaces the timestamps. vacuum(dry_run=True)
+    reports exactly what the real run would delete while deleting
+    nothing."""
+    import time
+
+    import pytest
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        merge_upsert,
+        read_version,
+        snapshot_versions,
+        table_history,
+        vacuum,
+        version_as_of,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    write_range_clustered(df, path, "k", 3)
+    write_versioned_manifest(path)                     # v1
+    t_after_v1 = time.time()
+    time.sleep(1.1)
+    merge_upsert(
+        spark, duck, path, "k",
+        spark.createDataFrame([(5, -1), (900, -2)], "k long, v long"),
+    )                                                  # v2
+    t_after_v2 = time.time()
+
+    assert version_as_of(path, t_after_v1) == 1
+    assert version_as_of(path, t_after_v2) == 2
+    assert read_version(spark, path, as_of=t_after_v1).count() == 300
+    assert read_version(spark, path, as_of=t_after_v2).count() == 301
+    # datetime and ISO-string forms resolve identically
+    import datetime
+
+    dt = datetime.datetime.fromtimestamp(
+        t_after_v1, tz=datetime.timezone.utc
+    )
+    assert version_as_of(path, dt) == 1
+    assert version_as_of(path, dt.isoformat()) == 1
+    with pytest.raises(ValueError, match="at or before"):
+        version_as_of(path, t_after_v1 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        read_version(spark, path, version=1, as_of=t_after_v1)
+    hist = table_history(path)
+    stamps = [h["committed_at"] for h in hist]
+    assert all(isinstance(c, int) for c in stamps)
+    assert stamps == sorted(stamps, reverse=True)
+
+    # dry-run reports, deletes nothing; the real run matches
+    before_versions = snapshot_versions(path)
+    dry = vacuum(path, keep_versions=1, dry_run=True)
+    assert dry["dry_run"] and dry["versions_dropped"] == 1
+    assert dry["tombstones_deleted"] >= 1
+    assert snapshot_versions(path) == before_versions        # intact
+    assert read_version(spark, path, 1).count() == 300       # still reads
+    real = vacuum(path, keep_versions=1)
+    assert real["versions_dropped"] == dry["versions_dropped"]
+    assert real["tombstones_deleted"] == dry["tombstones_deleted"]
+    assert real["dv_deleted"] == dry["dv_deleted"]
+    assert snapshot_versions(path) == [2]
