@@ -2681,9 +2681,17 @@ def rewrite_table(
 
 
 def clone_snapshot(
-    src_path: str, dst_path: str, version: int | None = None, deep: bool = False
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    deep: bool = False,
+    as_of=None,
 ) -> dict:
     """Clone a pinned snapshot into a new table (Delta/Iceberg CLONE).
+    The source snapshot is picked by ``version`` or by wall-clock
+    instant via ``as_of`` (resolved through version_as_of; mutually
+    exclusive) — "clone the table as it was before yesterday's bad
+    backfill" without knowing the version number.
 
     ``deep=False`` (default) is the zero-copy shallow clone: only a
     manifest is written under ``dst_path/_manifests/`` whose ``root``
@@ -2706,6 +2714,10 @@ def clone_snapshot(
     """
     import shutil
 
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = version_as_of(src_path, as_of)
     mdir = os.path.join(src_path, "_manifests")
     name = "latest.json" if version is None else f"v{version}.json"
     mpath = os.path.join(mdir, name)

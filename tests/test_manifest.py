@@ -1428,3 +1428,40 @@ def test_time_travel_by_timestamp_and_vacuum_dry_run(spark, duck, tmp_path):
     assert real["tombstones_deleted"] == dry["tombstones_deleted"]
     assert real["dv_deleted"] == dry["dv_deleted"]
     assert snapshot_versions(path) == [2]
+
+
+def test_clone_as_of_timestamp(spark, duck, tmp_path):
+    """CLONE by wall-clock instant: 'the table as it was before the
+    bad backfill' without knowing the version number."""
+    import time
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        clone_snapshot,
+        merge_upsert,
+        read_version,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "src")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    write_range_clustered(df, path, "k", 2)
+    write_versioned_manifest(path)                     # v1: the good state
+    t_good = time.time()
+    time.sleep(1.1)
+    merge_upsert(                                      # v2: the bad backfill
+        spark, duck, path, "k",
+        spark.createDataFrame([(5000, -1)], "k long, v long"),
+    )
+
+    dst = str(tmp_path / "restore")
+    res = clone_snapshot(path, dst, as_of=t_good, deep=True)
+    assert res["source_version"] == 1
+    assert read_version(spark, dst).count() == 200
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        clone_snapshot(path, str(tmp_path / "x"), version=1, as_of=t_good)
