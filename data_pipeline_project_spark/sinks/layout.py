@@ -479,7 +479,19 @@ def maintenance_plan(health: dict, thresholds: dict | None = None) -> list[dict]
     plan = []
     n = max(1, health["n_files"])
     small_frac = health["small_files"] / n
-    if small_frac > t["small_file_fraction"]:
+    # advice must be ACTIONABLE: compaction merges ≥2 small files that
+    # share a directory — a lone small file (e.g. a tiny table already
+    # compacted to one file) has nothing to merge into, and advising a
+    # no-op forever would make the plan cry wolf.
+    if health.get("partitions"):
+        mergeable = sorted(
+            d
+            for d, p in health["partitions"].items()
+            if p["small_files"] >= 2
+        )
+    else:
+        mergeable = [""] if health["small_files"] >= 2 else []
+    if small_frac > t["small_file_fraction"] and mergeable:
         item = {
             "action": "compact",
             "reason": f"{health['small_files']}/{n} files below the "
@@ -488,11 +500,7 @@ def maintenance_plan(health: dict, thresholds: dict | None = None) -> list[dict]
         if health.get("partitions"):
             # name the fragmented directories: per-partition compaction
             # (compact_snapshot) touches exactly these, nothing else
-            item["partitions"] = sorted(
-                d
-                for d, p in health["partitions"].items()
-                if p["small_files"] >= 2
-            )
+            item["partitions"] = mergeable
         plan.append(item)
     overlap = health.get("clustering_overlap")
     if overlap is not None and overlap > t["clustering_overlap"]:
@@ -526,3 +534,93 @@ def maintenance_plan(health: dict, thresholds: dict | None = None) -> list[dict]
                       f"retention window ({t['max_versions']})",
         })
     return plan
+
+
+def run_maintenance(
+    spark,
+    duck,
+    path: str,
+    key_col: str | None = None,
+    thresholds: dict | None = None,
+    duck_type: str = "BIGINT",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    keep_versions: int = 2,
+    dry_run: bool = False,
+) -> dict:
+    """Execute the plan ``maintenance_plan`` emits — the OPTIMIZE /
+    VACUUM command a scheduler runs nightly: audit (table_health),
+    decide (maintenance_plan), act. Dispatch per action:
+
+    - ``compact``        → ``compact_snapshot`` (per-partition on hive
+      layouts, clustered on ``key_col`` when given) — SKIPPED when a
+      whole-table rewrite below will run anyway (it merges small files
+      for free, so compacting first would rewrite the same bytes
+      twice);
+    - ``recluster`` / ``materialize_dv`` → ONE ``rewrite_table`` on
+      ``key_col`` covers both (a rewrite re-clusters and purges
+      deletion vectors in the same pass); skipped with an honest
+      entry when no ``key_col`` was given — clustering needs a key;
+    - ``vacuum``         → ``vacuum(keep_versions=...)``.
+
+    ``dry_run=True`` returns the plan (and the health it derives from)
+    without touching the table; vacuum inside a real run is still the
+    only byte-destroying step and honors the same retention argument
+    an explicit call would. Every commit these actions make carries
+    its own txn intent, so maintenance coexists with concurrent
+    writers (losers rebase or conflict loudly, never corrupt).
+    Returns {health, plan, executed: [{action, ...result}]}."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        compact_snapshot,
+        rewrite_table,
+        vacuum,
+    )
+
+    health = table_health(
+        duck, path, key_col, duck_type,
+        small_file_bytes=target_file_bytes // 4,
+    )
+    plan = maintenance_plan(health, thresholds)
+    if dry_run:
+        return {"health": health, "plan": plan, "executed": []}
+
+    executed: list[dict] = []
+    actions = [a["action"] for a in plan]
+    rewrite_covers = key_col is not None and (
+        {"recluster", "materialize_dv"} & set(actions)
+    )
+    rewritten = False
+    n_out = max(1, health["total_bytes"] // target_file_bytes)
+    for a in plan:
+        act = a["action"]
+        if act == "compact":
+            if rewrite_covers:
+                executed.append({
+                    "action": act,
+                    "skipped": "covered by the whole-table rewrite",
+                })
+                continue
+            res = compact_snapshot(
+                spark, path,
+                small_bytes=target_file_bytes // 2,
+                cluster_col=key_col,
+            )
+            executed.append({"action": act, **res})
+        elif act in ("recluster", "materialize_dv"):
+            if key_col is None:
+                executed.append({
+                    "action": act,
+                    "skipped": "no key_col given — clustering needs a key",
+                })
+            elif rewritten:
+                executed.append({
+                    "action": act,
+                    "skipped": "covered by the rewrite above",
+                })
+            else:
+                res = rewrite_table(spark, path, key_col, n_files=n_out)
+                rewritten = True
+                executed.append({"action": act, **res})
+        elif act == "vacuum":
+            res = vacuum(path, keep_versions=keep_versions)
+            executed.append({"action": act, **res})
+    return {"health": health, "plan": plan, "executed": executed}

@@ -1465,3 +1465,71 @@ def test_clone_as_of_timestamp(spark, duck, tmp_path):
 
     with pytest.raises(ValueError, match="not both"):
         clone_snapshot(path, str(tmp_path / "x"), version=1, as_of=t_good)
+
+
+def test_run_maintenance_executes_the_plan(spark, duck, tmp_path):
+    """r10: run_maintenance = audit -> decide -> act. On a fragmented,
+    DV-laden table: the whole-table rewrite covers compaction (no
+    double rewrite), deletion vectors materialize away, vacuum
+    reclaims, and a second pass finds a healthy table. dry_run
+    executes nothing."""
+    from data_pipeline_project_spark.sinks.layout import run_maintenance
+    from data_pipeline_project_spark.sinks.manifest import (
+        delete_rows_dv,
+        read_version,
+        snapshot_versions,
+        table_dv,
+        write_versioned_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    # unclustered, fragmented: 12 shuffled small files
+    spark.range(0, 2_000).select(
+        ((F.col("id") * 48_271) % 2_000).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    ).repartition(12).write.parquet(path)
+    write_versioned_manifest(path)
+    # DV-delete >5% of rows so materialize_dv fires
+    delete_rows_dv(
+        spark, duck, path, "k",
+        spark.createDataFrame([(int(k),) for k in range(150)], "k long"),
+    )
+    assert table_dv(path)
+
+    thresholds = {"retention_fraction": 10.0, "max_versions": 64}
+
+    dry = run_maintenance(
+        spark, duck, path, key_col="k", thresholds=thresholds,
+        dry_run=True,
+    )
+    acts = [a["action"] for a in dry["plan"]]
+    assert "compact" in acts and "materialize_dv" in acts
+    assert dry["executed"] == [] and table_dv(path)  # nothing touched
+
+    res = run_maintenance(
+        spark, duck, path, key_col="k", thresholds=thresholds,
+    )
+    by_action = {e["action"]: e for e in res["executed"]}
+    assert by_action["compact"]["skipped"]          # covered by rewrite
+    # exactly ONE whole-table rewrite ran, on whichever rewrite-class
+    # action came first in the plan; the other was marked covered
+    rewrites = [e for e in res["executed"] if "version" in e]
+    assert len(rewrites) == 1
+    assert rewrites[0]["action"] in ("recluster", "materialize_dv")
+    assert table_dv(path) == []                      # DVs materialized
+    assert read_version(spark, path).count() == 1_850
+
+    # second pass: healthy table (clustered, no DVs, no fragmentation)
+    res2 = run_maintenance(
+        spark, duck, path, key_col="k", thresholds=thresholds,
+    )
+    assert [a["action"] for a in res2["plan"]] == []
+
+    # retention pressure: tombstones from the rewrite + version pile
+    res3 = run_maintenance(
+        spark, duck, path, key_col="k",
+        thresholds={"retention_fraction": 0.0}, keep_versions=1,
+    )
+    vac = [e for e in res3["executed"] if e["action"] == "vacuum"]
+    assert vac and vac[0]["tombstones_deleted"] >= 1
+    assert snapshot_versions(path) == [snapshot_versions(path)[-1]]
