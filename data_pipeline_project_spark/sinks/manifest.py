@@ -66,17 +66,30 @@ def _rank_py(v):
     as epoch MICROS (exact integer arithmetic — float total_seconds
     loses sub-µs precision at epoch magnitude); strings as their first
     7 UTF-8 bytes, big-endian, ZERO-PADDED to fixed width (without
-    padding, 'b' would rank below 'aaa'). Rank collisions (keys sharing
-    a 7-byte prefix) are harmless — ranks only pick the BUCKET;
+    padding, 'b' would rank below 'aaa'); floats (r10) as their IEEE-754
+    bit pattern with the negative half reflected — the classic
+    total-order trick: for non-negative doubles the raw bits already
+    sort correctly, for negatives the two's-complement pattern sorts
+    BACKWARDS, and ``-2^63 - bits`` reflects it (−0.0 lands on 0,
+    same as +0.0; ±inf rank at the extremes). Rank collisions (keys
+    sharing a 7-byte prefix) are harmless — ranks only pick the BUCKET;
     containment is decided by an exact comparison on the original
     values. Raises TypeError for types with no rank (the caller falls
-    back to the driver path)."""
+    back to the driver path) — including a NaN float stat, which has no
+    place in a total order (parquet writers exclude NaN from min/max;
+    one surfacing here means the stats are untrustworthy)."""
     import datetime
+    import struct
 
     if isinstance(v, bool):
-        raise TypeError("boolean zone-map stats have no bucket rank")
+        return int(v)
     if isinstance(v, int):
         return v
+    if isinstance(v, float):
+        if v != v:
+            raise TypeError("NaN zone-map stat has no bucket rank")
+        bits = struct.unpack(">q", struct.pack(">d", v))[0]
+        return bits if bits >= 0 else -(1 << 63) - bits
     if isinstance(v, datetime.datetime):
         # Parquet stores timestamps as UTC-normalized epoch micros;
         # DuckDB surfaces the stats as naive UTC wall clock. tz-aware
@@ -98,16 +111,31 @@ def _rank_py(v):
 
 def _rank_expr(key_col, sample):
     """The Spark expression computing the SAME rank as _rank_py for the
-    key column (a name or a Column) — pure built-ins (encode/substring/
-    hex/rpad/conv for strings, unix_micros for timestamps, datediff for
-    dates), so the key side stays whole-stage codegen with no UDF."""
+    key column (a name or a Column) — built-ins only, no Python worker:
+    encode/substring/hex/rpad/conv for strings, unix_micros for
+    timestamps, datediff for dates. Floats (r10) bit-cast through
+    ``java_method('java.lang.Double','doubleToRawLongBits', …)`` — a
+    JVM reflection call, the one expression here outside whole-stage
+    codegen, still row-at-a-time JVM with zero serialization — then
+    reflect the negative half exactly like _rank_py (the CASE branches
+    evaluate lazily, so the reflection subtraction only ever sees
+    negative bits and cannot overflow under ANSI)."""
     import datetime
 
     from pyspark.sql import functions as F
 
     c = F.col(key_col) if isinstance(key_col, str) else key_col
+    if isinstance(sample, bool):
+        return c.cast("bigint")
     if isinstance(sample, int):
         return c.cast("bigint")
+    if isinstance(sample, float):
+        bits = F.java_method(
+            F.lit("java.lang.Double"),
+            F.lit("doubleToRawLongBits"),
+            c.cast("double"),
+        ).cast("bigint")
+        return F.when(bits >= 0, bits).otherwise(F.lit(-(1 << 63)) - bits)
     if isinstance(sample, datetime.datetime):
         # epoch micros of the instant — the exact integer the parquet
         # footer stores, so parity with _rank_py is by construction
@@ -150,8 +178,21 @@ def _zone_map_candidates_spark(
     wider buckets admit more false candidates, which the exact filter
     removes; correctness never depends on the width. Files with absent
     footer stats always survive, exactly like the driver path.
-    Unranked key stat types (floats, booleans, exotics) raise
-    TypeError and fall back to the driver path."""
+    Unranked key stat types (decimals, exotics) raise TypeError and
+    fall back to the driver path.
+
+    Overflow discipline (r10, ANSI-safe): float bit-ranks span nearly
+    the full int64 range for mixed-sign data, and extreme integer keys
+    can too — where ``krank - lo`` overflows, ANSI Spark THROWS rather
+    than wraps. Two exact guards: (1) when the rank span ``hi - lo``
+    reaches 2^62, BOTH sides coarsen by a driver-computed right-shift
+    (arithmetic shift = floor-div by 2^k on Python ints and Spark longs
+    alike — order-preserving, so coarsening only merges buckets, which
+    the exact filter absorbs); (2) the key-side shift subtraction runs
+    through ``try_subtract``, so a stray key ranked further than 2^63
+    from ``lo`` yields a NULL bucket and drops out of the equi-join —
+    correct, because with span < 2^62 such a key is provably outside
+    every file's [min,max]."""
     from pyspark.sql import functions as F
 
     finite, ranked = [], []
@@ -167,6 +208,13 @@ def _zone_map_candidates_spark(
     types = {type(mn) for _, mn, _ in finite} | {type(mx) for _, _, mx in finite}
     if len(types) > 1:
         raise TypeError(f"mixed zone-map stat types {types}: driver path")
+    shift = 0
+    while (max(r for _, r in ranked) - min(r for r, _ in ranked)) >> shift >= (
+        1 << 62
+    ):
+        shift += 1
+    if shift:
+        ranked = [(rmn >> shift, rmx >> shift) for rmn, rmx in ranked]
     lo = min(r for r, _ in ranked)
     hi = max(r for _, r in ranked)
     max_span = max(rmx - rmn for rmn, rmx in ranked)
@@ -186,11 +234,17 @@ def _zone_map_candidates_spark(
             "bucket", "long"
         )
     )
+    krank = _rank_expr("k", sample)
+    if shift:
+        krank = F.shiftright(krank, shift)
     kb = (
         keys_df.select(F.col(key_col).alias("k"))
         .where(F.col("k").isNotNull())
-        .withColumn("_krank", _rank_expr("k", sample))
-        .withColumn("bucket", F.expr(f"(_krank - {lo}L) DIV {width}L"))
+        .withColumn("_krank", krank)
+        # try_subtract: NULL bucket (dropped by the equi-join) instead
+        # of an ANSI overflow error for keys ranked >=2^63 from lo —
+        # always out-of-range keys once the span guard above holds.
+        .withColumn("bucket", F.expr(f"try_subtract(_krank, {lo}L) DIV {width}L"))
         .drop("_krank")
     )
     hits = (
@@ -411,10 +465,10 @@ def _select_candidates(
     ``spark`` runs the bucketed range join with the keys never leaving
     the cluster — right for CDC-scale batches (and required beyond
     driver memory); ``auto`` picks spark above SPARK_PRUNE_THRESHOLD
-    distinct keys. Integer, string, date, and timestamp keys all
-    bucket via an order-preserving rank (see _rank_py); only unranked
-    stat types (floats, exotics) fall back to the driver path under
-    auto."""
+    distinct keys. Integer, float, boolean, string, date, and
+    timestamp keys all bucket via an order-preserving rank (see
+    _rank_py); only unranked stat types (decimals, exotics) fall back
+    to the driver path under auto."""
     distinct_keys = keys_df.select(key_col).distinct()
     if prune not in ("auto", "driver", "spark"):
         raise ValueError(f"prune must be auto|driver|spark, got {prune!r}")

@@ -633,13 +633,17 @@ def test_spark_side_zone_map_pruning(spark, duck, tmp_path):
         == 0
     )
 
-    # (3) unranked stat types (floats) refuse the spark path, loudly
+    # (3) unranked stat types (decimals) refuse the spark path, loudly
+    # (floats rank via the IEEE bit trick as of r10 — see the dedicated
+    # float test below)
+    import decimal
+
     import pytest
 
     with pytest.raises(TypeError, match="no bucket rank"):
         _zone_map_candidates_spark(
             spark,
-            [("f0", 1.25, 9.75)],
+            [("f0", decimal.Decimal("1.25"), decimal.Decimal("9.75"))],
             kdf,
             "k",
         )
@@ -836,6 +840,113 @@ def test_spark_side_zone_map_pruning_timestamp_keys(spark, duck, tmp_path):
     )
     assert dstats["rows_deleted"] == 1
     assert read_version(spark, path).count() == 5_099
+
+
+def test_spark_side_zone_map_pruning_float_keys(spark, duck, tmp_path):
+    """r10: float keys rank via the IEEE-754 total-order bit trick
+    (doubleToRawLongBits JVM-side, struct.unpack driver-side; negative
+    half reflected), retiring the last COMMON key type on the driver
+    fallback. The bit-rank spans nearly the whole int64 line for
+    mixed-sign data, so this also exercises the overflow discipline:
+    the span guard coarsens both sides by a right-shift, and
+    try_subtract drops stray far-away keys instead of throwing under
+    ANSI. Asserts (1) python/Spark rank parity on adversarial doubles,
+    (2) candidate parity with the driver path on mixed-sign maps
+    (shift path) incl. ±inf stats and out-of-range keys, (3) integer
+    maps spanning most of int64 (the latent pre-r10 ANSI overflow
+    crash), (4) an end-to-end float-keyed merge through prune='spark',
+    (5) boolean stats rank too."""
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from data_pipeline_project_spark.sinks.layout import write_range_clustered
+    from data_pipeline_project_spark.sinks.manifest import (
+        _rank_py,
+        _rank_expr,
+        _zone_map_candidates,
+        _zone_map_candidates_spark,
+        merge_upsert,
+        write_versioned_manifest,
+    )
+
+    # (1) rank parity: denormals, ±0, ±inf, magnitude extremes
+    vals = [
+        0.0, -0.0, 1.5, -1.5, 5e-324, -5e-324, 1e308, -1e308,
+        math.inf, -math.inf, 3.141592653589793, -2.2250738585072014e-308,
+    ]
+    vdf = spark.createDataFrame([(v,) for v in vals], "k double")
+    got = {
+        r.k: r.r
+        for r in vdf.select("k", _rank_expr("k", 0.5).alias("r")).collect()
+    }
+    for v in vals:
+        assert got[v] == _rank_py(v), v
+    # rank order == value order (−0.0/+0.0 collide, which is equality)
+    svals = sorted(vals)
+    assert [_rank_py(v) for v in svals] == sorted(_rank_py(v) for v in vals)
+    import pytest
+
+    with pytest.raises(TypeError, match="NaN"):
+        _rank_py(math.nan)
+
+    # (2) mixed-sign float maps: span ≈ 2^64 forces the shift path
+    fmaps = [
+        ("neg", -1e6, -10.0),
+        ("straddle", -1.0, 1.0),
+        ("pos", 100.0, 1e9),
+        ("inf", -math.inf, math.inf),
+        ("point", 42.5, 42.5),
+        ("none", None, None),
+    ]
+    fkeys = [-5e5, -10.0, -9.99, 0.0, -0.0, 0.5, 42.5, 1e12, -1e12,
+             math.inf, -math.inf, 2.5e8]
+    fk = spark.createDataFrame([(k,) for k in fkeys], "k double")
+    assert _zone_map_candidates_spark(spark, fmaps, fk, "k") == \
+        _zone_map_candidates(fmaps, fkeys)
+
+    # (3) integer maps spanning most of int64: pre-r10 the key-side
+    # (krank - lo) threw under ANSI for far-away keys; now coarsened +
+    # try_subtract. Parity with the driver bisect.
+    imaps = [
+        ("ilow", -(1 << 62), -(1 << 62) + 1000),
+        ("ihigh", (1 << 62), (1 << 62) + 1000),
+        ("imid", -500, 500),
+    ]
+    ikeys = [-(1 << 62) + 500, (1 << 62) + 999, 0, (1 << 63) - 1,
+             -(1 << 63), 1234567]
+    ik = spark.createDataFrame([(k,) for k in ikeys], "k long")
+    assert _zone_map_candidates_spark(spark, imaps, ik, "k") == \
+        _zone_map_candidates(imaps, ikeys)
+
+    # (4) end-to-end: float-keyed table through prune='spark' (keys on
+    # both sides of zero, so the table's own stats force the shift)
+    path = str(tmp_path / "t")
+    base = spark.range(0, 5_000).select(
+        ((F2.col("id") - 2_500) * 0.25).alias("score"),
+        (F2.col("id") % 13).alias("v"),
+    )
+    write_range_clustered(base, path, "score", 6)
+    write_versioned_manifest(path)
+    upd = spark.range(2_400, 2_700).select(
+        ((F2.col("id") - 2_500) * 0.25).alias("score"),
+        F2.lit(-5).cast("long").alias("v"),
+    )
+    stats = merge_upsert(
+        spark, duck, path, "score", upd, duck_type="DOUBLE", prune="spark"
+    )
+    assert stats["rows_updated"] == 300 and stats["rows_inserted"] == 0
+    live = spark.read.parquet(path)
+    assert live.count() == 5_000
+    assert live.where("v = -5").count() == 300
+    assert live.where("score >= -25.0 and score < 50.0 and v != -5").count() == 0
+
+    # (5) boolean stats rank (degenerate two-value domain, completeness)
+    bmaps = [("bf", False, False), ("bt", True, True), ("bn", None, None)]
+    bkeys = [True]
+    bk = spark.createDataFrame([(k,) for k in bkeys], "k boolean")
+    assert _zone_map_candidates_spark(spark, bmaps, bk, "k") == \
+        _zone_map_candidates(bmaps, bkeys) == ["bt", "bn"]
 
 
 def test_merge_bulk_matches_targeted_semantics(spark, duck, tmp_path):
