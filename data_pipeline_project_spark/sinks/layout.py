@@ -405,6 +405,32 @@ def table_health(
         "quarantine_files": quar_n,
         "quarantine_bytes": quar_b,
     }
+    # snapshot-log pressure: every commit writes a full file list, so
+    # an uncompacted log holds n_versions copies of the table's
+    # metadata; latest.json's size is one full copy — the yardstick
+    # maintenance_plan compares against (see manifest.compact_log).
+    # log_compactible_manifests counts historical versions compact_log
+    # could still delta-encode (not the first, not the newest two),
+    # sized like a full manifest — a stat-only proxy (a delta manifest
+    # is far smaller than the head), so the health check never reads
+    # the log it is auditing.
+    mdir = os.path.join(path, "_manifests")
+    if os.path.isdir(mdir):
+        health["log_bytes"] = sum(
+            os.path.getsize(os.path.join(mdir, f))
+            for f in os.listdir(mdir)
+            if f.endswith(".json")
+        )
+        latest = os.path.join(mdir, "latest.json")
+        latest_b = os.path.getsize(latest) if os.path.exists(latest) else 0
+        health["latest_manifest_bytes"] = latest_b
+        vs = snapshot_versions(path)
+        health["log_compactible_manifests"] = sum(
+            1
+            for v in vs[1:-2]
+            if os.path.getsize(os.path.join(mdir, f"v{v}.json"))
+            >= 0.5 * latest_b
+        )
     # hive-partitioned layouts: per-directory fragmentation, so the
     # plan can name WHICH partitions the per-partition compactor
     # (manifest.compact_snapshot) will touch
@@ -457,6 +483,11 @@ MAINTENANCE_DEFAULTS = {
     # dead rows above this fraction of physical rows: the per-scan DV
     # anti-join outweighs the one-time materializing rewrite
     "dv_dead_fraction": 0.05,
+    # snapshot log holding more than this many full-table metadata
+    # copies (log_bytes / latest_manifest_bytes): delta-encode history
+    # (manifest.compact_log) — storage O(churn), not O(table), per kept
+    # version
+    "log_amplification": 8.0,
 }
 
 
@@ -518,6 +549,23 @@ def maintenance_plan(health: dict, thresholds: dict | None = None) -> list[dict]
                       f" rows) tax every scan — rewrite_table (or compaction)"
                       f" purges them in one pass",
         })
+    lb, one = health.get("log_bytes", 0), health.get("latest_manifest_bytes", 0)
+    # both conditions: the log is EXPENSIVE (amplification) AND
+    # compact_log can actually shrink it (≥2 full historical manifests
+    # to delta-encode) — amplification alone would cry wolf forever on
+    # a table whose rewrite shrank the head below its old keyframes
+    if (
+        one
+        and lb / one > t["log_amplification"]
+        and health.get("log_compactible_manifests", 0) >= 2
+    ):
+        plan.append({
+            "action": "compact_log",
+            "reason": f"snapshot log holds {lb / one:.0f}x the head "
+                      f"manifest's bytes ({lb} vs {one}) across "
+                      f"{health['log_compactible_manifests']} compactible "
+                      f"full manifests — delta-encode history (compact_log)",
+        })
     live = max(1, health["total_bytes"])
     retention = health["tombstone_bytes"] + health["quarantine_bytes"]
     if retention / live > t["retention_fraction"]:
@@ -560,7 +608,9 @@ def run_maintenance(
       ``key_col`` covers both (a rewrite re-clusters and purges
       deletion vectors in the same pass); skipped with an honest
       entry when no ``key_col`` was given — clustering needs a key;
-    - ``vacuum``         → ``vacuum(keep_versions=...)``.
+    - ``vacuum``         → ``vacuum(keep_versions=...)``;
+    - ``compact_log``    → ``compact_log(path)`` (delta-encode the
+      snapshot history — metadata-only, content-preserving).
 
     ``dry_run=True`` returns the plan (and the health it derives from)
     without touching the table; vacuum inside a real run is still the
@@ -570,6 +620,7 @@ def run_maintenance(
     writers (losers rebase or conflict loudly, never corrupt).
     Returns {health, plan, executed: [{action, ...result}]}."""
     from data_pipeline_project_spark.sinks.manifest import (
+        compact_log,
         compact_snapshot,
         rewrite_table,
         vacuum,
@@ -622,5 +673,8 @@ def run_maintenance(
                 executed.append({"action": act, **res})
         elif act == "vacuum":
             res = vacuum(path, keep_versions=keep_versions)
+            executed.append({"action": act, **res})
+        elif act == "compact_log":
+            res = compact_log(path)
             executed.append({"action": act, **res})
     return {"health": health, "plan": plan, "executed": executed}

@@ -338,9 +338,71 @@ def write_manifest(path: str, manifest_path: str | None = None) -> dict:
     return manifest
 
 
-def read_manifest(manifest_path: str) -> dict:
+def read_manifest(manifest_path: str, resolve: bool = True) -> dict:
+    """Load a manifest JSON. ``resolve=True`` (default) transparently
+    materializes a log-compacted version manifest (delta-encoded by
+    :func:`compact_log`) back to its full ``files`` list by replaying
+    the delta chain from the nearest full keyframe — every existing
+    caller keeps working unchanged. ``resolve=False`` returns the raw
+    JSON: all top-level metadata (version, committed_at, txn, app,
+    n_files, total_rows, dv, schema pins) is present either way, so
+    history/intent/watermark walks that never touch ``files`` skip the
+    chain reads."""
     with open(manifest_path) as fh:
-        return json.load(fh)
+        m = json.load(fh)
+    if resolve and "files" not in m and "files_delta" in m:
+        m = _resolve_manifest_chain(os.path.dirname(manifest_path), m)
+    return m
+
+
+def _resolve_manifest_chain(mdir: str, manifest: dict) -> dict:
+    """Materialize a delta-encoded version manifest: walk ``files_delta
+    .base`` pointers back to the nearest FULL manifest (compact_log
+    keeps one every ``keep_full_every`` versions, so the chain is
+    bounded), then replay each delta forward — pop ``removed`` paths,
+    upsert ``added`` entries. Returns a full manifest dict; the stored
+    ``n_files`` is cross-checked against the replayed list so a corrupt
+    chain fails loudly instead of silently serving a wrong snapshot."""
+    chain = [manifest]
+    cur = manifest
+    while "files" not in cur:
+        d = cur.get("files_delta")
+        if d is None:
+            raise ValueError(
+                f"manifest v{cur.get('version')} has neither files nor "
+                f"files_delta — log corrupt"
+            )
+        base_v = d["base"]
+        if not isinstance(base_v, int) or base_v >= (cur.get("version") or 0):
+            raise ValueError(
+                f"manifest v{cur.get('version')} delta base {base_v!r} "
+                f"does not point backward — log corrupt"
+            )
+        bpath = os.path.join(mdir, f"v{base_v}.json")
+        if not os.path.exists(bpath):
+            raise FileNotFoundError(
+                f"log-compacted snapshot v{chain[0].get('version')} "
+                f"unresolvable: delta base v{base_v} is gone (vacuumed?)"
+            )
+        with open(bpath) as fh:
+            cur = json.load(fh)
+        chain.append(cur)
+    files = {f["path"]: f for f in cur["files"]}
+    for m in reversed(chain[:-1]):
+        d = m["files_delta"]
+        for rel in d["removed"]:
+            files.pop(rel, None)
+        for e in d["added"]:
+            files[e["path"]] = e
+    out = {k: v for k, v in chain[0].items() if k != "files_delta"}
+    out["files"] = sorted(files.values(), key=lambda f: f["path"])
+    if out.get("n_files") != len(out["files"]):
+        raise ValueError(
+            f"log-compacted snapshot v{out.get('version')} replayed to "
+            f"{len(out['files'])} files but recorded "
+            f"n_files={out.get('n_files')} — log corrupt"
+        )
+    return out
 
 
 REMOVED_DIR = "_removed"
@@ -1010,7 +1072,11 @@ def table_history(path: str, limit: int | None = None) -> list[dict]:
     operator reads before trusting, vacuuming, or debugging a table."""
     out = []
     for v in reversed(snapshot_versions(path)):
-        m = read_manifest(os.path.join(path, "_manifests", f"v{v}.json"))
+        # resolve=False: every field the history surfaces is top-level
+        # even in log-compacted manifests — no chain reads.
+        m = read_manifest(
+            os.path.join(path, "_manifests", f"v{v}.json"), resolve=False
+        )
         txn = m.get("txn") or {}
         entry = {
             "version": v,
@@ -1163,17 +1229,21 @@ def _intents_conflict(mine: dict, theirs: dict | None) -> str | None:
     return None
 
 
-def _read_manifest_settled(mpath: str, tries: int = 20) -> dict:
+def _read_manifest_settled(
+    mpath: str, tries: int = 20, resolve: bool = True
+) -> dict:
     """Read a version manifest that a racing writer may be BETWEEN
     claiming (empty file) and writing (torn JSON) — that window is
     microseconds, so poll briefly; a claim that never settles is a
-    crashed writer and recovery's job."""
+    crashed writer and recovery's job. ``resolve=False`` skips
+    materializing log-compacted manifests (intent checks only read
+    the top-level ``txn``)."""
     import time
 
     for _ in range(tries):
         try:
-            m = read_manifest(mpath)
-            if "files" in m:
+            m = read_manifest(mpath, resolve=resolve)
+            if "files" in m or "files_delta" in m:
                 return m
         except (json.JSONDecodeError, FileNotFoundError):
             pass
@@ -1223,6 +1293,7 @@ def commit_optimistic(
     dropped_cols: list | None = None,
     dv_set: list[str] | None = None,
     allow_bootstrap: bool = False,
+    added_entries: list[dict] | None = None,
 ) -> dict:
     """Commit a snapshot as an explicit DELTA against the current head:
     body = head.files − ``removed`` + ``added`` — metadata reads touch
@@ -1251,7 +1322,19 @@ def commit_optimistic(
     existing snapshot unless ``allow_bootstrap`` — a bootstrap commit
     (version 1) pins EXACTLY ``added``, never a directory listing, so
     a deep clone / explicit-body first commit still carries its intent
-    stamp and never pins a concurrent writer's in-flight files."""
+    stamp and never pins a concurrent writer's in-flight files.
+
+    ``added_entries`` appends PRE-STATED file entries ({path, bytes,
+    rows}) verbatim — zero footer reads — for commits that re-pin
+    files an earlier manifest already measured (restore_table). The
+    caller owns their accuracy; restore takes them from the target
+    snapshot's own manifest, which verify_snapshot has just checked
+    against the bytes on disk.
+
+    ``schema_json={}`` (empty dict) explicitly CLEARS the inherited
+    schema pin instead of inheriting the head's — restoring to a
+    snapshot that predates a schema evolution must read under the
+    old files' footer schemas again, not the newer pin."""
     import pyarrow.parquet as pq
 
     mdir = os.path.join(path, "_manifests")
@@ -1267,7 +1350,7 @@ def commit_optimistic(
         head_v = versions[-1] if versions else 0
         for v in range(checked_through + 1, head_v + 1):
             theirs = _read_manifest_settled(
-                os.path.join(mdir, f"v{v}.json")
+                os.path.join(mdir, f"v{v}.json"), resolve=False
             ).get("txn")
             reason = _intents_conflict(intent, theirs)
             if reason:
@@ -1302,6 +1385,10 @@ def commit_optimistic(
                     "rows": pq.read_metadata(full).num_rows,
                 }
             )
+        for e in added_entries or []:
+            files.append({
+                "path": e["path"], "bytes": e["bytes"], "rows": e["rows"],
+            })
         files.sort(key=lambda f: f["path"])
         import time as _time
 
@@ -1314,7 +1401,9 @@ def commit_optimistic(
             "committed_at": int(_time.time() * 1000),
             "txn": intent,
         }
-        if schema_json is not None:
+        if schema_json == {}:
+            pass  # explicit clear: the commit pins NO logical schema
+        elif schema_json is not None:
             manifest["schema_json"] = schema_json
         elif head.get("schema_json") is not None:
             manifest["schema_json"] = head["schema_json"]
@@ -1387,9 +1476,9 @@ def version_as_of(path: str, ts) -> int:
     mdir = os.path.join(path, "_manifests")
     best = None
     for v in snapshot_versions(path):
-        ca = read_manifest(os.path.join(mdir, f"v{v}.json")).get(
-            "committed_at", 0
-        )
+        ca = read_manifest(
+            os.path.join(mdir, f"v{v}.json"), resolve=False
+        ).get("committed_at", 0)
         if ca <= ms:
             best = v
     if best is None:
@@ -1615,6 +1704,22 @@ def _dv_positions_by_file(root: str, dv_relpaths: list) -> dict:
 QUARANTINE_DIR = "_quarantine"
 
 
+def _move_with_crc(src: str, dst: str) -> None:
+    """Atomic rename carrying the Hadoop ``.crc`` sidecar along — a
+    stale sidecar left behind throws ChecksumException on later reads.
+    The one move primitive every directory-realigning step here uses
+    (crash recovery, restore)."""
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.replace(src, dst)
+    sd, sb = os.path.split(src)
+    crc = os.path.join(sd, f".{sb}.crc")
+    if os.path.exists(crc):
+        os.replace(
+            crc,
+            os.path.join(os.path.dirname(dst), f".{os.path.basename(dst)}.crc"),
+        )
+
+
 def recover_to_last_manifest(path: str) -> dict:
     """Crash recovery: restore the table DIRECTORY to exactly the last
     committed snapshot. Manifests, not the directory, are the source of
@@ -1653,17 +1758,6 @@ def recover_to_last_manifest(path: str) -> dict:
         raise FileNotFoundError(f"no manifest to recover to under {mdir}")
     manifest = read_manifest(latest_path)
     pinned = {f["path"] for f in manifest["files"]}
-
-    def _move_with_crc(src: str, dst: str) -> None:
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.replace(src, dst)
-        sd, sb = os.path.split(src)
-        crc = os.path.join(sd, f".{sb}.crc")
-        if os.path.exists(crc):
-            os.replace(
-                crc,
-                os.path.join(os.path.dirname(dst), f".{os.path.basename(dst)}.crc"),
-            )
 
     restored = 0
     for rel in sorted(pinned):
@@ -1731,7 +1825,9 @@ def recover_to_last_manifest(path: str) -> dict:
         for f in os.listdir(mdir):
             if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit():
                 dv_referenced |= set(
-                    read_manifest(os.path.join(mdir, f)).get("dv") or []
+                    read_manifest(
+                        os.path.join(mdir, f), resolve=False
+                    ).get("dv") or []
                 )
         for f in sorted(os.listdir(dv_root)):
             rel = f"{DV_DIR}/{f}"
@@ -2855,6 +2951,138 @@ def clone_snapshot(
     }
 
 
+def restore_table(path: str, version: int | None = None, as_of=None) -> dict:
+    """RESTORE TABLE ... TO VERSION — roll the table back to an
+    earlier snapshot AS A NEW COMMIT (Delta's RESTORE): the bad
+    versions stay in the log for audit and time travel, and the head
+    simply pins the old state again. Nothing is rewritten or deleted —
+    copy-on-write means every restored file still exists (live or
+    tombstoned under ``_removed/``), so the commit is pure metadata:
+    the file entries are taken VERBATIM from the target manifest
+    (zero footer re-reads at any table size), along with its deletion
+    vectors, schema pin, rename map, and drop tombstones — restoring
+    across a schema evolution really restores the old read schema
+    (an absent pin is explicitly CLEARED, not inherited from the
+    newer head).
+
+    The target is picked by ``version`` or wall-clock ``as_of``
+    (mutually exclusive, one required). verify_snapshot gates the
+    commit: if vacuum already destroyed any target file, restore
+    refuses LOUDLY before committing rather than pinning an
+    unreproducible snapshot. The commit stamps a ``whole_table``
+    intent — a restore replaces the entire table state, so it
+    conflicts with every concurrent writer by design (no silent
+    merge of a rollback with someone's in-flight merge). Restoring
+    to the current head — or to a state the head already equals (a
+    completed earlier restore) — is a no-op commit-wise
+    ({restored: False}) but still repairs the directory (below),
+    making a crashed restore rerunnable without stacking commits.
+
+    After the commit, the DIRECTORY is realigned to the new head —
+    the invariant every copy-on-write writer and crash recovery
+    depend on ("live files == head's files; everything else is
+    tombstoned or uncommitted"): target-pinned files a later rewrite
+    had tombstoned move BACK to their live paths, and the outgoing
+    head's files the target does not pin move INTO ``_removed/``.
+    Both passes are individually-atomic renames and idempotent;
+    readers resolve every pinned file at either location throughout,
+    so a crash mid-realignment breaks nothing and rerunning the same
+    restore finishes the job. Without this, a post-restore MERGE
+    would tombstone-move files that are not live, and a crash
+    recovery would quarantine rolled-back versions' files.
+
+    Returns {version (new), restored_to, n_files, total_rows,
+    restored, untombstoned, tombstoned}."""
+    if (version is None) == (as_of is None):
+        raise ValueError("pass exactly one of version / as_of")
+    if as_of is not None:
+        version = version_as_of(path, as_of)
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"{path!r} has no snapshot history")
+    mdir = os.path.join(path, "_manifests")
+    tpath = os.path.join(mdir, f"v{version}.json")
+    if not os.path.exists(tpath):
+        raise FileNotFoundError(
+            f"cannot restore: snapshot v{version} does not exist "
+            f"(never written, or dropped by vacuum)"
+        )
+    target = read_manifest(tpath)
+    head_v = versions[-1]
+    missing = verify_snapshot(target)
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to v{version}: {len(missing)} problem(s), "
+            f"e.g. {missing[:3]} — vacuum already destroyed part of that "
+            f"snapshot"
+        )
+    head = read_manifest(os.path.join(mdir, f"v{head_v}.json"))
+    # no-op when the head already EQUALS the target state (the target
+    # itself, or a completed earlier restore to it) — rerunning a
+    # crashed restore repairs the directory without stacking commits
+    same_state = version == head_v or (
+        head["files"] == target["files"]
+        and (head.get("dv") or []) == (target.get("dv") or [])
+        and head.get("schema_json") == target.get("schema_json")
+        and (head.get("renames") or {}) == (target.get("renames") or {})
+        and (head.get("dropped_cols") or [])
+        == (target.get("dropped_cols") or [])
+    )
+    if same_state:
+        manifest, restored = head, False
+    else:
+        manifest = commit_optimistic(
+            path,
+            added=[],
+            removed=[f["path"] for f in head["files"]],
+            added_entries=target["files"],
+            intent={
+                "op": "restore",
+                "removed": [],
+                "dv_targets": [],
+                "schema_change": False,
+                "whole_table": True,
+            },
+            base_version=head_v,
+            extra={"restore": {"to_version": version}},
+            schema_json=target.get("schema_json") or {},
+            renames=target.get("renames") or {},
+            dropped_cols=target.get("dropped_cols") or [],
+            dv_set=target.get("dv") or [],
+            max_retries=1,  # whole_table: a lost race is a real conflict
+        )
+        restored = True
+    # directory realignment (docstring): live set becomes exactly the
+    # new head's pins. Pass 1 un-tombstones target files; pass 2
+    # tombstones the outgoing head's files the target does not pin.
+    target_rels = {f["path"] for f in target["files"]}
+    untombstoned = 0
+    for rel in sorted(target_rels):
+        live = os.path.join(path, rel)
+        tomb = os.path.join(path, REMOVED_DIR, rel)
+        if not os.path.exists(live) and os.path.exists(tomb):
+            _move_with_crc(tomb, live)
+            untombstoned += 1
+    tombstoned = 0
+    for f in head["files"]:
+        rel = f["path"]
+        if rel in target_rels:
+            continue
+        live = os.path.join(path, rel)
+        if os.path.exists(live):
+            _move_with_crc(live, os.path.join(path, REMOVED_DIR, rel))
+            tombstoned += 1
+    return {
+        "version": manifest["version"],
+        "restored_to": version,
+        "n_files": manifest["n_files"],
+        "total_rows": manifest["total_rows"],
+        "restored": restored,
+        "untombstoned": untombstoned,
+        "tombstoned": tombstoned,
+    }
+
+
 def snapshot_diff(spark, path: str, v_from: int, v_to: int) -> dict:
     """Audit what changed between two snapshot versions: rows added and
     removed (multiset EXCEPT in both directions — an updated row counts
@@ -2990,7 +3218,10 @@ def vacuum(
     point, so it is the explicit opt-in to discard).
     ``dry_run=True`` (r10) computes the same report while deleting
     NOTHING — what an operator reads before an irreversible retention
-    decision (vacuum is the one op here that destroys bytes). Returns
+    decision (vacuum is the one op here that destroys bytes). A kept
+    log-compacted manifest whose delta base is being dropped is
+    materialized back to FULL first (the compact_log contract:
+    retention never strands a resolution chain). Returns
     {versions_dropped, tombstones_deleted, dv_deleted,
     quarantine_purged, dry_run}."""
     import shutil
@@ -3001,11 +3232,26 @@ def vacuum(
         raise ValueError("vacuum requires keep_versions >= 1")
     versions = snapshot_versions(path)
     kept, dropped = versions[-keep_versions:], versions[:-keep_versions]
+    kept_set = set(kept)
     mdir = os.path.join(path, "_manifests")
     referenced: set[str] = set()
     dv_referenced: set[str] = set()
-    for v in kept:
-        m = read_manifest(os.path.join(mdir, f"v{v}.json"))
+    for v in kept:  # ascending: a materialized base serves later links
+        vpath = os.path.join(mdir, f"v{v}.json")
+        raw = read_manifest(vpath, resolve=False)
+        m = raw if "files" in raw else _resolve_manifest_chain(mdir, raw)
+        # a kept log-compacted manifest whose delta base is about to be
+        # dropped must materialize to FULL first, or retention strands
+        # its resolution chain (the compact_log/vacuum contract)
+        if (
+            not dry_run
+            and "files" not in raw
+            and raw["files_delta"]["base"] not in kept_set
+        ):
+            tmp = vpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(m, fh, indent=1, sort_keys=True)
+            os.replace(tmp, vpath)
         referenced |= {f["path"] for f in m["files"]}
         dv_referenced |= set(m.get("dv") or [])
     if not dry_run:
@@ -3061,6 +3307,115 @@ def vacuum(
         "dv_deleted": dv_deleted,
         "quarantine_purged": purged,
         "dry_run": dry_run,
+    }
+
+
+def compact_log(
+    path: str, keep_full_every: int = 16, keep_recent: int = 2
+) -> dict:
+    """Compact the snapshot LOG itself — the missing half of the
+    O(churn) commit story. Every commit writes a FULL file list (O(1)
+    head and time-travel reads), but that makes log STORAGE
+    O(versions × files): a 100k-file table with 10k commits pins 10⁹
+    JSON entries, and at that point the log is bigger than the
+    footers. Delta-lake solves this with delta logs + periodic
+    checkpoints; this is the same idea inverted for a full-snapshot
+    log: rewrite eligible HISTORICAL version manifests as DELTAS
+    against their predecessor (``files_delta: {base, removed,
+    added}`` — exactly the churn that commit made), keeping
+
+    - every ``keep_full_every``-th manifest FULL (a keyframe — bounds
+      every resolution chain to < keep_full_every JSON reads),
+    - the newest ``keep_recent`` versions FULL (the head region:
+      commit_optimistic's next head read must stay one JSON read, and
+      a version that far behind the head can never become head again,
+      which is what makes this safe against concurrent writers),
+    - ``latest.json`` untouched (always full),
+    - any version whose churn is no smaller than its file list
+      (bulk rewrites — a delta would be BIGGER; they become natural
+      keyframes).
+
+    Log storage drops to O(versions × churn + files × versions / K).
+    Readers resolve transparently (read_manifest →
+    _resolve_manifest_chain); history / intent / watermark walks read
+    top-level fields and never pay the chain. Each rewrite is atomic
+    (tmp + rename) and content-preserving, so a crash mid-run, a
+    concurrent reader, or a second concurrent compaction all see a
+    valid log. Idempotent: re-running leaves the structure unchanged.
+    ``vacuum`` materializes any kept delta whose base it drops, so
+    retention never strands a chain. Returns {versions, compacted,
+    log_bytes_before, log_bytes_after}."""
+    if keep_full_every < 2:
+        raise ValueError("keep_full_every must be >= 2")
+    if keep_recent < 1:
+        raise ValueError(
+            "keep_recent must be >= 1 — the head manifest must stay full"
+        )
+    mdir = os.path.join(path, "_manifests")
+    versions = snapshot_versions(path)
+
+    def _log_bytes() -> int:
+        return sum(
+            os.path.getsize(os.path.join(mdir, f))
+            for f in os.listdir(mdir)
+            if f.endswith(".json")
+        )
+
+    if not versions:
+        return {
+            "versions": 0, "compacted": 0,
+            "log_bytes_before": 0, "log_bytes_after": 0,
+        }
+    bytes_before = _log_bytes()
+    eligible = set(versions[:-keep_recent])
+    compacted = 0
+    prev: tuple[int, list] | None = None  # (version, resolved files)
+    since_full = 0
+    for v in versions:
+        vpath = os.path.join(mdir, f"v{v}.json")
+        raw = read_manifest(vpath, resolve=False)
+        full = raw if "files" in raw else _resolve_manifest_chain(mdir, raw)
+        if "files" not in raw:
+            since_full += 1  # already a delta: rides its existing chain
+        elif (
+            prev is not None
+            and v in eligible
+            and since_full < keep_full_every - 1
+        ):
+            prev_map = {f["path"]: f for f in prev[1]}
+            cur_map = {f["path"]: f for f in full["files"]}
+            removed = sorted(
+                p for p, e in prev_map.items()
+                if p not in cur_map or cur_map[p] != e
+            )
+            added = sorted(
+                (
+                    e for p, e in cur_map.items()
+                    if p not in prev_map or prev_map[p] != e
+                ),
+                key=lambda e: e["path"],
+            )
+            if len(removed) + len(added) < len(cur_map):
+                delta_m = {k: x for k, x in raw.items() if k != "files"}
+                delta_m["files_delta"] = {
+                    "base": prev[0], "removed": removed, "added": added,
+                }
+                tmp = vpath + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(delta_m, fh, indent=1, sort_keys=True)
+                os.replace(tmp, vpath)
+                compacted += 1
+                since_full += 1
+            else:
+                since_full = 0  # churn >= table: natural keyframe
+        else:
+            since_full = 0
+        prev = (v, full["files"])
+    return {
+        "versions": len(versions),
+        "compacted": compacted,
+        "log_bytes_before": bytes_before,
+        "log_bytes_after": _log_bytes(),
     }
 
 

@@ -109,7 +109,7 @@ def applied_src_version(view_path: str) -> int:
     say — don't carry one and are skipped)."""
     mdir = os.path.join(view_path, "_manifests")
     for v in reversed(snapshot_versions(view_path)):
-        m = read_manifest(os.path.join(mdir, f"v{v}.json"))
+        m = read_manifest(os.path.join(mdir, f"v{v}.json"), resolve=False)
         stamp = m.get("app", {}).get("matview")
         if stamp is not None:
             return int(stamp["applied_src_version"])

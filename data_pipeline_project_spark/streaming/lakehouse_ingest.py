@@ -51,7 +51,7 @@ def _last_committed_batch(table_path: str, sink_id: str) -> int:
     mdir = os.path.join(table_path, "_manifests")
     for v in reversed(snapshot_versions(table_path)):
         stamp = (
-            read_manifest(os.path.join(mdir, f"v{v}.json"))
+            read_manifest(os.path.join(mdir, f"v{v}.json"), resolve=False)
             .get("app", {})
             .get("stream_append")
         )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_project_spark.sinks.manifest import (
     append_snapshot,
+    compact_log,
     compact_snapshot,
     delete_bulk,
     delete_rows_dv,
@@ -29,6 +30,7 @@ from data_pipeline_project_spark.sinks.manifest import (
     merge_bulk,
     merge_upsert,
     read_version,
+    restore_table,
     snapshot_changes,
     snapshot_versions,
     vacuum,
@@ -71,9 +73,33 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
     for step in range(OPS_PER_SEED):
         op = rng.choice(
             ["merge", "merge", "delete", "compact", "vacuum", "merge_bulk",
-             "delete_bulk", "delete_dv", "crash_recover", "append"]
+             "delete_bulk", "delete_dv", "crash_recover", "append",
+             "restore", "compact_log"]
         )
-        if op == "append":
+        if op == "compact_log":
+            # metadata-only log rewrite: NO new version, no row change —
+            # the live-equality, time-travel, and CDF probes below must
+            # all hold on the delta-encoded log
+            res = compact_log(
+                path,
+                keep_full_every=rng.choice([2, 3, 4]),
+                keep_recent=rng.choice([1, 2]),
+            )
+            assert res["log_bytes_after"] <= res["log_bytes_before"], (
+                step, res,
+            )
+        elif op == "restore":
+            # rollback-as-commit: the model jumps to the pinned
+            # snapshot; directory realignment must leave every other
+            # version replayable and later writers unaffected
+            v = rng.choice(sorted(history))
+            res = restore_table(path, version=v)
+            if res["restored"]:
+                model = {k: (val, s) for k, val, s in history[v]}
+                history[res["version"]] = _model_state(model)
+            else:
+                assert _model_state(model) == history[v], (step, v)
+        elif op == "append":
             # intent-stamped O(added) delta commit — must satisfy the
             # same model / time-travel / CDF invariants as every writer
             n_ins = rng.randrange(1, 15)
