@@ -240,3 +240,58 @@ def test_restore_by_timestamp(spark, duck, tmp_path):
     res = restore_table(path, as_of=m2["committed_at"] / 1000.0)
     assert res["restored_to"] == 2
     assert _rows(spark, path) == rows_v2
+
+
+def test_restore_on_partitioned_table(spark, duck, tmp_path):
+    """Restore on a hive-partitioned layout: the realignment moves
+    tombstone-resident files back into their PARTITION directories
+    (relpaths carry shard=N/), partition-changing merges roll back,
+    and partition discovery stays intact afterwards."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7) % 101).alias("v"),
+        (F.col("id") % 4).cast("int").alias("shard"),
+    )
+    df.repartition(2).write.partitionBy("shard").parquet(path)
+    write_versioned_manifest(path)  # v1
+    rows_v1 = _rows(spark, path, 1)
+
+    # v2: a merge that updates in place AND moves a row across
+    # partitions (7 % 4 == 3 -> shard 0)
+    merge_upsert(
+        spark, duck, path, "k",
+        spark.createDataFrame(
+            [(5, -1, 1), (7, -3, 0), (9_999, -4, 3)],
+            "k long, v long, shard int",
+        ),
+    )
+    rows_v2 = _rows(spark, path, 2)
+
+    res = restore_table(path, version=1)
+    assert res["restored"] and res["untombstoned"] >= 1
+    assert _rows(spark, path) == rows_v1
+    live = read_version(spark, path)
+    assert live.where("k = 7").collect()[0].shard == 3  # move rolled back
+    assert live.where("k = 9999").count() == 0          # insert rolled back
+    assert _rows(spark, path, 2) == rows_v2             # audit intact
+
+    # partition discovery: no flat files at the root, a directory read
+    # still parses shard= partitions
+    root_parquets = [
+        f for f in _os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    assert root_parquets == []
+    assert set(
+        r.shard for r in spark.read.parquet(path).select("shard").distinct().collect()
+    ) == {0, 1, 2, 3}
+
+    # and a fresh partitioned merge works on the restored head
+    merge_upsert(
+        spark, duck, path, "k",
+        spark.createDataFrame([(11, -7, 3)], "k long, v long, shard int"),
+    )
+    assert read_version(spark, path).where("v = -7").count() == 1
