@@ -305,11 +305,146 @@ def _data_files(path: str) -> list[str]:
     return sorted(out)
 
 
+# Per-file column statistics recorded in manifest entries (Delta's
+# stats-in-the-log). Collected from the SAME footer read every commit
+# already performs for the row count, so the marginal cost is zero
+# I/O; capped so a 2,000-column table doesn't bloat the log.
+_STATS_MAX_COLS = 32
+
+
+def _entry_stats(md) -> dict | None:
+    """{column: [min, max, kind]} from a parquet FileMetaData's
+    row-group statistics — the data-skipping index the manifest
+    carries so candidate selection and pruned reads never re-open
+    footers. Values are JSON-encoded ORDER-PRESERVINGLY per kind:
+    int/float/str/bool verbatim, dates as epoch days, timestamps as
+    epoch micros (tz-aware normalized to the instant). A column is
+    recorded only when EVERY row group has trustworthy min/max for it
+    (absent stats anywhere make the whole file's range unknowable);
+    nested/dotted paths, binary, NaN stats, and exotic types are
+    skipped. Returns None when nothing qualifies.
+
+    Timestamp caveat: Spark's DEFAULT parquet timestamp output is
+    INT96, which the format defines as stats-less — such columns get
+    no log stats here and no footer stats in any engine (the DuckDB
+    probe sees NULLs too; candidate selection just keeps every file).
+    Sessions that set spark.sql.parquet.outputTimestampType to
+    TIMESTAMP_MICROS get full timestamp skipping."""
+    import datetime
+
+    agg: dict = {}
+    dropped: set = set()
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            cc = rg.column(j)
+            name = cc.path_in_schema
+            if name in dropped or "." in name:
+                continue
+            st = cc.statistics
+            if st is None or not st.has_min_max:
+                dropped.add(name)
+                agg.pop(name, None)
+                continue
+            mn, mx = st.min, st.max
+            kind = None
+            for v in (mn, mx):
+                if isinstance(v, bool):
+                    k = "bool"
+                elif isinstance(v, int):
+                    k = "int"
+                elif isinstance(v, float):
+                    k = "float" if v == v else None  # NaN: untrustworthy
+                elif isinstance(v, str):
+                    # long string bounds are dropped, never truncated:
+                    # a prefix UNDERSTATES a max, which would let
+                    # pruning drop a file that holds matches
+                    k = "str" if len(v) <= 256 else None
+                elif isinstance(v, datetime.datetime):
+                    k = "ts"
+                elif isinstance(v, datetime.date):
+                    k = "date"
+                else:
+                    k = None
+                if k is None or (kind is not None and k != kind):
+                    kind = None
+                    break
+                kind = k
+            if kind is None:
+                dropped.add(name)
+                agg.pop(name, None)
+                continue
+            emn, emx = _stats_encode(mn, kind), _stats_encode(mx, kind)
+            if name in agg:
+                pmn, pmx, pk = agg[name]
+                if pk != kind:
+                    dropped.add(name)
+                    agg.pop(name, None)
+                    continue
+                agg[name] = [min(pmn, emn), max(pmx, emx), kind]
+            else:
+                agg[name] = [emn, emx, kind]
+    if not agg:
+        return None
+    if len(agg) > _STATS_MAX_COLS:
+        agg = dict(sorted(agg.items())[:_STATS_MAX_COLS])
+    return agg
+
+
+def _stats_encode(v, kind):
+    import datetime
+
+    if kind == "date":
+        return (v - datetime.date(1970, 1, 1)).days
+    if kind == "ts":
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return (v - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+            microseconds=1
+        )
+    if kind == "bool":
+        return bool(v)
+    return v
+
+
+def _stats_decode(v, kind):
+    import datetime
+
+    if kind == "date":
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+    if kind == "ts":
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=v
+        )
+    return v
+
+
+def _file_entry(root: str, rel: str, md=None) -> dict:
+    """One manifest file entry — size, footer row count, and the
+    column-stats index — from a single footer read (``md`` lets a
+    caller that already read the footer pass it in)."""
+    import pyarrow.parquet as pq
+
+    full = os.path.join(root, rel)
+    if md is None:
+        md = pq.read_metadata(full)
+    entry = {
+        "path": rel,
+        "bytes": os.path.getsize(full),
+        "rows": md.num_rows,
+    }
+    stats = _entry_stats(md)
+    if stats:
+        entry["stats"] = stats
+    return entry
+
+
 def write_manifest(path: str, manifest_path: str | None = None) -> dict:
-    """Snapshot the parquet dataset at ``path``: per file, byte size and
-    footer row count (metadata read only). Written atomically
-    (tmp + rename) so a concurrent reader sees the old or the new
-    manifest, never a torn one. Returns the manifest dict."""
+    """Snapshot the parquet dataset at ``path``: per file, byte size,
+    footer row count, and the column-stats index (metadata read only).
+    Written atomically (tmp + rename) so a concurrent reader sees the
+    old or the new manifest, never a torn one. Returns the manifest
+    dict."""
     import pyarrow.parquet as pq
 
     files = []
@@ -317,13 +452,7 @@ def write_manifest(path: str, manifest_path: str | None = None) -> dict:
     for f in _data_files(path):
         md = pq.read_metadata(f)
         total_rows += md.num_rows
-        files.append(
-            {
-                "path": os.path.relpath(f, path),
-                "bytes": os.path.getsize(f),
-                "rows": md.num_rows,
-            }
-        )
+        files.append(_file_entry(path, os.path.relpath(f, path), md))
     manifest = {
         "root": os.path.abspath(path),
         "n_files": len(files),
@@ -592,7 +721,17 @@ def _snapshot_zone_maps(
     selection therefore reads exactly the head's file set, resolving
     files a racing rewrite has tombstoned through ``_removed/`` just
     like readers do. Returns (zone_maps, {resolved_path: manifest
-    relpath})."""
+    relpath}).
+
+    Stats-in-the-log fast path (r10): when EVERY pinned entry carries
+    recorded column stats for ``key_col`` (every commit since the
+    feature writes them), the zone maps come straight from the
+    manifest — ZERO footer I/O, so a targeted merge's planning cost
+    stops scaling with the table's file count (at 10⁶ files the
+    DuckDB footer probe is minutes of metadata reads; the log is one
+    JSON already in hand). Any entry without stats for the key (older
+    commits, exotic types) falls back to the footer probe for ALL
+    files — correctness never depends on which path ran."""
     root = head["root"]
     resolved, rel_by_path = [], {}
     for f in head["files"]:
@@ -605,6 +744,18 @@ def _snapshot_zone_maps(
         rel_by_path[live] = f["path"]
     if not resolved:
         return [], rel_by_path
+    ents = head["files"]
+    if all(key_col in (f.get("stats") or {}) for f in ents):
+        path_by_rel = {rel: p for p, rel in rel_by_path.items()}
+        zone = sorted(
+            (
+                path_by_rel[f["path"]],
+                _stats_decode(f["stats"][key_col][0], f["stats"][key_col][2]),
+                _stats_decode(f["stats"][key_col][1], f["stats"][key_col][2]),
+            )
+            for f in ents
+        )
+        return zone, rel_by_path
     rows = duck.execute(
         f"""
         SELECT file_name,
@@ -1377,18 +1528,14 @@ def commit_optimistic(
         removed_set = set(removed)
         files = [f for f in head["files"] if f["path"] not in removed_set]
         for rel in added:
-            full = os.path.join(path, rel)
-            files.append(
-                {
-                    "path": rel,
-                    "bytes": os.path.getsize(full),
-                    "rows": pq.read_metadata(full).num_rows,
-                }
-            )
+            files.append(_file_entry(path, rel))
         for e in added_entries or []:
-            files.append({
+            entry = {
                 "path": e["path"], "bytes": e["bytes"], "rows": e["rows"],
-            })
+            }
+            if e.get("stats"):
+                entry["stats"] = e["stats"]
+            files.append(entry)
         files.sort(key=lambda f: f["path"])
         import time as _time
 
@@ -1510,6 +1657,79 @@ def read_version(
             f"exist (never written, or dropped by vacuum)"
         )
     return read_snapshot(spark, mpath)
+
+
+def prune_snapshot_files(
+    manifest: dict, col: str, lo=None, hi=None
+) -> tuple[dict, int]:
+    """Manifest-side data skipping: a copy of ``manifest`` keeping only
+    the files whose recorded column stats for ``col`` can intersect
+    [lo, hi] (either bound may be None = open). Files without recorded
+    stats for ``col`` are ALWAYS kept — pruning drops a file only when
+    its stats PROVE it clean, so correctness never depends on stats
+    coverage. Bounds must be the column's Python-native type (int,
+    float, str, bool, datetime.date, datetime.datetime) — the same
+    values the stats decode to. Stats are keyed by PHYSICAL column
+    name: after a rename, pruning on the new logical name keeps
+    everything (conservative) until a rewrite materializes it.
+    Returns (pruned manifest, files_skipped)."""
+    kept = []
+    for f in manifest["files"]:
+        st = (f.get("stats") or {}).get(col)
+        if st is not None:
+            mn = _stats_decode(st[0], st[2])
+            mx = _stats_decode(st[1], st[2])
+            if lo is not None and mx < lo:
+                continue
+            if hi is not None and mn > hi:
+                continue
+        kept.append(f)
+    out = dict(manifest)
+    out["files"] = kept
+    out["n_files"] = len(kept)
+    out["total_rows"] = sum(f["rows"] for f in kept)
+    return out, len(manifest["files"]) - len(kept)
+
+
+def read_version_pruned(
+    spark,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+    as_of=None,
+) -> DataFrame:
+    """Range read with MANIFEST-side file skipping (Delta data
+    skipping): files whose logged [min,max] for ``col`` cannot
+    intersect [lo, hi] never reach the Spark plan — at 10⁶ files a
+    point lookup on the cluster key plans against the handful of
+    files that can hold it, without listing or footer-probing the
+    other 999,990 (parquet row-group skipping still applies INSIDE
+    the survivors). The residual predicate is applied to the result,
+    so this equals ``read_version(...).where(lo <= col <= hi)``
+    exactly — pruning is a plan optimization, never a semantic one.
+    Selectors ``version`` / ``as_of`` as in read_version."""
+    from pyspark.sql import functions as F
+
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = version_as_of(path, as_of)
+    mdir = os.path.join(path, "_manifests")
+    name = "latest.json" if version is None else f"v{version}.json"
+    mpath = os.path.join(mdir, name)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"snapshot unreproducible: version manifest {name} does not exist"
+        )
+    pruned, _skipped = prune_snapshot_files(read_manifest(mpath), col, lo, hi)
+    df = read_snapshot(spark, pruned)
+    if lo is not None:
+        df = df.where(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.where(F.col(col) <= F.lit(hi))
+    return df
 
 
 def table_schema(spark, path: str):

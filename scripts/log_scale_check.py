@@ -114,6 +114,30 @@ def main():
     )
     assert calls == [], "restore must not read parquet footers"
 
+    # C. stats-in-the-log planning: zone maps from the manifest vs the
+    # DuckDB footer probe, same head, value-identical — the claim is
+    # that targeted-writer PLANNING stops scaling with file count
+    head = M.read_manifest(os.path.join(mdir, "latest.json"))
+    t0 = time.monotonic()
+    fast, _ = M._snapshot_zone_maps(None, head, "k", "BIGINT")
+    w_fast = time.monotonic() - t0
+    stripped = dict(head)
+    stripped["files"] = [
+        {k: v for k, v in f.items() if k != "stats"} for f in head["files"]
+    ]
+    import duckdb
+
+    duck = duckdb.connect()
+    t0 = time.monotonic()
+    slow, _ = M._snapshot_zone_maps(duck, stripped, "k", "BIGINT")
+    w_slow = time.monotonic() - t0
+    assert fast == slow, "stats-path zone maps diverge from footer probe"
+    print(
+        f"[stats] zone maps for {len(fast)} files: log path {w_fast*1e3:.0f}ms"
+        f" vs footer probe {w_slow*1e3:.0f}ms "
+        f"({w_slow / max(w_fast, 1e-9):.0f}x) — value-identical"
+    )
+
     print("post-run loadavg:", open("/proc/loadavg").read().strip())
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)

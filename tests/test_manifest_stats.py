@@ -1,0 +1,256 @@
+"""Column statistics in the manifest log (Delta's stats-in-the-log)
+and manifest-side data skipping.
+
+Every commit already reads each added file's footer for the row
+count; _entry_stats records per-column [min, max] from that same read
+(zero extra I/O). Consumers:
+
+- _snapshot_zone_maps takes its zone maps straight from the log when
+  every pinned entry carries stats for the key column — targeted
+  MERGE/DELETE planning stops scaling with the table's file count
+  (proved here by running merges with duck=None: the footer-probe
+  engine is never touched);
+- read_version_pruned / prune_snapshot_files skip files whose logged
+  range cannot intersect the predicate — equal to the unpruned
+  read + where() by construction.
+
+Reference parity note: the reference scans single CSVs (pipeline.py);
+stats-in-the-log is extension-tier, patterned on Delta/Iceberg file
+statistics, re-expressed for the JSON manifest chain.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_project_spark.sinks.layout import write_range_clustered
+from data_pipeline_project_spark.sinks.manifest import (
+    _snapshot_zone_maps,
+    append_snapshot,
+    delete_rows_dv,
+    delete_rows_targeted,
+    merge_upsert,
+    prune_snapshot_files,
+    read_manifest,
+    read_version,
+    read_version_pruned,
+    restore_table,
+    write_versioned_manifest,
+)
+
+import os
+
+
+def _latest(path):
+    return read_manifest(os.path.join(path, "_manifests", "latest.json"))
+
+
+def test_commits_record_column_stats(spark, duck, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.range(0, 2_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v"),
+        F.format_string("u-%05d", F.col("id")).alias("s"),
+    )
+    write_range_clustered(base, path, "k", 4)
+    write_versioned_manifest(path)
+    append_snapshot(
+        spark, path,
+        spark.range(5_000, 5_050).select(
+            F.col("id").alias("k"), F.lit(-1).alias("v"),
+            F.lit("zz").alias("s"),
+        ),
+    )
+    merge_upsert(
+        spark, duck, path, "k",
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), F.lit(-2).alias("v"),
+            F.lit("m").alias("s"),
+        ),
+    )
+
+    m = _latest(path)
+    assert m["files"]
+    for f in m["files"]:
+        st = f.get("stats") or {}
+        assert {"k", "v", "s"} <= set(st), f["path"]
+        # stats match the file's actual content exactly
+        mn, mx, kind = st["k"]
+        assert kind == "int"
+        lo, hi = duck.execute(
+            "SELECT min(k), max(k) FROM read_parquet(?)",
+            [os.path.join(m["root"], f["path"])],
+        ).fetchone()
+        assert (mn, mx) == (lo, hi), f["path"]
+    # string stats carry real bounds too
+    all_s = [f["stats"]["s"] for f in m["files"]]
+    assert any(s[0] <= "m" <= s[1] or s[0] == "m" for s in all_s)
+
+
+def test_zone_maps_come_from_the_log_without_footer_io(spark, duck, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.range(0, 3_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    write_range_clustered(base, path, "k", 6)
+    write_versioned_manifest(path)
+
+    # fast path == duck path, value for value
+    head = _latest(path)
+    fast, rel_fast = _snapshot_zone_maps(None, head, "k", "BIGINT")
+    stripped = dict(head)
+    stripped["files"] = [
+        {k: v for k, v in f.items() if k != "stats"} for f in head["files"]
+    ]
+    slow, rel_slow = _snapshot_zone_maps(duck, stripped, "k", "BIGINT")
+    assert fast == slow and rel_fast == rel_slow
+    assert len(fast) == 6 and all(mn is not None for _, mn, _ in fast)
+
+    # the whole targeted-writer stack plans WITHOUT the footer engine:
+    # duck=None would explode on any fallback probe
+    res = merge_upsert(
+        spark, None, path, "k",
+        spark.range(2_900, 3_100).select(
+            F.col("id").alias("k"), F.lit(-5).alias("v")
+        ),
+    )
+    assert res["rows_updated"] == 100 and res["rows_inserted"] == 100
+    res = delete_rows_targeted(
+        spark, None, path, "k",
+        spark.createDataFrame([(7,), (2_950,)], "k long"), commit=True,
+    )
+    assert res["rows_deleted"] == 2
+    res = delete_rows_dv(
+        spark, None, path, "k", spark.createDataFrame([(8,)], "k long")
+    )
+    assert res["rows_deleted"] == 1
+    live = read_version(spark, path)
+    assert live.count() == 3_100 - 3
+    assert live.where("k in (7, 8, 2950)").count() == 0
+
+    # one stats-less entry (an old commit) => conservative fallback to
+    # the footer probe for all files, same answers
+    import json
+
+    mdir = os.path.join(path, "_manifests")
+    head = read_manifest(os.path.join(mdir, "latest.json"))
+    head["files"][0].pop("stats", None)
+    for name in (f"v{head['version']}.json", "latest.json"):
+        with open(os.path.join(mdir, name), "w") as fh:
+            json.dump(head, fh, indent=1, sort_keys=True)
+    res = merge_upsert(
+        spark, duck, path, "k",
+        spark.createDataFrame([(9, -9)], "k long, v long"),
+    )
+    assert res["rows_updated"] == 1
+    with pytest.raises(AttributeError):
+        # duck=None now genuinely needed — proves the fallback engaged
+        merge_upsert(
+            spark, None, path, "k",
+            spark.createDataFrame([(10, -9)], "k long, v long"),
+        )
+
+
+def test_typed_keys_through_the_stats_path(spark, tmp_path):
+    """date / timestamp / float / string keyed merges plan from logged
+    stats alone (duck=None end-to-end)."""
+    cases = [
+        (
+            "d date",
+            lambda c: F.date_add(F.lit("2024-01-01"), c.cast("int")),
+            "DATE",
+        ),
+        (
+            "ts timestamp",
+            lambda c: F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + c * 1_000_000
+            ),
+            "TIMESTAMP",
+        ),
+        ("x double", lambda c: (c - 500) * 0.25, "DOUBLE"),
+        ("s string", lambda c: F.format_string("k-%06d", c), "VARCHAR"),
+    ]
+    # Spark's default parquet timestamp output (INT96) is stats-less
+    # by format definition — MICROS output is what a stats-bearing
+    # lakehouse table uses (see _entry_stats docstring)
+    prev_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        _run_typed_cases(spark, tmp_path, cases)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
+
+
+def _run_typed_cases(spark, tmp_path, cases):
+    for i, (decl, keyexpr, _dt) in enumerate(cases):
+        name, _typ = decl.split()
+        path = str(tmp_path / f"t{i}")
+        base = spark.range(0, 1_000).select(
+            keyexpr(F.col("id")).alias(name), (F.col("id") % 7).alias("v")
+        )
+        write_range_clustered(base, path, name, 4)
+        write_versioned_manifest(path)
+        upd = spark.range(900, 950).select(
+            keyexpr(F.col("id")).alias(name), F.lit(-5).cast("long").alias("v")
+        )
+        res = merge_upsert(spark, None, path, name, upd)
+        assert res["rows_updated"] == 50 and res["rows_inserted"] == 0, decl
+        assert read_version(spark, path).where("v = -5").count() == 50, decl
+
+
+def test_pruned_read_equals_filtered_read(spark, duck, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 101).alias("v")
+    )
+    write_range_clustered(base, path, "k", 10)
+    write_versioned_manifest(path)
+    delete_rows_dv(
+        spark, duck, path, "k", spark.createDataFrame([(4_200,)], "k long")
+    )
+
+    m = _latest(path)
+    for lo, hi in [(4_000, 4_999), (0, 0), (9_999, None), (None, 123),
+                   (20_000, 30_000), (None, None)]:
+        pruned, skipped = prune_snapshot_files(m, "k", lo, hi)
+        assert skipped >= (7 if lo is not None and hi is not None
+                           and hi - (lo or 0) < 2_000 else 0)
+        got = sorted(
+            (r.k, r.v)
+            for r in read_version_pruned(spark, path, "k", lo, hi).collect()
+        )
+        want_df = read_version(spark, path)
+        if lo is not None:
+            want_df = want_df.where(F.col("k") >= lo)
+        if hi is not None:
+            want_df = want_df.where(F.col("k") <= hi)
+        want = sorted((r.k, r.v) for r in want_df.collect())
+        assert got == want, (lo, hi)
+    # the DV-deleted row never resurrects through a pruned read
+    assert read_version_pruned(spark, path, "k", 4_200, 4_200).count() == 0
+
+    # point lookup prunes to a single file
+    _p, skipped = prune_snapshot_files(m, "k", 123, 123)
+    assert skipped == 9
+
+
+def test_stats_survive_restore_and_time_travel(spark, duck, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.range(0, 1_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    write_range_clustered(base, path, "k", 4)
+    write_versioned_manifest(path)
+    merge_upsert(
+        spark, duck, path, "k",
+        spark.createDataFrame([(5, -1)], "k long, v long"),
+    )
+    restore_table(path, version=1)
+    m = _latest(path)
+    assert all("stats" in f and "k" in f["stats"] for f in m["files"])
+    # and the restored head still plans merges from the log alone
+    res = merge_upsert(
+        spark, None, path, "k",
+        spark.createDataFrame([(6, -2)], "k long, v long"),
+    )
+    assert res["rows_updated"] == 1
