@@ -455,11 +455,35 @@ def table_health(
         len(v) for v in _dv_positions_by_file(path, dv).values()
     )
     if key_col is not None and files:
-        zm = [
-            (mn, mx)
-            for _, mn, mx in file_zone_maps(duck, path, key_col, duck_type)
-            if mn is not None and mx is not None
-        ]
+        # stats-in-the-log fast path (r10): when every pinned entry
+        # records stats for the key, the clustering audit reads ZERO
+        # footers — live dir == head pins is the writers' invariant,
+        # so the log's ranges are the directory's ranges
+        zm = None
+        latest = os.path.join(path, "_manifests", "latest.json")
+        if os.path.exists(latest):
+            from data_pipeline_project_spark.sinks.manifest import (
+                _stats_decode,
+                read_manifest,
+            )
+
+            ents = [
+                f for f in read_manifest(latest)["files"] if f["rows"] > 0
+            ]
+            if ents and all(key_col in (f.get("stats") or {}) for f in ents):
+                zm = [
+                    (
+                        _stats_decode(f["stats"][key_col][0], f["stats"][key_col][2]),
+                        _stats_decode(f["stats"][key_col][1], f["stats"][key_col][2]),
+                    )
+                    for f in ents
+                ]
+        if zm is None:
+            zm = [
+                (mn, mx)
+                for _, mn, mx in file_zone_maps(duck, path, key_col, duck_type)
+                if mn is not None and mx is not None
+            ]
         zm.sort()
         overlaps = sum(
             1 for (_, mx_a), (mn_b, _) in zip(zm, zm[1:]) if mn_b <= mx_a

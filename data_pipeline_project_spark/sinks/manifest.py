@@ -744,7 +744,11 @@ def _snapshot_zone_maps(
         rel_by_path[live] = f["path"]
     if not resolved:
         return [], rel_by_path
-    ents = head["files"]
+    # zero-row entries (no row groups, hence no stats) are exempt from
+    # the coverage check AND from the zone list — the footer probe's
+    # GROUP BY likewise never surfaces them, and a rowless file can
+    # never be a rewrite candidate
+    ents = [f for f in head["files"] if f["rows"] > 0]
     if all(key_col in (f.get("stats") or {}) for f in ents):
         path_by_rel = {rel: p for p, rel in rel_by_path.items()}
         zone = sorted(
@@ -1659,31 +1663,85 @@ def read_version(
     return read_snapshot(spark, mpath)
 
 
+def _partition_value_bounds(rel: str, col: str, sample):
+    """[min, max] both equal to the file's hive partition value for
+    ``col``, parsed to ``sample``'s type — partition columns never
+    appear in parquet footers, but the directory name IS an exact
+    zone map for them. Returns None when the relpath has no such
+    segment or the value doesn't parse to the bound's type
+    (conservative: the file is kept)."""
+    raw = _partition_values_of(rel).get(col)
+    if raw is None:
+        return None
+    try:
+        if isinstance(sample, bool):
+            v = raw.lower() == "true"
+        elif isinstance(sample, int):
+            v = int(raw)
+        elif isinstance(sample, float):
+            v = float(raw)
+        elif isinstance(sample, str):
+            v = raw
+        else:
+            import datetime
+
+            if isinstance(sample, datetime.datetime):
+                v = datetime.datetime.fromisoformat(raw)
+            elif isinstance(sample, datetime.date):
+                v = datetime.date.fromisoformat(raw)
+            else:
+                return None
+    except ValueError:
+        return None
+    return v, v
+
+
 def prune_snapshot_files(
-    manifest: dict, col: str, lo=None, hi=None
+    manifest: dict,
+    col: str | None = None,
+    lo=None,
+    hi=None,
+    predicates: dict | None = None,
 ) -> tuple[dict, int]:
     """Manifest-side data skipping: a copy of ``manifest`` keeping only
-    the files whose recorded column stats for ``col`` can intersect
-    [lo, hi] (either bound may be None = open). Files without recorded
-    stats for ``col`` are ALWAYS kept — pruning drops a file only when
-    its stats PROVE it clean, so correctness never depends on stats
-    coverage. Bounds must be the column's Python-native type (int,
-    float, str, bool, datetime.date, datetime.datetime) — the same
-    values the stats decode to. Stats are keyed by PHYSICAL column
-    name: after a rename, pruning on the new logical name keeps
-    everything (conservative) until a rewrite materializes it.
-    Returns (pruned manifest, files_skipped)."""
+    the files that can intersect EVERY predicate. One range is given as
+    (``col``, ``lo``, ``hi``); several as ``predicates`` = {col: (lo,
+    hi)} — conjunction, either bound None = open. A file's range for a
+    column comes from its recorded stats, or — for hive PARTITION
+    columns, which never appear in parquet footers — from the exact
+    ``col=value`` directory segment. Files with neither are ALWAYS
+    kept: pruning drops a file only when its metadata PROVES it clean,
+    so correctness never depends on stats coverage. Bounds must be the
+    column's Python-native type (int, float, str, bool, datetime.date,
+    datetime.datetime) — what the stats decode to. Stats are keyed by
+    PHYSICAL column name: after a rename, pruning on the new logical
+    name keeps everything (conservative) until a rewrite materializes
+    it. Returns (pruned manifest, files_skipped)."""
+    preds = dict(predicates or {})
+    if col is not None:
+        preds[col] = (lo, hi)
     kept = []
     for f in manifest["files"]:
-        st = (f.get("stats") or {}).get(col)
-        if st is not None:
-            mn = _stats_decode(st[0], st[2])
-            mx = _stats_decode(st[1], st[2])
-            if lo is not None and mx < lo:
+        keep = True
+        for c, (clo, chi) in preds.items():
+            st = (f.get("stats") or {}).get(c)
+            if st is not None:
+                rng = (_stats_decode(st[0], st[2]), _stats_decode(st[1], st[2]))
+            else:
+                sample = clo if clo is not None else chi
+                rng = (
+                    _partition_value_bounds(f["path"], c, sample)
+                    if sample is not None
+                    else None
+                )
+            if rng is None:
                 continue
-            if hi is not None and mn > hi:
-                continue
-        kept.append(f)
+            mn, mx = rng
+            if (clo is not None and mx < clo) or (chi is not None and mn > chi):
+                keep = False
+                break
+        if keep:
+            kept.append(f)
     out = dict(manifest)
     out["files"] = kept
     out["n_files"] = len(kept)
@@ -1694,11 +1752,12 @@ def prune_snapshot_files(
 def read_version_pruned(
     spark,
     path: str,
-    col: str,
+    col: str | None = None,
     lo=None,
     hi=None,
     version: int | None = None,
     as_of=None,
+    predicates: dict | None = None,
 ) -> DataFrame:
     """Range read with MANIFEST-side file skipping (Delta data
     skipping): files whose logged [min,max] for ``col`` cannot
@@ -1706,10 +1765,13 @@ def read_version_pruned(
     point lookup on the cluster key plans against the handful of
     files that can hold it, without listing or footer-probing the
     other 999,990 (parquet row-group skipping still applies INSIDE
-    the survivors). The residual predicate is applied to the result,
-    so this equals ``read_version(...).where(lo <= col <= hi)``
-    exactly — pruning is a plan optimization, never a semantic one.
-    Selectors ``version`` / ``as_of`` as in read_version."""
+    the survivors); hive partition columns prune from their directory
+    values. The residual predicates are applied to the result, so
+    this equals ``read_version(...).where(...)`` exactly — pruning is
+    a plan optimization, never a semantic one. One range via
+    ``col``/``lo``/``hi``, several via ``predicates`` = {col: (lo,
+    hi)} (conjunction). Selectors ``version`` / ``as_of`` as in
+    read_version."""
     from pyspark.sql import functions as F
 
     if as_of is not None:
@@ -1723,13 +1785,75 @@ def read_version_pruned(
         raise FileNotFoundError(
             f"snapshot unreproducible: version manifest {name} does not exist"
         )
-    pruned, _skipped = prune_snapshot_files(read_manifest(mpath), col, lo, hi)
+    preds = dict(predicates or {})
+    if col is not None:
+        preds[col] = (lo, hi)
+    pruned, _skipped = prune_snapshot_files(
+        read_manifest(mpath), predicates=preds
+    )
     df = read_snapshot(spark, pruned)
-    if lo is not None:
-        df = df.where(F.col(col) >= F.lit(lo))
-    if hi is not None:
-        df = df.where(F.col(col) <= F.lit(hi))
+    for c, (clo, chi) in preds.items():
+        if clo is not None:
+            df = df.where(F.col(c) >= F.lit(clo))
+        if chi is not None:
+            df = df.where(F.col(c) <= F.lit(chi))
     return df
+
+
+def snapshot_rowcount(path: str, version: int | None = None) -> int:
+    """COUNT(*) answered from METADATA alone: the manifest's pinned
+    row total minus the snapshot's deletion-vector dead positions
+    (the vectors are churn-sized parquet — the only bytes read; no
+    data file is opened). Equals read_version(...).count() by
+    construction: manifests record footer row counts at commit time
+    and DV positions are per-(file, row) exact."""
+    mdir = os.path.join(path, "_manifests")
+    name = "latest.json" if version is None else f"v{version}.json"
+    mpath = os.path.join(mdir, name)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(f"no snapshot manifest {name} under {mdir}")
+    m = read_manifest(mpath)
+    pinned = {f["path"] for f in m["files"]}
+    dead = 0
+    if m.get("dv"):
+        for fpath, positions in _dv_positions_by_file(
+            m["root"], m["dv"]
+        ).items():
+            # vectors may carry entries for files a later rewrite
+            # replaced; only positions in THIS snapshot's files count
+            if fpath in pinned:
+                dead += len(positions)
+    return m["total_rows"] - dead
+
+
+def table_column_minmax(
+    path: str, col: str, version: int | None = None
+) -> tuple | None:
+    """Table-wide (min, max) of ``col`` answered from the manifest's
+    per-file stats — zero data I/O. Returns None unless EVERY pinned
+    file records stats for the column (a partial answer would be
+    silently wrong, not approximate). Honest contract note: deletion
+    vectors may have killed the extreme rows; the result bounds the
+    PHYSICAL values, exactly like parquet footer stats themselves."""
+    mdir = os.path.join(path, "_manifests")
+    name = "latest.json" if version is None else f"v{version}.json"
+    mpath = os.path.join(mdir, name)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(f"no snapshot manifest {name} under {mdir}")
+    m = read_manifest(mpath)
+    if not m["files"]:
+        return None
+    lo = hi = None
+    for f in m["files"]:
+        if f["rows"] == 0:
+            continue  # rowless file: contributes no values
+        st = (f.get("stats") or {}).get(col)
+        if st is None:
+            return None
+        mn, mx = _stats_decode(st[0], st[2]), _stats_decode(st[1], st[2])
+        lo = mn if lo is None or mn < lo else lo
+        hi = mx if hi is None or mx > hi else hi
+    return lo, hi
 
 
 def table_schema(spark, path: str):
@@ -2066,7 +2190,9 @@ def recover_to_last_manifest(path: str) -> dict:
     }
 
 
-def _move_staged_parts(path: str, staging: str, name_fn) -> list[str]:
+def _move_staged_parts(
+    path: str, staging: str, name_fn, drop_empty: bool = False
+) -> list[str]:
     """Move every staged parquet part — possibly under hive partition
     subdirectories, which are preserved — into the table under the
     deterministic stamped names ``name_fn(i)`` yields, carrying Hadoop
@@ -2075,13 +2201,27 @@ def _move_staged_parts(path: str, staging: str, name_fn) -> list[str]:
     walk order. Shared by every writer that stages then moves in
     (merge_upsert, append_snapshot, partitioned bulk rewrites) so the
     commit can be an explicit delta and a concurrent lister never
-    half-sees an in-flight write."""
+    half-sees an in-flight write.
+
+    ``drop_empty=True`` skips zero-row parts (one footer read each):
+    an input partition that held no rows still emits a part file, and
+    pinning empty files pollutes the manifest — they carry no column
+    stats (no row groups), which silently degrades every stats-in-the-
+    log fast path to the footer probe. append_snapshot pre-drops in
+    its own sweep (it needs the row total anyway); merge_upsert's
+    update-append passes this flag."""
+    import pyarrow.parquet as pq
+
     added: list[str] = []
     i = 0
     for sroot, sdirs, sfiles in os.walk(staging):
         sdirs.sort()
         for p in sorted(sfiles):
             if not p.endswith(".parquet") or p.startswith((".", "_")):
+                continue
+            if drop_empty and pq.read_metadata(
+                os.path.join(sroot, p)
+            ).num_rows == 0:
                 continue
             pdir = os.path.relpath(sroot, staging)
             pdir = "" if pdir == "." else pdir
@@ -2542,7 +2682,9 @@ def merge_upsert(
         writer = writer.partitionBy(*pcols)
     writer.parquet(staging)
     added_rels += _move_staged_parts(
-        path, staging, lambda i: f"merge-v{version}-{stamp}-{i:05d}.parquet"
+        path, staging,
+        lambda i: f"merge-v{version}-{stamp}-{i:05d}.parquet",
+        drop_empty=True,
     )
     shutil.rmtree(staging, ignore_errors=True)
 
@@ -2764,7 +2906,9 @@ def _commit_bulk_rewrite(
     staged_total = spark.read.parquet(staging).count()
 
     added_rels = _move_staged_parts(
-        path, staging, lambda i: f"bulk-v{version}-{i:05d}.parquet"
+        path, staging,
+        lambda i: f"bulk-v{version}-{i:05d}.parquet",
+        drop_empty=True,
     )
     for f in old_files:
         rel = os.path.relpath(f, path)

@@ -254,3 +254,114 @@ def test_stats_survive_restore_and_time_travel(spark, duck, tmp_path):
         spark.createDataFrame([(6, -2)], "k long, v long"),
     )
     assert res["rows_updated"] == 1
+
+
+def test_metadata_only_answers(spark, duck, tmp_path):
+    """snapshot_rowcount and table_column_minmax answer from the log
+    with zero data-file reads; DV dead rows are subtracted; partial
+    stats coverage refuses rather than lies."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        snapshot_rowcount,
+        table_column_minmax,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 101).alias("v")
+    )
+    write_range_clustered(base, path, "k", 5)
+    write_versioned_manifest(path)
+    assert snapshot_rowcount(path) == 5_000
+    assert table_column_minmax(path, "k") == (0, 4_999)
+    assert table_column_minmax(path, "v") == (0, 100)
+
+    delete_rows_dv(
+        spark, duck, path, "k",
+        spark.createDataFrame([(i,) for i in range(17)], "k long"),
+    )
+    assert snapshot_rowcount(path) == 5_000 - 17
+    assert snapshot_rowcount(path) == read_version(spark, path).count()
+    assert snapshot_rowcount(path, version=1) == 5_000  # time travel
+
+    merge_upsert(
+        spark, duck, path, "k",
+        spark.createDataFrame([(9_999, -1)], "k long, v long"),
+    )
+    assert snapshot_rowcount(path) == 5_000 - 17 + 1
+    assert table_column_minmax(path, "k") == (0, 9_999)
+
+    # partial coverage => None, never a partial answer
+    import json
+
+    mdir = os.path.join(path, "_manifests")
+    head = read_manifest(os.path.join(mdir, "latest.json"))
+    head["files"][0].pop("stats", None)
+    with open(os.path.join(mdir, "latest.json"), "w") as fh:
+        json.dump(head, fh)
+    assert table_column_minmax(path, "k") is None
+
+
+def test_multi_predicate_and_partition_pruning(spark, duck, tmp_path):
+    """Conjunctive pruning across several columns, plus hive partition
+    columns pruning from their directory values (they never appear in
+    parquet footers)."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 4_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 400).alias("v"),
+        (F.col("id") % 4).cast("int").alias("shard"),
+    )
+    df.repartition(1).write.partitionBy("shard").parquet(path)
+    write_versioned_manifest(path)
+    m = _latest(path)
+
+    # partition pruning: shard == 2 keeps only that directory's file(s)
+    pruned, skipped = prune_snapshot_files(m, "shard", 2, 2)
+    assert skipped >= 1
+    assert all("shard=2" in f["path"] for f in pruned["files"])
+    got = sorted(
+        r.k for r in read_version_pruned(spark, path, "shard", 2, 2).collect()
+    )
+    want = sorted(
+        r.k
+        for r in read_version(spark, path).where("shard = 2").collect()
+    )
+    assert got == want
+
+    # conjunction: shard range AND k range
+    got2 = sorted(
+        (r.k, r.shard)
+        for r in read_version_pruned(
+            spark, path,
+            predicates={"shard": (1, 2), "k": (100, 220)},
+        ).collect()
+    )
+    want2 = sorted(
+        (r.k, r.shard)
+        for r in read_version(spark, path)
+        .where("shard between 1 and 2 and k between 100 and 220")
+        .collect()
+    )
+    assert got2 == want2 and got2
+
+    # unparseable/absent partition value keeps the file (conservative)
+    pruned3, skipped3 = prune_snapshot_files(m, "nosuchcol", 1, 2)
+    assert skipped3 == 0 and pruned3["n_files"] == m["n_files"]
+
+
+def test_table_health_clustering_from_log(spark, duck, tmp_path):
+    """clustering_overlap computes from log stats — duck=None proves
+    zero footer probing on a fully-covered table."""
+    from data_pipeline_project_spark.sinks.layout import table_health
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 3_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    write_range_clustered(base, path, "k", 6)
+    write_versioned_manifest(path)
+    h = table_health(None, path, key_col="k")
+    assert h["clustering_overlap"] == 0.0  # range-clustered: disjoint
+    # and the fast path agrees with the footer probe
+    h2 = table_health(duck, path, key_col="k")
+    assert h2["clustering_overlap"] == h["clustering_overlap"]
