@@ -355,6 +355,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     pointer_jumping: bool = False,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: (node, cluster_id) where
     cluster_id = min doc id reachable through the pair graph — the
@@ -379,6 +380,20 @@ def connected_components(
     graphs LSH banding emits, plain propagation does fewer total
     shuffles; both converge to identical labels (pinned in
     tests/test_llmops.py).
+
+    Size-gated LOCAL solve: an edge list of ``local_threshold`` pairs
+    or fewer (default 2M ≈ 32 MB of longs — the same driver-memory
+    class as the broadcast key sets the targeted-delete path accepts)
+    resolves with driver-side union-find instead of shuffle rounds:
+    the verified near-dup pair list is orders of magnitude smaller
+    than the corpus (it IS the dedup signal), so at any corpus scale
+    the edge list usually fits long after the corpus stopped fitting
+    anywhere. Each distributed round costs 2-3 fixed-latency jobs;
+    union-find on the collected pairs is linear alpha(n) and replaces
+    all of them. Above the threshold the distributed min-label /
+    pointer-jumping rounds run exactly as before — identical labels
+    either way (pinned by test). Pass ``local_threshold=0`` to force
+    the distributed path.
     """
     # Materialize the PAIR LIST itself before symmetrizing: the union
     # has two branches over `pairs`, and an unmaterialized expensive
@@ -387,6 +402,42 @@ def connected_components(
     # cost for dedup_clusters. After the checkpoint the union is a
     # narrow transform over stored blocks.
     p = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint()
+    if local_threshold and p.count() <= local_threshold:
+        spark = p.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes: set = set()
+        for a, b in p.collect():
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root: the label contract is
+                # cluster_id == min reachable id, so the smaller root
+                # always wins — no rank heuristic needed (path
+                # compression alone keeps this near-linear)
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = p.schema[0].dataType  # labels keep the ids' own type
+        return spark.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)],
+            StructType(
+                [
+                    StructField("doc_id", id_type),
+                    StructField("cluster_id", id_type),
+                ]
+            ),
+        )
     sym = p.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )

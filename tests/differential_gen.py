@@ -1612,6 +1612,10 @@ def render_cc_spark(plan: dict, spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs,
         pointer_jumping=plan["pj"],
         max_iter=20 if plan["pj"] else max(20, n + 2),
+        # keep BOTH resolution paths under differential fire: pj seeds
+        # take the size-gated local union-find, the rest force the
+        # distributed min-label rounds (local_threshold=0)
+        local_threshold=2_000_000 if plan["pj"] else 0,
     )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -98,6 +98,31 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # the size-gated local union-find (default here) and the forced
+    # distributed rounds resolve IDENTICAL labels — on the chain, with
+    # pointer jumping, and on a random graph
+    import random
+
+    rng = random.Random(13)
+    rand_pairs = spark.createDataFrame(
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(150)],
+        ["id_a", "id_b"],
+    )
+    for pj in (False, True):
+        for edges in (pairs, rand_pairs):
+            local = {
+                r.doc_id: r.cluster_id
+                for r in connected_components(
+                    edges, pointer_jumping=pj
+                ).collect()
+            }
+            dist = {
+                r.doc_id: r.cluster_id
+                for r in connected_components(
+                    edges, pointer_jumping=pj, local_threshold=0
+                ).collect()
+            }
+            assert local == dist, (pj, len(edges.columns))
 
 
 def test_ivf_ann_recall_vs_bruteforce(spark):
