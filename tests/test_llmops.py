@@ -166,10 +166,15 @@ def test_pointer_jumping_converges_on_deep_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(149)], "id_a long, id_b long"
     )
-    plain = connected_components(edges, max_iter=10)
+    # local_threshold=0: this test is ABOUT the distributed rounds'
+    # convergence behavior (the size-gated union-find is exact in one
+    # pass and would trivially satisfy both assertions)
+    plain = connected_components(edges, max_iter=10, local_threshold=0)
     assert any(r.cluster_id != 0 for r in plain.collect())  # still spreading
 
-    jumped = connected_components(edges, max_iter=10, pointer_jumping=True)
+    jumped = connected_components(
+        edges, max_iter=10, pointer_jumping=True, local_threshold=0
+    )
     rows = jumped.collect()
     assert len(rows) == 150
     assert all(r.cluster_id == 0 for r in rows)
