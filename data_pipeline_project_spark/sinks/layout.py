@@ -608,6 +608,139 @@ def maintenance_plan(health: dict, thresholds: dict | None = None) -> list[dict]
     return plan
 
 
+def table_detail(path: str) -> dict:
+    """DESCRIBE DETAIL from the log alone — zero data I/O: head
+    version and commit time, file/byte/row totals (physical rows plus
+    the DV-adjusted live count), partition columns, schema pin and
+    rename state, deletion-vector load, version count, and log bytes.
+    The one-call operator view of what a table IS before touching
+    it."""
+    import os
+
+    from data_pipeline_project_spark.sinks.manifest import (
+        _partition_cols_of,
+        read_manifest,
+        snapshot_rowcount,
+        snapshot_versions,
+    )
+
+    latest = os.path.join(path, "_manifests", "latest.json")
+    if not os.path.exists(latest):
+        raise FileNotFoundError(f"{path!r} has no snapshot manifest")
+    m = read_manifest(latest)
+    mdir = os.path.join(path, "_manifests")
+    schema_cols = None
+    if m.get("schema_json"):
+        schema_cols = [f["name"] for f in m["schema_json"].get("fields", [])]
+    return {
+        "version": m.get("version"),
+        "committed_at": m.get("committed_at"),
+        "last_op": (m.get("txn") or {}).get("op", "bootstrap"),
+        "n_files": m["n_files"],
+        "total_bytes": sum(f["bytes"] for f in m["files"]),
+        "physical_rows": m["total_rows"],
+        "live_rows": snapshot_rowcount(path),
+        "partition_cols": _partition_cols_of([f["path"] for f in m["files"]]),
+        "schema_pinned": m.get("schema_json") is not None,
+        "schema_cols": schema_cols,
+        "renames": m.get("renames") or {},
+        "dropped_cols": m.get("dropped_cols") or [],
+        "dv_files": len(m.get("dv") or []),
+        "n_versions": len(snapshot_versions(path)),
+        "log_bytes": sum(
+            os.path.getsize(os.path.join(mdir, f))
+            for f in os.listdir(mdir)
+            if f.endswith(".json")
+        ),
+        "stats_coverage": (
+            sum(1 for f in m["files"] if f.get("stats")) / m["n_files"]
+            if m["n_files"]
+            else 1.0
+        ),
+    }
+
+
+# Broadcast threshold for join advice — Spark's own default for
+# spark.sql.autoBroadcastJoinThreshold. Callers tune per cluster.
+BROADCAST_BYTES_DEFAULT = 10 * 1024 * 1024
+
+
+def join_plan_advice(
+    path_a: str,
+    path_b: str,
+    key: str,
+    broadcast_bytes: int = BROADCAST_BYTES_DEFAULT,
+) -> dict:
+    """Stats-driven join planning advice for two manifest tables —
+    the decision an engine makes from catalog statistics, answered
+    here from the logs with zero data I/O:
+
+    - ``empty``     when the key ranges PROVABLY don't intersect
+      (logged min/max) — skip the join entirely;
+    - ``broadcast`` when a side's bytes fit the broadcast threshold
+      (build side = the smaller);
+    - ``shuffle``   otherwise, with the overlap window [lo, hi] both
+      sides could prune their scans to (read_version_pruned /
+      zone-map pruning make that actionable, not aspirational).
+
+    Key ranges missing from either log (partial stats coverage) drop
+    the range-based advice but keep the size-based strategy; the
+    returned dict says which inputs were known. Advice, not a
+    contract: row-level selectivity still belongs to the engine."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        table_column_minmax,
+    )
+
+    a, b = table_detail(path_a), table_detail(path_b)
+    ra = table_column_minmax(path_a, key)
+    rb = table_column_minmax(path_b, key)
+    out = {
+        "key": key,
+        "bytes_a": a["total_bytes"],
+        "bytes_b": b["total_bytes"],
+        "rows_a": a["live_rows"],
+        "rows_b": b["live_rows"],
+        "range_a": ra,
+        "range_b": rb,
+        "overlap": None,
+        "notes": [],
+    }
+    if ra and rb and None not in ra and None not in rb:
+        lo, hi = max(ra[0], rb[0]), min(ra[1], rb[1])
+        if lo > hi:
+            out["strategy"] = "empty"
+            out["notes"].append(
+                f"{key!r} ranges are disjoint ({ra} vs {rb}) — the join "
+                f"is provably empty; skip it"
+            )
+            return out
+        out["overlap"] = (lo, hi)
+    else:
+        out["notes"].append(
+            f"{key!r} range unknown on at least one side (partial stats "
+            f"coverage) — range advice unavailable"
+        )
+    small, small_name = min(
+        (a["total_bytes"], "a"), (b["total_bytes"], "b")
+    )
+    if small <= broadcast_bytes:
+        out["strategy"] = "broadcast"
+        out["build_side"] = small_name
+        out["notes"].append(
+            f"side {small_name} is {small} bytes (<= {broadcast_bytes}): "
+            f"broadcast it — the big side never shuffles"
+        )
+    else:
+        out["strategy"] = "shuffle"
+        if out["overlap"]:
+            out["notes"].append(
+                f"both sides exceed the broadcast threshold; shuffle on "
+                f"{key!r} and prune each scan to the overlap "
+                f"{out['overlap']} first"
+            )
+    return out
+
+
 def run_maintenance(
     spark,
     duck,

@@ -329,66 +329,92 @@ def _entry_stats(md) -> dict | None:
     no log stats here and no footer stats in any engine (the DuckDB
     probe sees NULLs too; candidate selection just keeps every file).
     Sessions that set spark.sql.parquet.outputTimestampType to
-    TIMESTAMP_MICROS get full timestamp skipping."""
+    TIMESTAMP_MICROS get full timestamp skipping.
+
+    Each qualifying column's entry also carries its NULL COUNT as a
+    4th element ([min, max, kind, nulls]) when every row group
+    reports one — range pruning implies IS NOT NULL, so null counts
+    let IS NULL / IS NOT NULL predicates prune too (see
+    prune_snapshot_files). A column that is ALL NULL in the file has
+    no min/max by definition; it records as [None, None, "null",
+    nulls] — a range predicate can never match such a file, which is
+    exactly the case plain min/max skipping is blind to. 3-element
+    entries (older commits, missing counts) stay valid everywhere."""
     import datetime
 
+    def _classify(v):
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float" if v == v else None  # NaN: untrustworthy
+        if isinstance(v, str):
+            # long string bounds are dropped, never truncated: a
+            # prefix UNDERSTATES a max, which would let pruning drop
+            # a file that holds matches
+            return "str" if len(v) <= 256 else None
+        if isinstance(v, datetime.datetime):
+            return "ts"
+        if isinstance(v, datetime.date):
+            return "date"
+        return None
+
+    # per column: mn/mx/kind for the range, nulls running total;
+    # ok=False poisons the range, nulls_ok=False poisons the count —
+    # independently, so an all-null row group still contributes nulls
     agg: dict = {}
-    dropped: set = set()
     for i in range(md.num_row_groups):
         rg = md.row_group(i)
         for j in range(rg.num_columns):
             cc = rg.column(j)
             name = cc.path_in_schema
-            if name in dropped or "." in name:
+            if "." in name:
                 continue
+            rec = agg.setdefault(
+                name,
+                {"mn": None, "mx": None, "kind": None, "nulls": 0,
+                 "ok": True, "nulls_ok": True},
+            )
             st = cc.statistics
-            if st is None or not st.has_min_max:
-                dropped.add(name)
-                agg.pop(name, None)
+            if st is None:
+                rec["ok"] = rec["nulls_ok"] = False
                 continue
-            mn, mx = st.min, st.max
-            kind = None
-            for v in (mn, mx):
-                if isinstance(v, bool):
-                    k = "bool"
-                elif isinstance(v, int):
-                    k = "int"
-                elif isinstance(v, float):
-                    k = "float" if v == v else None  # NaN: untrustworthy
-                elif isinstance(v, str):
-                    # long string bounds are dropped, never truncated:
-                    # a prefix UNDERSTATES a max, which would let
-                    # pruning drop a file that holds matches
-                    k = "str" if len(v) <= 256 else None
-                elif isinstance(v, datetime.datetime):
-                    k = "ts"
-                elif isinstance(v, datetime.date):
-                    k = "date"
-                else:
-                    k = None
-                if k is None or (kind is not None and k != kind):
-                    kind = None
-                    break
-                kind = k
-            if kind is None:
-                dropped.add(name)
-                agg.pop(name, None)
-                continue
-            emn, emx = _stats_encode(mn, kind), _stats_encode(mx, kind)
-            if name in agg:
-                pmn, pmx, pk = agg[name]
-                if pk != kind:
-                    dropped.add(name)
-                    agg.pop(name, None)
-                    continue
-                agg[name] = [min(pmn, emn), max(pmx, emx), kind]
+            if st.has_null_count:
+                rec["nulls"] += st.null_count
             else:
-                agg[name] = [emn, emx, kind]
-    if not agg:
+                rec["nulls_ok"] = False
+            if st.has_min_max:
+                k = _classify(st.min)
+                k2 = _classify(st.max)
+                if k is None or k != k2 or (
+                    rec["kind"] is not None and rec["kind"] != k
+                ):
+                    rec["ok"] = False
+                    continue
+                emn, emx = _stats_encode(st.min, k), _stats_encode(st.max, k)
+                rec["kind"] = k
+                rec["mn"] = emn if rec["mn"] is None else min(rec["mn"], emn)
+                rec["mx"] = emx if rec["mx"] is None else max(rec["mx"], emx)
+            elif not (st.has_null_count and st.num_values == 0):
+                # no range and not provably all-null: range unknowable
+                rec["ok"] = False
+    out: dict = {}
+    for name, rec in sorted(agg.items()):
+        if not rec["ok"]:
+            continue
+        if rec["kind"] is not None:
+            e = [rec["mn"], rec["mx"], rec["kind"]]
+            if rec["nulls_ok"]:
+                e.append(rec["nulls"])
+            out[name] = e
+        elif rec["nulls_ok"] and rec["nulls"] > 0:
+            out[name] = [None, None, "null", rec["nulls"]]
+    if not out:
         return None
-    if len(agg) > _STATS_MAX_COLS:
-        agg = dict(sorted(agg.items())[:_STATS_MAX_COLS])
-    return agg
+    if len(out) > _STATS_MAX_COLS:
+        out = dict(sorted(out.items())[:_STATS_MAX_COLS])
+    return out
 
 
 def _stats_encode(v, kind):
@@ -1702,6 +1728,8 @@ def prune_snapshot_files(
     lo=None,
     hi=None,
     predicates: dict | None = None,
+    not_null: list | None = None,
+    is_null: list | None = None,
 ) -> tuple[dict, int]:
     """Manifest-side data skipping: a copy of ``manifest`` keeping only
     the files that can intersect EVERY predicate. One range is given as
@@ -1716,15 +1744,31 @@ def prune_snapshot_files(
     datetime.datetime) — what the stats decode to. Stats are keyed by
     PHYSICAL column name: after a rename, pruning on the new logical
     name keeps everything (conservative) until a rewrite materializes
-    it. Returns (pruned manifest, files_skipped)."""
+    it.
+
+    Null predicates: ``not_null`` lists columns that must have a
+    value (a file recorded ALL-null for one is skipped — range
+    predicates imply this for their own column automatically);
+    ``is_null`` lists columns that must have a null (a file whose
+    logged null count is 0 is skipped). Both need the commit-time
+    null counts; files without them are kept. Returns (pruned
+    manifest, files_skipped)."""
     preds = dict(predicates or {})
     if col is not None:
         preds[col] = (lo, hi)
     kept = []
     for f in manifest["files"]:
         keep = True
+        stats = f.get("stats") or {}
         for c, (clo, chi) in preds.items():
-            st = (f.get("stats") or {}).get(c)
+            st = stats.get(c)
+            if st is not None and st[2] == "null":
+                # the file has NO values for c: no range predicate on
+                # c can match any of its rows
+                if clo is not None or chi is not None:
+                    keep = False
+                    break
+                continue
             if st is not None:
                 rng = (_stats_decode(st[0], st[2]), _stats_decode(st[1], st[2]))
             else:
@@ -1740,6 +1784,22 @@ def prune_snapshot_files(
             if (clo is not None and mx < clo) or (chi is not None and mn > chi):
                 keep = False
                 break
+        if keep:
+            for c in not_null or []:
+                st = stats.get(c)
+                if st is not None and st[2] == "null":
+                    keep = False
+                    break
+            for c in is_null or []:
+                st = stats.get(c)
+                if (
+                    keep
+                    and st is not None
+                    and len(st) > 3
+                    and st[3] == 0
+                ):
+                    keep = False
+                    break
         if keep:
             kept.append(f)
     out = dict(manifest)
@@ -1850,10 +1910,37 @@ def table_column_minmax(
         st = (f.get("stats") or {}).get(col)
         if st is None:
             return None
+        if st[2] == "null":
+            continue  # all-null file: contributes no values
         mn, mx = _stats_decode(st[0], st[2]), _stats_decode(st[1], st[2])
         lo = mn if lo is None or mn < lo else lo
         hi = mx if hi is None or mx > hi else hi
     return lo, hi
+
+
+def table_null_counts(
+    path: str, col: str, version: int | None = None
+) -> int | None:
+    """Table-wide COUNT(col IS NULL) from the log's per-file null
+    counts — zero data I/O. None unless every pinned file with rows
+    records a count for the column (same refuse-don't-lie contract as
+    table_column_minmax). Physical counts: deletion vectors may have
+    killed some of the counted rows."""
+    mdir = os.path.join(path, "_manifests")
+    name = "latest.json" if version is None else f"v{version}.json"
+    mpath = os.path.join(mdir, name)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(f"no snapshot manifest {name} under {mdir}")
+    m = read_manifest(mpath)
+    total = 0
+    for f in m["files"]:
+        if f["rows"] == 0:
+            continue
+        st = (f.get("stats") or {}).get(col)
+        if st is None or len(st) < 4:
+            return None
+        total += st[3]
+    return total
 
 
 def table_schema(spark, path: str):

@@ -74,14 +74,16 @@ def test_commits_record_column_stats(spark, duck, tmp_path):
     for f in m["files"]:
         st = f.get("stats") or {}
         assert {"k", "v", "s"} <= set(st), f["path"]
-        # stats match the file's actual content exactly
-        mn, mx, kind = st["k"]
+        # stats match the file's actual content exactly (4th element =
+        # null count, r10 session 2)
+        mn, mx, kind = st["k"][:3]
         assert kind == "int"
         lo, hi = duck.execute(
             "SELECT min(k), max(k) FROM read_parquet(?)",
             [os.path.join(m["root"], f["path"])],
         ).fetchone()
         assert (mn, mx) == (lo, hi), f["path"]
+        assert len(st["k"]) == 4 and st["k"][3] == 0  # k is never null
     # string stats carry real bounds too
     all_s = [f["stats"]["s"] for f in m["files"]]
     assert any(s[0] <= "m" <= s[1] or s[0] == "m" for s in all_s)
@@ -365,3 +367,117 @@ def test_table_health_clustering_from_log(spark, duck, tmp_path):
     # and the fast path agrees with the footer probe
     h2 = table_health(duck, path, key_col="k")
     assert h2["clustering_overlap"] == h["clustering_overlap"]
+
+
+def test_null_counts_and_null_pruning(spark, duck, tmp_path):
+    """Null counts ride the stats (4th element); all-null files record
+    [None, None, 'null', n] — the case min/max skipping is blind to —
+    and IS NULL / IS NOT NULL predicates prune from them."""
+    from data_pipeline_project_spark.sinks.manifest import table_null_counts
+
+    path = str(tmp_path / "t")
+    # file 0: v never null; file 1: v HALF null; file 2: v ALL null
+    a = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    b = spark.range(100, 200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("v"),
+    )
+    c = spark.range(200, 300).select(
+        F.col("id").alias("k"), F.lit(None).cast("long").alias("v")
+    )
+    a.coalesce(1).write.parquet(path)
+    b.coalesce(1).write.mode("append").parquet(path)
+    c.coalesce(1).write.mode("append").parquet(path)
+    write_versioned_manifest(path)
+
+    m = _latest(path)
+    by_nulls = {}
+    for f in m["files"]:
+        st = f["stats"]["v"]
+        by_nulls[st[3]] = st
+    assert set(by_nulls) == {0, 50, 100}
+    assert by_nulls[100][2] == "null"  # all-null file: no range, kind tag
+    assert table_null_counts(path, "v") == 150
+    assert table_null_counts(path, "k") == 0
+
+    # IS NOT NULL skips the all-null file; IS NULL skips the no-null one
+    pruned, skipped = prune_snapshot_files(m, not_null=["v"])
+    assert skipped == 1
+    pruned2, skipped2 = prune_snapshot_files(m, is_null=["v"])
+    assert skipped2 == 1
+    # a RANGE predicate on v skips the all-null file too (plain min/max
+    # skipping can't see this case: there is no min/max at all)
+    pruned3, _ = prune_snapshot_files(m, "v", 0, 10**9)
+    assert all(f["stats"]["v"][2] != "null" for f in pruned3["files"])
+
+    # pruned reads equal filtered reads, nulls included
+    got = sorted(
+        r.k
+        for r in read_version_pruned(
+            spark, path, "v", 100, 200, predicates=None
+        ).collect()
+    )
+    want = sorted(
+        r.k
+        for r in read_version(spark, path)
+        .where("v between 100 and 200")
+        .collect()
+    )
+    assert got == want and got
+
+    # minmax skips the all-null file but still answers
+    from data_pipeline_project_spark.sinks.manifest import table_column_minmax
+
+    assert table_column_minmax(path, "k") == (0, 299)
+    lo, hi = table_column_minmax(path, "v")
+    assert lo == 0 and hi == 198
+
+
+def test_table_detail_and_join_advice(spark, duck, tmp_path):
+    from data_pipeline_project_spark.sinks.layout import (
+        join_plan_advice,
+        table_detail,
+    )
+
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    far = str(tmp_path / "far")
+    write_range_clustered(
+        spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        ),
+        fact, "k", 8,
+    )
+    write_versioned_manifest(fact)
+    write_range_clustered(
+        spark.range(0, 500).select(
+            F.col("id").alias("k"), F.lit("d").alias("name")
+        ),
+        dim, "k", 1,
+    )
+    write_versioned_manifest(dim)
+    write_range_clustered(
+        spark.range(1_000_000, 1_000_500).select(
+            F.col("id").alias("k"), F.lit("x").alias("name")
+        ),
+        far, "k", 1,
+    )
+    write_versioned_manifest(far)
+
+    d = table_detail(fact)
+    assert d["n_files"] == 8 and d["physical_rows"] == 50_000
+    assert d["live_rows"] == 50_000 and d["partition_cols"] == []
+    assert d["stats_coverage"] == 1.0 and d["last_op"] == "bootstrap"
+
+    adv = join_plan_advice(fact, dim, "k")
+    assert adv["strategy"] == "broadcast" and adv["build_side"] == "b"
+    assert adv["overlap"] == (0, 499)
+
+    adv2 = join_plan_advice(fact, far, "k")
+    assert adv2["strategy"] == "empty"  # provably disjoint key ranges
+
+    # huge threshold forces the shuffle branch with the prune window
+    adv3 = join_plan_advice(fact, dim, "k", broadcast_bytes=0)
+    assert adv3["strategy"] == "shuffle" and adv3["overlap"] == (0, 499)
