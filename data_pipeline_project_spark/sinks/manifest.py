@@ -3281,6 +3281,144 @@ def rewrite_table(
     }
 
 
+def rewrite_partition(
+    spark,
+    path: str,
+    cluster_col: str | list[str],
+    partition: dict,
+    n_files: int | None = None,
+) -> dict:
+    """OPTIMIZE ... WHERE partition = value: re-cluster (or Z-ORDER,
+    with a list of columns) ONE partition's files — the canonical
+    nightly job at scale. Nobody z-orders a 100 TB table nightly; you
+    optimize yesterday's ``dt=`` partition while ingest keeps landing
+    in today's. Physics per partition mirrors rewrite_table's; the
+    COMMIT is the difference: a targeted optimistic delta (removed =
+    exactly that partition's pinned files, ``row_preserving``) instead
+    of a whole-table intent — so it COMMUTES with appends, merges, DV
+    deletes, and other partition rewrites elsewhere in the table, and
+    conflicts only with a concurrent writer touching the SAME files.
+
+    ``partition`` maps partition columns to values ({'dt':
+    '2024-01-01'}, values compared as their directory strings); a
+    subset of the partition columns selects every matching directory.
+    The read is the snapshot read (DV-filtered, schema-pinned,
+    renames applied), so the rewrite also materializes the
+    partition's deletion-vector deletes away and physicalizes pending
+    schema changes for ITS files. Raises on a flat table (use
+    rewrite_table) or an empty match. Returns {version, partitions,
+    files_rewritten, rows}."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"{path!r} has no snapshot to rewrite")
+    mdir = os.path.join(path, "_manifests")
+    head = _read_manifest_settled(os.path.join(mdir, f"v{versions[-1]}.json"))
+    pcols = _partition_cols_of([f["path"] for f in head["files"]])
+    if not pcols:
+        raise ValueError(
+            "rewrite_partition needs a hive-partitioned table — use "
+            "rewrite_table for flat layouts"
+        )
+    unknown = set(partition) - set(pcols)
+    if not partition or unknown:
+        raise ValueError(
+            f"partition must name partition columns from {pcols}, got "
+            f"{sorted(partition) or '{}'}"
+        )
+    want = {k: str(v) for k, v in partition.items()}
+    target = [
+        f for f in head["files"]
+        if all(
+            _partition_values_of(f["path"]).get(k) == v
+            for k, v in want.items()
+        )
+    ]
+    if not target:
+        raise ValueError(f"no files in partition {want} at v{head['version']}")
+    rels = [f["path"] for f in target]
+    dirs = sorted({os.path.dirname(r).replace("\\", "/") for r in rels})
+
+    sub = dict(head)
+    sub["files"] = target
+    frame = read_snapshot(spark, sub)  # DV-filtered, schema-correct
+
+    cols = (
+        list(cluster_col)
+        if isinstance(cluster_col, (list, tuple))
+        else [cluster_col]
+    )
+    zkey = None
+    if len(cols) > 1:
+        from data_pipeline_project_spark.sinks.layout import zorder_key
+
+        stats = frame.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        if any(stats[f"mn_{c}"] is None for c in cols):
+            raise ValueError("z-order columns need non-null min/max")
+        zkey = "_zkey"
+        frame = frame.withColumn(
+            zkey,
+            zorder_key(
+                [F.col(c) for c in cols],
+                [stats[f"mn_{c}"] for c in cols],
+                [stats[f"mx_{c}"] for c in cols],
+            ),
+        )
+    sort_col = zkey or cols[0]
+    n_out = n_files if n_files is not None else max(1, len(rels))
+    version = head["version"] + 1
+    stamp = _uuid.uuid4().hex[:8]
+    staging = os.path.join(path, f".optimize.v{version}.{stamp}.staging")
+    staged = frame.repartitionByRange(n_out, sort_col).sortWithinPartitions(
+        sort_col
+    )
+    if zkey:
+        staged = staged.drop(zkey)  # narrow projection: order survives
+    staged.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
+    added = _move_staged_parts(
+        path, staging,
+        lambda i: f"opt-v{version}-{stamp}-{i:05d}.parquet",
+        drop_empty=True,
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # tombstone the replaced originals (copy-on-write: never rewrite
+    # bytes a pinned manifest references)
+    for rel in rels:
+        live = os.path.join(path, rel)
+        if os.path.exists(live):
+            _move_with_crc(live, os.path.join(path, REMOVED_DIR, rel))
+
+    manifest = commit_optimistic(
+        path,
+        added=added,
+        removed=rels,
+        intent={
+            "op": "rewrite_partition",
+            "removed": rels,
+            "dv_targets": [],
+            "schema_change": False,
+            "row_preserving": True,
+        },
+        base_version=head["version"],
+    )
+    return {
+        "version": manifest["version"],
+        "partitions": dirs,
+        "files_rewritten": len(rels),
+        "rows": sum(
+            f["rows"] for f in manifest["files"] if f["path"] in set(added)
+        ),
+    }
+
+
 def clone_snapshot(
     src_path: str,
     dst_path: str,

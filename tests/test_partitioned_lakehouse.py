@@ -443,3 +443,146 @@ def test_partitioned_op_sequences_match_reference_model(spark, duck, tmp_path):
                 for r in read_version(spark, path, v).collect()
             }
             assert got == want, f"seed {seed}: version {v} diverged"
+
+
+def test_rewrite_partition_optimizes_one_directory(spark, duck, tmp_path):
+    """OPTIMIZE WHERE: re-cluster ONE partition — fragmented partition
+    re-clustered (disjoint zone maps), sibling partitions
+    byte-identical, DV deletes in the partition materialized away,
+    time travel intact, and the targeted row_preserving intent
+    commutes with a concurrent append landing in ANOTHER partition."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from data_pipeline_project_spark.sinks import manifest as M
+    from data_pipeline_project_spark.sinks.layout import file_zone_maps
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 4_000).select(
+        ((F2.col("id") * 48_271) % 4_000).alias("k"),
+        (F2.col("id") % 11).alias("v"),
+        (F2.col("id") % 2).cast("int").alias("shard"),
+    )
+    # fragment shard=0 badly: 8 unsorted files per partition
+    df.repartition(8).write.partitionBy("shard").parquet(path)
+    M.write_versioned_manifest(path)
+    M.delete_rows_dv(
+        spark, duck, path, "k",
+        spark.createDataFrame([(2,), (4,)], "k long"),
+    )
+    rows_before = sorted(
+        tuple(r) for r in M.read_version(spark, path).collect()
+    )
+
+    def md5s(shard):
+        out = {}
+        d = os.path.join(path, f"shard={shard}")
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                out[f] = hashlib.md5(
+                    open(os.path.join(d, f), "rb").read()
+                ).hexdigest()
+        return out
+
+    other_before = md5s(1)
+
+    res = M.rewrite_partition(spark, path, "k", {"shard": 0}, n_files=3)
+    assert res["files_rewritten"] == 8
+    assert res["partitions"] == ["shard=0"]
+
+    # sibling partition byte-identical; target partition re-clustered
+    assert md5s(1) == other_before
+    zm = [
+        (mn, mx)
+        for f, mn, mx in file_zone_maps(
+            duck, os.path.join(path, "shard=0"), "k", "BIGINT"
+        )
+        if "opt-" in f
+    ]
+    assert len(zm) == 3
+    zm.sort()
+    assert all(a_hi < b_lo for (_, a_hi), (b_lo, _) in zip(zm, zm[1:]))
+
+    # rows identical (DV dead rows stay dead — now physically gone)
+    assert sorted(
+        tuple(r) for r in M.read_version(spark, path).collect()
+    ) == rows_before
+    assert M.read_version(spark, path).where("k in (2, 4)").count() == 0
+    # time travel to the pre-optimize version still works
+    assert M.read_version(spark, path, 2).count() == len(rows_before)
+
+    # intent commutes: an append into shard=1 lands in the claim
+    # window; the optimize rebases over it instead of conflicting
+    state = {"fired": False}
+
+    def interpose(version, mdir):
+        if not state["fired"]:
+            state["fired"] = True
+            M._test_claim_interposer = None
+            M.append_snapshot(
+                spark, path,
+                spark.range(90_000, 90_010).select(
+                    F2.col("id").alias("k"), F2.lit(-1).alias("v"),
+                    F2.lit(1).cast("int").alias("shard"),
+                ),
+            )
+
+    M._test_claim_interposer = interpose
+    try:
+        res2 = M.rewrite_partition(spark, path, "k", {"shard": 0})
+    finally:
+        M._test_claim_interposer = None
+    assert state["fired"]
+    live = M.read_version(spark, path)
+    assert live.where("k >= 90000").count() == 10   # append survived
+    assert live.count() == len(rows_before) + 10
+
+    # refusals: flat table, unknown column, empty match
+    flat = str(tmp_path / "flat")
+    spark.range(0, 100).select(
+        F2.col("id").alias("k"), (F2.col("id") % 3).alias("v")
+    ).write.parquet(flat)
+    M.write_versioned_manifest(flat)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        M.rewrite_partition(spark, flat, "k", {"shard": 0})
+    with _pytest.raises(ValueError, match="partition columns"):
+        M.rewrite_partition(spark, path, "k", {"nope": 1})
+    with _pytest.raises(ValueError, match="no files"):
+        M.rewrite_partition(spark, path, "k", {"shard": 7})
+
+
+def test_rewrite_partition_zorder(spark, duck, tmp_path):
+    """Z-ORDER one partition over (k, v): both dimensions' zone maps
+    tighten inside the partition, everything else untouched."""
+    from pyspark.sql import functions as F2
+
+    from data_pipeline_project_spark.sinks import manifest as M
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 3_000).select(
+        ((F2.col("id") * 48_271) % 3_000).alias("k"),
+        ((F2.col("id") * 9_973) % 3_000).alias("v"),
+        (F2.col("id") % 3).cast("int").alias("shard"),
+    )
+    df.repartition(6).write.partitionBy("shard").parquet(path)
+    M.write_versioned_manifest(path)
+    before = sorted(tuple(r) for r in M.read_version(spark, path).collect())
+
+    res = M.rewrite_partition(spark, path, ["k", "v"], {"shard": 1}, n_files=4)
+    assert res["files_rewritten"] == 6 and res["partitions"] == ["shard=1"]
+    after = sorted(tuple(r) for r in M.read_version(spark, path).collect())
+    assert after == before
+    # z-value clustering: per-file k and v spans are each a fraction of
+    # the partition's span (the z-order contract, loosely asserted)
+    m = M.read_manifest(
+        __import__("os").path.join(path, "_manifests", "latest.json")
+    )
+    opt = [f for f in m["files"] if "opt-" in f["path"]]
+    assert len(opt) == 4
+    for f in opt:
+        kmn, kmx, _ = f["stats"]["k"][:3]
+        assert kmx - kmn < 3_000  # tighter than the full span
