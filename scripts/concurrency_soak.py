@@ -15,6 +15,14 @@ interleaved commits).
 Compaction appears at most once per seed (two compactions share
 removed files — a designed conflict, covered by CI's conflict tests).
 
+A second family (same count) runs on HIVE-PARTITIONED tables with
+per-shard key ranges: each of the three writers owns one shard and
+draws from merge / DV delete / targeted delete / keyed append /
+rewrite_partition (OPTIMIZE WHERE) — the nightly-maintenance
+interleaving: optimize shard 1 while shard 0 merges and shard 2
+ingests. Disjoint shards mean every pair must commute; the chain
+forces the multi-commit rebases.
+
 Usage: python scripts/concurrency_soak.py [n_seeds]
 """
 
@@ -191,7 +199,102 @@ def main():
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(ref, ignore_errors=True)
 
-    print(f"\nsoak complete: {n_seeds} seeds, {failures} divergence(s)")
+    # ---- partitioned family: one writer per shard, OPTIMIZE WHERE in
+    # the draw — disjoint shards, so every interleaving must commute
+    SHARD = N // 3
+
+    def fresh_part(name):
+        path = os.path.join(work, name)
+        df = spark.range(0, N).select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 7) % 101).alias("v"),
+            F.floor(F.col("id") / SHARD).cast("int").alias("shard"),
+        )
+        df.repartitionByRange(6, "k").write.partitionBy("shard").parquet(path)
+        write_versioned_manifest(path)
+        return path
+
+    def draw_op_part(rng, i):
+        kind = rng.choice(["merge", "dv", "delete", "append", "optimize"])
+        if kind == "optimize":
+            return kind, None
+        if kind == "append":
+            n = rng.randrange(1, 4)
+            return kind, [(20_000 + 100 * i + j, -7, i) for j in range(n)]
+        keys = rng.sample(range(i * SHARD, (i + 1) * SHARD),
+                          rng.randrange(1, 5))
+        if kind == "merge":
+            return kind, [
+                (int(k), -rng.randrange(1, 50), i) for k in keys
+            ]
+        return kind, [(int(k),) for k in keys]
+
+    def run_op_part(path, i, kind, payload):
+        if kind == "merge":
+            merge_upsert(
+                spark, duck, path, "k",
+                spark.createDataFrame(payload, "k long, v long, shard int"),
+            )
+        elif kind == "append":
+            append_snapshot(
+                spark, path,
+                spark.createDataFrame(
+                    payload, "k long, v long, shard int"
+                ).coalesce(1),
+                key_col="k",
+            )
+        elif kind == "dv":
+            delete_rows_dv(
+                spark, duck, path, "k",
+                spark.createDataFrame(payload, "k long"),
+            )
+        elif kind == "delete":
+            delete_rows_targeted(
+                spark, duck, path, "k",
+                spark.createDataFrame(payload, "k long"), commit=True,
+            )
+        else:
+            M.rewrite_partition(spark, path, "k", {"shard": i}, n_files=1)
+
+    for seed in range(900, 900 + n_seeds):
+        rng = random.Random(seed)
+        ops = [draw_op_part(rng, i) for i in range(3)]
+        path = fresh_part(f"p{seed}")
+        ref = fresh_part(f"q{seed}")
+
+        M._test_claim_interposer = _InterposeChain(
+            [
+                lambda: run_op_part(path, 0, *ops[0]),
+                lambda: run_op_part(path, 1, *ops[1]),
+            ]
+        )
+        try:
+            run_op_part(path, 2, *ops[2])
+        finally:
+            M._test_claim_interposer = None
+        for i, (kind, pay) in enumerate(ops):
+            run_op_part(ref, i, kind, pay)
+
+        live = sorted(map(tuple, read_version(spark, path).collect()))
+        want = sorted(map(tuple, read_version(spark, ref).collect()))
+        ok = live == want
+        replayable = True
+        for v in snapshot_versions(path):
+            try:
+                read_version(spark, path, v).count()
+            except Exception as e:  # noqa: BLE001
+                replayable = False
+                print(f"  seed {seed}: version {v} unreadable: {e}")
+        status = "ok" if ok and replayable else "DIVERGED"
+        if status != "ok":
+            failures += 1
+        names = "+".join(k for k, _ in ops)
+        print(f"seed {seed} (partitioned): {names} -> {status} "
+              f"({len(snapshot_versions(path))} versions)")
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ref, ignore_errors=True)
+
+    print(f"\nsoak complete: {2 * n_seeds} seeds, {failures} divergence(s)")
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
     sys.exit(1 if failures else 0)
