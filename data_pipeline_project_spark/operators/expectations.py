@@ -189,3 +189,114 @@ def expect_unique_auto(
     if df.count() <= exact_max_rows:
         return expect_unique(cols, threshold)
     return expect_unique_approx(cols, min(threshold, 1.0 - 3.0 * rsd), rsd)
+
+
+def log_expectation_report(
+    path: str, rules: list[tuple], version: int | None = None
+) -> list[dict]:
+    """Data-quality audit answered from the SNAPSHOT LOG — zero data
+    I/O, three-valued: the per-file stats every commit records (min /
+    max / null counts — sinks/manifest._entry_stats) can PROVE a
+    constraint, DISPROVE it, or abstain. At 100 TB this is the gate
+    order that matters: the free metadata check first, the one-pass
+    scan suite (expectation_report) only for what the log cannot
+    decide.
+
+    Rules are declarative tuples:
+
+    - ``("not_null", col)``     — no nulls in the column;
+    - ``("between", col, lo, hi)`` — every value (and no null) inside
+      [lo, hi], matching expect_between's null-counts-as-failing;
+    - ``("min_rows", n)`` / ``("max_rows", n)`` — live row count
+      bounds (deletion-vector exact via snapshot_rowcount).
+
+    Verdicts: ``pass`` / ``fail`` are PROOFS; ``unknown`` means the
+    log cannot decide (missing stats coverage — run the scan suite).
+    Honesty under merge-on-read: file stats describe PHYSICAL rows,
+    and a violation may live in a row a deletion vector already
+    killed — on tables with DVs a would-be ``fail`` demotes to
+    ``unknown`` (a ``pass`` stays a pass: if the physical superset
+    satisfies the constraint, the live subset does). Returns
+    [{rule, verdict, evidence}, ...]."""
+    import os
+
+    from data_pipeline_project_spark.sinks.manifest import (
+        read_manifest,
+        snapshot_rowcount,
+        table_column_minmax,
+        table_null_counts,
+    )
+
+    name = "latest.json" if version is None else f"v{version}.json"
+    m = read_manifest(os.path.join(path, "_manifests", name))
+    has_dv = bool(m.get("dv"))
+
+    def _fail(rule, evidence):
+        if has_dv:
+            return {
+                "rule": rule,
+                "verdict": "unknown",
+                "evidence": evidence + " — but deletion vectors may have "
+                "killed the violating rows; scan to decide",
+            }
+        return {"rule": rule, "verdict": "fail", "evidence": evidence}
+
+    out = []
+    for rule in rules:
+        kind = rule[0]
+        if kind == "not_null":
+            col = rule[1]
+            nulls = table_null_counts(path, col, version)
+            if nulls is None:
+                out.append({
+                    "rule": rule, "verdict": "unknown",
+                    "evidence": f"null counts not fully logged for {col!r}",
+                })
+            elif nulls == 0:
+                out.append({
+                    "rule": rule, "verdict": "pass",
+                    "evidence": "0 nulls across every pinned file",
+                })
+            else:
+                out.append(_fail(rule, f"{nulls} null(s) logged"))
+        elif kind == "between":
+            col, lo, hi = rule[1], rule[2], rule[3]
+            rng = table_column_minmax(path, col, version)
+            nulls = table_null_counts(path, col, version)
+            if rng is None:
+                out.append({
+                    "rule": rule, "verdict": "unknown",
+                    "evidence": f"range not fully logged for {col!r}",
+                })
+            elif rng[0] is not None and (rng[0] < lo or rng[1] > hi):
+                out.append(_fail(
+                    rule, f"logged range {rng} escapes [{lo}, {hi}]"
+                ))
+            elif nulls is not None and nulls > 0:
+                out.append(_fail(
+                    rule, f"{nulls} null(s) logged (nulls fail a range)"
+                ))
+            elif nulls == 0:
+                out.append({
+                    "rule": rule, "verdict": "pass",
+                    "evidence": f"logged range {rng} inside [{lo}, {hi}], "
+                                f"0 nulls",
+                })
+            else:
+                out.append({
+                    "rule": rule, "verdict": "unknown",
+                    "evidence": "range inside bounds but null counts not "
+                                "fully logged",
+                })
+        elif kind in ("min_rows", "max_rows"):
+            n = snapshot_rowcount(path, version)
+            want = rule[1]
+            ok = n >= want if kind == "min_rows" else n <= want
+            out.append({
+                "rule": rule,
+                "verdict": "pass" if ok else "fail",  # DV-exact count
+                "evidence": f"live rows = {n}",
+            })
+        else:
+            raise ValueError(f"unknown log expectation kind {kind!r}")
+    return out
