@@ -3795,6 +3795,7 @@ def vacuum(
     keep_versions: int = 2,
     purge_quarantine: bool = False,
     dry_run: bool = False,
+    older_than=None,
 ) -> dict:
     """Reclaim retention space: keep the newest ``keep_versions``
     snapshot manifests, delete older manifest JSONs, and delete every
@@ -3810,7 +3811,13 @@ def vacuum(
     decision (vacuum is the one op here that destroys bytes). A kept
     log-compacted manifest whose delta base is being dropped is
     materialized back to FULL first (the compact_log contract:
-    retention never strands a resolution chain). Returns
+    retention never strands a resolution chain).
+
+    ``older_than`` switches to TIME-based retention (Delta's RETAIN
+    n HOURS): every version committed AT OR AFTER the cutoff
+    (datetime / ISO string / epoch seconds, naive = UTC) survives,
+    and the newest ``keep_versions`` survive regardless — wall-clock
+    retention never drops below the structural floor. Returns
     {versions_dropped, tombstones_deleted, dv_deleted,
     quarantine_purged, dry_run}."""
     import shutil
@@ -3821,6 +3828,27 @@ def vacuum(
         raise ValueError("vacuum requires keep_versions >= 1")
     versions = snapshot_versions(path)
     kept, dropped = versions[-keep_versions:], versions[:-keep_versions]
+    if older_than is not None and dropped:
+        import datetime as _dt
+
+        ts = older_than
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts = ts.timestamp()
+        cutoff_ms = int(float(ts) * 1000)
+        mdir0 = os.path.join(path, "_manifests")
+        young = [
+            v for v in dropped
+            if read_manifest(
+                os.path.join(mdir0, f"v{v}.json"), resolve=False
+            ).get("committed_at", 0) >= cutoff_ms
+        ]
+        if young:
+            kept = sorted(set(kept) | set(young))
+            dropped = [v for v in dropped if v not in set(young)]
     kept_set = set(kept)
     mdir = os.path.join(path, "_manifests")
     referenced: set[str] = set()

@@ -371,3 +371,52 @@ def test_maintenance_plan_and_run_execute_compact_log(spark, duck, tmp_path):
     # and every snapshot still reads
     for v in snapshot_versions(path):
         assert read_version(spark, path, v).count() > 0
+
+
+def test_vacuum_time_based_retention(spark, duck, tmp_path):
+    """older_than: wall-clock retention (Delta's RETAIN) — versions
+    committed at/after the cutoff survive beyond the structural floor;
+    the floor (keep_versions) always holds."""
+    path = str(tmp_path / "t")
+    _build_history(spark, duck, path)  # 7 versions
+    mdir = _mdir(path)
+    ca = {
+        v: read_manifest(
+            os.path.join(mdir, f"v{v}.json"), resolve=False
+        )["committed_at"]
+        for v in snapshot_versions(path)
+    }
+    # cutoff at v4's commit instant: v4..v7 are young, v1..v3 drop
+    res = vacuum(path, keep_versions=1, older_than=ca[4] / 1000.0)
+    assert res["versions_dropped"] == 3
+    assert snapshot_versions(path) == [4, 5, 6, 7]
+    # cutoff in the future: only the structural floor survives
+    res2 = vacuum(path, keep_versions=2, older_than=(ca[7] + 10_000) / 1000.0)
+    assert snapshot_versions(path) == [6, 7]
+    # epoch-0 cutoff: everything is young — nothing drops
+    res3 = vacuum(path, keep_versions=1, older_than=0)
+    assert res3["versions_dropped"] == 0
+    assert snapshot_versions(path) == [6, 7]
+
+
+def test_cdc_feed_across_compacted_log(spark, duck, tmp_path):
+    """snapshot_changes spanning delta-encoded versions equals the
+    pre-compaction feed row for row (the resolver is transparent to
+    the change-feed reader)."""
+    from data_pipeline_project_spark.sinks.manifest import snapshot_changes
+
+    path = str(tmp_path / "t")
+    _build_history(spark, duck, path)
+
+    def feed(v_from, v_to):
+        return sorted(
+            tuple(r) for r in snapshot_changes(spark, path, v_from, v_to).collect()
+        )
+
+    pairs = [(1, 7), (2, 5), (3, 4)]
+    before = {p: feed(*p) for p in pairs}
+    compact_log(path, keep_full_every=3, keep_recent=1)
+    raws = {v: _raw(path, v) for v in snapshot_versions(path)}
+    assert sum("files_delta" in r for r in raws.values()) >= 4
+    for p in pairs:
+        assert feed(*p) == before[p], p
