@@ -751,6 +751,7 @@ def run_maintenance(
     target_file_bytes: int = 128 * 1024 * 1024,
     keep_versions: int = 2,
     dry_run: bool = False,
+    older_than=None,
 ) -> dict:
     """Execute the plan ``maintenance_plan`` emits — the OPTIMIZE /
     VACUUM command a scheduler runs nightly: audit (table_health),
@@ -765,7 +766,8 @@ def run_maintenance(
       ``key_col`` covers both (a rewrite re-clusters and purges
       deletion vectors in the same pass); skipped with an honest
       entry when no ``key_col`` was given — clustering needs a key;
-    - ``vacuum``         → ``vacuum(keep_versions=...)``;
+    - ``vacuum``         → ``vacuum(keep_versions=..., older_than=...)``
+      (``older_than`` adds Delta's RETAIN wall-clock floor);
     - ``compact_log``    → ``compact_log(path)`` (delta-encode the
       snapshot history — metadata-only, content-preserving).
 
@@ -829,7 +831,9 @@ def run_maintenance(
                 rewritten = True
                 executed.append({"action": act, **res})
         elif act == "vacuum":
-            res = vacuum(path, keep_versions=keep_versions)
+            res = vacuum(
+                path, keep_versions=keep_versions, older_than=older_than
+            )
             executed.append({"action": act, **res})
         elif act == "compact_log":
             res = compact_log(path)
