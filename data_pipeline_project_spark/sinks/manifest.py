@@ -4036,7 +4036,14 @@ def compact_log(
     }
 
 
-def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
+def snapshot_changes(
+    spark,
+    path: str,
+    v_from: int | None = None,
+    v_to: int | None = None,
+    from_ts=None,
+    to_ts=None,
+) -> DataFrame:
     """Row-level change feed between two snapshot versions (the CDC
     export consumers subscribe to): each changed row tagged
     ``_change_type`` 'insert' or 'delete' — an update under
@@ -4046,8 +4053,23 @@ def snapshot_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
     shared files cannot contribute changes), so the feed costs
     O(churn); the multiset exceptAll keeps duplicate-row cardinality
     honest. Requires both versions to still resolve (tombstones live
-    until vacuum)."""
+    until vacuum).
+
+    Endpoints are versions (``v_from``/``v_to``) or wall-clock
+    instants (``from_ts``/``to_ts``, resolved through version_as_of —
+    datetime / ISO string / epoch seconds): "what changed between
+    last night's export and now" without knowing version numbers.
+    Each endpoint takes exactly one selector."""
     from pyspark.sql import functions as F
+
+    if (v_from is None) == (from_ts is None):
+        raise ValueError("pass exactly one of v_from / from_ts")
+    if (v_to is None) == (to_ts is None):
+        raise ValueError("pass exactly one of v_to / to_ts")
+    if from_ts is not None:
+        v_from = version_as_of(path, from_ts)
+    if to_ts is not None:
+        v_to = version_as_of(path, to_ts)
 
     mdir = os.path.join(path, "_manifests")
     m_from = read_manifest(os.path.join(mdir, f"v{v_from}.json"))

@@ -420,3 +420,35 @@ def test_cdc_feed_across_compacted_log(spark, duck, tmp_path):
     assert sum("files_delta" in r for r in raws.values()) >= 4
     for p in pairs:
         assert feed(*p) == before[p], p
+
+
+def test_cdc_feed_by_timestamp(spark, duck, tmp_path):
+    """snapshot_changes with wall-clock endpoints resolves through
+    version_as_of and equals the version-addressed feed; selector
+    misuse is loud."""
+    from data_pipeline_project_spark.sinks.manifest import snapshot_changes
+
+    path = str(tmp_path / "t")
+    _build_history(spark, duck, path)
+    mdir = _mdir(path)
+    ca = {
+        v: read_manifest(
+            os.path.join(mdir, f"v{v}.json"), resolve=False
+        )["committed_at"]
+        for v in snapshot_versions(path)
+    }
+    want = sorted(
+        tuple(r) for r in snapshot_changes(spark, path, 2, 5).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in snapshot_changes(
+            spark, path, from_ts=ca[2] / 1000.0, to_ts=ca[5] / 1000.0
+        ).collect()
+    )
+    assert got == want and want
+
+    with pytest.raises(ValueError, match="exactly one of v_from"):
+        snapshot_changes(spark, path, 2, 5, from_ts=ca[2] / 1000.0)
+    with pytest.raises(ValueError, match="exactly one of v_to"):
+        snapshot_changes(spark, path, v_from=2)
