@@ -471,12 +471,19 @@ def table_health(
                 f for f in read_manifest(latest)["files"] if f["rows"] > 0
             ]
             if ents and all(key_col in (f.get("stats") or {}) for f in ents):
+                # all-null entries ([None, None, "null", n]) have no
+                # range — skip them, exactly as the footer-probe path
+                # below filters None bounds; otherwise zm.sort() and
+                # the overlap comparison hit TypeError on None
                 zm = [
                     (
                         _stats_decode(f["stats"][key_col][0], f["stats"][key_col][2]),
                         _stats_decode(f["stats"][key_col][1], f["stats"][key_col][2]),
                     )
                     for f in ents
+                    if f["stats"][key_col][2] != "null"
+                    and f["stats"][key_col][0] is not None
+                    and f["stats"][key_col][1] is not None
                 ]
         if zm is None:
             zm = [

@@ -312,7 +312,7 @@ def _data_files(path: str) -> list[str]:
 _STATS_MAX_COLS = 32
 
 
-def _entry_stats(md) -> dict | None:
+def _entry_stats(md, priority_cols=()) -> dict | None:
     """{column: [min, max, kind]} from a parquet FileMetaData's
     row-group statistics — the data-skipping index the manifest
     carries so candidate selection and pruned reads never re-open
@@ -339,7 +339,17 @@ def _entry_stats(md) -> dict | None:
     no min/max by definition; it records as [None, None, "null",
     nulls] — a range predicate can never match such a file, which is
     exactly the case plain min/max skipping is blind to. 3-element
-    entries (older commits, missing counts) stay valid everywhere."""
+    entries (older commits, missing counts) stay valid everywhere.
+
+    Wide-table cap (r11): the _STATS_MAX_COLS cap keeps
+    ``priority_cols`` (a table's cluster/merge keys) FIRST, then fills
+    alphabetically — so the columns that drive pruning survive the cap
+    on a 2,000-column table. Returns ``(stats_or_None, n_truncated)``;
+    the caller (_file_entry) records a ``stats_truncated`` count on
+    the manifest ENTRY when the cap dropped anything, so 'every entry
+    has stats for key_col' coverage failures are diagnosable from the
+    log instead of silently degrading every fast path to the footer
+    probe with no signal to the operator."""
     import datetime
 
     def _classify(v):
@@ -411,10 +421,17 @@ def _entry_stats(md) -> dict | None:
         elif rec["nulls_ok"] and rec["nulls"] > 0:
             out[name] = [None, None, "null", rec["nulls"]]
     if not out:
-        return None
+        return None, 0
+    n_cut = 0
     if len(out) > _STATS_MAX_COLS:
-        out = dict(sorted(out.items())[:_STATS_MAX_COLS])
-    return out
+        # priority columns (cluster/merge keys) survive the cap first;
+        # the remainder fills alphabetically as before
+        pri = [c for c in priority_cols if c in out]
+        rest = sorted(c for c in out if c not in set(pri))
+        keep = (pri + rest)[:_STATS_MAX_COLS]
+        n_cut = len(out) - len(keep)
+        out = {c: out[c] for c in sorted(keep)}
+    return out, n_cut
 
 
 def _stats_encode(v, kind):
@@ -445,10 +462,13 @@ def _stats_decode(v, kind):
     return v
 
 
-def _file_entry(root: str, rel: str, md=None) -> dict:
+def _file_entry(root: str, rel: str, md=None, priority_cols=()) -> dict:
     """One manifest file entry — size, footer row count, and the
     column-stats index — from a single footer read (``md`` lets a
-    caller that already read the footer pass it in)."""
+    caller that already read the footer pass it in). ``priority_cols``
+    are kept through the wide-table stats cap first (see
+    _entry_stats); a ``stats_truncated`` count marks entries whose cap
+    dropped qualified columns."""
     import pyarrow.parquet as pq
 
     full = os.path.join(root, rel)
@@ -459,9 +479,11 @@ def _file_entry(root: str, rel: str, md=None) -> dict:
         "bytes": os.path.getsize(full),
         "rows": md.num_rows,
     }
-    stats = _entry_stats(md)
+    stats, n_cut = _entry_stats(md, priority_cols=priority_cols)
     if stats:
         entry["stats"] = stats
+    if n_cut:
+        entry["stats_truncated"] = n_cut
     return entry
 
 
@@ -689,6 +711,19 @@ def _select_candidates(
     distinct_keys = keys_df.select(key_col).distinct()
     if prune not in ("auto", "driver", "spark"):
         raise ValueError(f"prune must be auto|driver|spark, got {prune!r}")
+    # NaN float keys defeat zone-map pruning entirely: parquet writers
+    # exclude NaN from footer min/max, so a file holding NaN rows has
+    # finite bounds and NO file can be proven clean of the key. Worse,
+    # NaN poisons both selection strategies (sorted()/bisect is not a
+    # total order with NaN in the list; the bit-rank lands in no
+    # bucket). Spark's join semantics DO match NaN = NaN, so the only
+    # correct plan is every file a candidate — detected up front with
+    # one cheap isnan probe on float-typed keys.
+    if dict(keys_df.dtypes).get(key_col) in ("float", "double"):
+        from pyspark.sql import functions as F
+
+        if distinct_keys.where(F.isnan(key_col)).limit(1).count() > 0:
+            return [f for f, _, _ in zone_maps]
     if prune == "spark":
         return _zone_map_candidates_spark(spark, zone_maps, distinct_keys, key_col)
     if prune == "auto" and distinct_keys.count() > SPARK_PRUNE_THRESHOLD:
@@ -977,6 +1012,7 @@ def delete_rows_targeted(
                 "key_max": _json_key(krange["hi"]),
             },
             base_version=pending[-1],
+            stats_priority_cols=(key_col,),
         )
         out["version"] = manifest["version"]
     return out
@@ -1138,11 +1174,36 @@ class ConcurrentSnapshotError(RuntimeError):
     recover_to_last_manifest, then rerun the operation."""
 
 
-# Test seam: called between the version listing and the O_EXCL claim,
+# Test seam: called between the version listing and the claim,
 # which is exactly the race window two concurrent writers contend in.
 # The CAS race is microseconds wide, so tests interpose here to lose it
 # deterministically instead of shipping a flaky thread race.
 _test_claim_interposer = None
+
+# The commit-claim LogStore (r11): EVERY version-slot claim in this
+# module — write_versioned_manifest's and commit_optimistic's — routes
+# through this seam. Default is the POSIX exclusive-create store; at
+# 100 TB the log lives on an object store and the deployment swaps in
+# a conditional-put / external-lock implementation WITHOUT touching
+# the protocol (delta bodies, intent checks, rebase). See
+# sinks/logstore.py for the contract and the contended fake.
+from data_pipeline_project_spark.sinks.logstore import (  # noqa: E402
+    LocalFSLogStore,
+)
+
+_log_store = LocalFSLogStore()
+
+
+def set_log_store(store):
+    """Install a LogStore for every subsequent commit claim; returns
+    the previous one so tests/deployments can restore it."""
+    global _log_store
+    prev, _log_store = _log_store, store
+    return prev
+
+
+def get_log_store():
+    return _log_store
 
 
 def write_versioned_manifest(
@@ -1166,8 +1227,10 @@ def write_versioned_manifest(
     version N" without a second, torn-able metadata write
     (sinks/matview.py is the first consumer).
 
-    The version slot is CLAIMED with an exclusive create (O_EXCL) —
-    the compare-and-swap every log-based table format commits through.
+    The version slot is CLAIMED through the pluggable LogStore seam
+    (r11, sinks/logstore.py; POSIX exclusive-create by default,
+    conditional-put / external-CAS on object stores) — the
+    compare-and-swap every log-based table format commits through.
     Two writers racing to the same next version lose LOUDLY
     (ConcurrentSnapshotError) instead of silently overwriting each
     other's snapshot. Honest scope note: THIS function's manifest body
@@ -1210,14 +1273,11 @@ def write_versioned_manifest(
     vpath = os.path.join(mdir, f"v{version}.json")
     if _test_claim_interposer is not None:
         _test_claim_interposer(version, mdir)
-    try:
-        fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+    if not _log_store.claim(mdir, version):
         raise ConcurrentSnapshotError(
             f"snapshot v{version} was committed by another writer; "
             f"recover_to_last_manifest({path!r}) and rerun"
-        ) from None
-    os.close(fd)
+        )
     manifest = write_manifest(path, vpath)
     manifest["version"] = version
     import time as _time
@@ -1475,6 +1535,7 @@ def commit_optimistic(
     dv_set: list[str] | None = None,
     allow_bootstrap: bool = False,
     added_entries: list[dict] | None = None,
+    stats_priority_cols: tuple | list = (),
 ) -> dict:
     """Commit a snapshot as an explicit DELTA against the current head:
     body = head.files − ``removed`` + ``added`` — metadata reads touch
@@ -1549,16 +1610,15 @@ def commit_optimistic(
         vpath = os.path.join(mdir, f"v{version}.json")
         if _test_claim_interposer is not None:
             _test_claim_interposer(version, mdir)
-        try:
-            fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        if not _log_store.claim(mdir, version):
             continue  # lost the race — loop re-reads and re-checks
-        os.close(fd)
 
         removed_set = set(removed)
         files = [f for f in head["files"] if f["path"] not in removed_set]
         for rel in added:
-            files.append(_file_entry(path, rel))
+            files.append(
+                _file_entry(path, rel, priority_cols=stats_priority_cols)
+            )
         for e in added_entries or []:
             entry = {
                 "path": e["path"], "bytes": e["bytes"], "rows": e["rows"],
@@ -2337,6 +2397,7 @@ def append_snapshot(
     df: DataFrame,
     key_col: str | None = None,
     commit_extra: dict | None = None,
+    max_retries: int = MAX_COMMIT_RETRIES,
 ) -> dict:
     """INSERT INTO under the snapshot model: stage ``df``, move the
     parts in under stamped names (inside partition directories on hive
@@ -2465,6 +2526,8 @@ def append_snapshot(
         intent=intent,
         base_version=base_version,
         extra=commit_extra,
+        max_retries=max_retries,
+        stats_priority_cols=(key_col,) if key_col else (),
     )
     return {
         "version": manifest["version"],
@@ -2808,6 +2871,7 @@ def merge_upsert(
             base_version=base_version,
             extra=commit_extra,
             schema_json=evolved,
+            stats_priority_cols=(key_col,),
         )
     return {
         "version": manifest["version"],
@@ -3055,6 +3119,7 @@ def _commit_bulk_rewrite(
             extra=extra,
             dropped_cols=[],
             dv_set=[],
+            stats_priority_cols=(key_col,),
         )
     else:
         manifest = write_versioned_manifest(
@@ -3408,6 +3473,7 @@ def rewrite_partition(
             "row_preserving": True,
         },
         base_version=head["version"],
+        stats_priority_cols=tuple(cols),
     )
     return {
         "version": manifest["version"],
@@ -4320,6 +4386,7 @@ def compact_snapshot(
                 "row_preserving": True,
             },
             base_version=pending[-1],
+            stats_priority_cols=(cluster_col,) if cluster_col else (),
         )
     else:
         manifest = write_versioned_manifest(path)

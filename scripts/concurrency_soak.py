@@ -23,6 +23,13 @@ interleaving: optimize shard 1 while shard 0 merges and shard 2
 ingests. Disjoint shards mean every pair must commute; the chain
 forces the multi-commit rebases.
 
+Round 11: every seed also draws a LogStore — even seeds commit
+through the default POSIX O_EXCL store, odd seeds through the
+external-CAS fake (registry-decided claims, non-atomic slot writes —
+the object-store deployment shape). The SAME interleavings must
+converge identically under both; a divergence would mean the commit
+protocol secretly depends on the claim primitive's side effects.
+
 Usage: python scripts/concurrency_soak.py [n_seeds]
 """
 
@@ -56,6 +63,10 @@ def main():
     from pyspark.sql import SparkSession, functions as F
 
     from data_pipeline_project_spark.sinks import manifest as M
+    from data_pipeline_project_spark.sinks.logstore import (
+        ExternalCASLogStore,
+        LocalFSLogStore,
+    )
     from data_pipeline_project_spark.sinks.layout import write_range_clustered
     from data_pipeline_project_spark.sinks.manifest import (
         append_snapshot,
@@ -164,6 +175,10 @@ def main():
             ops.append((kind, pay))
         small_tail = compact_drawn
 
+        store_name = "posix" if seed % 2 == 0 else "extcas"
+        M.set_log_store(
+            LocalFSLogStore() if seed % 2 == 0 else ExternalCASLogStore()
+        )
         path = fresh(f"t{seed}", small_tail)
         ref = fresh(f"r{seed}", small_tail)
 
@@ -194,7 +209,7 @@ def main():
         if status != "ok":
             failures += 1
         names = "+".join(k for k, _ in ops)
-        print(f"seed {seed}: {names} -> {status} "
+        print(f"seed {seed} [{store_name}]: {names} -> {status} "
               f"({len(snapshot_versions(path))} versions)")
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(ref, ignore_errors=True)
@@ -259,6 +274,10 @@ def main():
     for seed in range(900, 900 + n_seeds):
         rng = random.Random(seed)
         ops = [draw_op_part(rng, i) for i in range(3)]
+        store_name = "posix" if seed % 2 == 0 else "extcas"
+        M.set_log_store(
+            LocalFSLogStore() if seed % 2 == 0 else ExternalCASLogStore()
+        )
         path = fresh_part(f"p{seed}")
         ref = fresh_part(f"q{seed}")
 
@@ -289,7 +308,7 @@ def main():
         if status != "ok":
             failures += 1
         names = "+".join(k for k, _ in ops)
-        print(f"seed {seed} (partitioned): {names} -> {status} "
+        print(f"seed {seed} (partitioned) [{store_name}]: {names} -> {status} "
               f"({len(snapshot_versions(path))} versions)")
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(ref, ignore_errors=True)
