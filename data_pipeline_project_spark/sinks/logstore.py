@@ -76,6 +76,15 @@ class LogStore:
     def claim(self, mdir: str, version: int) -> bool:  # pragma: no cover
         raise NotImplementedError
 
+    def publish_once(self, path: str, content: str) -> bool:
+        """Atomically create ``path`` WITH ``content`` iff absent —
+        the decision primitive for cross-table transaction markers,
+        where the content (committed vs aborted) must be atomic with
+        the creation: a reader may never observe an empty or torn
+        marker. Returns True when this call created it. Object-store
+        twin: conditional PUT with a body."""
+        raise NotImplementedError  # pragma: no cover
+
     def describe(self) -> str:
         return type(self).__name__
 
@@ -96,6 +105,21 @@ class LocalFSLogStore(LogStore):
             return False
         os.close(fd)
         return True
+
+    def publish_once(self, path: str, content: str) -> bool:
+        # write-then-link: os.link fails with EEXIST if the target
+        # exists and is atomic on POSIX, so the marker appears with
+        # its full content in one step — no empty-file window
+        tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(content)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
 
 
 class ExternalCASLogStore(LogStore):
@@ -185,3 +209,27 @@ class ExternalCASLogStore(LogStore):
     def steal(self, mdir: str, version: int) -> None:
         with self._lock:
             self._claimed.add((os.path.abspath(mdir), int(version)))
+
+    def publish_once(self, path: str, content: str) -> bool:
+        """Registry-decided create-with-content: the CAS is the
+        registry insert; the file write follows (winners only), same
+        split as claim(). ``fail_next_claims`` applies here too —
+        a marker decision against an unreachable lock service is an
+        error, never a silent loss."""
+        if self.before_claim is not None:
+            self.before_claim(path, None)
+        with self._lock:
+            self.claims_attempted += 1
+            if self.fail_next_claims > 0:
+                self.fail_next_claims -= 1
+                raise ClaimUnavailableError(
+                    f"injected claim-service fault for marker {path}"
+                )
+            key = (os.path.abspath(path), -1)
+            if key in self._claimed or os.path.exists(path):
+                return False
+            self._claimed.add(key)
+            self.claims_won += 1
+            with open(path, "w") as fh:
+                fh.write(content)
+        return True

@@ -903,7 +903,7 @@ def delete_rows_targeted(
     if keys_df.select(key_col).limit(1).count() == 0:
         return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
     _check_key_physical(path, key_col)
-    pending = snapshot_versions(path)
+    pending = committed_versions(path, resolve_in_doubt=True)
     version = (pending[-1] + 1) if pending else 1
     stamp = _uuid.uuid4().hex[:8]
     if pending:
@@ -1064,7 +1064,7 @@ def delete_rows_dv(
             "dv_files": len(table_dv(path)),
         }
     _check_key_physical(path, key_col)
-    pending = snapshot_versions(path)
+    pending = committed_versions(path, resolve_in_doubt=True)
     if pending:
         # snapshot isolation, same as merge_upsert: candidates and the
         # prior DV list come from the head snapshot, not the directory
@@ -1250,6 +1250,13 @@ def write_versioned_manifest(
     commit INHERITS the previous version's pin automatically, so one
     evolution makes the whole forward history read under the log's
     schema rather than per-file footers (see read_snapshot)."""
+    if _active_txn is not None and _active_txn.covers(path):
+        raise ValueError(
+            "write_versioned_manifest (listing-based bootstrap) cannot "
+            "participate in a cross-table transaction — bootstrap the "
+            "table first, then run the transactional ops through the "
+            "optimistic commit paths"
+        )
     mdir = os.path.join(path, "_manifests")
     os.makedirs(mdir, exist_ok=True)
     prev = os.path.join(mdir, "latest.json")
@@ -1336,6 +1343,13 @@ def table_history(path: str, limit: int | None = None) -> list[dict]:
             ]
         if m.get("app"):
             entry["app"] = m["app"]
+        if m.get("txn2"):
+            # cross-table transaction participant: surface the atomic
+            # publish outcome so aborted/in-doubt slots are auditable
+            entry["atomic_txn"] = {
+                "id": m["txn2"].get("id"),
+                "outcome": _txn2_outcome(m),
+            }
         out.append(entry)
         if limit is not None and len(out) >= limit:
             break
@@ -1366,6 +1380,153 @@ def snapshot_versions(path: str) -> list[int]:
 # ---------------------------------------------------------------------------
 
 MAX_COMMIT_RETRIES = 5
+
+# ---------------------------------------------------------------------------
+# Cross-table atomic publish (r11): the lakehouse twin of the reference's
+# single MySQL transaction committing raw + aggregate together
+# (pipeline.py:246-259, rollback on error). Protocol — presumed-abort
+# two-phase with ONE atomic decision point:
+#
+#   prepare   each participant table commits its version slot normally
+#             (claimed through the LogStore, full delta body, intent
+#             stamp) but with a ``txn2`` field naming a shared MARKER
+#             file — and latest.json does NOT advance;
+#   publish   the coordinator atomically creates the marker with
+#             outcome "committed" (LogStore.publish_once — content is
+#             atomic with creation), then heals every participant's
+#             latest.json;
+#   resolve   a version whose txn2 marker is absent is IN-DOUBT:
+#             readers treat it as invisible; writers (and recovery)
+#             give a live coordinator TXN_INDOUBT_GRACE_SECS, then
+#             decide "aborted" through the same atomic create — the
+#             coordinator's publish and a writer's abort race to ONE
+#             slot, so exactly one outcome ever exists.
+#
+# Crash anywhere converges to both-or-neither: before the marker, every
+# staged version resolves aborted (latest never moved — readers never
+# saw it); after the marker, every staged version is committed and any
+# lagging latest.json heals on the next read/write/recovery.
+# ---------------------------------------------------------------------------
+
+_active_txn = None  # installed by sinks/txn.py's transaction()
+
+TXN_INDOUBT_GRACE_SECS = 2.0
+
+
+def _read_marker_settled(marker: str):
+    """The marker's outcome, or None when it does not exist. Both
+    LogStore implementations make content atomic-enough with creation
+    (link-with-content / write-under-lock); a brief settle loop covers
+    the external store's in-process write window."""
+    import time
+
+    for _ in range(20):
+        try:
+            with open(marker) as fh:
+                return json.load(fh)["outcome"]
+        except FileNotFoundError:
+            return None
+        except (json.JSONDecodeError, KeyError):
+            time.sleep(0.05)
+    raise ConcurrentSnapshotError(
+        f"transaction marker {marker} never settled"
+    )
+
+
+def _txn2_outcome(m: dict, force_abort: bool = False) -> str:
+    """'committed' | 'aborted' | 'in-doubt' for a version manifest.
+    Manifests without a ``txn2`` stamp are committed by definition.
+    ``force_abort`` is the WRITER/RECOVERY policy: an in-doubt
+    transaction gets a grace window for its live coordinator, then is
+    decided aborted through the marker's atomic create — whichever of
+    the coordinator's publish and this abort lands first wins, the
+    other reads the decision. Never force-aborts the caller's own
+    ACTIVE transaction (a second op on an already-staged table fails
+    loudly at stage time instead)."""
+    t = m.get("txn2")
+    if not t:
+        return "committed"
+    marker = t["marker"]
+    outcome = _read_marker_settled(marker)
+    if outcome is not None:
+        return outcome
+    if not force_abort:
+        return "in-doubt"
+    if _active_txn is not None and t.get("id") == _active_txn.txn_id:
+        # the ACTIVE transaction's own staged commit: a writer must
+        # neither build on it (it is unpublished) nor presume-abort it
+        # (we ARE the coordinator) — the only sound answer is loud.
+        # Reached by a second op on an already-staged table, or a
+        # non-transactional commit racing its own process's open txn.
+        raise ConcurrentSnapshotError(
+            f"table has an unpublished staged commit from the active "
+            f"transaction {t.get('id')} — one commit per table per "
+            f"transaction; publish or abort it first"
+        )
+    import time
+
+    deadline = time.monotonic() + TXN_INDOUBT_GRACE_SECS
+    while time.monotonic() < deadline:
+        outcome = _read_marker_settled(marker)
+        if outcome is not None:
+            return outcome
+        time.sleep(0.05)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    _log_store.publish_once(
+        marker,
+        json.dumps(
+            {"outcome": "aborted", "id": t.get("id"),
+             "decided_by": "concurrent-writer-presumed-abort"},
+            sort_keys=True,
+        ),
+    )
+    return _read_marker_settled(marker)
+
+
+def committed_versions(path: str, resolve_in_doubt: bool = False) -> list[int]:
+    """The snapshot versions visible AT THE HEAD — the raw slot
+    listing minus TRAILING versions whose cross-table transaction
+    never published (aborted or in-doubt). latest.json is trusted as
+    a committed floor (it only ever advances at publish), so the
+    common case — listing max == latest version — costs zero manifest
+    reads; only a transactional tail is resolved. The returned MAX is
+    always a committed version (head discovery's contract); an
+    aborted slot BELOW a later committed head may still appear in the
+    list — consumers that examine individual versions (the conflict
+    walk, version_as_of, explicit time travel) re-check per version
+    with _txn2_outcome, which is free where the manifest is already
+    in hand. A committed version found BEYOND latest (coordinator
+    crashed between marker and heal) heals latest.json here, so one
+    read/write/recovery repairs the cache for everyone."""
+    versions = snapshot_versions(path)
+    if not versions:
+        return versions
+    mdir = os.path.join(path, "_manifests")
+    latest = os.path.join(mdir, "latest.json")
+    latest_v = 0
+    if os.path.exists(latest):
+        try:
+            latest_v = read_manifest(latest, resolve=False).get("version", 0)
+        except json.JSONDecodeError:
+            pass
+    if versions[-1] == latest_v:
+        return versions
+    out = [v for v in versions if v <= latest_v]
+    heal = None
+    for v in versions:
+        if v <= latest_v:
+            continue
+        m = _read_manifest_settled(
+            os.path.join(mdir, f"v{v}.json"), resolve=False
+        )
+        if _txn2_outcome(m, force_abort=resolve_in_doubt) == "committed":
+            out.append(v)
+            heal = v
+    if heal is not None and heal > latest_v:
+        _update_latest_monotonic(
+            mdir, read_manifest(os.path.join(mdir, f"v{heal}.json"))
+        )
+    return out
 
 
 def _json_key(v):
@@ -1581,6 +1742,10 @@ def commit_optimistic(
 
     mdir = os.path.join(path, "_manifests")
     os.makedirs(mdir, exist_ok=True)
+    txn = _active_txn
+    in_txn = txn is not None and txn.covers(path)
+    if in_txn:
+        txn.check_can_stage(path)
     checked_through = base_version
     for _ in range(max_retries):
         versions = snapshot_versions(path)
@@ -1589,11 +1754,29 @@ def commit_optimistic(
                 "commit_optimistic needs an existing snapshot; write the "
                 "first version with write_versioned_manifest"
             )
-        head_v = versions[-1] if versions else 0
+        # visible head vs slot numbering diverge when a cross-table
+        # transaction aborted: the aborted slot stays (numbering keeps
+        # climbing) but the BODY rebases onto the committed head, and
+        # an aborted commit's intent never happened so it cannot
+        # conflict
+        committed = committed_versions(path, resolve_in_doubt=True)
+        committed_set = set(committed)
+        head_v = committed[-1] if committed else 0
         for v in range(checked_through + 1, head_v + 1):
-            theirs = _read_manifest_settled(
+            if v not in committed_set:
+                continue
+            their_m = _read_manifest_settled(
                 os.path.join(mdir, f"v{v}.json"), resolve=False
-            ).get("txn")
+            )
+            if _txn2_outcome(their_m, force_abort=True) != "committed":
+                # an aborted transaction's staged commit never
+                # happened — its intent cannot conflict (the fast
+                # path above trusts versions <= latest wholesale;
+                # aborted slots below a later committed head need
+                # this per-version check, which is free: the
+                # manifest is already in hand)
+                continue
+            theirs = their_m.get("txn")
             reason = _intents_conflict(intent, theirs)
             if reason:
                 raise ConcurrentSnapshotError(
@@ -1603,10 +1786,10 @@ def commit_optimistic(
         checked_through = head_v
         head = (
             _read_manifest_settled(os.path.join(mdir, f"v{head_v}.json"))
-            if versions
+            if committed
             else {"files": []}
         )
-        version = head_v + 1
+        version = (versions[-1] if versions else 0) + 1
         vpath = os.path.join(mdir, f"v{version}.json")
         if _test_claim_interposer is not None:
             _test_claim_interposer(version, mdir)
@@ -1657,9 +1840,17 @@ def commit_optimistic(
             manifest["dv"] = dv
         if extra:
             manifest["app"] = extra
+        if in_txn:
+            # PREPARE: the version slot lands with the txn2 stamp but
+            # latest.json does NOT advance — invisible until the
+            # transaction's single marker publishes
+            manifest["txn2"] = txn.stamp()
         with open(vpath, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
-        _update_latest_monotonic(mdir, manifest)
+        if in_txn:
+            txn.register(path, manifest)
+        else:
+            _update_latest_monotonic(mdir, manifest)
         return manifest
     raise ConcurrentSnapshotError(
         f"lost the commit race {max_retries} times on {path!r} — "
@@ -1712,10 +1903,13 @@ def version_as_of(path: str, ts) -> int:
     ms = int(float(ts) * 1000)
     mdir = os.path.join(path, "_manifests")
     best = None
-    for v in snapshot_versions(path):
-        ca = read_manifest(
-            os.path.join(mdir, f"v{v}.json"), resolve=False
-        ).get("committed_at", 0)
+    for v in committed_versions(path):
+        m = read_manifest(os.path.join(mdir, f"v{v}.json"), resolve=False)
+        if _txn2_outcome(m) != "committed":
+            # aborted slot below a later committed head (the listing
+            # fast path cannot see it) — never a time-travel target
+            continue
+        ca = m.get("committed_at", 0)
         if ca <= ms:
             best = v
     if best is None:
@@ -1739,6 +1933,22 @@ def read_version(
             raise ValueError("pass version OR as_of, not both")
         version = version_as_of(path, as_of)
     mdir = os.path.join(path, "_manifests")
+    explicit = version is not None
+    if version is None:
+        # latest.json is a committed-floor CACHE: resolve the true
+        # committed head so a published-but-unhealed cross-table
+        # transaction (coordinator crashed between the marker and the
+        # latest update) is visible, and staged/aborted versions are
+        # not. Common case (no transactional tail) costs one listdir.
+        cv = committed_versions(path)
+        if cv:
+            latest = os.path.join(mdir, "latest.json")
+            latest_v = (
+                read_manifest(latest, resolve=False).get("version", 0)
+                if os.path.exists(latest)
+                else 0
+            )
+            version = None if cv[-1] == latest_v else cv[-1]
     name = "latest.json" if version is None else f"v{version}.json"
     mpath = os.path.join(mdir, name)
     if not os.path.exists(mpath):
@@ -1746,6 +1956,14 @@ def read_version(
             f"snapshot unreproducible: version manifest {name} does not "
             f"exist (never written, or dropped by vacuum)"
         )
+    if explicit:
+        m = read_manifest(mpath, resolve=False)
+        outcome = _txn2_outcome(m)
+        if outcome != "committed":
+            raise ValueError(
+                f"version {version} belongs to an {outcome} cross-table "
+                f"transaction — it was never published and is not readable"
+            )
     return read_snapshot(spark, mpath)
 
 
@@ -2247,6 +2465,12 @@ def recover_to_last_manifest(path: str) -> dict:
     latest_path = os.path.join(mdir, "latest.json")
     if not os.path.exists(latest_path):
         raise FileNotFoundError(f"no manifest to recover to under {mdir}")
+    # resolve any cross-table transactional tail FIRST: an in-doubt
+    # staged version is decided aborted (presumed abort — its files
+    # then quarantine below as unpinned), and a published-but-unhealed
+    # one advances latest.json here so recovery restores TO it rather
+    # than rolling a committed transaction back
+    committed_versions(path, resolve_in_doubt=True)
     manifest = read_manifest(latest_path)
     pinned = {f["path"] for f in manifest["files"]}
 
@@ -2431,7 +2655,7 @@ def append_snapshot(
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    pending = snapshot_versions(path)
+    pending = committed_versions(path, resolve_in_doubt=True)
     if not pending:
         raise ValueError(
             "append_snapshot needs an existing snapshot; bootstrap the "
@@ -2703,7 +2927,7 @@ def merge_upsert(
 
     import uuid as _uuid
 
-    pending = snapshot_versions(path)
+    pending = committed_versions(path, resolve_in_doubt=True)
     base_version = pending[-1] if pending else 0
     version = base_version + 1
     stamp = _uuid.uuid4().hex[:8]
@@ -2976,7 +3200,7 @@ def merge_bulk(
         )
 
     old_files = _data_files(path)
-    pending = snapshot_versions(path)
+    pending = committed_versions(path, resolve_in_doubt=True)
     version = (pending[-1] + 1) if pending else 1
     n_out = n_files if n_files is not None else max(1, len(old_files))
 
@@ -3148,7 +3372,7 @@ def delete_bulk(
     from pyspark.sql import functions as F
 
     old_files = _data_files(path)
-    pending = snapshot_versions(path)
+    pending = committed_versions(path, resolve_in_doubt=True)
     version = (pending[-1] + 1) if pending else 1
     n_out = n_files if n_files is not None else max(1, len(old_files))
 
@@ -3299,7 +3523,7 @@ def rewrite_table(
     through the same order-preserving int64 rank zone-map pruning
     uses — see layout.zorder_key)."""
     old_files = _data_files(path)
-    pending = snapshot_versions(path)
+    pending = committed_versions(path, resolve_in_doubt=True)
     version = (pending[-1] + 1) if pending else 1
     n_out = n_files if n_files is not None else max(1, len(old_files))
     frame = read_table_logical(spark, path)
@@ -3378,7 +3602,7 @@ def rewrite_partition(
 
     from pyspark.sql import functions as F
 
-    versions = snapshot_versions(path)
+    versions = committed_versions(path, resolve_in_doubt=True)
     if not versions:
         raise ValueError(f"{path!r} has no snapshot to rewrite")
     mdir = os.path.join(path, "_manifests")
@@ -3652,7 +3876,7 @@ def restore_table(path: str, version: int | None = None, as_of=None) -> dict:
         raise ValueError("pass exactly one of version / as_of")
     if as_of is not None:
         version = version_as_of(path, as_of)
-    versions = snapshot_versions(path)
+    versions = committed_versions(path, resolve_in_doubt=True)
     if not versions:
         raise FileNotFoundError(f"{path!r} has no snapshot history")
     mdir = os.path.join(path, "_manifests")
@@ -4254,7 +4478,7 @@ def compact_snapshot(
     import shutil
     import uuid as _uuid
 
-    pending = snapshot_versions(path)
+    pending = committed_versions(path, resolve_in_doubt=True)
     version = (pending[-1] + 1) if pending else 1
     stamp = _uuid.uuid4().hex[:8]
     if pending:

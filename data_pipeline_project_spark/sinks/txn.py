@@ -1,0 +1,237 @@
+"""Cross-table atomic transactions — the reference's raw+aggregate
+single-transaction commit (pipeline.py:246-259: one MySQL transaction
+inserts the raw batch AND upserts the aggregates, rolling back both on
+any error), re-expressed for the manifest lakehouse.
+
+Usage — the reference's exact flow::
+
+    from data_pipeline_project_spark.sinks.txn import transaction
+
+    with transaction([raw_path, agg_path]):
+        append_snapshot(spark, raw_path, validated_batch)
+        merge_upsert(spark, duck, agg_path, "sensor_id", new_aggs)
+    # exiting publishes BOTH atomically; an exception aborts BOTH
+
+Protocol (presumed-abort two-phase, one atomic decision point — see
+the companion overview in sinks/manifest.py):
+
+- inside the ``with`` block every optimistic commit on a participant
+  table PREPARES: its version slot lands with a ``txn2`` stamp naming
+  the shared marker file, and latest.json does NOT advance — the
+  staged version is invisible to every reader;
+- on clean exit the coordinator PUBLISHES: one atomic
+  create-with-content of the marker (LogStore.publish_once) flips
+  every participant to committed simultaneously, then heals each
+  participant's latest.json (a crash between those two steps is
+  repaired by the next read/write/recovery on any participant —
+  committed_versions heals lagging caches);
+- on exception (or explicit ``abort()``) the marker is decided
+  "aborted" and each staged table is restored through
+  recover_to_last_manifest — tombstoned originals return, staged
+  files quarantine: the copy-on-write protocol never destroyed the
+  pre-transaction bytes.
+
+Concurrency: a writer that meets an in-doubt staged version gives the
+coordinator TXN_INDOUBT_GRACE_SECS, then force-aborts through the
+same atomic marker create — the coordinator's publish and the
+writer's abort race to ONE slot, so exactly one outcome ever exists
+(the losing coordinator's commit() raises and rolls back its staging).
+
+Scope rules: ONE commit per table per transaction (the second raises
+— within the transaction, a table's readers still see its
+pre-transaction state, so chaining ops on one table would read stale
+data); bootstrap (write_versioned_manifest) cannot participate.
+Single-table commits outside a transaction are unaffected — they pay
+zero marker I/O.
+
+100 TB posture: the marker create rides the same LogStore seam as
+every version claim, so the atomic decision is a conditional PUT on
+object stores; prepare cost is the participants' ordinary O(churn)
+commits; publish cost is one marker write + one latest heal per
+table. Nothing scales with table size or participant file counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from data_pipeline_project_spark.sinks import manifest as _m
+
+__all__ = ["transaction", "MultiTableTransaction", "TransactionAborted"]
+
+
+class TransactionAborted(RuntimeError):
+    """The transaction's marker was decided 'aborted' — by a
+    concurrent writer's presumed-abort or an explicit abort() — so
+    none of its staged versions will ever be visible."""
+
+
+class MultiTableTransaction:
+    """Coordinator for one atomic publish across ``tables``. Use via
+    :func:`transaction`; the context manager installs this object as
+    the module-level active transaction that commit_optimistic
+    consults."""
+
+    def __init__(self, tables: list[str], marker_dir: str | None = None):
+        if len(tables) < 2:
+            raise ValueError(
+                "a cross-table transaction needs >= 2 tables; single-table "
+                "commits are already atomic on their own"
+            )
+        self.tables = [os.path.abspath(t) for t in tables]
+        if len(set(self.tables)) != len(self.tables):
+            raise ValueError("duplicate table in transaction")
+        self.txn_id = uuid.uuid4().hex
+        # the marker lives under the FIRST table's _txns/ by default —
+        # any single durable home works; every participant's txn2
+        # stamp records the absolute path
+        mdir = marker_dir or os.path.join(self.tables[0], "_txns")
+        self.marker = os.path.join(mdir, f"t-{self.txn_id}.json")
+        self.staged: dict[str, dict] = {}
+        self.outcome: str | None = None
+
+    # -- hooks commit_optimistic calls ---------------------------------
+
+    def covers(self, path: str) -> bool:
+        return os.path.abspath(path) in self.tables
+
+    def check_can_stage(self, path: str) -> None:
+        ap = os.path.abspath(path)
+        if ap in self.staged:
+            raise ValueError(
+                f"table {path!r} already staged a commit in this "
+                f"transaction — one commit per table per transaction "
+                f"(in-transaction reads see the pre-transaction state, "
+                f"so a second op would read stale data)"
+            )
+        if self.outcome is not None:
+            raise TransactionAborted(
+                f"transaction {self.txn_id} already resolved "
+                f"({self.outcome})"
+            )
+
+    def stamp(self) -> dict:
+        return {
+            "id": self.txn_id,
+            "marker": os.path.abspath(self.marker),
+            "tables": len(self.tables),
+        }
+
+    def register(self, path: str, manifest: dict) -> None:
+        self.staged[os.path.abspath(path)] = manifest
+
+    # -- coordinator decisions ------------------------------------------
+
+    def commit(self) -> dict:
+        """Publish: one atomic marker create flips every staged
+        version visible; then heal each participant's latest.json.
+        Raises TransactionAborted when a concurrent writer's
+        presumed-abort beat the publish — staging is rolled back
+        before raising."""
+        if self.outcome is not None:
+            raise RuntimeError(f"transaction already {self.outcome}")
+        os.makedirs(os.path.dirname(self.marker), exist_ok=True)
+        won = _m.get_log_store().publish_once(
+            self.marker,
+            json.dumps(
+                {
+                    "outcome": "committed",
+                    "id": self.txn_id,
+                    "tables": self.tables,
+                    "versions": {
+                        t: m["version"] for t, m in self.staged.items()
+                    },
+                },
+                sort_keys=True,
+            ),
+        )
+        if not won:
+            decided = _m._read_marker_settled(self.marker)
+            self.outcome = decided or "aborted"
+            self._rollback_staging()
+            raise TransactionAborted(
+                f"transaction {self.txn_id} was {self.outcome} by a "
+                f"concurrent writer before publish; staged versions "
+                f"rolled back — rerun the transaction"
+            )
+        self.outcome = "committed"
+        for t, manifest in self.staged.items():
+            _m._update_latest_monotonic(
+                os.path.join(t, "_manifests"), manifest
+            )
+        return {
+            "id": self.txn_id,
+            "outcome": "committed",
+            "versions": {t: m["version"] for t, m in self.staged.items()},
+        }
+
+    def abort(self) -> dict:
+        """Decide 'aborted' (unless a racing publish already decided
+        'committed' — then honor it and heal) and restore every staged
+        table to its pre-transaction state."""
+        if self.outcome is not None:
+            return {"id": self.txn_id, "outcome": self.outcome}
+        os.makedirs(os.path.dirname(self.marker), exist_ok=True)
+        _m.get_log_store().publish_once(
+            self.marker,
+            json.dumps(
+                {"outcome": "aborted", "id": self.txn_id,
+                 "decided_by": "coordinator-abort"},
+                sort_keys=True,
+            ),
+        )
+        self.outcome = _m._read_marker_settled(self.marker) or "aborted"
+        if self.outcome == "committed":
+            for t, manifest in self.staged.items():
+                _m._update_latest_monotonic(
+                    os.path.join(t, "_manifests"), manifest
+                )
+        else:
+            self._rollback_staging()
+        return {"id": self.txn_id, "outcome": self.outcome}
+
+    def _rollback_staging(self) -> None:
+        # recovery restores tombstoned originals and quarantines the
+        # aborted versions' staged files — per participant, idempotent
+        for t in self.staged:
+            _m.recover_to_last_manifest(t)
+
+    # -- context manager ---------------------------------------------
+
+    def __enter__(self):
+        if _m._active_txn is not None:
+            raise RuntimeError("cross-table transactions do not nest")
+        _m._active_txn = self
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        try:
+            if exc_type is None:
+                self.commit()
+            else:
+                self.abort()
+        finally:
+            _m._active_txn = None
+        return False
+
+
+def transaction(
+    tables: list[str], marker_dir: str | None = None
+) -> MultiTableTransaction:
+    """Begin a cross-table atomic transaction over ``tables`` —
+    ``with transaction([raw, agg]): ...`` publishes every staged
+    commit atomically on exit, or rolls all of them back on
+    exception. See the module docstring for the protocol."""
+    return MultiTableTransaction(tables, marker_dir=marker_dir)
+
+
+def recover_transaction(path: str) -> dict:
+    """Operator entry point after a coordinator crash: resolve every
+    transactional version on ``path`` (in-doubt → aborted after the
+    grace window, published-but-unhealed → latest healed) and restore
+    the directory to the resolved head. Equivalent to
+    recover_to_last_manifest — named separately so runbooks can say
+    what they mean."""
+    return _m.recover_to_last_manifest(path)

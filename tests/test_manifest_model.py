@@ -2,6 +2,9 @@
 
 Random sequences of MERGE / targeted DELETE / compaction / vacuum are
 applied to a real on-disk table AND to a trivial in-memory dict model;
+a cross-table transaction op (r11) pairs the main table with a sibling
+aggregate table — committing or aborting atomically — and both tables
+must track their models through every interleaving;
 after every operation the live table must equal the model exactly, and
 randomly chosen historical versions must time-travel to the model's
 recorded snapshot (or fail loudly once vacuum dropped them). Sequence
@@ -66,6 +69,16 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
     df.repartitionByRange(6, "k").write.parquet(path)
     write_versioned_manifest(path)
 
+    # sibling aggregate table: touched ONLY by the cross-table
+    # transaction op, mirroring the reference's raw+agg pair
+    agg_path = str(tmp_path / "agg")
+    agg_init = [(k, 0) for k in range(5)]
+    spark.createDataFrame(agg_init, "k long, total long").coalesce(
+        1
+    ).write.parquet(agg_path)
+    write_versioned_manifest(agg_path)
+    agg_model = dict(agg_init)
+
     model = {k: (v, s) for k, v, s in init}
     history = {snapshot_versions(path)[-1]: _model_state(model)}
     next_key = N_KEYS
@@ -74,7 +87,7 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
         op = rng.choice(
             ["merge", "merge", "delete", "compact", "vacuum", "merge_bulk",
              "delete_bulk", "delete_dv", "crash_recover", "append",
-             "restore", "compact_log"]
+             "restore", "compact_log", "txn_pair"]
         )
         if op == "compact_log":
             # metadata-only log rewrite: NO new version, no row change —
@@ -99,6 +112,58 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
                 history[res["version"]] = _model_state(model)
             else:
                 assert _model_state(model) == history[v], (step, v)
+        elif op == "txn_pair":
+            # the reference's raw+agg single transaction: append to the
+            # main table + merge to the aggregate table publish
+            # atomically (or abort atomically on a drawn failure) —
+            # BOTH models must track through either outcome
+            import os as _os
+
+            from data_pipeline_project_spark.sinks.txn import transaction
+
+            class _InjectedAbort(RuntimeError):
+                pass
+
+            n_ins = rng.randrange(1, 10)
+            ins_keys = list(range(next_key, next_key + n_ins))
+            next_key += n_ins
+            rows = _mk_rows(ins_keys, salt=step + 1)
+            agg_rows = [
+                (int(rng.randrange(5)), int(100 * step + seed))
+            ]
+            do_abort = rng.random() < 0.4
+            t = None
+            try:
+                with transaction([path, agg_path]) as t:
+                    append_snapshot(
+                        spark, path,
+                        spark.createDataFrame(rows, "k long, v long, s string"),
+                    )
+                    merge_upsert(
+                        spark, duck, agg_path, "k",
+                        spark.createDataFrame(agg_rows, "k long, total long"),
+                    )
+                    if do_abort:
+                        raise _InjectedAbort()
+            except _InjectedAbort:
+                assert t.outcome == "aborted", (step, t.outcome)
+            if not do_abort:
+                assert t.outcome == "committed", (step, t.outcome)
+                for k, v, s in rows:
+                    model[k] = (v, s)
+                for k, tv in agg_rows:
+                    agg_model[k] = tv
+                history[
+                    t.staged[_os.path.abspath(path)]["version"]
+                ] = _model_state(model)
+            got_agg = sorted(
+                (r.k, r.total)
+                for r in read_version(spark, agg_path).collect()
+            )
+            assert got_agg == sorted(agg_model.items()), (
+                f"seed {seed}: agg table diverged after step {step} "
+                f"(txn_pair, abort={do_abort})"
+            )
         elif op == "append":
             # intent-stamped O(added) delta commit — must satisfy the
             # same model / time-travel / CDF invariants as every writer
