@@ -706,9 +706,11 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "train_val_test_split",
-    oracle=f"""
+# Round-11 registry swap: ceded its driver-board slot to
+# stats_catalog_parity (plans/catalog_queries.py — the manifest
+# stats-vs-recompute gate); keeps full DuckDB parity in the
+# deregistered harness (tests/conftest.py EXTRA_ORACLE_QUERIES).
+TRAIN_VAL_TEST_ORACLE = f"""
 WITH h AS (
     SELECT doc_id,
            {SQL_HASH.format(v="'split:' || doc_id::VARCHAR")} % 100 AS bucket
@@ -721,8 +723,9 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id
 FROM h GROUP BY 1
-""",
-)
+"""
+
+
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 split by salted content-independent hash
     (md5 of 'split:<id>') — reproducible across runs, engines, and

@@ -31,6 +31,7 @@ _QUERY_MODULES = (
     "data_pipeline_project_spark.plans.streaming_queries",
     "data_pipeline_project_spark.plans.temporal_queries",
     "data_pipeline_project_spark.plans.llmops_queries",
+    "data_pipeline_project_spark.plans.catalog_queries",
 )
 
 

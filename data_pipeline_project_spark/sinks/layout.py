@@ -447,6 +447,45 @@ def table_health(
             }
             for d, ss in sorted(by_dir.items())
         }
+    # partition-era audit (r11): on a spec-evolved table, classify
+    # each file's derived-column directory value by which era's
+    # format produced it — files still under a non-current granularity
+    # are the lazy-migration backlog maintenance should work through
+    import os as _os
+
+    latest_m = _os.path.join(path, "_manifests", "latest.json")
+    if _os.path.exists(latest_m):
+        from data_pipeline_project_spark.sinks.manifest import (
+            PARTITION_FMTS,
+            read_manifest as _read_manifest,
+        )
+
+        _m = _read_manifest(latest_m)
+        spec = _m.get("partition_spec")
+        if spec:
+            by_len = {
+                len(PARTITION_FMTS[g][1].replace("%Y", "1234")
+                    .replace("%m", "12").replace("%d", "12")
+                    .replace("%H", "12")): g
+                for g in PARTITION_FMTS
+            }
+            eras: dict = {}
+            old_era = 0
+            for f in _m["files"]:
+                segs = [
+                    s for s in f["path"].replace("\\", "/").split("/")[:-1]
+                    if s.startswith(spec["derived"] + "=")
+                ]
+                if not segs:
+                    continue
+                val = segs[0].split("=", 1)[1]
+                g = by_len.get(len(val), "unknown")
+                eras[g] = eras.get(g, 0) + 1
+                if g != spec["granularity"]:
+                    old_era += 1
+            if eras:
+                health["partition_eras"] = eras
+                health["old_era_files"] = old_era
     # deletion-vector pressure: dead rows are a per-scan anti-join tax
     # until a whole-table rewrite materializes them away
     dv = table_dv(path)
@@ -564,6 +603,16 @@ def maintenance_plan(health: dict, thresholds: dict | None = None) -> list[dict]
             # (compact_snapshot) touches exactly these, nothing else
             item["partitions"] = mergeable
         plan.append(item)
+    if health.get("old_era_files"):
+        eras = health.get("partition_eras", {})
+        plan.append({
+            "action": "migrate_partitions",
+            "reason": f"{health['old_era_files']}/{n} files still sit in "
+                      f"pre-evolution partition directories ({eras}) — "
+                      f"migrate one partition at a time with "
+                      f"rewrite_partition(respec=True); reads work either "
+                      f"way, but old-era dirs prune at the old granularity",
+        })
     overlap = health.get("clustering_overlap")
     if overlap is not None and overlap > t["clustering_overlap"]:
         plan.append({
@@ -690,17 +739,39 @@ def join_plan_advice(
       sides could prune their scans to (read_version_pruned /
       zone-map pruning make that actionable, not aspirational).
 
+    NDV upgrade (r11): when both logs carry full-coverage NDV
+    sketches for the key, the advice additionally
+
+    - estimates join OUTPUT cardinality (|A|x|B| / max(ndv) — the
+      textbook containment assumption);
+    - corrects the broadcast decision for COMPRESSION: on-disk bytes
+      under the threshold can hide a hash table that will not fit —
+      rows/ndv is exactly the dictionary/RLE compressibility signal,
+      so the est. in-memory build size inflates disk bytes by the
+      measured redundancy and a too-dense 'small' side flips
+      broadcast -> shuffle (ranges and bytes alone mispredict this);
+    - flags SKEW from the merged heavy-hitter summary: a top key
+      holding a large fraction of the probe side's rows is the
+      salting / AQE-skew-join case, called out explicitly.
+
     Key ranges missing from either log (partial stats coverage) drop
     the range-based advice but keep the size-based strategy; the
     returned dict says which inputs were known. Advice, not a
     contract: row-level selectivity still belongs to the engine."""
     from data_pipeline_project_spark.sinks.manifest import (
         table_column_minmax,
+        table_column_ndv,
     )
 
     a, b = table_detail(path_a), table_detail(path_b)
     ra = table_column_minmax(path_a, key)
     rb = table_column_minmax(path_b, key)
+    na = table_column_ndv(path_a, key)
+    nb = table_column_ndv(path_b, key)
+    if na and na["coverage"] < 1.0:
+        na = None  # partial sketch: a lower bound would mislead
+    if nb and nb["coverage"] < 1.0:
+        nb = None
     out = {
         "key": key,
         "bytes_a": a["total_bytes"],
@@ -709,9 +780,15 @@ def join_plan_advice(
         "rows_b": b["live_rows"],
         "range_a": ra,
         "range_b": rb,
+        "ndv_a": na["ndv"] if na else None,
+        "ndv_b": nb["ndv"] if nb else None,
         "overlap": None,
         "notes": [],
     }
+    if na and nb and out["rows_a"] and out["rows_b"]:
+        out["est_join_rows"] = int(
+            out["rows_a"] * out["rows_b"] / max(na["ndv"], nb["ndv"], 1)
+        )
     if ra and rb and None not in ra and None not in rb:
         lo, hi = max(ra[0], rb[0]), min(ra[1], rb[1])
         if lo > hi:
@@ -727,24 +804,88 @@ def join_plan_advice(
             f"{key!r} range unknown on at least one side (partial stats "
             f"coverage) — range advice unavailable"
         )
-    small, small_name = min(
-        (a["total_bytes"], "a"), (b["total_bytes"], "b")
+    def _est_inmem(path, disk_bytes, rows):
+        """Disk bytes x measured redundancy: parquet dictionary/RLE
+        compresses a column roughly in proportion to rows/ndv, so the
+        hash table a broadcast build materializes is about that much
+        BIGGER than the file. Median across the sketched columns,
+        capped — a conservative planner inflates, it never deflates."""
+        from data_pipeline_project_spark.sinks.manifest import (
+            read_manifest,
+            table_column_ndv,
+        )
+
+        import os
+
+        if not rows:
+            return disk_bytes, 1.0
+        m = read_manifest(
+            os.path.join(path, "_manifests", "latest.json")
+        )
+        cols = set()
+        for f in m["files"]:
+            cols |= set((f.get("ndv") or {}).keys())
+        reds = []
+        for c in sorted(cols):
+            sk = table_column_ndv(path, c)
+            if sk and sk["coverage"] == 1.0 and sk["ndv"] > 0:
+                reds.append(max(1.0, rows / sk["ndv"]))
+        if not reds:
+            return disk_bytes, 1.0
+        reds.sort()
+        # lower median: a single constant-ish column (a status flag)
+        # must not inflate a genuinely diverse table by itself
+        infl = min(32.0, reds[(len(reds) - 1) // 2])
+        return int(disk_bytes * infl), infl
+
+    est_a, infl_a = _est_inmem(path_a, a["total_bytes"], out["rows_a"])
+    est_b, infl_b = _est_inmem(path_b, b["total_bytes"], out["rows_b"])
+    out["est_inmem_a"], out["est_inmem_b"] = est_a, est_b
+    small_disk, small_est, small_name = min(
+        (a["total_bytes"], est_a, "a"), (b["total_bytes"], est_b, "b")
     )
-    if small <= broadcast_bytes:
+    if small_est <= broadcast_bytes:
         out["strategy"] = "broadcast"
         out["build_side"] = small_name
         out["notes"].append(
-            f"side {small_name} is {small} bytes (<= {broadcast_bytes}): "
-            f"broadcast it — the big side never shuffles"
+            f"side {small_name} is {small_disk} bytes on disk, "
+            f"~{small_est} in memory (<= {broadcast_bytes}): broadcast "
+            f"it — the big side never shuffles"
         )
     else:
         out["strategy"] = "shuffle"
+        if small_disk <= broadcast_bytes:
+            # THE NDV FLIP: disk bytes alone would have said broadcast
+            infl = infl_a if small_name == "a" else infl_b
+            out["notes"].append(
+                f"side {small_name}'s {small_disk} disk bytes hide a "
+                f"~{small_est}-byte build table (measured column "
+                f"redundancy {infl:.1f}x — dictionary/RLE compression): "
+                f"broadcasting would not fit; shuffle instead"
+            )
         if out["overlap"]:
             out["notes"].append(
                 f"both sides exceed the broadcast threshold; shuffle on "
                 f"{key!r} and prune each scan to the overlap "
                 f"{out['overlap']} first"
             )
+        # skew only hurts the SHUFFLED plan: one hot key lands one
+        # reducer with a disproportionate slice of the probe side
+        for side, sk, rows in (("a", na, out["rows_a"]),
+                               ("b", nb, out["rows_b"])):
+            if not sk or not rows or not sk["top"]:
+                continue
+            top_v, top_n = sk["top"][0]
+            mass = top_n / rows
+            if mass >= 0.2:
+                out["skew_side"] = side
+                out["skew_key"] = top_v
+                out["skew_mass"] = round(mass, 3)
+                out["notes"].append(
+                    f"side {side} is SKEWED on {key!r}: value "
+                    f"{top_v!r} holds >= {mass:.0%} of its rows — salt "
+                    f"that key or enable AQE skew-join before shuffling"
+                )
     return out
 
 

@@ -380,7 +380,16 @@ def _entry_stats(md, priority_cols=()) -> dict | None:
             cc = rg.column(j)
             name = cc.path_in_schema
             if "." in name:
-                continue
+                # STRUCT leaves qualify (r11): their dotted path is a
+                # real predicate target (events.props.x > 5 pushes
+                # down), and parquet records ordinary min/max for
+                # them. List/map internals ("l.list.element",
+                # "m.key_value.key") do NOT — their stats describe
+                # flattened element streams, not row-level values a
+                # row-pruning predicate could use.
+                segs = name.split(".")
+                if any(s in ("list", "element", "key_value") for s in segs):
+                    continue
             rec = agg.setdefault(
                 name,
                 {"mn": None, "mx": None, "kind": None, "nulls": 0,
@@ -462,6 +471,147 @@ def _stats_decode(v, kind):
     return v
 
 
+# Per-file NDV sketches in the manifest log (r11) — the distinct-count
+# statistic min/max ranges cannot give a planner. Each commit records a
+# small HyperLogLog register set plus a top-K heavy-hitter summary for
+# the leading stats columns of every ADDED file; sketches MERGE across
+# files (register-wise max / count-sum) exactly like min/max, so
+# table-wide NDV and top-key mass are answerable from the log with
+# zero data I/O at plan time (Iceberg records Theta sketches in
+# puffin files for the same reason). Collection reads the just-written
+# file once, columnar (the bytes are page-cache-warm, cost O(added) —
+# the same envelope as the footer read); it never scales with the
+# table. Gate with COLLECT_NDV for write paths that cannot afford it.
+COLLECT_NDV = True
+_NDV_REGISTERS = 128  # HLL m: se ~ 1.04/sqrt(128) = 9.2% — planner-grade
+_NDV_MAX_COLS = 8
+_NDV_TOPK = 4
+
+
+def _entry_ndv(full: str, cols: list, priority_cols=()) -> dict | None:
+    """{col: {"regs": [m ints], "top": [[value, count], ...],
+    "nn": non-null rows}} for the leading ``cols`` of one parquet
+    file, computed with DuckDB's vectorized hash in one columnar read.
+    HLL register index = hash % m; rank = trailing-zero count of
+    hash//m, +1 (equivalent to leading-rho on the reversed bits; any
+    fixed bit split works as long as writers share it). DuckDB's
+    hash() is deterministic, so registers from different commits
+    merge soundly. Columns that fail (exotic types) are skipped —
+    absent sketch = no advice, never wrong advice."""
+    import duckdb
+
+    m = _NDV_REGISTERS
+    pri = [c for c in priority_cols if c in cols]
+    take = pri + [c for c in sorted(cols) if c not in set(pri)]
+    out = {}
+    fq = full.replace("'", "''")
+    for c in take[:_NDV_MAX_COLS]:
+        qc = '"' + c.replace('"', '""') + '"'
+        try:
+            regs_rows = duckdb.sql(
+                f"""
+                WITH h AS (
+                  SELECT hash({qc}) AS hv
+                  FROM read_parquet('{fq}') WHERE {qc} IS NOT NULL
+                )
+                SELECT CAST(hv % {m} AS INT) AS reg,
+                       MAX(CASE WHEN CAST(hv // {m} AS BIGINT) = 0 THEN 58
+                           ELSE length(bin(CAST(hv // {m} AS BIGINT)
+                                           & -CAST(hv // {m} AS BIGINT)))
+                           END) AS rho
+                FROM h GROUP BY 1
+                """
+            ).fetchall()
+            top_rows = duckdb.sql(
+                f"""
+                SELECT {qc} AS v, COUNT(*) AS n
+                FROM read_parquet('{fq}') WHERE {qc} IS NOT NULL
+                GROUP BY 1 ORDER BY n DESC, v LIMIT {_NDV_TOPK}
+                """
+            ).fetchall()
+        except Exception:  # noqa: BLE001 — unsketchable column type
+            continue
+        regs = [0] * m
+        for reg, rho in regs_rows:
+            regs[reg] = int(rho)
+        out[c] = {
+            "regs": regs,
+            "top": [[_json_key(v), int(n)] for v, n in top_rows],
+            "nn": sum(int(n) for _, n in top_rows)
+            if len(top_rows) < _NDV_TOPK
+            else None,
+        }
+        if out[c]["nn"] is None:
+            try:
+                out[c]["nn"] = int(
+                    duckdb.sql(
+                        f"SELECT COUNT({qc}) FROM read_parquet('{fq}')"
+                    ).fetchone()[0]
+                )
+            except Exception:  # noqa: BLE001
+                out[c]["nn"] = None
+    return out or None
+
+
+def hll_estimate(regs: list) -> int:
+    """Bias-corrected HyperLogLog estimate from one (merged) register
+    set — Flajolet et al. 2007, with the small-range linear-counting
+    correction. Registers from different files merge by element-wise
+    max BEFORE estimating (estimates themselves never add)."""
+    import math
+
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if e <= 2.5 * m and zeros:
+        e = m * math.log(m / zeros)
+    return int(round(e))
+
+
+def table_column_ndv(path: str, col: str, version: int | None = None):
+    """Table-wide distinct-count estimate + heavy-hitter summary for
+    ``col``, answered from the manifest log with ZERO data I/O:
+    {ndv, rows_nonnull, top: [[value, count_lower_bound], ...],
+    coverage}. Requires every pinned data-bearing entry to carry the
+    sketch (coverage < 1.0 returns the partial merge with the honest
+    coverage fraction — callers decide whether partial NDV is
+    usable; top counts are always LOWER bounds, the standard
+    heavy-hitter merge guarantee)."""
+    mdir = os.path.join(path, "_manifests")
+    name = "latest.json" if version is None else f"v{version}.json"
+    m = read_manifest(os.path.join(mdir, name))
+    ents = [f for f in m["files"] if f["rows"] > 0]
+    if not ents:
+        return None
+    regs = [0] * _NDV_REGISTERS
+    tops: dict = {}
+    nn = 0
+    covered = 0
+    for f in ents:
+        sk = (f.get("ndv") or {}).get(col)
+        if not sk:
+            continue
+        covered += 1
+        for i, r in enumerate(sk["regs"]):
+            if r > regs[i]:
+                regs[i] = r
+        for v, n in sk["top"]:
+            k = v if isinstance(v, (int, float, str, bool)) else str(v)
+            tops[k] = tops.get(k, 0) + n
+        if sk.get("nn") is not None:
+            nn += sk["nn"]
+    if covered == 0:
+        return None
+    top = sorted(tops.items(), key=lambda kv: (-kv[1], str(kv[0])))
+    return {
+        "ndv": hll_estimate(regs),
+        "rows_nonnull": nn,
+        "top": [[k, n] for k, n in top[:_NDV_TOPK]],
+        "coverage": covered / len(ents),
+    }
+
+
 def _file_entry(root: str, rel: str, md=None, priority_cols=()) -> dict:
     """One manifest file entry — size, footer row count, and the
     column-stats index — from a single footer read (``md`` lets a
@@ -484,6 +634,16 @@ def _file_entry(root: str, rel: str, md=None, priority_cols=()) -> dict:
         entry["stats"] = stats
     if n_cut:
         entry["stats_truncated"] = n_cut
+    if COLLECT_NDV and stats and md.num_rows > 0:
+        ndv = _entry_ndv(
+            full,
+            # struct leaves (dotted) are range-pruned only — the NDV
+            # scan addresses columns by top-level identifier
+            [c for c, st in stats.items() if st[2] != "null" and "." not in c],
+            priority_cols=priority_cols,
+        )
+        if ndv:
+            entry["ndv"] = ndv
     return entry
 
 
@@ -1213,6 +1373,7 @@ def write_versioned_manifest(
     renames: dict | None = None,
     dropped_cols: list | None = None,
     dv: list | None = None,
+    partition_spec: dict | None = None,
 ) -> dict:
     """Append-only snapshot history: write the manifest as
     ``_manifests/v{N}.json`` (N = 1 + highest existing version) and
@@ -1271,6 +1432,8 @@ def write_versioned_manifest(
         dropped_cols = prev_m.get("dropped_cols") or []
     if dv is None:
         dv = prev_m.get("dv") or []
+    if partition_spec is None:
+        partition_spec = prev_m.get("partition_spec")
     existing = [
         int(f[1:-5])
         for f in os.listdir(mdir)
@@ -1300,6 +1463,8 @@ def write_versioned_manifest(
         manifest["dropped_cols"] = dropped_cols
     if dv:
         manifest["dv"] = dv
+    if partition_spec:
+        manifest["partition_spec"] = partition_spec
     with open(vpath, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     tmp = os.path.join(mdir, "latest.json.tmp")
@@ -1697,6 +1862,7 @@ def commit_optimistic(
     allow_bootstrap: bool = False,
     added_entries: list[dict] | None = None,
     stats_priority_cols: tuple | list = (),
+    partition_spec: dict | None = None,
 ) -> dict:
     """Commit a snapshot as an explicit DELTA against the current head:
     body = head.files − ``removed`` + ``added`` — metadata reads touch
@@ -1838,6 +2004,13 @@ def commit_optimistic(
             dv += [r for r in dv_add if r not in dv]
         if dv:
             manifest["dv"] = dv
+        spec = (
+            head.get("partition_spec")
+            if partition_spec is None
+            else partition_spec
+        )
+        if spec:
+            manifest["partition_spec"] = spec
         if extra:
             manifest["app"] = extra
         if in_txn:
@@ -2257,23 +2430,66 @@ def _extended_read_schema(st, renames: dict):
     """The read schema for a table with pending renames: the logical
     fields plus, for each old physical name, a same-typed extra field —
     a file carries exactly one of the two names, so the other reads as
-    null and a coalesce recovers the logical column."""
+    null and a coalesce recovers the logical column.
+
+    STRUCT-FIELD renames (r11) use dotted map entries
+    ('parent.old' -> 'parent.new'): the parent struct in the read
+    schema gains an extra 'old'-named field typed like the logical
+    'new' one — Spark's parquet reader matches nested fields BY NAME
+    and null-fills the absent one, so every file era reads cleanly
+    and _apply_renames coalesces inside the struct."""
     from pyspark.sql.types import StructField, StructType
 
     logical = {f.name: f for f in st.fields}
     extra = [
         StructField(p, logical[l].dataType, True)
         for p, l in renames.items()
-        if p not in logical and l in logical
+        if "." not in p and p not in logical and l in logical
     ]
-    return StructType(list(st.fields) + extra)
+    nested: dict = {}
+    for p, l in renames.items():
+        if "." in p and "." in l:
+            pp, po = p.split(".", 1)
+            lp, ln = l.split(".", 1)
+            if pp == lp:
+                nested.setdefault(pp, []).append((po, ln))
+    fields = []
+    for f in st.fields:
+        if f.name in nested and isinstance(f.dataType, StructType):
+            sub = {sf.name: sf for sf in f.dataType.fields}
+            subs = list(f.dataType.fields)
+            for po, ln in nested[f.name]:
+                if po not in sub and ln in sub:
+                    subs.append(StructField(po, sub[ln].dataType, True))
+            fields.append(StructField(f.name, StructType(subs), f.nullable))
+        else:
+            fields.append(f)
+    return StructType(fields + extra)
 
 
 def _apply_renames(df: DataFrame, st, renames: dict) -> DataFrame:
     from pyspark.sql import functions as F
 
     for p, l in renames.items():
-        if l in df.columns and p in df.columns:
+        if "." in p and "." in l:
+            pp, po = p.split(".", 1)
+            lp, ln = l.split(".", 1)
+            if pp != lp:
+                continue
+            # rebuild the struct: logical field = coalesce(new, old),
+            # physical alias dropped. withField REPLACES in place, so
+            # the logical field order survives; a null struct row
+            # stays null (withField on null yields null).
+            df = df.withColumn(
+                pp,
+                F.col(pp)
+                .withField(
+                    ln,
+                    F.coalesce(F.col(f"{pp}.{ln}"), F.col(f"{pp}.{po}")),
+                )
+                .dropFields(po),
+            )
+        elif l in df.columns and p in df.columns:
             df = df.withColumn(l, F.coalesce(F.col(l), F.col(p))).drop(p)
     return df.select(*[f.name for f in st.fields])
 
@@ -3495,6 +3711,116 @@ def rename_column(spark, path: str, old: str, new: str) -> dict:
     return {"version": m["version"], "renamed": {old: new}}
 
 
+def _struct_field_of(ts, parent: str):
+    from pyspark.sql.types import StructType
+
+    fld = next((f for f in ts.fields if f.name == parent), None)
+    if fld is None:
+        raise ValueError(
+            f"no such column {parent!r} (have {[f.name for f in ts.fields]})"
+        )
+    if not isinstance(fld.dataType, StructType):
+        raise ValueError(f"{parent!r} is not a struct column")
+    return fld
+
+
+def add_struct_field(spark, path: str, parent: str, field: str, dtype) -> dict:
+    """Metadata-only ADD COLUMN inside a struct (Iceberg's nested
+    schema evolution, by-name flavor): the pinned logical schema's
+    ``parent`` struct gains a nullable ``field`` at the END; no file
+    is touched — Spark's parquet reader null-fills a nested field the
+    footer schema lacks, so every pre-evolution file reads the new
+    field as null, and time travel to earlier versions still shows
+    the old shape. ``dtype``: a DataType or a DDL string ('bigint',
+    'array<double>')."""
+    from pyspark.sql.types import DataType, StructField, StructType
+
+    if isinstance(dtype, str):
+        dtype = DataType.fromDDL(dtype)
+    assert isinstance(dtype, DataType)
+    ts = table_schema(spark, path)
+    fld = _struct_field_of(ts, parent)
+    sub_names = [sf.name for sf in fld.dataType.fields]
+    if field in sub_names:
+        raise ValueError(f"{parent}.{field} already exists")
+    dotted = f"{parent}.{field}"
+    if dotted in table_dropped_cols(path) or dotted in table_renames(path):
+        raise ValueError(
+            f"{dotted!r} still names physical data in old files (prior "
+            f"nested rename/drop); run rewrite_table() first"
+        )
+    new_sub = StructType(
+        list(fld.dataType.fields) + [StructField(field, dtype, True)]
+    )
+    new_st = StructType(
+        [
+            StructField(parent, new_sub, f.nullable)
+            if f.name == parent
+            else f
+            for f in ts.fields
+        ]
+    )
+    m = _commit_schema_change(
+        path, "add_struct_field", new_st.jsonValue(),
+        table_renames(path), table_dropped_cols(path),
+    )
+    return {"version": m["version"], "added": dotted}
+
+
+def rename_struct_field(
+    spark, path: str, parent: str, old: str, new: str
+) -> dict:
+    """Metadata-only RENAME of a field inside a struct: the pinned
+    logical schema carries the new nested name; files keep the
+    physical one and reads coalesce inside the struct over the
+    dotted rename map ('parent.old' -> 'parent.new', flattened like
+    top-level chains). Zone-map stats recorded under the old dotted
+    path stop matching the logical name, so pruned reads on the
+    renamed leaf keep every pre-rename file (conservative, never
+    wrong) until a rewrite re-records them."""
+    from pyspark.sql.types import StructField, StructType
+
+    ts = table_schema(spark, path)
+    fld = _struct_field_of(ts, parent)
+    sub = {sf.name: sf for sf in fld.dataType.fields}
+    if old not in sub:
+        raise ValueError(
+            f"no such field {parent}.{old} (have {sorted(sub)})"
+        )
+    if new in sub:
+        raise ValueError(f"{parent}.{new} already exists")
+    p_old, p_new = f"{parent}.{old}", f"{parent}.{new}"
+    ren = dict(table_renames(path))
+    if p_new in ren or p_new in table_dropped_cols(path):
+        raise ValueError(
+            f"{p_new!r} still names physical data in old files (prior "
+            f"nested rename/drop); run rewrite_table() first"
+        )
+    ren = {p: (p_new if l == p_old else l) for p, l in ren.items()}
+    ren[p_old] = p_new
+    new_sub = StructType(
+        [
+            StructField(new, sf.dataType, sf.nullable)
+            if sf.name == old
+            else sf
+            for sf in fld.dataType.fields
+        ]
+    )
+    new_st = StructType(
+        [
+            StructField(parent, new_sub, f.nullable)
+            if f.name == parent
+            else f
+            for f in ts.fields
+        ]
+    )
+    m = _commit_schema_change(
+        path, "rename_struct_field", new_st.jsonValue(), ren,
+        table_dropped_cols(path),
+    )
+    return {"version": m["version"], "renamed": {p_old: p_new}}
+
+
 def rewrite_table(
     spark,
     path: str,
@@ -3576,6 +3902,7 @@ def rewrite_partition(
     cluster_col: str | list[str],
     partition: dict,
     n_files: int | None = None,
+    respec: bool = False,
 ) -> dict:
     """OPTIMIZE ... WHERE partition = value: re-cluster (or Z-ORDER,
     with a list of columns) ONE partition's files — the canonical
@@ -3587,6 +3914,12 @@ def rewrite_partition(
     of a whole-table intent — so it COMMUTES with appends, merges, DV
     deletes, and other partition rewrites elsewhere in the table, and
     conflicts only with a concurrent writer touching the SAME files.
+
+    ``respec=True`` additionally re-derives the partition column
+    under the table's current partition_spec — the migration op for
+    partition evolution: OPTIMIZE WHERE dt='2024-01-01' RESPEC moves
+    one day-era partition into its hour-era directories, rows
+    byte-identical, while the rest of the table keeps serving.
 
     ``partition`` maps partition columns to values ({'dt':
     '2024-01-01'}, values compared as their directory strings); a
@@ -3635,6 +3968,18 @@ def rewrite_partition(
     sub = dict(head)
     sub["files"] = target
     frame = read_snapshot(spark, sub)  # DV-filtered, schema-correct
+    if respec:
+        # partition-era migration (r11): re-derive the partition
+        # column under the CURRENT spec before the staged write, so
+        # this old-era partition's rows land in new-era directories —
+        # the lazy, one-partition-at-a-time migration path
+        spec = head.get("partition_spec")
+        if not spec:
+            raise ValueError(
+                "respec=True needs a partition_spec on the table "
+                "(set_partition_granularity)"
+            )
+        frame = frame.withColumn(spec["derived"], _spec_expr(spec))
 
     cols = (
         list(cluster_col)
@@ -3707,6 +4052,174 @@ def rewrite_partition(
             f["rows"] for f in manifest["files"] if f["path"] in set(added)
         ),
     }
+
+
+# --------------------------------------------------------------------
+# Partition evolution (r11): change a time-partitioned table's
+# granularity (day -> hour) with a METADATA-ONLY commit — Iceberg's
+# partition-spec evolution. New writes land in the new scheme; reads
+# plan BOTH eras; pruning works on each era's own directory format.
+# The derived column's string formats nest by PREFIX ("2024-01" <
+# "2024-01-01" < "2024-01-01-07"), so one lexicographic dt range —
+# [coarsest(t1), finest(t2)] — covers every era at once: coarser dirs
+# near the bounds over-match slightly and the residual timestamp
+# filter trims them, never the reverse. Old-era partitions migrate
+# lazily through rewrite_partition(respec=True), one partition at a
+# time, exactly like any other nightly OPTIMIZE.
+# --------------------------------------------------------------------
+
+PARTITION_FMTS = {
+    "month": ("yyyy-MM", "%Y-%m"),
+    "day": ("yyyy-MM-dd", "%Y-%m-%d"),
+    "hour": ("yyyy-MM-dd-HH", "%Y-%m-%d-%H"),
+}
+
+
+def table_partition_spec(path: str) -> dict | None:
+    mpath = os.path.join(path, "_manifests", "latest.json")
+    if os.path.exists(mpath):
+        return read_manifest(mpath).get("partition_spec")
+    return None
+
+
+def _spec_expr(spec: dict):
+    from pyspark.sql import functions as F
+
+    fmt = PARTITION_FMTS[spec["granularity"]][0]
+    return F.date_format(F.col(spec["source"]), fmt)
+
+
+def set_partition_granularity(
+    spark, path: str, ts_col: str, granularity: str, derived: str = "dt"
+) -> dict:
+    """Declare (or CHANGE) the table's time-partitioning transform:
+    ``derived`` = format(``ts_col``, granularity). Metadata-only —
+    zero files move; the spec (with its era history) rides the
+    manifest and is inherited by every later commit, so
+    append_time_partitioned derives the new format from now on while
+    existing directories keep reading and pruning under their own."""
+    if granularity not in PARTITION_FMTS:
+        raise ValueError(
+            f"granularity must be one of {sorted(PARTITION_FMTS)}"
+        )
+    prev = table_partition_spec(path)
+    history = list(prev.get("history") or []) if prev else []
+    if prev:
+        if prev["granularity"] == granularity and prev["source"] == ts_col:
+            raise ValueError(
+                f"table already partitions {derived}=({granularity} of "
+                f"{ts_col!r})"
+            )
+        history.append(
+            {
+                "granularity": prev["granularity"],
+                "source": prev["source"],
+                "through_version": committed_versions(path)[-1],
+            }
+        )
+    spec = {
+        "derived": derived,
+        "source": ts_col,
+        "granularity": granularity,
+        "history": history,
+    }
+    # pin the derived column as STRING in the logical schema: partition
+    # discovery would otherwise infer day-era values ("2024-03-01") as
+    # DATE, and hour-era values can never cast to that — the spec and
+    # the type pin must land in ONE commit or a crash between them
+    # leaves appends broken
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    ts = table_schema(spark, path)
+    fields = [
+        StructField(derived, StringType(), True)
+        if f.name == derived
+        else f
+        for f in ts.fields
+    ]
+    if derived not in [f.name for f in ts.fields]:
+        fields.append(StructField(derived, StringType(), True))
+    schema_json = StructType(fields).jsonValue()
+    versions = snapshot_versions(path)
+    if not versions:
+        return write_versioned_manifest(
+            path, partition_spec=spec, schema_json=schema_json
+        )
+    return commit_optimistic(
+        path,
+        added=[],
+        removed=[],
+        intent={
+            "op": "partition_evolution",
+            "removed": [],
+            "dv_targets": [],
+            "schema_change": True,
+        },
+        base_version=versions[-1],
+        partition_spec=spec,
+        schema_json=schema_json,
+    )
+
+
+def append_time_partitioned(spark, path: str, df: DataFrame, **kw) -> dict:
+    """INSERT INTO a spec-evolved table: derive the partition column
+    under the CURRENT spec (recomputed even if ``df`` carries one —
+    a writer must never smuggle an old-era value in) and commit the
+    ordinary optimistic append."""
+    spec = table_partition_spec(path)
+    if spec is None:
+        raise ValueError(
+            f"{path!r} has no partition_spec — declare one with "
+            f"set_partition_granularity first"
+        )
+    return append_snapshot(
+        spark, path, df.withColumn(spec["derived"], _spec_expr(spec)), **kw
+    )
+
+
+def _era_strings(spec: dict, t) -> list[str]:
+    import datetime
+
+    if isinstance(t, str):
+        t = datetime.datetime.fromisoformat(t)
+    grans = {spec["granularity"]} | {
+        h["granularity"] for h in spec.get("history") or []
+    }
+    return [t.strftime(PARTITION_FMTS[g][1]) for g in grans]
+
+
+def read_time_range(
+    spark, path: str, lo, hi, version: int | None = None
+) -> DataFrame:
+    """Time-range read over a (possibly era-mixed) spec-partitioned
+    table: one lexicographic range on the derived column prunes every
+    era's directories and file stats at once (prefix nesting, see the
+    section comment), and the residual timestamp predicate makes the
+    result EQUAL to the unpruned read + where() — pruning is a plan
+    optimization, never a semantic one."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    spec = table_partition_spec(path)
+    if spec is None:
+        raise ValueError(f"{path!r} has no partition_spec")
+    lo_d = (
+        datetime.datetime.fromisoformat(lo) if isinstance(lo, str) else lo
+    )
+    hi_d = (
+        datetime.datetime.fromisoformat(hi) if isinstance(hi, str) else hi
+    )
+    df = read_version_pruned(
+        spark,
+        path,
+        col=spec["derived"],
+        lo=min(_era_strings(spec, lo_d)),
+        hi=max(_era_strings(spec, hi_d)),
+        version=version,
+    )
+    c = F.col(spec["source"])
+    return df.where((c >= F.lit(lo_d)) & (c <= F.lit(hi_d)))
 
 
 def clone_snapshot(

@@ -76,6 +76,8 @@ def apply_cdc_stream(
     rewrite: str = "auto",
     delete_col: str | None = None,
     delete_mode: str = "dv",
+    maintenance_every: int | None = None,
+    maintenance_thresholds: dict | None = None,
 ):
     """Start (and return) the streaming query applying ``changes`` (a
     streaming DataFrame whose schema matches the target table plus
@@ -99,7 +101,14 @@ def apply_cdc_stream(
     deletion vector, O(matched positions), the right plan for the
     high-frequency small deletes a CDC stream produces; replay is a
     no-op by construction) or ``targeted`` (copy-on-write rewrite of
-    the matched files)."""
+    the matched files).
+
+    ``maintenance_every=N``: after every Nth applied batch, run a
+    conflict-safe run_maintenance pass (per-partition compaction of
+    the merge churn, log compaction, DV materialization past the
+    dead-row threshold) so the table self-heals under continuous CDC —
+    losses to concurrent writers are swallowed and retried next cycle
+    (see streaming/lakehouse_ingest._maintain_best_effort)."""
     if delete_mode not in ("dv", "targeted"):
         raise ValueError(f"delete_mode must be dv|targeted, got {delete_mode!r}")
     applied: list[dict] = []
@@ -142,6 +151,14 @@ def apply_cdc_stream(
                 )
             )
         stats["batch_id"] = batch_id
+        if maintenance_every and (len(applied) + 1) % maintenance_every == 0:
+            from data_pipeline_project_spark.streaming.lakehouse_ingest import (
+                _maintain_best_effort,
+            )
+
+            stats["maintenance"] = _maintain_best_effort(
+                spark, duck, target_path, key_col, maintenance_thresholds
+            )
         applied.append(stats)
 
     q = (

@@ -65,17 +65,32 @@ def lakehouse_append_batch_fn(
     table_path: str,
     sink_id: str,
     key_col: str | None = None,
+    maintenance_every: int | None = None,
+    maintenance_thresholds: dict | None = None,
+    duck=None,
 ):
     """The foreachBatch function (factored out so tests can drive it
     directly, replays included). Returns a closure recording each
-    batch's outcome in ``closure.results``."""
+    batch's outcome in ``closure.results``.
+
+    ``maintenance_every=N`` makes the table SELF-HEALING under
+    continuous ingest: after every Nth committed batch the sink runs
+    ``run_maintenance`` (audit -> plan -> act: per-partition
+    compaction of exactly the micro-batch small files this sink
+    produces, log compaction past the amplification threshold,
+    vacuum past retention) with conflict-safe semantics — every
+    maintenance commit carries its own row-preserving intent, and a
+    loss to a concurrent writer is swallowed and retried at the next
+    cycle, never surfaced into the stream. Without it, a
+    1-batch-per-second ingest produces 86,400 small files a day and
+    an unbounded snapshot log."""
     from data_pipeline_project_spark.sinks.manifest import (
         append_snapshot,
         snapshot_versions,
         write_versioned_manifest,
     )
 
-    state = {"last": None}
+    state = {"last": None, "committed": 0}
     results: list[dict] = []
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
@@ -103,10 +118,39 @@ def lakehouse_append_batch_fn(
                 commit_extra=stamp,
             )
         state["last"] = batch_id
+        state["committed"] += 1
+        if maintenance_every and state["committed"] % maintenance_every == 0:
+            res["maintenance"] = _maintain_best_effort(
+                spark, duck, table_path, key_col, maintenance_thresholds
+            )
         results.append({"batch_id": batch_id, "replayed": False, **res})
 
     _apply.results = results  # type: ignore[attr-defined]
     return _apply
+
+
+def _maintain_best_effort(
+    spark, duck, table_path: str, key_col, thresholds
+) -> dict:
+    """One conflict-safe maintenance pass: whatever the health audit
+    says the table needs right now (usually: merge this sink's own
+    micro-batch files, compact the log). A concurrent writer winning
+    a race is NOT an ingest error — maintenance is best-effort and
+    the next cycle sees the same (or less) debt."""
+    from data_pipeline_project_spark.sinks.layout import run_maintenance
+    from data_pipeline_project_spark.sinks.manifest import (
+        ConcurrentSnapshotError,
+    )
+
+    try:
+        out = run_maintenance(
+            spark, duck, table_path, key_col=key_col, thresholds=thresholds
+        )
+        return {
+            "executed": [e.get("action") for e in out["executed"]],
+        }
+    except ConcurrentSnapshotError as e:  # lost to a concurrent writer
+        return {"skipped": f"conflict: {e}"}
 
 
 def start_lakehouse_append_stream(
@@ -116,6 +160,9 @@ def start_lakehouse_append_stream(
     checkpoint_dir: str,
     sink_id: str | None = None,
     key_col: str | None = None,
+    maintenance_every: int | None = None,
+    maintenance_thresholds: dict | None = None,
+    duck=None,
 ):
     """Start (and return) the streaming query appending ``source``
     (a streaming DataFrame) into the manifest table at ``table_path``
@@ -124,12 +171,19 @@ def start_lakehouse_append_stream(
     logical sink, surviving restarts. ``key_col`` opts the appends
     into serializable key-range checking against concurrent keyed
     merges/deletes (see append_snapshot). The per-batch outcomes ride
-    ``q.batch_results``."""
+    ``q.batch_results``. ``maintenance_every=N`` triggers a
+    conflict-safe run_maintenance after every Nth committed batch —
+    see lakehouse_append_batch_fn."""
     if sink_id is None:
         sink_id = hashlib.md5(
             os.path.abspath(checkpoint_dir).encode()
         ).hexdigest()[:12]
-    fn = lakehouse_append_batch_fn(spark, table_path, sink_id, key_col)
+    fn = lakehouse_append_batch_fn(
+        spark, table_path, sink_id, key_col,
+        maintenance_every=maintenance_every,
+        maintenance_thresholds=maintenance_thresholds,
+        duck=duck,
+    )
     q = (
         source.writeStream.foreachBatch(fn)
         .option("checkpointLocation", checkpoint_dir)
