@@ -1972,8 +1972,12 @@ def commit_optimistic(
             entry = {
                 "path": e["path"], "bytes": e["bytes"], "rows": e["rows"],
             }
-            if e.get("stats"):
-                entry["stats"] = e["stats"]
+            # carry the whole stats index: dropping ndv/truncation on a
+            # RESTORE would silently degrade sketch coverage (and the
+            # advice that needs coverage == 1.0) on every restored table
+            for k in ("stats", "ndv", "stats_truncated"):
+                if e.get(k):
+                    entry[k] = e[k]
             files.append(entry)
         files.sort(key=lambda f: f["path"])
         import time as _time

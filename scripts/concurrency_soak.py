@@ -313,7 +313,108 @@ def main():
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(ref, ignore_errors=True)
 
-    print(f"\nsoak complete: {2 * n_seeds} seeds, {failures} divergence(s)")
+    # ---- cross-table transaction family (r11): a raw+agg atomic
+    # publish racing a concurrent single-table writer. Even seeds: the
+    # writer fires INSIDE the transaction's first claim (before any
+    # stage) — the txn rebases and publishes. Odd seeds: the writer
+    # fires at the AGG merge's claim, AFTER raw staged — it meets the
+    # in-doubt staged version, presumed-aborts the transaction after
+    # the grace window, and the coordinator's publish loses; the soak
+    # then RERUNS the transaction (the documented recovery) and both
+    # outcomes must equal the sequential reference.
+    from data_pipeline_project_spark.sinks.txn import (
+        TransactionAborted,
+        transaction,
+    )
+
+    M.TXN_INDOUBT_GRACE_SECS = 0.05
+
+    def fresh_pair(tag):
+        raw = os.path.join(work, f"{tag}_raw")
+        agg = os.path.join(work, f"{tag}_agg")
+        df = spark.range(0, N).select(
+            F.col("id").alias("k"), ((F.col("id") * 7) % 101).alias("v")
+        )
+        write_range_clustered(df, raw, "k", FILES)
+        write_versioned_manifest(raw)
+        spark.createDataFrame(
+            [(i, 0) for i in range(10)], "k long, v long"
+        ).coalesce(1).write.parquet(agg)
+        write_versioned_manifest(agg)
+        return raw, agg
+
+    def run_txn(raw, agg, seed):
+        rows = [(50_000 + seed * 10 + j, -9) for j in range(3)]
+        aggs = [(seed % 10, seed)]
+        with transaction([raw, agg]):
+            append_snapshot(
+                spark, raw,
+                spark.createDataFrame(rows, "k long, v long").coalesce(1),
+            )
+            merge_upsert(
+                spark, duck, agg, "k",
+                spark.createDataFrame(aggs, "k long, v long"),
+            )
+
+    for seed in range(1300, 1300 + n_seeds):
+        rng = random.Random(seed)
+        wkind, wpay = draw_op(
+            rng, list(range(0, N)), 30_000, allow_compact=False
+        )
+        raw, agg = fresh_pair(f"x{seed}")
+        ref_raw, ref_agg = fresh_pair(f"y{seed}")
+
+        fire_late = seed % 2 == 1
+        state = {"claims": 0, "fired": False}
+
+        def interpose(version, mdir):
+            state["claims"] += 1
+            want = 2 if fire_late else 1
+            if state["fired"] or state["claims"] != want:
+                return
+            state["fired"] = True
+            # the concurrent writer is "another process": it must not
+            # see this process's active-transaction guard, or it would
+            # fail loudly instead of presumed-aborting like a real peer
+            saved = M._active_txn
+            M._active_txn = None
+            try:
+                run_op(raw, wkind, wpay)
+            finally:
+                M._active_txn = saved
+
+        M._test_claim_interposer = interpose
+        reran = False
+        try:
+            run_txn(raw, agg, seed)
+        except TransactionAborted:
+            M._test_claim_interposer = None
+            reran = True
+            run_txn(raw, agg, seed)  # documented recovery: rerun
+        finally:
+            M._test_claim_interposer = None
+
+        run_op(ref_raw, wkind, wpay)
+        run_txn(ref_raw, ref_agg, seed)
+
+        ok = True
+        for live_p, want_p in ((raw, ref_raw), (agg, ref_agg)):
+            live = sorted(map(tuple, read_version(spark, live_p).collect()))
+            want = sorted(map(tuple, read_version(spark, want_p).collect()))
+            if live != want:
+                ok = False
+        status = "ok" if ok else "DIVERGED"
+        if not ok:
+            failures += 1
+        print(
+            f"seed {seed} (txn-pair): writer={wkind} "
+            f"{'late-abort+rerun' if fire_late else 'early-rebase'}"
+            f"{' (reran)' if reran else ''} -> {status}"
+        )
+        for p_ in (raw, agg, ref_raw, ref_agg):
+            shutil.rmtree(p_, ignore_errors=True)
+
+    print(f"\nsoak complete: {3 * n_seeds} seeds, {failures} divergence(s)")
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
     sys.exit(1 if failures else 0)
