@@ -44,18 +44,23 @@ def _last_committed_batch(table_path: str, sink_id: str) -> int:
     the newest stamp IS the high-water mark; other writers' commits
     in between are skipped)."""
     from data_pipeline_project_spark.sinks.manifest import (
+        _txn2_outcome,
         read_manifest,
         snapshot_versions,
     )
 
     mdir = os.path.join(table_path, "_manifests")
     for v in reversed(snapshot_versions(table_path)):
-        stamp = (
-            read_manifest(os.path.join(mdir, f"v{v}.json"), resolve=False)
-            .get("app", {})
-            .get("stream_append")
-        )
+        m = read_manifest(os.path.join(mdir, f"v{v}.json"), resolve=False)
+        stamp = m.get("app", {}).get("stream_append")
         if stamp and stamp.get("sink_id") == sink_id:
+            # a stamp on a cross-table-transaction slot counts ONLY
+            # once the pair PUBLISHED: an aborted or in-doubt staged
+            # version pinned nothing visible, so skipping its batch_id
+            # would silently drop the batch on replay (the txn
+            # pipeline's crash window)
+            if m.get("txn2") and _txn2_outcome(m) != "committed":
+                continue
             return int(stamp["batch_id"])
     return -1
 
