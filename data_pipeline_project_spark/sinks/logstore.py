@@ -85,6 +85,17 @@ class LogStore:
         twin: conditional PUT with a body."""
         raise NotImplementedError  # pragma: no cover
 
+    def release(self, mdir: str, version: int) -> None:
+        """Recovery RECLAIMED the slot (its file was swept as a torn
+        or aborted claim): stores whose CAS lives OUTSIDE the
+        filesystem must forget the claim or the version number stays
+        burned forever — a rerun recomputes the same next version,
+        loses against the stale registry entry every retry, and
+        exhausts the optimistic loop (found by the r11 txn soak).
+        Filesystem-arbitrated stores need nothing: deleting the slot
+        file IS the release. The Delta-on-DynamoDB analogue is
+        deleting the lock-table item when its log entry is cleaned."""
+
     def describe(self) -> str:
         return type(self).__name__
 
@@ -209,6 +220,10 @@ class ExternalCASLogStore(LogStore):
     def steal(self, mdir: str, version: int) -> None:
         with self._lock:
             self._claimed.add((os.path.abspath(mdir), int(version)))
+
+    def release(self, mdir: str, version: int) -> None:
+        with self._lock:
+            self._claimed.discard((os.path.abspath(mdir), int(version)))
 
     def publish_once(self, path: str, content: str) -> bool:
         """Registry-decided create-with-content: the CAS is the

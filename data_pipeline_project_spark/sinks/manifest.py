@@ -2747,6 +2747,11 @@ def recover_to_last_manifest(path: str) -> dict:
         if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit():
             if int(f[1:-5]) > committed_version:
                 os.remove(os.path.join(mdir, f))
+                # stores whose CAS is external to the filesystem must
+                # forget the claim too, or the reclaimed version number
+                # stays burned and every rerun loses the race (r11 txn
+                # soak finding); no-op for the POSIX store
+                _log_store.release(mdir, int(f[1:-5]))
                 claims_removed += 1
 
     # DV files no surviving manifest references (a delete_rows_dv killed

@@ -236,6 +236,58 @@ def test_claim_fault_propagates(spark, duck, tmp_path):
     assert snapshot_versions(path) == [1, 2]
 
 
+def test_swept_claims_release_under_external_store(
+    spark, duck, tmp_path
+):
+    """The r11 soak finding: recovery's torn-claim sweep deletes slot
+    files, and an external-CAS registry that never forgets the claim
+    burns the version number forever — the next writer recomputes the
+    same version, loses every retry, and exhausts the optimistic
+    loop. The sweep now releases the claim through the store, so an
+    aborted transaction's reclaimed slot is immediately re-claimable."""
+    from data_pipeline_project_spark.sinks.txn import transaction
+
+    M.set_log_store(ExternalCASLogStore())
+    prev_grace = M.TXN_INDOUBT_GRACE_SECS
+    M.TXN_INDOUBT_GRACE_SECS = 0.05
+    try:
+        raw = str(tmp_path / "raw")
+        agg = str(tmp_path / "agg")
+        for p in (raw, agg):
+            _table(spark, p)
+        t = transaction([raw, agg]).__enter__()
+        append_snapshot(
+            spark, raw,
+            spark.createDataFrame([(9000, 1)], "k long, v long"),
+        )
+        merge_upsert(
+            spark, duck, agg, "k", _updates(spark, [(5, -1)])
+        )
+        # a concurrent writer presumed-aborts the in-doubt pair
+        M._active_txn = None
+        append_snapshot(
+            spark, raw,
+            spark.createDataFrame([(9500, 2)], "k long, v long"),
+        )
+        from data_pipeline_project_spark.sinks.txn import (
+            TransactionAborted,
+        )
+
+        with pytest.raises(TransactionAborted):
+            t.commit()
+        # the rollback swept the staged slots; under the external
+        # store this re-commit previously lost the race forever
+        merge_upsert(spark, duck, agg, "k", _updates(spark, [(5, -1)]))
+        append_snapshot(
+            spark, raw,
+            spark.createDataFrame([(9000, 1)], "k long, v long"),
+        )
+        got = {r.k: r.v for r in read_version(spark, agg).collect()}
+        assert got[5] == -1
+    finally:
+        M.TXN_INDOUBT_GRACE_SECS = prev_grace
+
+
 def test_external_store_honors_foreign_slot_files(tmp_path):
     """Mixed-store history: a version slot created by a LocalFS
     writer (on disk, not in the registry) must still lose the
