@@ -569,6 +569,62 @@ def hll_estimate(regs: list) -> int:
     return int(round(e))
 
 
+def analyze_table(path: str, max_retries: int | None = None) -> dict:
+    """ANALYZE TABLE: backfill NDV sketches for every pinned entry
+    that lacks one (bootstrap-era files — the listing path records
+    footer stats only, keeping bootstrap metadata-only). Reads each
+    unsketched file ONCE, columnar; commits the enriched entries as a
+    row-preserving metadata-only snapshot (no file moves — the body
+    re-pins the same files with richer entries). The explicit,
+    operator-scheduled cost every engine charges for distribution
+    statistics (Spark/Iceberg's ANALYZE). Conflicts loudly with any
+    concurrent rewrite of the files it re-pins (its intent names them
+    all); rerun after. Returns {version, files_analyzed}."""
+    versions = committed_versions(path, resolve_in_doubt=True)
+    if not versions:
+        raise ValueError(f"{path!r} has no snapshot to analyze")
+    mdir = os.path.join(path, "_manifests")
+    head = _read_manifest_settled(os.path.join(mdir, f"v{versions[-1]}.json"))
+    entries = []
+    analyzed = 0
+    for f in head["files"]:
+        if f.get("ndv") or f["rows"] == 0 or not f.get("stats"):
+            entries.append(f)
+            continue
+        live = _resolve_snapshot_file(head["root"], f["path"])
+        if live is None:
+            raise FileNotFoundError(f"pinned file {f['path']} unresolvable")
+        ndv = _entry_ndv(
+            live,
+            [c for c, st in f["stats"].items()
+             if st[2] != "null" and "." not in c],
+        )
+        e = dict(f)
+        if ndv:
+            e["ndv"] = ndv
+            analyzed += 1
+        entries.append(e)
+    if analyzed == 0:
+        return {"version": head["version"], "files_analyzed": 0}
+    manifest = commit_optimistic(
+        path,
+        added=[],
+        removed=[f["path"] for f in head["files"]],
+        added_entries=entries,
+        intent={
+            "op": "analyze",
+            "removed": [f["path"] for f in head["files"]],
+            "dv_targets": [],
+            "schema_change": False,
+            "row_preserving": True,
+        },
+        base_version=head["version"],
+        max_retries=max_retries if max_retries is not None
+        else MAX_COMMIT_RETRIES,
+    )
+    return {"version": manifest["version"], "files_analyzed": analyzed}
+
+
 def table_column_ndv(path: str, col: str, version: int | None = None):
     """Table-wide distinct-count estimate + heavy-hitter summary for
     ``col``, answered from the manifest log with ZERO data I/O:
@@ -612,13 +668,19 @@ def table_column_ndv(path: str, col: str, version: int | None = None):
     }
 
 
-def _file_entry(root: str, rel: str, md=None, priority_cols=()) -> dict:
+def _file_entry(
+    root: str, rel: str, md=None, priority_cols=(), collect_ndv=None
+) -> dict:
     """One manifest file entry — size, footer row count, and the
     column-stats index — from a single footer read (``md`` lets a
     caller that already read the footer pass it in). ``priority_cols``
     are kept through the wide-table stats cap first (see
     _entry_stats); a ``stats_truncated`` count marks entries whose cap
-    dropped qualified columns."""
+    dropped qualified columns. ``collect_ndv`` (default: the module
+    COLLECT_NDV flag) additionally records the NDV sketch — callers
+    on the LISTING path pass False to keep bootstrap metadata-only
+    (sketching there would data-scan the whole table; use
+    analyze_table to backfill instead)."""
     import pyarrow.parquet as pq
 
     full = os.path.join(root, rel)
@@ -634,7 +696,9 @@ def _file_entry(root: str, rel: str, md=None, priority_cols=()) -> dict:
         entry["stats"] = stats
     if n_cut:
         entry["stats_truncated"] = n_cut
-    if COLLECT_NDV and stats and md.num_rows > 0:
+    if collect_ndv is None:
+        collect_ndv = COLLECT_NDV
+    if collect_ndv and stats and md.num_rows > 0:
         ndv = _entry_ndv(
             full,
             # struct leaves (dotted) are range-pruned only — the NDV
@@ -660,7 +724,14 @@ def write_manifest(path: str, manifest_path: str | None = None) -> dict:
     for f in _data_files(path):
         md = pq.read_metadata(f)
         total_rows += md.num_rows
-        files.append(_file_entry(path, os.path.relpath(f, path), md))
+        # collect_ndv=False: the LISTING path must stay metadata-only
+        # (footers, never data) — at bootstrap scale sketching would
+        # read the whole table; analyze_table backfills explicitly
+        files.append(
+            _file_entry(
+                path, os.path.relpath(f, path), md, collect_ndv=False
+            )
+        )
     manifest = {
         "root": os.path.abspath(path),
         "n_files": len(files),
@@ -1611,6 +1682,10 @@ def _txn2_outcome(m: dict, force_abort: bool = False) -> str:
     t = m.get("txn2")
     if not t:
         return "committed"
+    if t.get("outcome") in ("committed", "aborted"):
+        # vacuum inlined the resolution (r11): the manifest is
+        # marker-independent from here on
+        return t["outcome"]
     marker = t["marker"]
     outcome = _read_marker_settled(marker)
     if outcome is not None:
@@ -4672,14 +4747,32 @@ def vacuum(
         # a kept log-compacted manifest whose delta base is about to be
         # dropped must materialize to FULL first, or retention strands
         # its resolution chain (the compact_log/vacuum contract)
-        if (
-            not dry_run
-            and "files" not in raw
+        materialize = (
+            "files" not in raw
             and raw["files_delta"]["base"] not in kept_set
-        ):
+        )
+        # inline the cross-table transaction OUTCOME into kept
+        # manifests (r11): once recorded, the version no longer needs
+        # its marker file to prove it published — the step that makes
+        # eventual marker GC possible (markers are shared across
+        # participant tables, so neither table may delete one its twin
+        # still resolves through; after both vacuums, neither does)
+        inline = m.get("txn2") and "outcome" not in m["txn2"]
+        if inline:
+            outcome = _txn2_outcome(m)
+            if outcome in ("committed", "aborted"):
+                m["txn2"]["outcome"] = outcome
+                if raw is not m and raw.get("txn2"):
+                    raw["txn2"]["outcome"] = outcome
+            else:
+                inline = False
+        if not dry_run and (materialize or inline):
+            # write FULL when the chain must materialize; otherwise
+            # keep the stored encoding (delta stays delta)
+            body = m if materialize or "files" in raw else raw
             tmp = vpath + ".tmp"
             with open(tmp, "w") as fh:
-                json.dump(m, fh, indent=1, sort_keys=True)
+                json.dump(body, fh, indent=1, sort_keys=True)
             os.replace(tmp, vpath)
         referenced |= {f["path"] for f in m["files"]}
         dv_referenced |= set(m.get("dv") or [])

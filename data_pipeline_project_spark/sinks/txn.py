@@ -59,7 +59,13 @@ import uuid
 
 from data_pipeline_project_spark.sinks import manifest as _m
 
-__all__ = ["transaction", "MultiTableTransaction", "TransactionAborted"]
+__all__ = [
+    "transaction",
+    "MultiTableTransaction",
+    "TransactionAborted",
+    "vacuum_txn_markers",
+    "recover_transaction",
+]
 
 
 class TransactionAborted(RuntimeError):
@@ -225,6 +231,66 @@ def transaction(
     commit atomically on exit, or rolls all of them back on
     exception. See the module docstring for the protocol."""
     return MultiTableTransaction(tables, marker_dir=marker_dir)
+
+
+def vacuum_txn_markers(tables: list[str], dry_run: bool = False) -> dict:
+    """GC transaction marker files no surviving manifest still needs.
+
+    Markers are SHARED across a transaction's participant tables, so
+    no single table's vacuum may delete one — its twin might still
+    resolve through it. The protocol instead retires markers in two
+    steps: each table's ``vacuum`` INLINES the resolved outcome into
+    its kept manifests (making them marker-independent), and this
+    utility — given the deployment's FULL participant table set —
+    deletes every marker that no kept manifest, on any listed table,
+    still references without an inlined outcome.
+
+    Caller contract: ``tables`` must cover every table that ever
+    participated in transactions whose markers live under these
+    tables' ``_txns/`` directories (in practice: the pipeline's table
+    set). An incomplete list can delete a marker an unlisted
+    participant still needs. Markers are tiny JSON files; when in
+    doubt, keep them — this GC exists for million-transaction
+    hygiene, not correctness."""
+    required: set[str] = set()
+    for t in tables:
+        mdir = os.path.join(t, "_manifests")
+        if not os.path.isdir(mdir):
+            continue
+        for f in os.listdir(mdir):
+            if (
+                f.startswith("v")
+                and f.endswith(".json")
+                and f[1:-5].isdigit()
+            ):
+                m = _m.read_manifest(
+                    os.path.join(mdir, f), resolve=False
+                )
+                t2 = m.get("txn2")
+                if t2 and t2.get("outcome") not in (
+                    "committed", "aborted",
+                ):
+                    required.add(os.path.abspath(t2["marker"]))
+    deleted = kept = 0
+    for t in tables:
+        tdir = os.path.join(os.path.abspath(t), "_txns")
+        if not os.path.isdir(tdir):
+            continue
+        for f in sorted(os.listdir(tdir)):
+            if not f.endswith(".json"):
+                continue
+            p = os.path.join(tdir, f)
+            if p in required:
+                kept += 1
+            else:
+                if not dry_run:
+                    os.unlink(p)
+                deleted += 1
+    return {
+        "markers_deleted": deleted,
+        "markers_kept": kept,
+        "dry_run": dry_run,
+    }
 
 
 def recover_transaction(path: str) -> dict:

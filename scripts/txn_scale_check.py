@@ -58,6 +58,20 @@ def main():
     duck = duckdb.connect()
     work = tempfile.mkdtemp(prefix="txn_scale_")
 
+    # warm the JVM/py4j/commit paths once so the first timed sample
+    # is not the session's cold start
+    wpath = os.path.join(work, "warm")
+    spark.range(0, 10_000).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    ).coalesce(1).write.parquet(wpath)
+    write_versioned_manifest(wpath)
+    append_snapshot(
+        spark, wpath,
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit(1).alias("v")
+        ).coalesce(1),
+    )
+
     # ---- 1. txn overhead at two table scales -------------------------
     for rows, files in ((200_000, 16), (2_000_000, 64)):
         raw_a = os.path.join(work, f"rawA{rows}")
@@ -102,7 +116,8 @@ def main():
     for mult in (1, 8):
         path = os.path.join(work, f"ndv{mult}")
         spark.range(0, 10_000).select(
-            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v"),
+            F.lit("seed").alias("s"),
         ).coalesce(1).write.parquet(path)
         write_versioned_manifest(path)
         add = spark.range(0, 250_000 * mult).select(

@@ -32,6 +32,7 @@ from data_pipeline_project_spark.sinks.layout import (
     write_range_clustered,
 )
 from data_pipeline_project_spark.sinks.manifest import (
+    analyze_table,
     append_snapshot,
     hll_estimate,
     merge_upsert,
@@ -58,6 +59,10 @@ def test_sketches_recorded_and_merge_within_hll_error(spark, duck, tmp_path):
     )
     write_range_clustered(base, path, "k", 4)
     write_versioned_manifest(path)
+    # bootstrap is metadata-only by contract: ANALYZE backfills the
+    # sketches for the bootstrap-era files; later commits sketch their
+    # own added files inline
+    analyze_table(path)
     append_snapshot(
         spark,
         path,
@@ -100,6 +105,7 @@ def test_heavy_hitter_summary_captures_skew(spark, duck, tmp_path):
     )
     df.coalesce(3).write.parquet(path)
     write_versioned_manifest(path)
+    analyze_table(path)
     got = table_column_ndv(path, "k")
     top_v, top_n = got["top"][0]
     assert top_v == 42
@@ -126,6 +132,7 @@ def test_advice_ndv_flip_broadcast_to_shuffle(spark, duck, tmp_path):
         fact, "k", 8,
     )
     write_versioned_manifest(fact)
+    analyze_table(fact)
     # dense: every column low-NDV -> redundancy >> 1 (key included:
     # a 16-value join key repeated 30k times)
     spark.range(0, 30_000).select(
@@ -134,6 +141,7 @@ def test_advice_ndv_flip_broadcast_to_shuffle(spark, duck, tmp_path):
         (F.col("id") % 2).alias("b"),
     ).coalesce(1).write.parquet(dense)
     write_versioned_manifest(dense)
+    analyze_table(dense)
     # control: same shape, all columns distinct
     spark.range(0, 30_000).select(
         F.col("id").alias("k"),
@@ -141,6 +149,7 @@ def test_advice_ndv_flip_broadcast_to_shuffle(spark, duck, tmp_path):
         (F.col("id") * 7 + 2).alias("b"),
     ).coalesce(1).write.parquet(control)
     write_versioned_manifest(control)
+    analyze_table(control)
 
     # per-table thresholds set just above each side's DISK size: the
     # byte rule alone says broadcast in both cases — only the measured
@@ -173,10 +182,12 @@ def test_advice_flags_skew_and_estimates_cardinality(
         F.col("id").alias("payload"),
     ).coalesce(4).write.parquet(fact)
     write_versioned_manifest(fact)
+    analyze_table(fact)
     spark.range(0, 1_000).select(
         F.col("id").alias("k"), F.col("id").alias("z")
     ).coalesce(1).write.parquet(dim)
     write_versioned_manifest(dim)
+    analyze_table(dim)
 
     adv = join_plan_advice(fact, dim, "k", broadcast_bytes=0)
     assert adv["strategy"] == "shuffle"
@@ -200,10 +211,12 @@ def test_advice_is_metadata_only(spark, duck, tmp_path, monkeypatch):
         fact, "k", 4,
     )
     write_versioned_manifest(fact)
+    analyze_table(fact)
     spark.range(0, 300).select(
         F.col("id").alias("k"), F.lit("d").alias("name")
     ).coalesce(1).write.parquet(dim)
     write_versioned_manifest(dim)
+    analyze_table(dim)
 
     import duckdb
     import pyarrow.parquet as pq
@@ -222,17 +235,42 @@ def test_advice_is_metadata_only(spark, duck, tmp_path, monkeypatch):
     assert adv["est_join_rows"] > 0
 
 
-def test_collect_ndv_gate(spark, duck, tmp_path, monkeypatch):
-    """Write paths that cannot afford the O(added) sketch read turn
-    it off; everything else still works, advice degrades to bytes."""
-    monkeypatch.setattr(M, "COLLECT_NDV", False)
+def test_collect_ndv_gate_and_bootstrap_is_metadata_only(
+    spark, duck, tmp_path, monkeypatch
+):
+    """Bootstrap NEVER sketches (the listing path stays metadata-only
+    — sketching there would data-scan the whole table); appends sketch
+    their added file unless COLLECT_NDV is off; analyze_table
+    backfills the bootstrap era explicitly."""
     path = str(tmp_path / "t")
     spark.range(0, 1_000).select(
         F.col("id").alias("k"), F.lit(1).alias("v")
     ).coalesce(1).write.parquet(path)
     write_versioned_manifest(path)
     assert "ndv" not in _latest(path)["files"][0]
+
+    monkeypatch.setattr(M, "COLLECT_NDV", False)
+    append_snapshot(
+        spark, path,
+        spark.createDataFrame([(5000, 2)], "k long, v long"),
+    )
+    assert not any(f.get("ndv") for f in _latest(path)["files"])
     assert table_column_ndv(path, "k") is None
+
+    monkeypatch.setattr(M, "COLLECT_NDV", True)
+    append_snapshot(
+        spark, path,
+        spark.createDataFrame([(6000, 3)], "k long, v long"),
+    )
+    got = table_column_ndv(path, "k")
+    assert got is not None and got["coverage"] < 1.0  # bootstrap gap
+    res = analyze_table(path)
+    assert res["files_analyzed"] == 2  # bootstrap + gated-off append
+    got = table_column_ndv(path, "k")
+    assert got["coverage"] == 1.0
+    assert abs(got["ndv"] - 1002) / 1002 < 0.28
+    # idempotent: nothing left to analyze
+    assert analyze_table(path)["files_analyzed"] == 0
 
 
 def test_hll_estimator_exactness_small_range():

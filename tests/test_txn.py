@@ -251,3 +251,44 @@ def test_single_table_commits_pay_no_marker_io(spark, duck, tmp_path):
     assert "txn2" not in head
     assert not os.path.exists(os.path.join(raw, "_txns"))
     assert head["version"] == snapshot_versions(raw)[-1] == 2
+
+
+def test_marker_gc_after_both_vacuums(spark, duck, tmp_path):
+    """Marker retirement protocol: each table's vacuum INLINES the
+    transaction outcome into its kept manifests; once every
+    participant has, vacuum_txn_markers deletes the shared marker —
+    and resolution still answers from the inline field (history,
+    explicit time travel, committed_versions all keep working)."""
+    from data_pipeline_project_spark.sinks.manifest import vacuum
+    from data_pipeline_project_spark.sinks.txn import vacuum_txn_markers
+
+    raw, agg = _pair(spark, tmp_path)
+    with transaction([raw, agg]) as t:
+        append_snapshot(
+            spark, raw,
+            spark.createDataFrame([(1000, 1)], "k long, v long"),
+        )
+        merge_upsert(
+            spark, duck, agg, "k",
+            spark.createDataFrame([(0, 777)], "k long, total long"),
+        )
+    assert os.path.exists(t.marker)
+
+    # only raw vacuumed: agg's manifests still need the marker
+    vacuum(raw, keep_versions=2)
+    rep = vacuum_txn_markers([raw, agg], dry_run=True)
+    assert rep["markers_kept"] == 1 and rep["markers_deleted"] == 0
+
+    vacuum(agg, keep_versions=2)
+    rep = vacuum_txn_markers([raw, agg])
+    assert rep["markers_deleted"] == 1
+    assert not os.path.exists(t.marker)
+
+    # resolution survives the marker: inline outcome answers
+    assert read_version(spark, raw).count() == 301
+    v = t.staged[os.path.abspath(raw)]["version"]
+    assert read_version(spark, raw, v).count() == 301
+    assert committed_versions(raw)[-1] == v
+    assert table_history(raw, limit=1)[0]["atomic_txn"]["outcome"] == (
+        "committed"
+    )
