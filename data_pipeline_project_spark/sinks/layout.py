@@ -447,6 +447,27 @@ def table_health(
             }
             for d, ss in sorted(by_dir.items())
         }
+    # NDV sketch coverage (r11): files without a sketch blind the
+    # distribution-driven advice (join cardinality, skew, in-memory
+    # broadcast sizing); analyze_table backfills them explicitly
+    if files:
+        try:
+            from data_pipeline_project_spark.sinks.manifest import (
+                read_manifest as _rm,
+            )
+
+            _lm = os.path.join(path, "_manifests", "latest.json")
+            if os.path.exists(_lm):
+                _mm = _rm(_lm)
+                n_ = max(1, _mm["n_files"])
+                health["ndv_coverage"] = (
+                    sum(
+                        1 for f in _mm["files"]
+                        if f.get("ndv") or f["rows"] == 0
+                    ) / n_
+                )
+        except FileNotFoundError:
+            pass
     # partition-era audit (r11): on a spec-evolved table, classify
     # each file's derived-column directory value by which era's
     # format produced it — files still under a non-current granularity
@@ -558,6 +579,10 @@ MAINTENANCE_DEFAULTS = {
     # (manifest.compact_log) — storage O(churn), not O(table), per kept
     # version
     "log_amplification": 8.0,
+    # files lacking NDV sketches blind the distribution-driven join
+    # advice; below this coverage, advise analyze_table (bootstrap-era
+    # files are the usual gap — optimistic commits sketch inline)
+    "ndv_coverage_min": 1.0,
 }
 
 
@@ -603,6 +628,15 @@ def maintenance_plan(health: dict, thresholds: dict | None = None) -> list[dict]
             # (compact_snapshot) touches exactly these, nothing else
             item["partitions"] = mergeable
         plan.append(item)
+    ndv_cov = health.get("ndv_coverage")
+    if ndv_cov is not None and ndv_cov < t.get("ndv_coverage_min", 1.0):
+        plan.append({
+            "action": "analyze",
+            "reason": f"NDV sketches cover {ndv_cov:.0%} of files — "
+                      f"distribution-driven join advice (cardinality, "
+                      f"skew, in-memory broadcast sizing) is blind until "
+                      f"analyze_table backfills the rest",
+        })
     if health.get("old_era_files"):
         eras = health.get("partition_eras", {})
         plan.append({
@@ -708,6 +742,15 @@ def table_detail(path: str) -> dict:
             for f in os.listdir(mdir)
             if f.endswith(".json")
         ),
+        "ndv_coverage": (
+            sum(
+                1 for f in m["files"]
+                if f.get("ndv") or f["rows"] == 0
+            ) / m["n_files"]
+            if m["n_files"]
+            else 1.0
+        ),
+        "partition_spec": m.get("partition_spec"),
         "stats_coverage": (
             sum(1 for f in m["files"] if f.get("stats")) / m["n_files"]
             if m["n_files"]
@@ -986,4 +1029,19 @@ def run_maintenance(
         elif act == "compact_log":
             res = compact_log(path)
             executed.append({"action": act, **res})
+        elif act == "analyze":
+            if rewritten or rewrite_covers:
+                # the rewrite's fresh files sketch inline — analyzing
+                # first would read bytes the rewrite replaces anyway
+                executed.append({
+                    "action": act,
+                    "skipped": "rewrite sketches its output inline",
+                })
+            else:
+                from data_pipeline_project_spark.sinks.manifest import (
+                    analyze_table,
+                )
+
+                res = analyze_table(path)
+                executed.append({"action": act, **res})
     return {"health": health, "plan": plan, "executed": executed}

@@ -351,7 +351,7 @@ def test_maintenance_plan_and_run_execute_compact_log(spark, duck, tmp_path):
     assert health["log_bytes"] > 8 * health["latest_manifest_bytes"]
     # suppress the (also-true) small-file compact advice so the run
     # isolates the log action and the head manifest's size is stable
-    th = {"small_file_fraction": 1.1}
+    th = {"small_file_fraction": 1.1, "ndv_coverage_min": 0.0}
     plan = maintenance_plan(health, th)
     assert [a["action"] for a in plan] == ["compact_log"]
 
