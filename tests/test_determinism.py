@@ -34,7 +34,7 @@ QUERIES = [
     "tfidf_top_terms",             # double tf-idf + window top-k
     "dedup_minhash_lsh",           # banded bucket join
     "dedup_clusters",              # iterative pointer jumping
-    "train_val_test_split",        # hash-derived split assignment
+    "stats_catalog_parity",        # log-derived stats vs recompute (r11 swap-in)
     "training_shard_assignment",   # deterministic shard hashing
     "sessionization",              # lag + cumulative windows
     "table_checksum_digest",       # order-independent digest sums
@@ -50,6 +50,8 @@ QUERIES = [
 DEREG_QUERIES = [
     ("relational_queries", "stat_correlations"),  # corr/covar/regr moments
     ("relational_queries", "feature_zscore"),     # rounded mu/sigma ratio
+    # r11 registry swap-out — still determinism-pinned here
+    ("llmops_queries", "train_val_test_split"),   # hash-derived split
 ]
 
 PERTURBED = {
