@@ -569,6 +569,124 @@ def hll_estimate(regs: list) -> int:
     return int(round(e))
 
 
+# Per-file Bloom filters in the manifest log (r11): point-lookup
+# pruning zone maps cannot give. Min/max ranges prune perfectly on the
+# CLUSTER key; on any other key every file's range overlaps and a
+# targeted merge/delete degenerates to touching every file. A small
+# per-file Bloom over the merge key answers "can this file hold ANY of
+# these keys?" beyond ranges — Delta's bloom-filter index / Iceberg
+# puffin blobs, manifest-log flavor. Honest scope: blooms are only
+# recorded while the file's distinct-key count is BOUNDED
+# (<= _BLOOM_MAX_NDV — above that the filter saturates into noise and
+# a parquet-internal bloom is the right tool), and probing FAILS OPEN:
+# a missing/saturated/kind-mismatched bloom keeps the file a
+# candidate. False positives cost a wasted file probe; false negatives
+# are impossible by construction (every recorded key sets its bits).
+_BLOOM_M_BITS = 16384  # 2 KB raw per column per file
+_BLOOM_K = 6
+_BLOOM_MAX_NDV = 2048  # m/n >= 8 -> FPR ~2% at k=6
+
+
+def _bloom_positions(h: int, m: int) -> list:
+    # Kirsch-Mitzenmacher double hashing: k positions from one 64-bit
+    # hash; h2 forced odd so the stride cycles the whole table
+    h1 = h & 0xFFFFFFFF
+    h2 = ((h >> 32) | 1) & 0xFFFFFFFF
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_kind_cast(kind: str):
+    """Canonical DuckDB cast per stats kind, so build-time column
+    hashes and probe-time Python-value hashes agree exactly. Only
+    kinds with a proven-stable canonicalization participate; others
+    fail open (no bloom)."""
+    return {"int": "BIGINT", "str": "VARCHAR"}.get(kind)
+
+
+def _entry_bloom(full: str, cols_kinds: dict) -> dict | None:
+    """{col: {"m", "k", "kind", "b64"}} for bounded-cardinality
+    columns of one file — from the same DuckDB columnar read the NDV
+    sketch uses. Columns whose distinct count exceeds _BLOOM_MAX_NDV
+    record nothing (saturation: fail open)."""
+    import base64
+
+    import duckdb
+
+    out = {}
+    fq = full.replace("'", "''")
+    for c, kind in cols_kinds.items():
+        cast = _bloom_kind_cast(kind)
+        if cast is None:
+            continue
+        qc = '"' + c.replace('"', '""') + '"'
+        try:
+            rows = duckdb.sql(
+                f"""
+                SELECT DISTINCT hash(CAST({qc} AS {cast})) AS h
+                FROM read_parquet('{fq}') WHERE {qc} IS NOT NULL
+                LIMIT {_BLOOM_MAX_NDV + 1}
+                """
+            ).fetchall()
+        except Exception:  # noqa: BLE001 — uncastable: fail open
+            continue
+        if len(rows) > _BLOOM_MAX_NDV:
+            continue
+        bits = bytearray(_BLOOM_M_BITS // 8)
+        for (h,) in rows:
+            for p in _bloom_positions(int(h), _BLOOM_M_BITS):
+                bits[p >> 3] |= 1 << (p & 7)
+        out[c] = {
+            "m": _BLOOM_M_BITS,
+            "k": _BLOOM_K,
+            "kind": kind,
+            "b64": base64.b64encode(bytes(bits)).decode(),
+        }
+    return out or None
+
+
+def _bloom_probe_hashes(keys: list, kind: str) -> list | None:
+    """DuckDB hashes of the probe keys under the SAME canonical cast
+    the build used — vectorized, one unnest query. None = cannot
+    canonicalize (fail open)."""
+    import duckdb
+
+    cast = _bloom_kind_cast(kind)
+    if cast is None or not keys:
+        return None
+    try:
+        rows = duckdb.execute(
+            f"SELECT hash(CAST(x AS {cast})) FROM unnest(?) t(x)",
+            [list(keys)],
+        ).fetchall()
+    except Exception:  # noqa: BLE001
+        return None
+    return [int(r[0]) for r in rows]
+
+
+def _bloom_may_contain_any(bloom: dict, key_hashes: list) -> bool:
+    import base64
+
+    if (
+        not bloom
+        or bloom.get("k") != _BLOOM_K
+        or not bloom.get("b64")
+    ):
+        return True  # unknown shape: fail open
+    m = bloom.get("m", 0)
+    if m % 8 or m <= 0:
+        return True
+    bits = base64.b64decode(bloom["b64"])
+    if len(bits) != m // 8:
+        return True
+    for h in key_hashes:
+        if all(
+            bits[p >> 3] & (1 << (p & 7))
+            for p in _bloom_positions(h, m)
+        ):
+            return True
+    return False
+
+
 def analyze_table(path: str, max_retries: int | None = None) -> dict:
     """ANALYZE TABLE: backfill NDV sketches for every pinned entry
     that lacks one (bootstrap-era files — the listing path records
@@ -708,6 +826,19 @@ def _file_entry(
         )
         if ndv:
             entry["ndv"] = ndv
+        # Bloom skipping index for the commit's MERGE/cluster keys
+        # (priority cols) — point-lookup pruning beyond ranges; only
+        # recorded while the file's distinct-key count is bounded
+        bl = _entry_bloom(
+            full,
+            {
+                c: stats[c][2]
+                for c in priority_cols
+                if c in stats and stats[c][2] != "null" and "." not in c
+            },
+        )
+        if bl:
+            entry["bloom"] = bl
     return entry
 
 
@@ -927,7 +1058,7 @@ def verify_snapshot(manifest: dict | str) -> list[str]:
 
 
 def _select_candidates(
-    spark, zone_maps, keys_df, key_col: str, prune: str
+    spark, zone_maps, keys_df, key_col: str, prune: str, blooms=None
 ) -> list[str]:
     """Dispatch between the two candidate-selection strategies:
     ``driver`` collects the (distinct) keys and runs the sorted-bisect
@@ -965,7 +1096,24 @@ def _select_candidates(
         except TypeError:
             pass  # non-integer stats: the driver path handles any type
     keys = [r[0] for r in distinct_keys.collect()]
-    return _zone_map_candidates(zone_maps, keys)
+    cands = _zone_map_candidates(zone_maps, keys)
+    if blooms:
+        # Bloom skipping beyond ranges (r11): a range-matched file
+        # whose bloom proves NONE of the keys present drops out.
+        # Strictly fail-open — files without a bloom (unbounded
+        # cardinality, other kinds, older commits) always survive.
+        kinds = {b.get("kind") for b in blooms.values()}
+        hashes_by_kind = {
+            kd: _bloom_probe_hashes(keys, kd) for kd in kinds if kd
+        }
+        kept = []
+        for f in cands:
+            b = blooms.get(f)
+            hs = hashes_by_kind.get(b.get("kind")) if b else None
+            if b is None or hs is None or _bloom_may_contain_any(b, hs):
+                kept.append(f)
+        return kept
+    return cands
 
 
 def _partition_cols_of(relpaths) -> list[str]:
@@ -1025,7 +1173,7 @@ def _snapshot_zone_maps(
     commits, exotic types) falls back to the footer probe for ALL
     files — correctness never depends on which path ran."""
     root = head["root"]
-    resolved, rel_by_path = [], {}
+    resolved, rel_by_path, blooms = [], {}, {}
     for f in head["files"]:
         live = _resolve_snapshot_file(root, f["path"])
         if live is None:
@@ -1034,8 +1182,11 @@ def _snapshot_zone_maps(
             )
         resolved.append(live)
         rel_by_path[live] = f["path"]
+        b = (f.get("bloom") or {}).get(key_col)
+        if b:
+            blooms[live] = b
     if not resolved:
-        return [], rel_by_path
+        return [], rel_by_path, blooms
     # zero-row entries (no row groups, hence no stats) are exempt from
     # the coverage check AND from the zone list — the footer probe's
     # GROUP BY likewise never surfaces them, and a rowless file can
@@ -1051,7 +1202,7 @@ def _snapshot_zone_maps(
             )
             for f in ents
         )
-        return zone, rel_by_path
+        return zone, rel_by_path, blooms
     rows = duck.execute(
         f"""
         SELECT file_name,
@@ -1063,7 +1214,7 @@ def _snapshot_zone_maps(
         """,
         [resolved, key_col],
     ).fetchall()
-    return sorted((f, lo, hi) for f, lo, hi in rows), rel_by_path
+    return sorted((f, lo, hi) for f, lo, hi in rows), rel_by_path, blooms
 
 
 def delete_rows_targeted(
@@ -1141,7 +1292,7 @@ def delete_rows_targeted(
         head = read_manifest(
             os.path.join(path, "_manifests", f"v{pending[-1]}.json")
         )
-        zone_maps, rel_by_path = _snapshot_zone_maps(
+        zone_maps, rel_by_path, blooms = _snapshot_zone_maps(
             duck, head, key_col, duck_type
         )
         dv_relpaths = head.get("dv") or []
@@ -1154,7 +1305,10 @@ def delete_rows_targeted(
         zone_maps = file_zone_maps(duck, path, key_col, duck_type)
         rel_by_path = {f: os.path.relpath(f, path) for f, _, _ in zone_maps}
         dv_relpaths = table_dv(path)
-    candidates = _select_candidates(spark, zone_maps, keys_df, key_col, prune)
+        blooms = {}
+    candidates = _select_candidates(
+        spark, zone_maps, keys_df, key_col, prune, blooms=blooms
+    )
     kdf = F.broadcast(keys_df.select(F.col(key_col)).distinct())
 
     def rewrite_one(f: str) -> tuple[int, str | None]:
@@ -1302,12 +1456,17 @@ def delete_rows_dv(
         head = read_manifest(
             os.path.join(path, "_manifests", f"v{pending[-1]}.json")
         )
-        zone_maps, _rels = _snapshot_zone_maps(duck, head, key_col, duck_type)
+        zone_maps, _rels, blooms = _snapshot_zone_maps(
+            duck, head, key_col, duck_type
+        )
         prev_dv = head.get("dv") or []
     else:
         zone_maps = file_zone_maps(duck, path, key_col, duck_type)
         prev_dv = table_dv(path)
-    candidates = _select_candidates(spark, zone_maps, keys_df, key_col, prune)
+        blooms = {}
+    candidates = _select_candidates(
+        spark, zone_maps, keys_df, key_col, prune, blooms=blooms
+    )
     if not candidates:
         return {
             "version": (pending or [0])[-1],
@@ -3239,7 +3398,7 @@ def merge_upsert(
         head = read_manifest(
             os.path.join(path, "_manifests", f"v{base_version}.json")
         )
-        zone_maps, rel_by_path = _snapshot_zone_maps(
+        zone_maps, rel_by_path, blooms = _snapshot_zone_maps(
             duck, head, key_col, duck_type
         )
         dv_relpaths = head.get("dv") or []
@@ -3247,6 +3406,7 @@ def merge_upsert(
         zone_maps = file_zone_maps(duck, path, key_col, duck_type)
         rel_by_path = {f: os.path.relpath(f, path) for f, _, _ in zone_maps}
         dv_relpaths = table_dv(path)
+        blooms = {}
     pcols = _partition_cols_of(rel_by_path.values())
     if key_col in pcols:
         raise ValueError(
@@ -3256,7 +3416,9 @@ def merge_upsert(
             f"see it; key on a data column (a partition-changing update "
             f"then lands in its new partition automatically)"
         )
-    candidates = _select_candidates(spark, zone_maps, updates_df, key_col, prune)
+    candidates = _select_candidates(
+        spark, zone_maps, updates_df, key_col, prune, blooms=blooms
+    )
     if (
         rewrite == "auto"
         and not (new_fields or schema_widened)  # evolution stays targeted

@@ -119,7 +119,7 @@ def main():
     # that targeted-writer PLANNING stops scaling with file count
     head = M.read_manifest(os.path.join(mdir, "latest.json"))
     t0 = time.monotonic()
-    fast, _ = M._snapshot_zone_maps(None, head, "k", "BIGINT")
+    fast, _, _b = M._snapshot_zone_maps(None, head, "k", "BIGINT")
     w_fast = time.monotonic() - t0
     stripped = dict(head)
     stripped["files"] = [
@@ -129,7 +129,7 @@ def main():
 
     duck = duckdb.connect()
     t0 = time.monotonic()
-    slow, _ = M._snapshot_zone_maps(duck, stripped, "k", "BIGINT")
+    slow, _, _b2 = M._snapshot_zone_maps(duck, stripped, "k", "BIGINT")
     w_slow = time.monotonic() - t0
     assert fast == slow, "stats-path zone maps diverge from footer probe"
     print(

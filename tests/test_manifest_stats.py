@@ -99,12 +99,12 @@ def test_zone_maps_come_from_the_log_without_footer_io(spark, duck, tmp_path):
 
     # fast path == duck path, value for value
     head = _latest(path)
-    fast, rel_fast = _snapshot_zone_maps(None, head, "k", "BIGINT")
+    fast, rel_fast, _bl = _snapshot_zone_maps(None, head, "k", "BIGINT")
     stripped = dict(head)
     stripped["files"] = [
         {k: v for k, v in f.items() if k != "stats"} for f in head["files"]
     ]
-    slow, rel_slow = _snapshot_zone_maps(duck, stripped, "k", "BIGINT")
+    slow, rel_slow, _bl2 = _snapshot_zone_maps(duck, stripped, "k", "BIGINT")
     assert fast == slow and rel_fast == rel_slow
     assert len(fast) == 6 and all(mn is not None for _, mn, _ in fast)
 
