@@ -884,8 +884,14 @@ def join_plan_advice(
     est_a, infl_a = _est_inmem(path_a, a["total_bytes"], out["rows_a"])
     est_b, infl_b = _est_inmem(path_b, b["total_bytes"], out["rows_b"])
     out["est_inmem_a"], out["est_inmem_b"] = est_a, est_b
-    small_disk, small_est, small_name = min(
-        (a["total_bytes"], est_a, "a"), (b["total_bytes"], est_b, "b")
+    # build side = min ESTIMATED IN-MEMORY size (disk bytes break
+    # ties): the broadcast decision is about the hash table a build
+    # materializes, so a side that is smaller on disk but inflates
+    # past the threshold must not mask the OTHER side fitting — the
+    # r11 picker chose by disk bytes first and said "shuffle" in
+    # exactly that case (ADVICE r11)
+    small_est, small_disk, small_name = min(
+        (est_a, a["total_bytes"], "a"), (est_b, b["total_bytes"], "b")
     )
     if small_est <= broadcast_bytes:
         out["strategy"] = "broadcast"
@@ -897,12 +903,15 @@ def join_plan_advice(
         )
     else:
         out["strategy"] = "shuffle"
-        if small_disk <= broadcast_bytes:
+        if min(a["total_bytes"], b["total_bytes"]) <= broadcast_bytes:
             # THE NDV FLIP: disk bytes alone would have said broadcast
-            infl = infl_a if small_name == "a" else infl_b
+            flip = "a" if a["total_bytes"] <= b["total_bytes"] else "b"
+            infl = infl_a if flip == "a" else infl_b
+            fdisk = a["total_bytes"] if flip == "a" else b["total_bytes"]
+            fest = est_a if flip == "a" else est_b
             out["notes"].append(
-                f"side {small_name}'s {small_disk} disk bytes hide a "
-                f"~{small_est}-byte build table (measured column "
+                f"side {flip}'s {fdisk} disk bytes hide a "
+                f"~{fest}-byte build table (measured column "
                 f"redundancy {infl:.1f}x — dictionary/RLE compression): "
                 f"broadcasting would not fit; shuffle instead"
             )

@@ -12,7 +12,7 @@ Where the CAS comes from depends on where the log lives:
 - **Local / POSIX filesystems** (and HDFS, NFSv4): exclusive create —
   ``open(O_CREAT|O_EXCL)`` — is atomic. :class:`LocalFSLogStore`.
 - **Object stores**: S3 now supports conditional PUT
-  (``If-None-Match: *``), GCS has ``x-goods-if-generation-match: 0``,
+  (``If-None-Match: *``), GCS has ``x-goog-if-generation-match: 0``,
   Azure has ``If-None-Match: *`` — same shape: create-if-absent of
   the slot object. Stores (or deployments) without conditional
   writes need an EXTERNAL coordination table — the Delta-on-S3

@@ -2206,10 +2206,11 @@ def commit_optimistic(
             entry = {
                 "path": e["path"], "bytes": e["bytes"], "rows": e["rows"],
             }
-            # carry the whole stats index: dropping ndv/truncation on a
-            # RESTORE would silently degrade sketch coverage (and the
-            # advice that needs coverage == 1.0) on every restored table
-            for k in ("stats", "ndv", "stats_truncated"):
+            # carry the WHOLE stats index: dropping ndv/bloom/truncation
+            # on a RESTORE or ANALYZE re-pin would silently degrade
+            # sketch coverage (and the point-lookup pruning blooms
+            # provide) on every table those paths touch
+            for k in ("stats", "ndv", "stats_truncated", "bloom"):
                 if e.get(k):
                     entry[k] = e[k]
             files.append(entry)
