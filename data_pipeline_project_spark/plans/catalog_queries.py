@@ -69,15 +69,13 @@ def stats_catalog_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_versioned_manifest,
     )
 
-    from data_pipeline_project_spark.sinks import manifest as _m
-
     li = load_table(spark, "lineitem", sf_dir).select(*_COLS)
     work = tempfile.mkdtemp(prefix="stats_catalog_")
     path = os.path.join(work, "t")
-    # NDV sketches are pure waste on a throwaway parity table (the row
-    # checks the min/max/null/rowcount index); keep the commit lean
-    prev_ndv = _m.COLLECT_NDV
-    _m.COLLECT_NDV = False
+    # bootstrap (write_versioned_manifest) is metadata-only by
+    # contract, so no NDV gating is needed — and as of r12 the gate is
+    # a commit_optimistic PARAMETER (collect_ndv=False), never a
+    # module-global flip a concurrent commit could observe
     try:
         write_range_clustered(li, path, "l_orderkey", 4)
         write_versioned_manifest(path)
@@ -110,7 +108,6 @@ def stats_catalog_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
     finally:
-        _m.COLLECT_NDV = prev_ndv
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
         rows,

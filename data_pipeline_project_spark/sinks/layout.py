@@ -460,10 +460,14 @@ def table_health(
             if os.path.exists(_lm):
                 _mm = _rm(_lm)
                 n_ = max(1, _mm["n_files"])
+                from data_pipeline_project_spark.sinks.manifest import (
+                    _ndv_is_current,
+                )
+
                 health["ndv_coverage"] = (
                     sum(
                         1 for f in _mm["files"]
-                        if f.get("ndv") or f["rows"] == 0
+                        if _ndv_is_current(f) or f["rows"] == 0
                     ) / n_
                 )
         except FileNotFoundError:
@@ -708,6 +712,7 @@ def table_detail(path: str) -> dict:
     import os
 
     from data_pipeline_project_spark.sinks.manifest import (
+        _ndv_is_current,
         _partition_cols_of,
         read_manifest,
         snapshot_rowcount,
@@ -743,9 +748,11 @@ def table_detail(path: str) -> dict:
             if f.endswith(".json")
         ),
         "ndv_coverage": (
+            # family-aware (r12): a legacy foreign-hash sketch reads
+            # as uncovered so maintenance re-ANALYZEs it
             sum(
                 1 for f in m["files"]
-                if f.get("ndv") or f["rows"] == 0
+                if _ndv_is_current(f) or f["rows"] == 0
             ) / m["n_files"]
             if m["n_files"]
             else 1.0
@@ -879,6 +886,11 @@ def join_plan_advice(
         # lower median: a single constant-ish column (a status flag)
         # must not inflate a genuinely diverse table by itself
         infl = min(32.0, reds[(len(reds) - 1) // 2])
+        # HLL noise floor: m=128 registers carry ~9.2% standard
+        # error, so an apparent inflation within ~2 se of 1.0 is
+        # sketch noise on an all-distinct column, not redundancy
+        if infl < 1.2:
+            infl = 1.0
         return int(disk_bytes * infl), infl
 
     est_a, infl_a = _est_inmem(path_a, a["total_bytes"], out["rows_a"])
@@ -1051,6 +1063,6 @@ def run_maintenance(
                     analyze_table,
                 )
 
-                res = analyze_table(path)
+                res = analyze_table(path, spark=spark)
                 executed.append({"action": act, **res})
     return {"health": health, "plan": plan, "executed": executed}

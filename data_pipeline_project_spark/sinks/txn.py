@@ -80,7 +80,12 @@ class MultiTableTransaction:
     the module-level active transaction that commit_optimistic
     consults."""
 
-    def __init__(self, tables: list[str], marker_dir: str | None = None):
+    def __init__(
+        self,
+        tables: list[str],
+        marker_dir: str | None = None,
+        grace_secs: float | None = None,
+    ):
         if len(tables) < 2:
             raise ValueError(
                 "a cross-table transaction needs >= 2 tables; single-table "
@@ -95,8 +100,14 @@ class MultiTableTransaction:
         # stamp records the absolute path
         mdir = marker_dir or os.path.join(self.tables[0], "_txns")
         self.marker = os.path.join(mdir, f"t-{self.txn_id}.json")
+        # in-doubt grace is per-TRANSACTION (rides the txn2 stamp, so
+        # concurrent writers honor THIS transaction's window, r11
+        # ADVICE); None inherits the module default at stamp time
+        self.grace_secs = grace_secs
         self.staged: dict[str, dict] = {}
         self.outcome: str | None = None
+        self._hb_stop: "threading.Event | None" = None
+        self._hb_thread: "threading.Thread | None" = None
 
     # -- hooks commit_optimistic calls ---------------------------------
 
@@ -119,11 +130,17 @@ class MultiTableTransaction:
             )
 
     def stamp(self) -> dict:
-        return {
+        out = {
             "id": self.txn_id,
             "marker": os.path.abspath(self.marker),
             "tables": len(self.tables),
+            "grace": float(
+                self.grace_secs
+                if self.grace_secs is not None
+                else _m.TXN_INDOUBT_GRACE_SECS
+            ),
         }
+        return out
 
     def register(self, path: str, manifest: dict) -> None:
         self.staged[os.path.abspath(path)] = manifest
@@ -138,6 +155,7 @@ class MultiTableTransaction:
         before raising."""
         if self.outcome is not None:
             raise RuntimeError(f"transaction already {self.outcome}")
+        self._stop_heartbeat()
         os.makedirs(os.path.dirname(self.marker), exist_ok=True)
         won = _m.get_log_store().publish_once(
             self.marker,
@@ -179,6 +197,7 @@ class MultiTableTransaction:
         table to its pre-transaction state."""
         if self.outcome is not None:
             return {"id": self.txn_id, "outcome": self.outcome}
+        self._stop_heartbeat()
         os.makedirs(os.path.dirname(self.marker), exist_ok=True)
         _m.get_log_store().publish_once(
             self.marker,
@@ -204,12 +223,75 @@ class MultiTableTransaction:
         for t in self.staged:
             _m.recover_to_last_manifest(t)
 
+    # -- coordinator heartbeat ------------------------------------------
+
+    def _grace(self) -> float:
+        return float(
+            self.grace_secs
+            if self.grace_secs is not None
+            else _m.TXN_INDOUBT_GRACE_SECS
+        )
+
+    def _start_heartbeat(self) -> None:
+        """Touch ``<marker>.hb`` every grace/3 while the transaction is
+        open: a concurrent writer that meets our in-doubt staged
+        version extends its patience while the heartbeat is fresh, so
+        an arbitrarily long prepare phase (big Spark merges) is never
+        presumed-aborted early — while a CRASHED coordinator stops
+        beating and is detected within ~one grace window (r11
+        ADVICE). Best-effort: a heartbeat failure only narrows the
+        writer's patience back to the plain grace window."""
+        import threading
+        import time
+
+        hb = self.marker + ".hb"
+        stop = threading.Event()
+
+        def _beat():
+            while True:
+                try:
+                    os.makedirs(os.path.dirname(hb), exist_ok=True)
+                    with open(hb, "w") as fh:
+                        fh.write(str(time.time()))
+                except OSError:
+                    pass
+                if stop.wait(max(0.02, self._grace() / 3.0)):
+                    return
+
+        t = threading.Thread(
+            target=_beat, name=f"txn-hb-{self.txn_id[:8]}", daemon=True
+        )
+        self._hb_stop, self._hb_thread = stop, t
+        t.start()
+
+    def _stop_heartbeat(self) -> None:
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            self._hb_thread.join(timeout=5)
+            self._hb_stop = self._hb_thread = None
+        try:
+            os.unlink(self.marker + ".hb")
+        except OSError:
+            pass
+
+    def simulate_crash(self) -> None:
+        """TEST/SOAK hook: the coordinator process dies here — the
+        heartbeat stops beating and the thread-local installation is
+        dropped, exactly what a real crash leaves behind (a staged,
+        in-doubt pair for recovery/writers to resolve)."""
+        self._stop_heartbeat()
+        if _m._current_txn() is self:
+            _m._clear_active_txn()
+
     # -- context manager ---------------------------------------------
 
     def __enter__(self):
-        if _m._active_txn is not None:
-            raise RuntimeError("cross-table transactions do not nest")
-        _m._active_txn = self
+        if _m._current_txn() is not None:
+            raise RuntimeError(
+                "cross-table transactions do not nest (per thread)"
+            )
+        _m._install_active_txn(self)
+        self._start_heartbeat()
         return self
 
     def __exit__(self, exc_type, exc, tb):
@@ -219,18 +301,28 @@ class MultiTableTransaction:
             else:
                 self.abort()
         finally:
-            _m._active_txn = None
+            self._stop_heartbeat()
+            if _m._current_txn() is self:
+                _m._clear_active_txn()
         return False
 
 
 def transaction(
-    tables: list[str], marker_dir: str | None = None
+    tables: list[str],
+    marker_dir: str | None = None,
+    grace_secs: float | None = None,
 ) -> MultiTableTransaction:
     """Begin a cross-table atomic transaction over ``tables`` —
     ``with transaction([raw, agg]): ...`` publishes every staged
     commit atomically on exit, or rolls all of them back on
-    exception. See the module docstring for the protocol."""
-    return MultiTableTransaction(tables, marker_dir=marker_dir)
+    exception. ``grace_secs`` overrides the in-doubt grace window for
+    THIS transaction (rides the txn2 stamp, honored by concurrent
+    writers); the open transaction also heartbeats next to its
+    marker, so writers wait on liveness, not a fixed clock. See the
+    module docstring for the protocol."""
+    return MultiTableTransaction(
+        tables, marker_dir=marker_dir, grace_secs=grace_secs
+    )
 
 
 def vacuum_txn_markers(tables: list[str], dry_run: bool = False) -> dict:

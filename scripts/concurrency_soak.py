@@ -376,12 +376,11 @@ def main():
             # the concurrent writer is "another process": it must not
             # see this process's active-transaction guard, or it would
             # fail loudly instead of presumed-aborting like a real peer
-            saved = M._active_txn
-            M._active_txn = None
+            saved = M._install_active_txn(None)
             try:
                 run_op(raw, wkind, wpay)
             finally:
-                M._active_txn = saved
+                M._install_active_txn(saved)
 
         M._test_claim_interposer = interpose
         reran = False

@@ -27,7 +27,7 @@ from data_pipeline_project_spark.sinks import manifest as M
 from data_pipeline_project_spark.sinks.manifest import (
     _bloom_may_contain_any,
     _bloom_probe_hashes,
-    _entry_bloom,
+    _sketch_files,
     append_snapshot,
     delete_rows_targeted,
     merge_upsert,
@@ -133,8 +133,8 @@ def test_saturated_cardinality_records_no_bloom(spark, duck, tmp_path):
 def test_no_false_negatives_randomized(spark, duck, tmp_path, kind):
     """The correctness property that makes bloom pruning safe: every
     value actually present in a file must pass its bloom — across
-    random draws and both canonical kinds (build-side DuckDB column
-    hash == probe-side DuckDB value hash)."""
+    random draws and both canonical kinds (build-side Spark xxhash64
+    column hash == probe-side pure-Python xxh64 value hash)."""
     rng = random.Random(17)
     path = str(tmp_path / f"b_{kind}")
     if kind == "int":
@@ -153,7 +153,10 @@ def test_no_false_negatives_randomized(spark, duck, tmp_path, kind):
         f for f in os.listdir(path)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     ][0]
-    bloom = _entry_bloom(os.path.join(path, fname), {"sk": kind})["sk"]
+    full = os.path.abspath(os.path.join(path, fname))
+    bloom = _sketch_files(spark, {}, {full: {"sk": kind}})[full][
+        "bloom"
+    ]["sk"]
 
     present = rng.sample(vals, 50)
     for v in present:

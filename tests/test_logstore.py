@@ -264,7 +264,7 @@ def test_swept_claims_release_under_external_store(
             spark, duck, agg, "k", _updates(spark, [(5, -1)])
         )
         # a concurrent writer presumed-aborts the in-doubt pair
-        M._active_txn = None
+        M._clear_active_txn()
         append_snapshot(
             spark, raw,
             spark.createDataFrame([(9500, 2)], "k long, v long"),

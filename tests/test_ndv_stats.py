@@ -3,8 +3,9 @@ advice.
 
 Every commit records, per added file, a small HyperLogLog register
 set plus a top-K heavy-hitter summary for the leading stats columns
-(manifest._entry_ndv — one DuckDB columnar read of the just-written,
-page-cache-warm file: O(added), never O(table)). Sketches merge
+(manifest._sketch_files — ONE executor-side Spark job over the
+commit's added set, r12; the driver merges only bounded register/
+top-K summaries and never reads data). Sketches merge
 across files like min/max (register-wise max / count-sum), so
 table-wide distinct counts and top-key mass are answerable from the
 log with ZERO data I/O at plan time — the statistic min/max ranges
@@ -233,6 +234,48 @@ def test_advice_is_metadata_only(spark, duck, tmp_path, monkeypatch):
     assert adv["strategy"] == "broadcast"
     assert adv["ndv_a"] and adv["ndv_b"]
     assert adv["est_join_rows"] > 0
+
+
+def test_commit_and_analyze_never_read_data_on_the_driver(
+    spark, duck, tmp_path, monkeypatch
+):
+    """The r12 'done' gate for the r11 weak mark: with every
+    DRIVER-side data-reading entry point poisoned (DuckDB scans,
+    pyarrow data reads — footer metadata stays allowed), a sketching
+    commit AND a full ANALYZE still work: the scan runs on executors,
+    the driver only merges bounded summaries."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 31).alias("v")
+    ).coalesce(2).write.parquet(path)
+    write_versioned_manifest(path)
+
+    def _boom(*a, **k):
+        raise AssertionError("driver touched data, not metadata")
+
+    monkeypatch.setattr(duckdb, "sql", _boom)
+    monkeypatch.setattr(duckdb, "execute", _boom, raising=False)
+    monkeypatch.setattr(pq, "read_table", _boom)
+    monkeypatch.setattr(pq, "ParquetFile", _boom)
+
+    res = analyze_table(path)  # executor-side backfill
+    assert res["files_analyzed"] == 2
+    append_snapshot(  # executor-side inline sketch on the commit path
+        spark, path,
+        spark.range(10_000, 12_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).coalesce(1),
+        key_col="k",
+    )
+    m = _latest(path)
+    assert all(f.get("ndv") for f in m["files"])
+    assert any((f.get("bloom") or {}).get("k") for f in m["files"])
+    got = table_column_ndv(path, "k")
+    assert got["coverage"] == 1.0
+    assert abs(got["ndv"] - 7_000) / 7_000 <= 0.28
 
 
 def test_collect_ndv_gate_and_bootstrap_is_metadata_only(

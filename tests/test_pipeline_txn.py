@@ -45,7 +45,7 @@ def _fast_grace():
     M.TXN_INDOUBT_GRACE_SECS = 0.05
     yield
     M.TXN_INDOUBT_GRACE_SECS = prev
-    M._active_txn = None
+    M._clear_active_txn()
 
 
 def _pair(spark, tmp_path):
@@ -128,7 +128,7 @@ def test_crash_windows_converge_exactly_once(
                 json.dumps({"outcome": "committed", "id": t.txn_id}),
             )
     finally:
-        M._active_txn = None  # coordinator dies here
+        t.simulate_crash()  # coordinator dies here
 
     M.recover_to_last_manifest(raw)
     M.recover_to_last_manifest(agg)

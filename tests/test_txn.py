@@ -51,7 +51,7 @@ def _fast_grace_and_clean():
     M.TXN_INDOUBT_GRACE_SECS = 0.05
     yield
     M.TXN_INDOUBT_GRACE_SECS = prev
-    M._active_txn = None
+    M._clear_active_txn()
 
 
 def _pair(spark, tmp_path):
@@ -162,7 +162,7 @@ def test_crash_injection_converges_both_or_neither(
                 os.path.join(raw, "_manifests"), t.staged[os.path.abspath(raw)]
             )
     finally:
-        M._active_txn = None  # the coordinator process is gone
+        t.simulate_crash()  # the coordinator process is gone
 
     # an operator (or any later reader/writer) recovers each table
     # independently, in either order
@@ -189,7 +189,7 @@ def test_concurrent_writer_aborts_in_doubt_txn(spark, duck, tmp_path):
     append_snapshot(
         spark, raw, spark.createDataFrame([(1000, 1)], "k long, v long")
     )
-    M._active_txn = None  # the concurrent writer is another process
+    M._clear_active_txn()  # the concurrent writer is another thread/process
     append_snapshot(
         spark, raw, spark.createDataFrame([(3000, 9)], "k long, v long")
     )
@@ -230,7 +230,7 @@ def test_staged_version_not_time_travel_readable(spark, duck, tmp_path):
     staged_v = t.staged[os.path.abspath(raw)]["version"]
     with pytest.raises(ValueError, match="cross-table transaction"):
         read_version(spark, raw, staged_v)
-    M._active_txn = None
+    M._clear_active_txn()
     t.abort()
     # the abort's rollback recovery swept the staged slot entirely
     # (the torn-claim sweep removes versions beyond the committed
