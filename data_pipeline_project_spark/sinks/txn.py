@@ -37,10 +37,12 @@ same atomic marker create — the coordinator's publish and the
 writer's abort race to ONE slot, so exactly one outcome ever exists
 (the losing coordinator's commit() raises and rolls back its staging).
 
-Scope rules: ONE commit per table per transaction (the second raises
-— within the transaction, a table's readers still see its
-pre-transaction state, so chaining ops on one table would read stale
-data); bootstrap (write_versioned_manifest) cannot participate.
+Scope rules: a table may stage MULTIPLE commits per transaction
+(r12) — the coordinator's own thread reads and rebases through its
+staged state (read-your-own-writes; every other thread and process
+still sees the pre-transaction head), and publish flips the whole
+chain atomically. Bootstrap (write_versioned_manifest) cannot
+participate.
 Single-table commits outside a transaction are unaffected — they pay
 zero marker I/O.
 
@@ -115,14 +117,11 @@ class MultiTableTransaction:
         return os.path.abspath(path) in self.tables
 
     def check_can_stage(self, path: str) -> None:
-        ap = os.path.abspath(path)
-        if ap in self.staged:
-            raise ValueError(
-                f"table {path!r} already staged a commit in this "
-                f"transaction — one commit per table per transaction "
-                f"(in-transaction reads see the pre-transaction state, "
-                f"so a second op would read stale data)"
-            )
+        # multiple commits per table are allowed (r12): the
+        # coordinator's thread reads and bases on its own staged
+        # state (manifest.committed_versions' read-your-own-writes),
+        # every staged slot carries the same marker, and publish
+        # flips them all at once
         if self.outcome is not None:
             raise TransactionAborted(
                 f"transaction {self.txn_id} already resolved "

@@ -57,6 +57,7 @@ EXTRA_ORACLE_QUERIES = [
     ("llmops_queries", "dedup_ngram_jaccard", "NGRAM_JACCARD_ORACLE"),
     # Round-11 swap-out (slot ceded to stats_catalog_parity):
     ("llmops_queries", "train_val_test_split", "TRAIN_VAL_TEST_ORACLE"),
+    ("llmops_queries", "training_shard_assignment", "TRAINING_SHARD_ORACLE"),
     ("relational_queries", "preprocess_rename_project_dropna", "PREPROCESS_RENAME_ORACLE"),
     ("relational_queries", "round_robin_synthetic_key", "ROUND_ROBIN_KEY_ORACLE"),
     ("relational_queries", "subquery_scalar_avg", "SUBQUERY_SCALAR_AVG_ORACLE"),

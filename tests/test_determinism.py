@@ -35,7 +35,7 @@ QUERIES = [
     "dedup_minhash_lsh",           # banded bucket join
     "dedup_clusters",              # iterative pointer jumping
     "stats_catalog_parity",        # log-derived stats vs recompute (r11 swap-in)
-    "training_shard_assignment",   # deterministic shard hashing
+    "era_mixed_time_range",        # partition-evolution pruned reads (r12 swap-in)
     "sessionization",              # lag + cumulative windows
     "table_checksum_digest",       # order-independent digest sums
     "token_count_bpe",             # regex tokenization + aggs

@@ -81,11 +81,25 @@ def test_reference_flow_publishes_both_atomically(spark, duck, tmp_path):
     with transaction([raw, agg]) as t:
         append_snapshot(spark, raw, batch)
         merge_upsert(spark, duck, agg, "k", aggs)
-        # invisible until publish: both tables still read pre-txn
-        assert read_version(spark, raw).count() == 300
-        assert {r.k: r.total for r in read_version(spark, agg).collect()} == {
-            0: 100, 1: 200
-        }
+        # the coordinator's OWN thread reads its staged writes (r12
+        # read-your-own-writes)...
+        assert read_version(spark, raw).count() == 302
+        # ...while a PEER thread still reads pre-transaction state —
+        # nothing is visible to anyone else until publish
+        import threading
+
+        peer_seen = {}
+
+        def _peer():
+            peer_seen["raw"] = read_version(spark, raw).count()
+            peer_seen["agg"] = {
+                r.k: r.total for r in read_version(spark, agg).collect()
+            }
+
+        th = threading.Thread(target=_peer)
+        th.start()
+        th.join(timeout=60)
+        assert peer_seen == {"raw": 300, "agg": {0: 100, 1: 200}}
 
     assert t.outcome == "committed"
     assert read_version(spark, raw).count() == 302
@@ -179,6 +193,58 @@ def test_crash_injection_converges_both_or_neither(
         assert agg_after == before_agg
 
 
+@pytest.mark.parametrize(
+    "crash_after", ["first_op", "chain_staged", "marker"]
+)
+def test_chained_same_table_crash_converges_all_or_nothing(
+    spark, duck, tmp_path, crash_after
+):
+    """r12 read-your-own-writes chain (append raw -> merge raw ->
+    merge agg) with the coordinator dying at each point: recovery
+    converges every participant to ALL the chained ops or NONE."""
+    raw, agg = _pair(spark, tmp_path)
+    before_raw, before_agg = _state(spark, raw), _state(spark, agg)
+
+    t = transaction([raw, agg]).__enter__()
+    try:
+        append_snapshot(
+            spark, raw,
+            spark.createDataFrame([(1000, 1)], "k long, v long"),
+        )
+        if crash_after != "first_op":
+            merge_upsert(
+                spark, duck, raw, "k",
+                spark.createDataFrame([(1000, -5)], "k long, v long"),
+            )
+            merge_upsert(
+                spark, duck, agg, "k",
+                spark.createDataFrame([(0, 999)], "k long, total long"),
+            )
+        if crash_after == "marker":
+            os.makedirs(os.path.dirname(t.marker), exist_ok=True)
+            assert M.get_log_store().publish_once(
+                t.marker,
+                json.dumps({"outcome": "committed", "id": t.txn_id}),
+            )
+    finally:
+        t.simulate_crash()  # the coordinator process is gone
+
+    M.recover_to_last_manifest(raw)
+    M.recover_to_last_manifest(agg)
+    raw_after, agg_after = _state(spark, raw), _state(spark, agg)
+    if crash_after == "marker":
+        rows = dict(raw_after)
+        assert rows[1000] == -5 and len(rows) == 301
+        assert (0, 999) in agg_after
+    else:
+        assert raw_after == before_raw
+        assert agg_after == before_agg
+    # the tables accept ordinary commits afterwards
+    append_snapshot(
+        spark, raw, spark.createDataFrame([(2000, 5)], "k long, v long")
+    )
+
+
 def test_concurrent_writer_aborts_in_doubt_txn(spark, duck, tmp_path):
     """Writer meets a staged-but-unpublished version: after the grace
     window it decides 'aborted' and commits on the pre-transaction
@@ -203,22 +269,91 @@ def test_concurrent_writer_aborts_in_doubt_txn(spark, duck, tmp_path):
     assert read_version(spark, agg).count() == 2
 
 
-def test_one_commit_per_table_per_txn(spark, duck, tmp_path):
+def test_chained_commits_on_one_table_read_their_own_writes(
+    spark, duck, tmp_path
+):
+    """r12: multiple ops per table inside one transaction — the
+    coordinator's thread reads its own staged state between them
+    (the r11 one-commit-per-table rule is lifted); everything
+    publishes atomically."""
     raw, agg = _pair(spark, tmp_path)
-    with pytest.raises(
-        Exception, match="one commit per table per transaction|already staged"
-    ):
+    with transaction([raw, agg]):
+        append_snapshot(
+            spark, raw,
+            spark.createDataFrame([(1000, 1)], "k long, v long"),
+        )
+        # read-your-own-writes: the staged append is visible HERE
+        assert read_version(spark, raw).count() == 301
+        append_snapshot(
+            spark, raw,
+            spark.createDataFrame([(1001, 1)], "k long, v long"),
+        )
+        assert read_version(spark, raw).count() == 302
+        # and a chained MERGE bases on the staged appends
+        merge_upsert(
+            spark, duck, raw, "k",
+            spark.createDataFrame([(1000, -5)], "k long, v long"),
+        )
+        merge_upsert(
+            spark, duck, agg, "k",
+            spark.createDataFrame([(0, 999)], "k long, total long"),
+        )
+    rows = {r.k: r.v for r in read_version(spark, raw).collect()}
+    assert rows[1000] == -5 and rows[1001] == 1
+    assert len(rows) == 302
+    agg_rows = {r.k: r.total for r in read_version(spark, agg).collect()}
+    assert agg_rows[0] == 999
+
+
+def test_chained_commits_abort_rolls_back_the_whole_chain(
+    spark, duck, tmp_path
+):
+    raw, agg = _pair(spark, tmp_path)
+    before = sorted(
+        map(tuple, read_version(spark, raw).collect())
+    )
+    with pytest.raises(RuntimeError, match="boom"):
         with transaction([raw, agg]):
             append_snapshot(
                 spark, raw,
                 spark.createDataFrame([(1000, 1)], "k long, v long"),
             )
-            append_snapshot(
-                spark, raw,
-                spark.createDataFrame([(1001, 1)], "k long, v long"),
+            merge_upsert(
+                spark, duck, raw, "k",
+                spark.createDataFrame([(0, -7)], "k long, v long"),
             )
-    # the failed transaction aborted: nothing landed
-    assert read_version(spark, raw).count() == 300
+            raise RuntimeError("boom")
+    assert sorted(map(tuple, read_version(spark, raw).collect())) == before
+    assert read_version(spark, agg).count() == 2
+
+
+def test_staged_chain_invisible_to_peer_threads(spark, duck, tmp_path):
+    """RYOW is thread-local: a peer thread reading the table mid-
+    transaction sees the pre-transaction head, not the staged chain."""
+    import threading
+
+    raw, agg = _pair(spark, tmp_path)
+    peer_counts = []
+    with transaction([raw, agg]) as t:
+        append_snapshot(
+            spark, raw,
+            spark.createDataFrame([(1000, 1)], "k long, v long"),
+        )
+        assert read_version(spark, raw).count() == 301  # own thread
+
+        def peer():
+            peer_counts.append(read_version(spark, raw).count())
+
+        th = threading.Thread(target=peer)
+        th.start()
+        th.join(timeout=60)
+        assert peer_counts == [300], peer_counts
+        assert t is not None
+    # after publish the same peer read sees the chain
+    th2 = threading.Thread(target=peer)
+    th2.start()
+    th2.join(timeout=60)
+    assert peer_counts == [300, 301], peer_counts
 
 
 def test_staged_version_not_time_travel_readable(spark, duck, tmp_path):
