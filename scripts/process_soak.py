@@ -24,7 +24,6 @@ version-only tmp name); this soak keeps that class covered.
 Usage: python scripts/process_soak.py [n_seeds]
 """
 
-import json
 import multiprocessing as mp
 import os
 import random
