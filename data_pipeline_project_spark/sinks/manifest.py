@@ -673,8 +673,17 @@ def _sketch_files(spark, ndv_targets: dict, bloom_targets: dict) -> dict:
         u = parts[0]
         for q in parts[1:]:
             u = u.unionAll(q)
+        # ONE exchange for the whole sketch plan: hash-partition on
+        # (_f, _c) — a SUBSET of every downstream grouping/window key,
+        # so Catalyst satisfies all three branches' distribution
+        # requirements from this single shuffle (no 3x default-width
+        # exchanges; a micro-commit pays one small stage, a big
+        # ANALYZE gets file x column task grain, which is exactly the
+        # parallelism the work has)
+        nparts = min(256, max(2, len(gpaths) * max(1, len(all_cols))))
         g = (
             u.where(F.col("_h").isNotNull())
+            .repartition(nparts, "_f", "_c")
             .groupBy("_f", "_c", "_v", "_h")
             .agg(F.count(F.lit(1)).alias("_n"))
         )

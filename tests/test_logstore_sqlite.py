@@ -6,8 +6,10 @@ serialization, independent interpreters, no shared memory — which is
 the axis the in-process ExternalCASLogStore explicitly does not
 cover (its docstring: "Registry scope is this store instance").
 
-All workers run as ``multiprocessing`` children (fork) with a
-Barrier aligning their attempts into a true simultaneous race.
+All workers run as ``multiprocessing`` children (SPAWN — see the
+ctx fixture: fork under a live Spark JVM severs the parent's Py4J
+gateway) with a Barrier aligning their attempts into a true
+simultaneous race.
 """
 
 from __future__ import annotations
@@ -52,7 +54,13 @@ def _publish_worker(path, barrier, q):
 
 @pytest.fixture()
 def ctx():
-    return mp.get_context("fork")
+    # SPAWN, not fork: in the full suite a Spark JVM is live, and a
+    # forked child inherits the parent's Py4J socket FDs — closing
+    # them at child exit severs the PARENT's gateway (observed: the
+    # two tests after this file failed/hung in the r12 full-suite run
+    # while every standalone run was green). Fresh interpreters cost
+    # ~1s per child and share nothing.
+    return mp.get_context("spawn")
 
 
 def test_exactly_one_winner_across_processes(tmp_path, ctx):
