@@ -131,6 +131,22 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
             agg_rows = [
                 (int(rng.randrange(5)), int(100 * step + seed))
             ]
+            # r12: half the draws CHAIN a second op on the MAIN table
+            # inside the transaction (read-your-own-writes — the merge
+            # bases on the just-staged append and updates a mix of the
+            # new keys and one pre-existing key)
+            chained = rng.random() < 0.5
+            chain_rows = []
+            if chained:
+                upd = sorted(
+                    set(
+                        rng.sample(
+                            ins_keys, min(len(ins_keys), 3)
+                        )
+                        + [int(rng.randrange(N_KEYS))]
+                    )
+                )
+                chain_rows = _mk_rows(upd, salt=step + 7_001)
             do_abort = rng.random() < 0.4
             t = None
             try:
@@ -139,6 +155,13 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
                         spark, path,
                         spark.createDataFrame(rows, "k long, v long, s string"),
                     )
+                    if chained:
+                        merge_upsert(
+                            spark, duck, path, "k",
+                            spark.createDataFrame(
+                                chain_rows, "k long, v long, s string"
+                            ),
+                        )
                     merge_upsert(
                         spark, duck, agg_path, "k",
                         spark.createDataFrame(agg_rows, "k long, total long"),
@@ -151,6 +174,8 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
                 assert t.outcome == "committed", (step, t.outcome)
                 for k, v, s in rows:
                     model[k] = (v, s)
+                for k, v, s in chain_rows:
+                    model[k] = (v, s)  # upsert over append + existing
                 for k, tv in agg_rows:
                     agg_model[k] = tv
                 history[
