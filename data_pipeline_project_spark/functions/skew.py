@@ -8,8 +8,15 @@ rewrite on its own:
   otherwise serialize one reducer; salt spreads each key over N
   subtasks, then a second (tiny) aggregation merges the partials;
 - salted broadcast-side replication join: a skewed fact key joined to
-  a dim — explode the dim row N ways, salt the fact side randomly, so
-  the hot key's rows spread over N tasks while the join stays exact.
+  a dim — explode the dim row N ways, salt the fact side, so the hot
+  key's rows spread over N tasks while the join stays exact.
+
+Salts are DETERMINISTIC (xxhash64 over the row, never F.rand): a salt
+that feeds a shuffle key must recompute identically when Spark
+re-executes a map stage after a fetch failure, or recomputed rows land
+on different reducers than the attempt already-fetched outputs came
+from — rows duplicated or lost (the known nondeterministic-repartition
+correctness class).
 """
 
 from __future__ import annotations
@@ -20,6 +27,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
+
+
+def _row_salt(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts) from the full row content —
+    stable under stage re-execution, spreads hot keys (rows share the
+    key, not the payload)."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+    ).cast("int")
 
 
 def salted_sum(
@@ -42,9 +58,8 @@ def salted_sum(
     if bad:
         raise ValueError(f"non-decomposable aggs {bad}; supported: {supported}")
 
-    salt = (F.rand(seed=42) * n_salts).cast("int")
     phase1 = (
-        df.withColumn(SALT_COL, salt)
+        df.withColumn(SALT_COL, _row_salt(df, n_salts))
         .groupBy(*group_cols, SALT_COL)
         .agg(
             *[
@@ -75,11 +90,12 @@ def salted_broadcast_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join a skewed fact table to a small dim with the dim replicated
-    n_salts ways. Each fact row picks a random salt; the dim carries
-    every salt value, so the join key (key, salt) spreads any hot key
-    over n_salts tasks. Exact same rows as the unsalted join."""
+    n_salts ways. Each fact row derives a deterministic salt from its
+    content; the dim carries every salt value, so the join key
+    (key, salt) spreads any hot key over n_salts tasks. Exact same
+    rows as the unsalted join, stable under stage retry."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     dim_rep = dim.withColumn(SALT_COL, salts)
-    fact_s = fact.withColumn(SALT_COL, (F.rand(seed=42) * n_salts).cast("int"))
+    fact_s = fact.withColumn(SALT_COL, _row_salt(fact, n_salts))
     out = fact_s.join(F.broadcast(dim_rep), [key, SALT_COL], how)
     return out.drop(SALT_COL)

@@ -1010,8 +1010,20 @@ def advised_join(
     if adv.get("skew_side"):
         nsalt = max(2, int(salt_buckets))
         skewed, other = (a, b) if adv["skew_side"] == "a" else (b, a)
+        # DETERMINISTIC salt from row content, never F.rand: under a
+        # shuffle-fetch failure Spark re-executes the map stage, and a
+        # nondeterministic salt would assign recomputed rows to
+        # different reducers than the attempt some consumers already
+        # fetched — the classic duplicated/lost-rows class for
+        # nondeterministic repartitioning. xxhash64 over every column
+        # spreads a hot key's rows (they share the key but not the
+        # payload) and recomputes identically on retry.
         skewed = skewed.withColumn(
-            "_salt", (F.rand(7) * nsalt).cast("int")
+            "_salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in skewed.columns]),
+                F.lit(nsalt),
+            ).cast("int"),
         )
         other = other.withColumn(
             "_salt",

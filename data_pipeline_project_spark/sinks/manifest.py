@@ -836,8 +836,12 @@ def _attach_sketches(
 ) -> None:
     """Attach executor-computed NDV sketches (all sketchable leading
     stats columns) and bloom filters (the priority/merge-key columns)
-    to freshly built file entries, in place. No session -> fail open
-    (entries stay sketch-free; analyze_table backfills)."""
+    to freshly built file entries, in place. Strictly best-effort on
+    the commit path: no session, an unreadable footer, OR any failure
+    inside the sketch Spark job (transient executor error, a file that
+    vanished under a concurrent writer) fails open — entries stay
+    sketch-free and analyze_table backfills. A sketch must never fail
+    a commit (r12 ADVICE #4)."""
     spark = spark or _active_spark()
     if spark is None:
         return
@@ -862,7 +866,18 @@ def _attach_sketches(
             bloom_t[full] = bl
     if not ndv_t:
         return
-    got = _sketch_files(spark, ndv_t, bloom_t)
+    try:
+        got = _sketch_files(spark, ndv_t, bloom_t)
+    except Exception as exc:  # noqa: BLE001 — sketches are advisory
+        import warnings
+
+        warnings.warn(
+            f"NDV/bloom sketch job failed ({exc!r}); committing "
+            f"{len(entries)} entries sketch-free — ANALYZE TABLE "
+            "backfills",
+            stacklevel=2,
+        )
+        return
     for full, parts in got.items():
         e = by_path.get(full)
         if e is None:
@@ -2281,18 +2296,24 @@ def committed_versions(path: str, resolve_in_doubt: bool = False) -> list[int]:
         m = _read_manifest_settled(
             os.path.join(mdir, f"v{v}.json"), resolve=False
         )
-        if _txn2_outcome(m, force_abort=resolve_in_doubt) == "committed":
+        outcome = _txn2_outcome(m, force_abort=resolve_in_doubt)
+        if outcome == "committed":
             out.append(v)
             heal = v
-        else:
+        elif outcome != "aborted":
             # READ-YOUR-OWN-WRITES (r12): the coordinator's own
-            # thread sees its transaction's staged versions as the
-            # visible head — so a second op on the same table inside
-            # one transaction bases on (and reads) the first op's
-            # state — while latest.json is NEVER healed to them (they
-            # publish atomically with the marker or not at all).
+            # thread sees its transaction's IN-DOUBT staged versions
+            # as the visible head — so a second op on the same table
+            # inside one transaction bases on (and reads) the first
+            # op's state — while latest.json is NEVER healed to them
+            # (they publish atomically with the marker or not at all).
             # Thread-local, so every other thread/process still sees
-            # the pre-transaction head.
+            # the pre-transaction head. A version whose marker has
+            # already settled "aborted" (own abort() in progress, or a
+            # peer's presumed-abort after a heartbeat stall) is
+            # invisible even to the owning thread — its staged data
+            # was never and will never be committed, so RYOW applies
+            # strictly to the in-doubt window (r12 ADVICE #2).
             t2 = m.get("txn2")
             _mine = _current_txn()
             if (

@@ -180,11 +180,18 @@ def _parse_column_meta(r: _Reader) -> dict:
     return out
 
 
-def _parse_footer(meta: bytes) -> list:
-    """FileMetaData -> [{rg, path, type, off, len}] for every column
-    chunk that declares a bloom offset."""
+def _parse_footer(meta: bytes) -> tuple:
+    """FileMetaData -> ([{rg, path, type, off, len}] for every column
+    chunk that declares a bloom offset, total row-group count).
+
+    The row-group count matters for soundness: parquet-mr omits the
+    bloom filter on a column chunk whose pages stayed fully
+    dictionary-encoded, so a column can carry a bloom in one row group
+    and none in another. A prune decision is only sound when EVERY row
+    group vouches for the column (r12 ADVICE #1)."""
     r = _Reader(meta)
     out = []
+    n_rg = 0
     for fid, ft in r.fields():
         if fid == 4 and ft == _LIST:  # row_groups
             n_rg, _ = r.list_header()
@@ -205,17 +212,23 @@ def _parse_footer(meta: bytes) -> list:
                         r.skip(ft2)
         else:
             r.skip(ft)
-    return out
+    return out, n_rg
 
 
 def parquet_bloom_offsets(path: str) -> list:
     """Column chunks with bloom filters: [{rg, path, type, off,
     len}]. One footer read; [] when the file has none."""
+    return _footer_chunks(path)[0]
+
+
+def _footer_chunks(path: str) -> tuple:
+    """(bloom-bearing column chunks, total row-group count) from one
+    footer read."""
     with open(path, "rb") as fh:
         fh.seek(-8, os.SEEK_END)
         tail = fh.read(8)
         if tail[4:] != b"PAR1":
-            return []
+            return [], 0
         meta_len = struct.unpack("<I", tail[:4])[0]
         fh.seek(-8 - meta_len, os.SEEK_END)
         meta = fh.read(meta_len)
@@ -302,7 +315,11 @@ def _read_bitset(path: str, off: int, declared_len) -> bytes | None:
             if len(bitset) != num_bytes or num_bytes % 32:
                 return None
             return bitset
-    except OSError:
+    except (OSError, IndexError, ValueError, struct.error):
+        # bogus offsets can push the header parse past the buffer
+        # (IndexError), into the thrift walker's malformed-type raise
+        # (ValueError), or into a short unpack (struct.error) — all
+        # mean "can't read this bloom": fail open, keep the file
         return None
 
 
@@ -320,18 +337,22 @@ def parquet_bloom_might_contain(
         key = (os.path.abspath(path), os.path.getmtime(path))
     except OSError:
         return True
-    cols = _cache.get(key)
-    if cols is None:
+    entry = _cache.get(key)
+    if entry is None:
         try:
-            cols = _parse_offsets_by_col(path)
+            entry = _parse_offsets_by_col(path)
         except Exception:  # noqa: BLE001 — malformed footer: fail open
-            cols = {}
+            entry = ({}, 0)
         if len(_cache) > 4096:
             _cache.clear()
-        _cache[key] = cols
+        _cache[key] = entry
+    cols, n_rg = entry
     chunks = cols.get(column)
-    if not chunks:
-        return True  # no native bloom on this column
+    if not _covers_all_row_groups(chunks, n_rg):
+        # no bloom, or a row group whose chunk carries none (parquet-mr
+        # omits blooms on fully dict-encoded chunks) — keys could hide
+        # in the uncovered row group, so the bloom cannot vouch
+        return True
     for cm in chunks:
         bitset = _read_bitset(path, cm["off"], cm.get("len"))
         if bitset is None:
@@ -345,11 +366,22 @@ def parquet_bloom_might_contain(
     return False
 
 
-def _parse_offsets_by_col(path: str) -> dict:
+def _parse_offsets_by_col(path: str) -> tuple:
+    """({column -> [bloom-bearing chunks]}, total row-group count)."""
+    chunks, n_rg = _footer_chunks(path)
     out: dict = {}
-    for cm in parquet_bloom_offsets(path):
+    for cm in chunks:
         out.setdefault(cm["path"], []).append(cm)
-    return out
+    return out, n_rg
+
+
+def _covers_all_row_groups(chunks, n_rg: int) -> bool:
+    """A column's blooms are only trustworthy for pruning when every
+    row group contributed a bloom-bearing chunk — otherwise keys may
+    live solely in an uncovered row group (false negative)."""
+    if not chunks or n_rg <= 0:
+        return False
+    return len({cm["rg"] for cm in chunks}) == n_rg
 
 
 # Above this many probe keys the pure-Python hashing cost outweighs a
@@ -374,18 +406,19 @@ def parquet_bloom_prune(files: list, column: str, keys: list) -> list:
         except OSError:
             out.append(f)
             continue
-        cols = _cache.get(key)
-        if cols is None:
+        entry = _cache.get(key)
+        if entry is None:
             try:
-                cols = _parse_offsets_by_col(f)
+                entry = _parse_offsets_by_col(f)
             except Exception:  # noqa: BLE001 — malformed: fail open
-                cols = {}
+                entry = ({}, 0)
             if len(_cache) > 4096:
                 _cache.clear()
-            _cache[key] = cols
+            _cache[key] = entry
+        cols, n_rg = entry
         chunks = cols.get(column)
-        if not chunks:
-            out.append(f)  # no native bloom: fail open
+        if not _covers_all_row_groups(chunks, n_rg):
+            out.append(f)  # no/partial bloom coverage: fail open
             continue
         keep = False
         for cm in chunks:
