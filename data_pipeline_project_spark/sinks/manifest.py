@@ -679,8 +679,12 @@ def _sketch_files(spark, ndv_targets: dict, bloom_targets: dict) -> dict:
         # requirements from this single shuffle (no 3x default-width
         # exchanges; a micro-commit pays one small stage, a big
         # ANALYZE gets file x column task grain, which is exactly the
-        # parallelism the work has)
-        nparts = min(256, max(2, len(gpaths) * max(1, len(all_cols))))
+        # parallelism the work has). The partition count scales WITH
+        # the wave (r13 — the old flat 256 cap serialized a 100k-file
+        # ANALYZE into 256 tasks): ~32 file x column pairs per task
+        # beyond the 256 base, capped only by the pair count itself.
+        pairs = len(gpaths) * max(1, len(all_cols))
+        nparts = max(2, min(pairs, max(256, pairs // 32)))
         g = (
             u.where(F.col("_h").isNotNull())
             .repartition(nparts, "_f", "_c")
@@ -4280,6 +4284,263 @@ def delete_bulk(
         "files_rewritten": len(old_files),
         "rows_deleted": n_target - staged_total,
     }
+
+
+# -- predicate-shaped DML (r13): DELETE / UPDATE ... WHERE <arbitrary> ----
+#
+# The targeted twins (delete_rows_targeted, merge_upsert) are KEY-shaped:
+# zone maps + blooms prune candidates from the log. An arbitrary
+# predicate has no key to prune on, so these follow Delta's DELETE/
+# UPDATE protocol instead: ONE pushed-down scan over the head snapshot
+# finds the files that hold matching rows (per-row provenance via
+# _metadata.file_path — the filter itself still pushes into the parquet
+# scan, so min/max row-group stats prune the probe), then ONLY those
+# files rewrite copy-on-write. At 100 TB the cost is
+# O(selective scan) + O(matched files), never a whole-table rewrite.
+
+
+def _predicate_candidates(spark, path: str, head: dict, cond) -> list:
+    """Root-relative paths of head-snapshot files holding >= 1 row
+    matching ``cond``. One Spark job; the collect is bounded by the
+    snapshot's FILE COUNT (same envelope class as every candidate list
+    here). DV-deleted rows are NOT filtered at this stage — a superset
+    of candidates is safe (the rewrite applies the DV and skips files
+    whose matches were all dv-deleted)."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    root = os.path.abspath(path)
+    files = [os.path.join(root, f["path"]) for f in head["files"]]
+    if not files:
+        return []
+    reader = spark.read.option("basePath", root)
+    if head.get("schema_json") is not None:
+        st = StructType.fromJson(head["schema_json"])
+        ren = head.get("renames") or {}
+        df = reader.schema(_extended_read_schema(st, ren)).parquet(*files)
+        df = df.withColumn("__file", F.col("_metadata.file_path"))
+        keep = StructType(
+            list(st.fields) + [StructField("__file", StringType())]
+        )
+        df = _apply_renames(df, keep, ren)
+    else:
+        df = reader.parquet(*files).withColumn(
+            "__file", F.col("_metadata.file_path")
+        )
+    hits = df.where(cond).select("__file").distinct().collect()
+    rels = []
+    for r in hits:
+        p = r["__file"]
+        if "://" in p or p.startswith("file:"):
+            p = unquote(urlparse(p).path)
+        rels.append(os.path.relpath(p, root))
+    return sorted(rels)
+
+
+def _rewrite_file_where(
+    spark, path: str, rel: str, head: dict, cond,
+    mode: str, assignments: dict | None, version: int, stamp: str,
+) -> tuple:
+    """Rewrite ONE pinned file copy-on-write: ``mode='delete'`` drops
+    matching rows, ``mode='update'`` rewrites them with ``assignments``
+    applied (every SET expression evaluates against the PRE-update
+    row — one select, standard SQL UPDATE semantics). Returns
+    (matched_rows, new_relpath | None); (0, None) = untouched (the
+    discovery scan said maybe; the DV-filtered data says no). The
+    output materializes the CURRENT logical schema minus hive
+    partition columns (directory-encoded), like rewrite_table does
+    table-wide; the original tombstones into _removed/ so older
+    manifests stay reproducible."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    root = os.path.abspath(path)
+    f = os.path.join(root, rel)
+    dv_relpaths = head.get("dv") or []
+    pcols = _partition_cols_of([rel])
+    reader = spark.read.option("basePath", root)
+    if head.get("schema_json") is not None:
+        st = StructType.fromJson(head["schema_json"])
+        ren = head.get("renames") or {}
+        src = reader.schema(_extended_read_schema(st, ren)).parquet(f)
+        src = _apply_renames(_dv_filter(spark, src, root, dv_relpaths), st, ren)
+    else:
+        src = _dv_filter(spark, reader.parquet(f), root, dv_relpaths)
+    matched = src.where(cond).count()
+    if matched == 0:
+        return 0, None
+    hit = F.coalesce(cond, F.lit(False))
+    if mode == "delete":
+        out = src.where(~hit)
+    else:
+        types = {fl.name: fl.dataType for fl in src.schema.fields}
+        out = src.select(
+            *[
+                F.when(hit, F.expr(assignments[c]).cast(types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in src.columns
+            ]
+        )
+    if pcols:
+        out = out.drop(*pcols)
+    tag = "d" if mode == "delete" else "u"
+    base = os.path.basename(rel)
+    new_rel = os.path.join(
+        os.path.dirname(rel),
+        f"{base[:-len('.parquet')]}.{tag}{version}-{stamp}.parquet",
+    )
+    new_name = os.path.join(root, new_rel)
+    written = None
+    if mode == "update" or out.limit(1).count():
+        tmp_dir = new_name + ".rewrite"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        part = [
+            p
+            for p in os.listdir(tmp_dir)
+            if p.endswith(".parquet") and not p.startswith((".", "_"))
+        ]
+        os.replace(os.path.join(tmp_dir, part[0]), new_name)
+        src_crc = os.path.join(tmp_dir, f".{part[0]}.crc")
+        if os.path.exists(src_crc):
+            os.replace(
+                src_crc,
+                os.path.join(
+                    os.path.dirname(new_name),
+                    f".{os.path.basename(new_name)}.crc",
+                ),
+            )
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        written = new_rel
+    # tombstone the original (never rewrite bytes under a pinned name)
+    live = os.path.join(root, rel)
+    tomb = os.path.join(root, REMOVED_DIR, rel)
+    if os.path.exists(live):
+        os.makedirs(os.path.dirname(tomb), exist_ok=True)
+        os.replace(live, tomb)
+        ld, lbase = os.path.split(live)
+        old_crc = os.path.join(ld, f".{lbase}.crc")
+        if os.path.exists(old_crc):
+            os.replace(
+                old_crc,
+                os.path.join(os.path.dirname(tomb), f".{lbase}.crc"),
+            )
+    return matched, written
+
+
+def _dml_where(
+    spark, path: str, predicate: str, mode: str,
+    assignments: dict | None = None,
+) -> dict:
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    pending = committed_versions(path, resolve_in_doubt=True)
+    if not pending:
+        raise ValueError(
+            f"{mode}_where needs a versioned snapshot; bootstrap with "
+            "write_versioned_manifest first"
+        )
+    mdir = os.path.join(path, "_manifests")
+    head = read_manifest(os.path.join(mdir, f"v{pending[-1]}.json"))
+    cond = F.expr(predicate).cast("boolean")
+    if mode == "update":
+        ts = table_schema(spark, path)
+        names = {fl.name for fl in ts.fields}
+        bad = sorted(set(assignments) - names)
+        if bad:
+            raise ValueError(
+                f"UPDATE assigns unknown column(s) {bad}; table has "
+                f"{sorted(names)}"
+            )
+        pc = set(_partition_cols_of(f["path"] for f in head["files"]))
+        moved = sorted(set(assignments) & pc)
+        if moved:
+            raise ValueError(
+                f"UPDATE of hive partition column(s) {moved} would "
+                "migrate rows across directories — rewrite through "
+                "merge_bulk/rewrite_table instead"
+            )
+    candidates = _predicate_candidates(spark, path, head, cond)
+    counter_key = "rows_deleted" if mode == "delete" else "rows_updated"
+    if not candidates:
+        return {
+            "files_total": len(head["files"]),
+            "files_rewritten": 0,
+            counter_key: 0,
+            "version": pending[-1],
+        }
+    version = pending[-1] + 1
+    stamp = _uuid.uuid4().hex[:8]
+    rewrites = _run_rewrites(
+        lambda rel: _rewrite_file_where(
+            spark, path, rel, head, cond, mode, assignments, version, stamp
+        ),
+        candidates,
+    )
+    removed_rels = [
+        rel for rel, (n, _) in zip(candidates, rewrites) if n
+    ]
+    added_rels = [nr for n, nr in rewrites if n and nr]
+    out = {
+        "files_total": len(head["files"]),
+        "files_rewritten": len(removed_rels),
+        counter_key: sum(n for n, _ in rewrites),
+    }
+    if not removed_rels:
+        out["version"] = pending[-1]
+        return out
+    manifest = commit_optimistic(
+        path,
+        added=added_rels,
+        removed=removed_rels,
+        intent={
+            "op": f"{mode}_where",
+            "removed": removed_rels,
+            "dv_targets": [],
+            "schema_change": False,
+            "predicate": predicate,
+        },
+        base_version=pending[-1],
+    )
+    out["version"] = manifest["version"]
+    return out
+
+
+def delete_where(spark, path: str, predicate: str) -> dict:
+    """DELETE FROM t WHERE <arbitrary predicate> — Delta's non-point
+    DELETE: one pushed-down discovery scan finds the files holding
+    matching rows, only those rewrite copy-on-write (rows where the
+    predicate is NULL survive, per SQL semantics), one optimistic
+    commit pins the result. Returns {files_total, files_rewritten,
+    rows_deleted, version}. Point-shaped predicates (k = v, k IN (...))
+    should prefer delete_rows_targeted — its zone-map/bloom candidate
+    selection skips the discovery scan entirely."""
+    return _dml_where(spark, path, predicate, "delete")
+
+
+def update_where(
+    spark, path: str, assignments: dict, predicate: str
+) -> dict:
+    """UPDATE t SET col = <sql expr>, ... WHERE <predicate> — the
+    in-place twin of MERGE for non-key updates: discovery scan ->
+    copy-on-write rewrite of matched files with every SET expression
+    evaluated against the pre-update row -> optimistic commit.
+    ``assignments`` maps column name -> SQL expression string (may
+    reference any table column). Hive partition columns are refused
+    (an update that moves a row across partition directories is a
+    rewrite job). Returns {files_total, files_rewritten, rows_updated,
+    version}."""
+    return _dml_where(
+        spark, path, predicate, "update", assignments=assignments
+    )
 
 
 def drop_column(spark, path: str, col: str) -> dict:

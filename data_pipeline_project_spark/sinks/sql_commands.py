@@ -9,8 +9,13 @@ grammar onto them, one statement in, one result out:
 
     MERGE INTO t USING s ON k [WHEN MATCHED THEN UPDATE SET *
                                WHEN NOT MATCHED THEN INSERT *]
+    UPDATE t SET c = expr, ... WHERE pred      (r13: copy-on-write
+                                                file-targeted rewrite)
     DELETE FROM t WHERE k IN (...)            (targeted rewrite)
     DELETE FROM t WHERE k = v                 (point delete)
+    DELETE FROM t WHERE <any predicate>       (r13: discovery scan +
+                                                matched-file rewrite)
+    INSERT INTO t SELECT ... | VALUES (...)   (r13: append_snapshot)
     OPTIMIZE t                                 (compact small files)
     OPTIMIZE t ZORDER BY (a, b)                (whole-table recluster)
     OPTIMIZE t WHERE p = v [ZORDER BY (...)]   (one-partition rewrite)
@@ -20,18 +25,32 @@ grammar onto them, one statement in, one result out:
     DESCRIBE DETAIL t
     RESTORE [TABLE] t [TO] VERSION AS OF n
     RESTORE [TABLE] t [TO] TIMESTAMP AS OF 'ts'
+    CREATE TABLE [IF NOT EXISTS] t LOCATION 'path'   (r13: catalog)
+    DROP TABLE [IF EXISTS] t                         (r13: catalog)
     SELECT ...                                 (passthrough: snapshot
-                                                views + spark.sql)
+                                                views + spark.sql;
+                                                r13: `t VERSION AS OF
+                                                n` / `t TIMESTAMP AS
+                                                OF 'ts'` clauses read
+                                                time-travel snapshots)
 
 Honest scope: this is a COMMAND DISPATCHER, not a SQL engine —
 commands are parsed with anchored patterns and delegate to the same
-Python twins the rest of the repo tests (merge_upsert,
-delete_rows_targeted, compact_snapshot, rewrite_table/partition,
-vacuum, analyze_table, restore_table, table_history/table_profile);
+Python twins the rest of the repo tests (merge_upsert, update_where,
+delete_rows_targeted, delete_where, append_snapshot, compact_snapshot,
+rewrite_table/partition, vacuum, analyze_table, restore_table,
+table_history/table_profile, TableCatalog);
 SELECT statements hand the full query to Spark's own parser over
 registered snapshot views, so query SQL is Catalyst-complete. Every
 SQL form is pinned test-equal to its Python twin in
 tests/test_sql_commands.py.
+
+The catalog may be a plain ``{name: path}`` dict (session-scoped, the
+r12 shape) or a :class:`~data_pipeline_project_spark.sinks.catalog.
+TableCatalog` (r13): persistent, versioned, CAS-protected — table
+names survive process restarts and every front door over the same
+catalog root resolves identically (the reference's MySQL namespace
+property). CREATE/DROP TABLE require the persistent form.
 
 Transactions: ``LakehouseSQL.transaction([...])`` runs a statement
 list inside ONE cross-table atomic transaction (sinks/txn.py) — the
@@ -106,6 +125,58 @@ _RESTORE = re.compile(
     r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?P<v>.+?)\s*$",
     re.IGNORECASE,
 )
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(?P<t>[\w.`\"]+)\s+SET\s+(?P<sets>.+?)\s+"
+    r"WHERE\s+(?P<pred>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<t>[\w.`\"]+)\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<t>[\w`\"]+)\s+LOCATION\s+(?P<p>'[^']+'|\"[^\"]+\")\s*$",
+    re.IGNORECASE,
+)
+_DROP = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<t>[\w`\"]+)\s*$",
+    re.IGNORECASE,
+)
+# `t VERSION AS OF 3` / `t TIMESTAMP AS OF '...'` inside a SELECT —
+# rewritten to a registered time-travel view before Spark parses it
+_TIME_TRAVEL = re.compile(
+    r"(?P<t>[\w`\"]+)\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?P<v>'[^']*'|\"[^\"]*\"|\S+)",
+    re.IGNORECASE,
+)
+
+
+def _split_top_level(s: str, sep: str = ",") -> list:
+    """Split on ``sep`` at paren/quote depth zero — SET lists and VALUES
+    rows contain commas inside function calls and string literals."""
+    parts, depth, buf, q = [], 0, [], None
+    for ch in s:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in ("'", '"'):
+            q = ch
+            buf.append(ch)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _parse_literal(tok: str):
@@ -132,38 +203,67 @@ def _parse_literal(tok: str):
 class LakehouseSQL:
     """One SQL entry point over a name -> table-path catalog.
 
-    ``catalog`` maps table names to manifest-table roots; ``duck`` is
-    the optional DuckDB connection some twins use for zone-map probes
-    (``None`` exercises the stats-in-the-log fast path, same as the
-    Python API)."""
+    ``catalog`` is either a plain dict (session-scoped names) or a
+    :class:`TableCatalog` (persistent, versioned, shared across
+    processes — r13); ``duck`` is the optional DuckDB connection some
+    twins use for zone-map probes (``None`` exercises the
+    stats-in-the-log fast path, same as the Python API)."""
 
-    def __init__(self, spark, catalog: dict, duck=None):
+    def __init__(self, spark, catalog, duck=None):
         self.spark = spark
         self.duck = duck
-        self.catalog = {k: v for k, v in catalog.items()}
+        if isinstance(catalog, dict):
+            self.catalog = {k: v for k, v in catalog.items()}
+        else:
+            self.catalog = catalog  # TableCatalog duck-typed: tables()
 
     # -- helpers -----------------------------------------------------------
 
+    def _tables(self) -> dict:
+        if isinstance(self.catalog, dict):
+            return self.catalog
+        return self.catalog.tables()
+
     def _path(self, name: str) -> str:
         t = _ident(name)
-        if t not in self.catalog:
+        tabs = self._tables()
+        if t not in tabs:
             raise SQLCommandError(
-                f"unknown table {t!r}; catalog has {sorted(self.catalog)}"
+                f"unknown table {t!r}; catalog has {sorted(tabs)}"
             )
-        return self.catalog[t]
+        return tabs[t]
 
     def _register_views(self) -> None:
         from data_pipeline_project_spark.sinks.manifest import read_version
 
-        for name, path in self.catalog.items():
+        tabs = self._tables()
+        # a DROPped table's stale temp view must stop resolving, or a
+        # SELECT after DROP silently reads the last-registered snapshot
+        for stale in getattr(self, "_registered", set()) - set(tabs):
+            self.spark.catalog.dropTempView(stale)
+        for name, path in tabs.items():
             read_version(self.spark, path).createOrReplaceTempView(name)
+        self._registered = set(tabs)
 
-    def _keys_df(self, col: str, values: list):
-        # one-column frame for the targeted twins; schema inferred
-        # from the first literal (int -> long, float -> double, ...)
-        return self.spark.createDataFrame(
-            [(v,) for v in values]
-        ).toDF(col)
+    def _keys_df(self, path: str, col: str, values: list):
+        # one-column frame for the targeted twins, cast to the TABLE's
+        # actual key type (r12 hygiene nit: int/date-keyed tables used
+        # to ride Spark's join upcast from the literal-inferred long/
+        # double — type-exact beats upcast-dependent, same as the r8
+        # MERGE normalization did for update frames)
+        from data_pipeline_project_spark.sinks.manifest import table_schema
+
+        df = self.spark.createDataFrame([(v,) for v in values]).toDF(col)
+        try:
+            ktype = {
+                f.name: f.dataType
+                for f in table_schema(self.spark, path).fields
+            }[col]
+        except KeyError:
+            return df  # unknown column: let the twin's own check speak
+        from pyspark.sql import functions as F
+
+        return df.select(F.col(col).cast(ktype).alias(col))
 
     # -- the front door ----------------------------------------------------
 
@@ -173,12 +273,17 @@ class LakehouseSQL:
         s = statement.strip().rstrip(";")
         head = s.split(None, 1)[0].upper() if s.split() else ""
         if head == "SELECT" or head == "WITH":
+            s = self._rewrite_time_travel(s)
             self._register_views()
             return self.spark.sql(s)
         if head == "MERGE":
             return self._merge(s)
+        if head == "UPDATE":
+            return self._update(s)
         if head == "DELETE":
             return self._delete(s)
+        if head == "INSERT":
+            return self._insert(s)
         if head == "OPTIMIZE":
             return self._optimize(s)
         if head == "VACUUM":
@@ -189,11 +294,16 @@ class LakehouseSQL:
             return self._describe(s)
         if head == "RESTORE":
             return self._restore(s)
+        if head == "CREATE":
+            return self._create(s)
+        if head == "DROP":
+            return self._drop(s)
         raise SQLCommandError(
             f"unsupported statement {head!r}: supported commands are "
-            f"MERGE INTO / DELETE FROM / OPTIMIZE / VACUUM / ANALYZE "
-            f"TABLE / DESCRIBE HISTORY|DETAIL / RESTORE, plus SELECT "
-            f"passthrough"
+            f"MERGE INTO / UPDATE / DELETE FROM / INSERT INTO / "
+            f"OPTIMIZE / VACUUM / ANALYZE TABLE / DESCRIBE "
+            f"HISTORY|DETAIL / RESTORE / CREATE TABLE / DROP TABLE, "
+            f"plus SELECT passthrough (with VERSION|TIMESTAMP AS OF)"
         )
 
     def transaction(self, statements: list) -> dict:
@@ -201,18 +311,22 @@ class LakehouseSQL:
         transaction: every touched table publishes together or not at
         all — the reference's raw+agg single-transaction commit
         (pipeline.py:246-259), SQL form. Statements must be commands
-        that WRITE a catalog table (MERGE/DELETE)."""
+        that WRITE a catalog table (MERGE/UPDATE/DELETE/INSERT)."""
         from data_pipeline_project_spark.sinks.txn import transaction
 
         tables = []
         for s in statements:
-            m = _MERGE.match(s.strip().rstrip(";")) or _DELETE.match(
-                s.strip().rstrip(";")
+            c = s.strip().rstrip(";")
+            m = (
+                _MERGE.match(c)
+                or _UPDATE.match(c)
+                or _DELETE.match(c)
+                or _INSERT.match(c)
             )
             if not m:
                 raise SQLCommandError(
-                    "transactions take MERGE/DELETE statements only "
-                    "(each stages one table commit)"
+                    "transactions take MERGE/UPDATE/DELETE/INSERT "
+                    "statements only (each stages one table commit)"
                 )
             p = self._path(m.group("t"))
             if p not in tables:
@@ -264,6 +378,7 @@ class LakehouseSQL:
     def _delete(self, s: str):
         from data_pipeline_project_spark.sinks.manifest import (
             delete_rows_targeted,
+            delete_where,
         )
 
         m = _DELETE.match(s)
@@ -271,25 +386,172 @@ class LakehouseSQL:
             raise SQLCommandError("DELETE grammar: DELETE FROM t WHERE ...")
         path = self._path(m.group("t"))
         pred = m.group("pred").strip()
-        mi = _IN_LIST.match(pred)
-        if mi:
-            key = _ident(mi.group("k"))
-            vals = [_parse_literal(v) for v in mi.group("vals").split(",")]
-        else:
-            me = _EQ.match(pred)
-            if not me:
-                raise SQLCommandError(
-                    "DELETE predicates supported: k IN (v, ...) and "
-                    "k = v — the point-delete shapes zone maps and "
-                    "blooms prune; arbitrary predicates belong to a "
-                    "rewrite job"
-                )
-            key = _ident(me.group("k"))
-            vals = [_parse_literal(me.group("v"))]
+        # point shapes (k = literal, k IN (literals)) take the TARGETED
+        # twin — zone maps + blooms prune candidates from the log with
+        # no discovery scan at all; every other predicate routes
+        # through the r13 rewrite job (one pushed-down discovery scan,
+        # matched files only)
+        try:
+            mi = _IN_LIST.match(pred)
+            me = _EQ.match(pred) if not mi else None
+            if mi:
+                key = _ident(mi.group("k"))
+                vals = [
+                    _parse_literal(v) for v in mi.group("vals").split(",")
+                ]
+            elif me:
+                key = _ident(me.group("k"))
+                vals = [_parse_literal(me.group("v"))]
+            else:
+                return delete_where(self.spark, path, pred)
+        except SQLCommandError:
+            # shaped like a point delete but the values are expressions
+            # (k = v + 1, k IN (SELECT ...)): a rewrite-job predicate
+            return delete_where(self.spark, path, pred)
         return delete_rows_targeted(
             self.spark, self.duck, path, key,
-            self._keys_df(key, vals), commit=True,
+            self._keys_df(path, key, vals), commit=True,
         )
+
+    def _update(self, s: str):
+        from data_pipeline_project_spark.sinks.manifest import update_where
+
+        m = _UPDATE.match(s)
+        if not m:
+            raise SQLCommandError(
+                "UPDATE grammar: UPDATE t SET c = expr, ... WHERE pred"
+            )
+        path = self._path(m.group("t"))
+        assignments = {}
+        for item in _split_top_level(m.group("sets")):
+            if "=" not in item:
+                raise SQLCommandError(
+                    f"SET item {item!r} is not `column = expression`"
+                )
+            c, e = item.split("=", 1)
+            assignments[_ident(c)] = e.strip()
+        if not assignments:
+            raise SQLCommandError("UPDATE needs at least one SET item")
+        return update_where(
+            self.spark, path, assignments, m.group("pred").strip()
+        )
+
+    def _insert(self, s: str):
+        from pyspark.sql import functions as F
+
+        from data_pipeline_project_spark.sinks.manifest import (
+            append_snapshot,
+            table_schema,
+        )
+
+        m = _INSERT.match(s)
+        if not m:
+            raise SQLCommandError(
+                "INSERT grammar: INSERT INTO t SELECT ... | "
+                "INSERT INTO t VALUES (...), (...)"
+            )
+        path = self._path(m.group("t"))
+        rest = m.group("rest").strip()
+        head = rest.split(None, 1)[0].upper()
+        ts = table_schema(self.spark, path)
+        if head in ("SELECT", "WITH"):
+            self._register_views()
+            df = self.spark.sql(self._rewrite_time_travel(rest))
+        elif head == "VALUES":
+            # bare VALUES is a query in Spark SQL (cols col1..colN);
+            # aliasing with the table's columns would let Spark's
+            # arity error fire before this module's clearer one
+            df = self.spark.sql(rest)
+        else:
+            raise SQLCommandError(
+                f"INSERT source must be SELECT/WITH/VALUES, got {head!r}"
+            )
+        if len(df.columns) != len(ts.fields):
+            raise SQLCommandError(
+                f"INSERT arity mismatch: query yields {len(df.columns)} "
+                f"column(s), table has {len(ts.fields)}"
+            )
+        # align by NAME when the query names every table column (any
+        # order), else by POSITION; always cast to the logical types
+        if {c.lower() for c in df.columns} == {
+            f.name.lower() for f in ts.fields
+        }:
+            by = {c.lower(): c for c in df.columns}
+            aligned = df.select(
+                *[
+                    F.col(by[f.name.lower()]).cast(f.dataType).alias(f.name)
+                    for f in ts.fields
+                ]
+            )
+        else:
+            aligned = df.select(
+                *[
+                    F.col(df.columns[i]).cast(f.dataType).alias(f.name)
+                    for i, f in enumerate(ts.fields)
+                ]
+            )
+        return append_snapshot(self.spark, path, aligned)
+
+    def _create(self, s: str):
+        m = _CREATE.match(s)
+        if not m:
+            raise SQLCommandError(
+                "CREATE grammar: CREATE TABLE [IF NOT EXISTS] t "
+                "LOCATION 'path'"
+            )
+        if isinstance(self.catalog, dict):
+            raise SQLCommandError(
+                "CREATE TABLE needs a persistent TableCatalog — "
+                "construct LakehouseSQL(spark, TableCatalog(root)); a "
+                "plain dict catalog is session-scoped and read-only"
+            )
+        return self.catalog.create_table(
+            _ident(m.group("t")),
+            m.group("p")[1:-1],
+            if_not_exists=bool(m.group("ine")),
+        )
+
+    def _drop(self, s: str):
+        m = _DROP.match(s)
+        if not m:
+            raise SQLCommandError(
+                "DROP grammar: DROP TABLE [IF EXISTS] t"
+            )
+        if isinstance(self.catalog, dict):
+            raise SQLCommandError(
+                "DROP TABLE needs a persistent TableCatalog — a plain "
+                "dict catalog is session-scoped and read-only"
+            )
+        return self.catalog.drop_table(
+            _ident(m.group("t")), if_exists=bool(m.group("ie"))
+        )
+
+    def _rewrite_time_travel(self, s: str) -> str:
+        """Replace `t VERSION AS OF n` / `t TIMESTAMP AS OF 'x'` with a
+        registered time-travel view of the snapshot — SELECT reads any
+        committed version, not just the head (read_version already
+        supported it; r12's SELECT only registered head views)."""
+        from data_pipeline_project_spark.sinks.manifest import read_version
+
+        tabs = self._tables()
+
+        def repl(m):
+            t = _ident(m.group("t"))
+            if t not in tabs:
+                return m.group(0)  # not a catalog table: leave for Spark
+            lit = m.group("v")
+            if m.group("kind").upper() == "VERSION":
+                n = int(_parse_literal(lit))
+                view = f"{t}__v{n}"
+                df = read_version(self.spark, tabs[t], n)
+            else:
+                as_of = _parse_literal(lit)
+                view = f"{t}__asof_" + re.sub(r"\W", "_", str(as_of))
+                df = read_version(self.spark, tabs[t], as_of=as_of)
+            df.createOrReplaceTempView(view)
+            return view
+
+        return _TIME_TRAVEL.sub(repl, s)
 
     def _optimize(self, s: str):
         from data_pipeline_project_spark.sinks.manifest import (

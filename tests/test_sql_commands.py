@@ -238,9 +238,152 @@ def test_grammar_errors_are_loud(spark, duck, twins):
     lh = LakehouseSQL(spark, {"t": a}, duck=duck)
     with pytest.raises(SQLCommandError, match="unknown table"):
         lh.sql("OPTIMIZE nope")
-    with pytest.raises(SQLCommandError, match="point-delete"):
-        lh.sql("DELETE FROM t WHERE v > 3")
-    with pytest.raises(SQLCommandError, match="unsupported statement"):
-        lh.sql("UPDATE t SET v = 1")
+    with pytest.raises(SQLCommandError, match="UPDATE grammar"):
+        lh.sql("UPDATE t SET v = 1")  # r13: UPDATE exists, WHERE required
     with pytest.raises(SQLCommandError, match="SAME key"):
         lh.sql("MERGE INTO t USING x ON t.k = x.j")
+    with pytest.raises(SQLCommandError, match="INSERT source"):
+        lh.sql("INSERT INTO t UPDATE x")
+    with pytest.raises(SQLCommandError, match="arity"):
+        lh.sql("INSERT INTO t VALUES (1, 2, 3)")
+    with pytest.raises(SQLCommandError, match="TableCatalog"):
+        lh.sql("CREATE TABLE x LOCATION '/nowhere'")
+    with pytest.raises(SQLCommandError, match="TableCatalog"):
+        lh.sql("DROP TABLE t")
+
+
+# -- r13: the finished write surface ------------------------------------
+
+
+def test_update_equals_update_where(spark, duck, twins):
+    a, b = twins
+    lh = LakehouseSQL(spark, {"t": a}, duck=duck)
+    res = lh.sql("UPDATE t SET v = v * 10 + 1 WHERE v IN (2, 4) AND k < 100")
+    M.update_where(
+        spark, b, {"v": "v * 10 + 1"}, "v IN (2, 4) AND k < 100"
+    )
+    assert res["rows_updated"] > 0
+    assert _rows(spark, a) == _rows(spark, b)
+
+
+def test_update_multi_assignment_sees_pre_update_row(spark, duck, tmp_path):
+    """Standard SQL UPDATE: every SET expression evaluates against the
+    OLD row — `SET k = v, v = k` swaps, never chains."""
+    t = str(tmp_path / "swap")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"
+    ).coalesce(1).write.parquet(t)
+    write_versioned_manifest(t)
+    lh = LakehouseSQL(spark, {"t": t}, duck=duck)
+    lh.sql("UPDATE t SET k = v, v = k WHERE k = 1")
+    assert _rows(spark, t) == [(2, 20), (10, 1)]
+
+
+def test_delete_arbitrary_predicate_equals_delete_where(spark, duck, twins):
+    a, b = twins
+    lh = LakehouseSQL(spark, {"t": a}, duck=duck)
+    res = lh.sql("DELETE FROM t WHERE v >= 5 AND k BETWEEN 10 AND 90")
+    M.delete_where(spark, b, "v >= 5 AND k BETWEEN 10 AND 90")
+    assert res["rows_deleted"] > 0
+    assert _rows(spark, a) == _rows(spark, b)
+    assert (
+        read_version(spark, a)
+        .where("v >= 5 AND k BETWEEN 10 AND 90")
+        .count()
+        == 0
+    )
+
+
+def test_insert_values_and_select_equal_append_snapshot(spark, duck, twins):
+    a, b = twins
+    lh = LakehouseSQL(spark, {"t": a}, duck=duck)
+    lh.sql("INSERT INTO t VALUES (9000, 1), (9001, 2)")
+    append_snapshot(
+        spark, b,
+        spark.createDataFrame([(9000, 1), (9001, 2)], "k long, v long"),
+    )
+    assert _rows(spark, a) == _rows(spark, b)
+    lh.sql("INSERT INTO t SELECT k + 50000, v FROM t WHERE k >= 9000")
+    append_snapshot(
+        spark, b,
+        read_version(spark, b)
+        .where("k >= 9000")
+        .selectExpr("k + 50000 AS k", "v"),
+    )
+    assert _rows(spark, a) == _rows(spark, b)
+
+
+def test_select_version_as_of_reads_pre_merge_snapshot(spark, duck, twins):
+    """The item-1 'done' bar: a time-travel SELECT reads a PRE-MERGE
+    version while the head reflects the merge."""
+    a, _ = twins
+    lh = LakehouseSQL(spark, {"t": a}, duck=duck)
+    before = lh.sql("SELECT k, v FROM t ORDER BY k").collect()
+    v0 = snapshot_versions(a)[-1]
+    spark.createDataFrame(
+        [(0, -99), (7777, -1)], "k long, v long"
+    ).createOrReplaceTempView("updates")
+    lh.sql(
+        "MERGE INTO t USING updates ON t.k = updates.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    head = {r.k: r.v for r in lh.sql("SELECT k, v FROM t").collect()}
+    assert head[0] == -99 and head[7777] == -1
+    old = lh.sql(f"SELECT k, v FROM t VERSION AS OF {v0} ORDER BY k")
+    assert old.collect() == before
+    # and TIMESTAMP AS OF resolves through version_as_of
+    import json as _json
+
+    m = M.read_manifest(os.path.join(a, "_manifests", f"v{v0}.json"))
+    ts = m["committed_at"] / 1000.0
+    n_old = lh.sql(
+        f"SELECT count(*) AS n FROM t TIMESTAMP AS OF {ts}"
+    ).collect()[0].n
+    assert n_old == len(before)
+
+
+def test_create_drop_table_through_sql(spark, duck, tmp_path):
+    from data_pipeline_project_spark.sinks.catalog import TableCatalog
+
+    t = str(tmp_path / "t")
+    _table(spark, t)
+    lh = LakehouseSQL(
+        spark, TableCatalog(str(tmp_path / "cat")), duck=duck
+    )
+    lh.sql(f"CREATE TABLE t LOCATION '{t}'")
+    assert lh.sql("SELECT count(*) AS n FROM t").collect()[0].n == 400
+    with pytest.raises(Exception, match="already exists"):
+        lh.sql(f"CREATE TABLE t LOCATION '{t}'")
+    lh.sql(f"CREATE TABLE IF NOT EXISTS t LOCATION '{t}'")  # no-op
+    # a SECOND front door over the same catalog root resolves the name
+    lh2 = LakehouseSQL(
+        spark, TableCatalog(str(tmp_path / "cat")), duck=duck
+    )
+    assert lh2.sql("SELECT count(*) AS n FROM t").collect()[0].n == 400
+    lh2.sql("DROP TABLE t")
+    with pytest.raises(SQLCommandError, match="unknown table"):
+        lh.sql("OPTIMIZE t")
+    # the stale temp view stops resolving too
+    with pytest.raises(Exception):
+        lh.sql("SELECT count(*) AS n FROM t").collect()
+    lh.sql("DROP TABLE IF EXISTS t")  # no-op, loud form gone
+
+
+def test_sql_transaction_takes_update_and_insert(spark, duck, tmp_path):
+    """r13: the atomic statement list accepts the new write forms."""
+    raw, agg = str(tmp_path / "raw"), str(tmp_path / "agg")
+    _table(spark, raw)
+    _table(spark, agg, n=10)
+    lh = LakehouseSQL(spark, {"raw": raw, "agg": agg}, duck=duck)
+    lh.transaction(
+        [
+            "INSERT INTO raw VALUES (8000, 3)",
+            "UPDATE agg SET v = v + 100 WHERE k = 1",
+        ]
+    )
+    assert read_version(spark, raw).where("k = 8000").count() == 1
+    assert (
+        read_version(spark, agg).where("k = 1").collect()[0].v
+        == (1 % 7) + 100
+    )
