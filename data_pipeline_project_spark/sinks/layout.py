@@ -33,6 +33,7 @@ def write_range_clustered(
     n_files: int,
     partition_cols: list[str] | None = None,
     mode: str = "overwrite",
+    write_options: dict | None = None,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files range-partitioned and
     sorted on ``cluster_col``.
@@ -44,12 +45,17 @@ def write_range_clustered(
     ROW-GROUP zone maps are tight too, not just file footers. With
     ``partition_cols``, clustering applies within each Hive partition
     (range-shuffle keys: partitions first, then the cluster key).
+    ``write_options`` pass straight to the parquet writer — the r13
+    hook that lets manifest rewrites carry native bloom filters
+    (parquet.bloom.filter.*) through bulk/recluster churn.
     """
     keys = [*(partition_cols or []), cluster_col]
     out = df.repartitionByRange(n_files, *[F.col(c) for c in keys]).sortWithinPartitions(
         *[F.col(c) for c in keys]
     )
     writer = out.write.mode(mode)
+    for k, v in (write_options or {}).items():
+        writer = writer.option(k, v)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)

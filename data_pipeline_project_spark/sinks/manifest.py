@@ -1123,6 +1123,46 @@ def table_column_ndv(path: str, col: str, version: int | None = None):
     }
 
 
+def _native_bloom_opts(entries: list, key_col: str, n_out: int = 1) -> dict:
+    """parquet-mr writer options adding NATIVE SBBF bloom filters on
+    ``key_col`` to a rewrite whose output spreads ``entries``' rows
+    across ``n_out`` files — r13: until now only write_bloom_filtered
+    set them, so every merge/compact/bulk rewrite shed the native
+    blooms from exactly the high-NDV tables whose manifest blooms are
+    saturated (> _BLOOM_MAX_NDV keys/file) and that need the native
+    probe (sinks/parquet_bloom.py).
+
+    Metadata-only sizing from the entries' HLL sketches (registers
+    merge by element-wise max, never estimates adding): expected NDV
+    per output file = merged estimate / n_out, 2x headroom. Returns {}
+    — plain parquet — when the per-file NDV fits the manifest bloom
+    (which _attach_sketches then records for free), or when any entry
+    lacks a current-family sketch (an unsized bloom mis-sizes; ANALYZE
+    backfills sketches and the NEXT rewrite blooms)."""
+    regs = [0] * _NDV_REGISTERS
+    got = 0
+    for e in entries:
+        if e.get("rows", 0) == 0:
+            continue
+        sk = (e.get("ndv") or {}).get(key_col)
+        if not sk or sk.get("h") != _HASH_FAMILY:
+            return {}
+        for i, r in enumerate(sk["regs"]):
+            if r > regs[i]:
+                regs[i] = r
+        got += 1
+    if not got:
+        return {}
+    per_file = hll_estimate(regs) / max(1, n_out)
+    if per_file <= _BLOOM_MAX_NDV:
+        return {}
+    expected = int(min(50_000_000, max(8192, 2 * per_file)))
+    return {
+        f"parquet.bloom.filter.enabled#{key_col}": "true",
+        f"parquet.bloom.filter.expected.ndv#{key_col}": str(expected),
+    }
+
+
 def _file_entry(
     root: str, rel: str, md=None, priority_cols=(), collect_ndv=None
 ) -> dict:
@@ -1639,6 +1679,10 @@ def delete_rows_targeted(
         spark, zone_maps, keys_df, key_col, prune, blooms=blooms
     )
     kdf = F.broadcast(keys_df.select(F.col(key_col)).distinct())
+    # native blooms survive the rewrite (r13) — see merge_upsert
+    entry_by_rel = (
+        {e["path"]: e for e in head["files"]} if pending else {}
+    )
 
     def rewrite_one(f: str) -> tuple[int, str | None]:
         """Returns (rows deleted from this file, new file's relpath) —
@@ -1663,7 +1707,14 @@ def delete_rows_targeted(
         new_name = os.path.join(path, new_rel)
         d = os.path.dirname(new_name)
         tmp_dir = new_name + ".rewrite"
-        survivors.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        nb = (
+            _native_bloom_opts([entry_by_rel[rel]], key_col)
+            if rel in entry_by_rel
+            else {}
+        )
+        survivors.coalesce(1).write.mode("overwrite").options(
+            **nb
+        ).parquet(tmp_dir)
         part = [
             p
             for p in os.listdir(tmp_dir)
@@ -3866,6 +3917,13 @@ def merge_upsert(
         )
 
     kdf = F.broadcast(updates_df.select(F.col(key_col)).distinct())
+    # native blooms survive the rewrite (r13): size per CANDIDATE file
+    # from its own sketch — high-NDV files keep their parquet SBBF
+    # through churn instead of shedding it (the capability-decay gap
+    # the r12 verdict flagged)
+    entry_by_rel = (
+        {e["path"]: e for e in head["files"]} if pending else {}
+    )
 
     def rewrite_one(f: str) -> tuple[int, str | None]:
         """Returns (rows replaced out of this file, rewritten file's new
@@ -3893,7 +3951,14 @@ def merge_upsert(
         new_name = os.path.join(path, new_rel)
         d = os.path.dirname(new_name)
         tmp_dir = new_name + ".rewrite"
-        survivors.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        nb = (
+            _native_bloom_opts([entry_by_rel[rel]], key_col)
+            if rel in entry_by_rel
+            else {}
+        )
+        survivors.coalesce(1).write.mode("overwrite").options(
+            **nb
+        ).parquet(tmp_dir)
         part = [
             p
             for p in os.listdir(tmp_dir)
@@ -3947,6 +4012,16 @@ def merge_upsert(
     # lands in its new directory through this same write.
     staging = os.path.join(path, f".merge.v{version}.{stamp}.staging")
     writer = updates_df.select(*out_cols).write.mode("overwrite")
+    if n_keys > _BLOOM_MAX_NDV:
+        # the appended update files themselves exceed the manifest
+        # bloom's honest range — carry native blooms (exact key count
+        # is known here, no sketch needed)
+        writer = writer.option(
+            f"parquet.bloom.filter.enabled#{key_col}", "true"
+        ).option(
+            f"parquet.bloom.filter.expected.ndv#{key_col}",
+            str(max(8192, 2 * n_keys)),
+        )
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(staging)
@@ -4146,6 +4221,22 @@ def _commit_bulk_rewrite(
 
     pcols = _partition_cols_of(os.path.relpath(f, path) for f in old_files)
 
+    # native blooms survive bulk churn (r13): sized from the head
+    # entries' merged sketch split across the n_out outputs; a
+    # synthetic (z-order) cluster key is dropped before the write, so
+    # blooming it would index nothing
+    nb = {}
+    if not drop_cluster_col:
+        try:
+            head_m = read_manifest(
+                os.path.join(path, "_manifests", "latest.json")
+            )
+            nb = _native_bloom_opts(
+                head_m.get("files", []), key_col, n_out=max(1, n_out)
+            )
+        except (FileNotFoundError, json.JSONDecodeError):
+            nb = {}
+
     staging = os.path.join(path, f".bulk.v{version}.staging")
     if pcols:
         from pyspark.sql import functions as F
@@ -4158,7 +4249,10 @@ def _commit_bulk_rewrite(
         ).sortWithinPartitions(*sort_cols)
         if drop_cluster_col:
             out = out.drop(drop_cluster_col)
-        out.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
+        w = out.write.mode("overwrite")
+        for k, v in nb.items():
+            w = w.option(k, v)
+        w.partitionBy(*pcols).parquet(staging)
     elif drop_cluster_col:
         # synthetic cluster key (z-order): sort by it, then project it
         # away before the write — a projection never reorders rows
@@ -4172,7 +4266,9 @@ def _commit_bulk_rewrite(
             .parquet(staging)
         )
     else:
-        write_range_clustered(frame, staging, key_col, n_out)
+        write_range_clustered(
+            frame, staging, key_col, n_out, write_options=nb
+        )
     staged_total = spark.read.parquet(staging).count()
 
     added_rels = _move_staged_parts(
@@ -5963,6 +6059,7 @@ def compact_snapshot(
                 f"snapshot file(s) unresolvable (vacuumed?): {gone[:3]}"
             )
         rels = [rel for rel, _ in entries]
+        entry_by_rel = {f["path"]: f for f in head["files"]}
     else:
         all_files = _data_files(path)
         entries = [
@@ -6027,7 +6124,21 @@ def compact_snapshot(
         tmp_dir = os.path.join(
             path, f".compact.v{version}.{stamp}.{idx}.staging"
         )
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        # native blooms survive compaction (r13): the merged output's
+        # key NDV is the group's merged sketch — exactly when several
+        # sub-cap files compact into one saturated file, the manifest
+        # bloom disappears and the native one must take over
+        nb = (
+            _native_bloom_opts(
+                [entry_by_rel[r] for r in srels if r in entry_by_rel],
+                cluster_col,
+            )
+            if cluster_col is not None and pending
+            else {}
+        )
+        merged.coalesce(1).write.mode("overwrite").options(**nb).parquet(
+            tmp_dir
+        )
         parts = [
             p
             for p in os.listdir(tmp_dir)

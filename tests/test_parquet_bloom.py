@@ -192,3 +192,127 @@ def test_reader_fails_open_on_garbage(tmp_path):
     assert parquet_bloom_might_contain(p, "k", [1]) is True
     assert parquet_bloom_prune([p], "k", [1]) == [p]
     assert probe_hash(object(), 2) is None  # unencodable: fail open
+
+
+# -- r13: native blooms SURVIVE rewrite churn ---------------------------
+
+
+def _bloomed_files(path):
+    """Data files whose footer declares >=1 bloom-bearing chunk."""
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                full = os.path.join(root, f)
+                if parquet_bloom_offsets(full):
+                    out.append(full)
+    return sorted(out)
+
+
+def test_merge_rewrite_keeps_native_blooms(spark, duck, tmp_path):
+    """The r12 gap: every rewrite shed native blooms, so coverage
+    decayed on exactly the churning high-NDV tables that need it. A
+    keyed merge's rewritten files must carry blooms again (sized from
+    the entry sketch) and the fixture must still probe 1-of-8 AFTER
+    the churn."""
+    from data_pipeline_project_spark.sinks.manifest import analyze_table
+
+    path = _high_ndv_table(spark, tmp_path, native_blooms=True)
+    analyze_table(path, spark=spark)  # sketches size the re-blooms
+    n_bloomed_before = len(_bloomed_files(path))
+    assert n_bloomed_before == N_FILES
+    # rewrite HALF the files: one update key per even-numbered file
+    updates = spark.createDataFrame(
+        [(8 * 1_000 + i, -1) for i in range(0, N_FILES, 2)],
+        "sk long, src long",
+    )
+    res = merge_upsert(spark, duck, path, "sk", updates)
+    assert res["files_rewritten"] == N_FILES // 2, res
+    # every live file still carries a native bloom (rewritten + untouched
+    # + the appended update file is tiny and optional)
+    head = read_manifest(os.path.join(path, "_manifests", "latest.json"))
+    rewritten = [
+        os.path.join(path, f["path"])
+        for f in head["files"]
+        if ".m" in os.path.basename(f["path"])
+    ]
+    assert len(rewritten) == N_FILES // 2
+    for f in rewritten:
+        assert parquet_bloom_offsets(f), f"rewritten file shed its bloom: {f}"
+    # the capability held: a point lookup in a REWRITTEN file's range
+    # still probes exactly one file
+    target = 8 * 3_000 + 2  # lives in (rewritten) file 2
+    cands = _candidates(spark, duck, path, target)
+    assert len(cands) == 1, cands
+
+
+def test_targeted_delete_rewrite_keeps_native_blooms(spark, duck, tmp_path):
+    from data_pipeline_project_spark.sinks.manifest import analyze_table
+
+    path = _high_ndv_table(spark, tmp_path, native_blooms=True)
+    analyze_table(path, spark=spark)
+    res = delete_rows_targeted(
+        spark, duck, path, "sk",
+        spark.createDataFrame([(8 * 500 + 3,)], "sk long"), commit=True,
+    )
+    assert res["files_rewritten"] == 1
+    head = read_manifest(os.path.join(path, "_manifests", "latest.json"))
+    rewritten = [
+        os.path.join(path, f["path"])
+        for f in head["files"]
+        if ".d" in os.path.basename(f["path"])
+    ]
+    assert len(rewritten) == 1
+    assert parquet_bloom_offsets(rewritten[0])
+
+
+def test_bulk_rewrite_carries_native_blooms_when_saturated(
+    spark, duck, tmp_path
+):
+    """rewrite_table re-clusters the whole table; with per-output NDV
+    above the manifest cap the outputs must carry native blooms, and
+    below the cap they must NOT (the manifest bloom is cheaper and
+    _attach_sketches records it for free)."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        analyze_table,
+        rewrite_table,
+    )
+
+    # saturated: 32k distinct keys into 4 outputs -> 8k/file > 2048
+    path = _high_ndv_table(spark, tmp_path, native_blooms=False)
+    analyze_table(path, spark=spark)
+    rewrite_table(spark, path, "sk", n_files=4)
+    assert len(_bloomed_files(path)) == 4
+    # sub-cap: 800 distinct keys -> manifest blooms suffice, no native
+    low = str(tmp_path / "low")
+    spark.range(0, 800).select(
+        F.col("id").alias("sk"), F.lit(0).alias("src")
+    ).coalesce(2).write.parquet(low)
+    write_versioned_manifest(low)
+    analyze_table(low, spark=spark)
+    rewrite_table(spark, low, "sk", n_files=2)
+    assert _bloomed_files(low) == []
+    m = read_manifest(os.path.join(low, "_manifests", "latest.json"))
+    assert any((f.get("bloom") or {}).get("sk") for f in m["files"])
+
+
+def test_compaction_carries_native_blooms(spark, duck, tmp_path):
+    """Several sub-cap files compacting into one SATURATED file is the
+    exact moment the manifest bloom disappears — the compacted output
+    must pick up a native bloom when clustering is requested."""
+    from data_pipeline_project_spark.sinks.manifest import (
+        analyze_table,
+        compact_snapshot,
+    )
+
+    path = str(tmp_path / "c")
+    for i in range(4):
+        spark.range(i * 1_500, (i + 1) * 1_500).select(
+            F.col("id").alias("sk"), F.lit(i).alias("src")
+        ).coalesce(1).write.mode("append").parquet(path)
+    write_versioned_manifest(path)
+    analyze_table(path, spark=spark)
+    res = compact_snapshot(spark, path, cluster_col="sk")
+    assert res["files_compacted"] == 4
+    assert len(_bloomed_files(path)) == 1  # the merged 6k-key output
