@@ -2813,17 +2813,24 @@ def version_as_of(path: str, ts) -> int:
 
 
 def read_version(
-    spark, path: str, version: int | None = None, as_of=None
+    spark, path: str, version: int | None = None, as_of=None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Time travel: read the dataset as of snapshot ``version`` (None =
-    latest), or as of a wall-clock instant via ``as_of`` (datetime /
-    ISO string / epoch seconds — resolved through version_as_of; the
-    two selectors are mutually exclusive). A version whose files were
-    since compacted away fails loudly via read_snapshot's missing-file
-    check."""
+    latest), as of a wall-clock instant via ``as_of`` (datetime /
+    ISO string / epoch seconds — resolved through version_as_of), or
+    as of a named ref via ``tag`` (r13 — resolved through
+    resolve_tag; a tagged version is vacuum-exempt, so this read
+    cannot be broken by retention). The selectors are mutually
+    exclusive. An untagged version whose files were since vacuumed
+    fails loudly via read_snapshot's missing-file check."""
+    if sum(x is not None for x in (version, as_of, tag)) > 1:
+        raise ValueError(
+            "version / as_of / tag are mutually exclusive selectors"
+        )
+    if tag is not None:
+        version = resolve_tag(path, tag)
     if as_of is not None:
-        if version is not None:
-            raise ValueError("pass version OR as_of, not both")
         version = version_as_of(path, as_of)
     mdir = os.path.join(path, "_manifests")
     explicit = version is not None
@@ -5375,7 +5382,105 @@ def clone_snapshot(
     }
 
 
-def restore_table(path: str, version: int | None = None, as_of=None) -> dict:
+# -- snapshot tags (r13): named refs -------------------------------------
+#
+# Time travel addressed versions by NUMBER or wall timestamp; real
+# pipelines pin reproducible training snapshots by NAME
+# (`release-2026-08`). A tag is a tiny ref file in the manifest log
+# (`_manifests/tag-<name>.json`), created exactly-once through the
+# LogStore's atomic publish — two racing taggers of one name get one
+# winner and one loud error, across threads, processes, and hosts. A
+# tagged version is VACUUM-EXEMPT: its manifest and every byte it pins
+# (tombstones included) survive any retention policy until the tag is
+# dropped, and log compaction keeps it resolvable — so a tagged
+# snapshot reads byte-identically after arbitrary churn. Iceberg calls
+# these refs; Delta has no equivalent (its answer is "don't vacuum").
+
+_TAG_RE = None  # compiled lazily (module import stays re-free)
+
+
+def _tag_file(path: str, name: str) -> str:
+    import re as _re
+
+    global _TAG_RE
+    if _TAG_RE is None:
+        _TAG_RE = _re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+    if not _TAG_RE.match(name or ""):
+        raise ValueError(
+            f"tag name {name!r} must be alphanumeric plus . _ - "
+            "(it becomes a ref file name)"
+        )
+    return os.path.join(path, "_manifests", f"tag-{name}.json")
+
+
+def tag_snapshot(path: str, name: str, version: int | None = None) -> dict:
+    """Pin snapshot ``version`` (default: the committed head) under
+    ``name``. Exactly-once: a second tag of the same name raises —
+    re-pointing a released ref would silently change what a training
+    run reproduces; drop and re-tag to move one deliberately."""
+    tf = _tag_file(path, name)
+    if version is None:
+        committed = committed_versions(path)
+        if not committed:
+            raise ValueError(f"no snapshot to tag under {path!r}")
+        version = committed[-1]
+    elif version not in snapshot_versions(path):
+        raise ValueError(f"no snapshot v{version} under {path!r}")
+    body = json.dumps(
+        {"name": name, "version": int(version)}, sort_keys=True
+    )
+    if not get_log_store().publish_once(tf, body):
+        raise ValueError(
+            f"tag {name!r} already exists -> v{list_tags(path)[name]}; "
+            "drop_tag first to move it"
+        )
+    return {"name": name, "version": int(version)}
+
+
+def drop_tag(path: str, name: str) -> dict:
+    """Release the ref. The version it pinned becomes vacuum-eligible
+    again (nothing is deleted here — vacuum is the retention decision
+    point)."""
+    tf = _tag_file(path, name)
+    try:
+        with open(tf) as fh:
+            body = json.load(fh)
+    except FileNotFoundError:
+        raise ValueError(f"no tag {name!r} under {path!r}") from None
+    os.remove(tf)
+    return {"name": name, "version": body.get("version")}
+
+
+def list_tags(path: str) -> dict:
+    """{tag name: pinned version} — one directory listing plus one
+    tiny JSON read per tag (metadata-only at any table size)."""
+    mdir = os.path.join(path, "_manifests")
+    out = {}
+    if not os.path.isdir(mdir):
+        return out
+    for f in sorted(os.listdir(mdir)):
+        if f.startswith("tag-") and f.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, f)) as fh:
+                    body = json.load(fh)
+                out[f[len("tag-"):-len(".json")]] = body["version"]
+            except (json.JSONDecodeError, KeyError):
+                continue  # torn tag create: not a ref yet
+    return out
+
+
+def resolve_tag(path: str, name: str) -> int:
+    tags = list_tags(path)
+    if name not in tags:
+        raise ValueError(
+            f"no tag {name!r} under {path!r}; have {sorted(tags)}"
+        )
+    return tags[name]
+
+
+def restore_table(
+    path: str, version: int | None = None, as_of=None, tag: str | None = None
+) -> dict:
     """RESTORE TABLE ... TO VERSION — roll the table back to an
     earlier snapshot AS A NEW COMMIT (Delta's RESTORE): the bad
     versions stay in the log for audit and time travel, and the head
@@ -5417,8 +5522,10 @@ def restore_table(path: str, version: int | None = None, as_of=None) -> dict:
 
     Returns {version (new), restored_to, n_files, total_rows,
     restored, untombstoned, tombstoned}."""
-    if (version is None) == (as_of is None):
-        raise ValueError("pass exactly one of version / as_of")
+    if sum(x is not None for x in (version, as_of, tag)) != 1:
+        raise ValueError("pass exactly one of version / as_of / tag")
+    if tag is not None:
+        version = resolve_tag(path, tag)
     if as_of is not None:
         version = version_as_of(path, as_of)
     versions = committed_versions(path, resolve_in_doubt=True)
@@ -5684,6 +5791,14 @@ def vacuum(
         if young:
             kept = sorted(set(kept) | set(young))
             dropped = [v for v in dropped if v not in set(young)]
+    # tagged versions are vacuum-EXEMPT (r13): a named ref pins a
+    # reproducible snapshot — its manifest stays, and the referenced-
+    # bytes walk below therefore keeps every tombstone it needs.
+    # drop_tag is the release that makes the version eligible again.
+    tagged = {v for v in list_tags(path).values() if v in set(versions)}
+    if tagged & set(dropped):
+        kept = sorted(set(kept) | tagged)
+        dropped = [v for v in dropped if v not in tagged]
     kept_set = set(kept)
     mdir = os.path.join(path, "_manifests")
     referenced: set[str] = set()

@@ -25,6 +25,7 @@ grammar onto them, one statement in, one result out:
     DESCRIBE DETAIL t
     RESTORE [TABLE] t [TO] VERSION AS OF n
     RESTORE [TABLE] t [TO] TIMESTAMP AS OF 'ts'
+    RESTORE [TABLE] t [TO] TAG AS OF 'name'          (r13: named refs)
     CREATE TABLE [IF NOT EXISTS] t LOCATION 'path'   (r13: catalog)
     DROP TABLE [IF EXISTS] t                         (r13: catalog)
     SELECT ...                                 (passthrough: snapshot
@@ -122,7 +123,7 @@ _DESCRIBE = re.compile(
 )
 _RESTORE = re.compile(
     r"^\s*RESTORE\s+(?:TABLE\s+)?(?P<t>[\w.`\"]+)\s+(?:TO\s+)?"
-    r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?P<v>.+?)\s*$",
+    r"(?P<kind>VERSION|TIMESTAMP|TAG)\s+AS\s+OF\s+(?P<v>.+?)\s*$",
     re.IGNORECASE,
 )
 _UPDATE = re.compile(
@@ -143,10 +144,11 @@ _DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<t>[\w`\"]+)\s*$",
     re.IGNORECASE,
 )
-# `t VERSION AS OF 3` / `t TIMESTAMP AS OF '...'` inside a SELECT —
-# rewritten to a registered time-travel view before Spark parses it
+# `t VERSION AS OF 3` / `t TIMESTAMP AS OF '...'` / `t TAG AS OF
+# 'name'` inside a SELECT — rewritten to a registered time-travel
+# view before Spark parses it
 _TIME_TRAVEL = re.compile(
-    r"(?P<t>[\w`\"]+)\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?P<t>[\w`\"]+)\s+(?P<kind>VERSION|TIMESTAMP|TAG)\s+AS\s+OF\s+"
     r"(?P<v>'[^']*'|\"[^\"]*\"|\S+)",
     re.IGNORECASE,
 )
@@ -540,10 +542,15 @@ class LakehouseSQL:
             if t not in tabs:
                 return m.group(0)  # not a catalog table: leave for Spark
             lit = m.group("v")
-            if m.group("kind").upper() == "VERSION":
+            kind = m.group("kind").upper()
+            if kind == "VERSION":
                 n = int(_parse_literal(lit))
                 view = f"{t}__v{n}"
                 df = read_version(self.spark, tabs[t], n)
+            elif kind == "TAG":
+                name = str(_parse_literal(lit))
+                view = f"{t}__tag_" + re.sub(r"\W", "_", name)
+                df = read_version(self.spark, tabs[t], tag=name)
             else:
                 as_of = _parse_literal(lit)
                 view = f"{t}__asof_" + re.sub(r"\W", "_", str(as_of))
@@ -672,6 +679,11 @@ class LakehouseSQL:
                 "VERSION|TIMESTAMP AS OF x"
             )
         path = self._path(m.group("t"))
-        if m.group("kind").upper() == "VERSION":
+        kind = m.group("kind").upper()
+        if kind == "VERSION":
             return restore_table(path, version=int(m.group("v")))
+        if kind == "TAG":
+            return restore_table(
+                path, tag=str(_parse_literal(m.group("v")))
+            )
         return restore_table(path, as_of=_parse_literal(m.group("v")))

@@ -82,14 +82,34 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
     model = {k: (v, s) for k, v, s in init}
     history = {snapshot_versions(path)[-1]: _model_state(model)}
     next_key = N_KEYS
+    # named refs (r13): {name: (pinned version, pinned state)} — a tag
+    # must survive every vacuum and replay its pinned state exactly
+    tags: dict = {}
 
     for step in range(OPS_PER_SEED):
         op = rng.choice(
             ["merge", "merge", "delete", "compact", "vacuum", "merge_bulk",
              "delete_bulk", "delete_dv", "crash_recover", "append",
-             "restore", "compact_log", "txn_pair"]
+             "restore", "compact_log", "txn_pair", "tag"]
         )
-        if op == "compact_log":
+        if op == "tag":
+            # r13 named refs: pin the head under a new name, or drop a
+            # live ref (making its version vacuum-eligible again) —
+            # the vacuum branch below asserts the exemption both ways
+            from data_pipeline_project_spark.sinks.manifest import (
+                drop_tag,
+                tag_snapshot,
+            )
+
+            if tags and rng.random() < 0.4:
+                name = rng.choice(sorted(tags))
+                drop_tag(path, name)
+                del tags[name]
+            else:
+                name = f"ref{step}"
+                info = tag_snapshot(path, name)
+                tags[name] = (info["version"], _model_state(model))
+        elif op == "compact_log":
             # metadata-only log rewrite: NO new version, no row change —
             # the live-equality, time-travel, and CDF probes below must
             # all hold on the delta-encoded log
@@ -304,6 +324,22 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
                 assert got == snap, (
                     f"seed {seed}: kept version {v} broken by vacuum at step {step}"
                 )
+            # tagged versions are vacuum-EXEMPT (r13): every live ref
+            # must survive any retention policy and replay the exact
+            # state pinned at tag time
+            for name, (tv, snap) in tags.items():
+                assert tv in kept, (
+                    f"seed {seed}: vacuum dropped tagged v{tv} "
+                    f"({name!r}) at step {step}"
+                )
+                got = sorted(
+                    (r.k, r.v, r.s)
+                    for r in read_version(spark, path, tag=name).collect()
+                )
+                assert got == snap, (
+                    f"seed {seed}: tag {name!r} replayed wrong state "
+                    f"after vacuum at step {step}"
+                )
 
         assert _live_state(spark, path) == _model_state(model), (
             f"seed {seed}: live table diverged from model after step {step} ({op})"
@@ -337,8 +373,15 @@ def test_random_op_sequences_match_reference_model(spark, duck, tmp_path, seed):
                 f"seed {seed}: CDF deletes wrong for v{v_from}->v{v_to}"
             )
 
-    # post-sequence: final vacuum to 1 version — only the newest survives,
-    # every earlier version must now refuse to read.
+    # post-sequence: release every live ref (a tag would exempt its
+    # version — that's the r13 contract, asserted above), then a final
+    # vacuum to 1 version — only the newest survives, every earlier
+    # version must now refuse to read.
+    if tags:
+        from data_pipeline_project_spark.sinks.manifest import drop_tag
+
+        for name in list(tags):
+            drop_tag(path, name)
     vacuum(path, keep_versions=1)
     versions = snapshot_versions(path)
     assert len(versions) == 1
