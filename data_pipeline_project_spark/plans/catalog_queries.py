@@ -213,3 +213,97 @@ def era_mixed_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "priority string, n_orders long, sum_price double"
     )
+
+
+# ---- consumed join advice under the driver hash gate (r13) ----------------
+
+_ADVISED_JOIN_ORACLE = """
+WITH fact AS (
+    SELECT CASE WHEN l_orderkey % 5 < 2 THEN 0
+                ELSE l_partkey % 2000 END AS sk,
+           l_quantity AS qty
+    FROM lineitem
+),
+dim AS (
+    SELECT DISTINCT p_partkey % 2000 AS sk,
+           (p_partkey % 2000) % 7 AS grp
+    FROM part
+)
+SELECT grp,
+       count(*)::BIGINT AS n_rows,
+       sum(qty::DECIMAL(18,2))::DOUBLE AS sum_qty
+FROM fact JOIN dim USING (sk)
+GROUP BY grp
+"""
+
+
+@register("advised_join_parity", oracle=_ADVISED_JOIN_ORACLE)
+def advised_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumed join advice under the driver's hash gate (r13 registry
+    swap, in for dedup_exact — which stays oracle-green in the
+    deregistered harness and is subsumed by clean_corpus_pipeline).
+
+    Fixture: fact + dim manifest tables built from lineitem/part with
+    40% of the fact's rows on ONE hot key; ANALYZE gives the log the
+    NDV / heavy-hitter sketches the advice tier reads. With
+    broadcast_bytes=1 join_plan_advice says shuffle + skew_side='a',
+    so ``advised_join`` executes the SALTED-SKEW plan: deterministic
+    content salt on the skewed side, the other side exploded to every
+    salt, merge-hinted, overlap-pruned. The oracle recomputes with a
+    plain DuckDB join — equality proves the consumed advice changes
+    PHYSICS (which reducers the hot key lands on), never ANSWERS.
+
+    Scale posture: advice is metadata-only (sketches from the log,
+    zero extra scans); the salted exchange spreads the hot key over
+    salt_buckets reducers — measured 1.92x at 10x in SCALE_r12, the
+    same plan the r13 bulk merges now consume internally."""
+    from data_pipeline_project_spark.sinks.layout import advised_join
+    from data_pipeline_project_spark.sinks.manifest import (
+        analyze_table,
+        write_versioned_manifest,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.when(F.col("l_orderkey") % 5 < 2, F.lit(0))
+        .otherwise(F.col("l_partkey") % 2000)
+        .cast("long")
+        .alias("sk"),
+        F.col("l_quantity").alias("qty"),
+    )
+    pt = (
+        load_table(spark, "part", sf_dir)
+        .select(
+            (F.col("p_partkey") % 2000).cast("long").alias("sk"),
+            ((F.col("p_partkey") % 2000) % 7).cast("long").alias("grp"),
+        )
+        .distinct()
+    )
+    work = tempfile.mkdtemp(prefix="advised_join_parity_")
+    fa, di = os.path.join(work, "fact"), os.path.join(work, "dim")
+    try:
+        li.coalesce(4).write.parquet(fa)
+        write_versioned_manifest(fa)
+        analyze_table(fa, spark=spark)
+        pt.coalesce(2).write.parquet(di)
+        write_versioned_manifest(di)
+        analyze_table(di, spark=spark)
+        out, adv = advised_join(spark, fa, di, "sk", broadcast_bytes=1)
+        if adv["strategy"] != "shuffle" or adv.get("skew_side") != "a":
+            raise RuntimeError(
+                f"fixture must exercise the salted-skew path, got {adv}"
+            )
+        rows = (
+            out.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("qty").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "grp long, n_rows long, sum_qty double"
+    )

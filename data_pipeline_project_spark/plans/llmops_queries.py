@@ -43,17 +43,21 @@ list_distinct(list_transform(
 
 
 # ---- exact dedup -----------------------------------------------------------
+# r13 registry swap: slot ceded to advised_join_parity (the consumed-
+# advice path under the driver's hash gate); dedup_exact keeps full
+# DuckDB parity in the deregistered harness (conftest
+# EXTRA_ORACLE_QUERIES) and is exercised end-to-end by
+# clean_corpus_pipeline, which subsumes it.
 
-@register(
-    "dedup_exact",
-    oracle="""
+DEDUP_EXACT_ORACLE = """
 SELECT md5(text) AS content_hash,
        min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
 FROM documents
 GROUP BY md5(text)
-""",
-)
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup as hash-groupBy: one shuffle on the content hash,
     deterministic keeper (min id). At 100 TB the hash (not the text)

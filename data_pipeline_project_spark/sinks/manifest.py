@@ -4082,18 +4082,68 @@ def merge_upsert(
     }
 
 
+def _merge_skew_salts(path: str, key_col: str, salt_buckets: int = 16) -> int:
+    """Consumed advice for the bulk rewrites' own shuffle (r13): 0 =
+    unsalted; >= 2 = salt the whole-table anti-join because the LOG's
+    merged heavy-hitter summary says one key holds >= 20% of the
+    table's rows — the same threshold join_plan_advice flags — so one
+    reducer would serialize that fraction of the exchange. Zero data
+    I/O: the decision reads the entries' top-K sketches; missing or
+    partial coverage returns 0 (the unsalted plan is always correct,
+    salting is purely a physics choice)."""
+    try:
+        info = table_column_ndv(path, key_col)
+    except (FileNotFoundError, json.JSONDecodeError, KeyError):
+        return 0
+    if not info or info.get("coverage", 0) < 1.0 or not info.get("top"):
+        return 0
+    rows = info.get("rows_nonnull") or 0
+    if rows <= 0:
+        return 0
+    _top_v, top_n = info["top"][0]
+    return int(salt_buckets) if top_n / rows >= 0.2 else 0
+
+
 def bulk_merge_frame(
-    target: DataFrame, updates_df: DataFrame, key_col: str, target_cols: list[str]
+    target: DataFrame, updates_df: DataFrame, key_col: str,
+    target_cols: list[str], salt_buckets: int = 0,
 ) -> DataFrame:
     """The bulk-merge logical plan: survivors (whole-table left_anti
     against the distinct update keys, shuffle_hash-hinted so the key
     side is NEVER broadcast — this path exists because the keys exceed
     broadcast scale) unioned with the updates. Factored out so plan
-    tests can assert the join strategy without writing a table."""
+    tests can assert the join strategy without writing a table.
+
+    ``salt_buckets >= 2`` (r13, from _merge_skew_salts) salts the
+    anti-join exactly as sinks/layout.advised_join salts a skewed user
+    join: the table side takes a DETERMINISTIC content salt (xxhash64
+    of the row — stable under stage retry, see functions/skew.py), the
+    key side explodes to every salt, and the join key becomes
+    (key, _salt) — a hot key's rows spread over ``salt_buckets``
+    reducers instead of one. A row survives iff its key is absent from
+    the key set, which holds per (key, salt) because every key carries
+    every salt: result identity with the unsalted plan is pinned by
+    test."""
     from pyspark.sql import functions as F
 
-    kdf = updates_df.select(F.col(key_col)).distinct().hint("shuffle_hash")
-    survivors = target.join(kdf, key_col, "left_anti")
+    kdf = updates_df.select(F.col(key_col)).distinct()
+    if salt_buckets >= 2:
+        tgt = target.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in target.columns]),
+                F.lit(salt_buckets),
+            ).cast("int"),
+        )
+        kdf = kdf.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+        ).hint("shuffle_hash")
+        survivors = tgt.join(kdf, [key_col, "_salt"], "left_anti").drop(
+            "_salt"
+        )
+    else:
+        survivors = target.join(kdf.hint("shuffle_hash"), key_col, "left_anti")
     return survivors.unionByName(updates_df.select(*target_cols))
 
 
@@ -4184,7 +4234,12 @@ def merge_bulk(
     # logical read: pinned/widened types, rename coalesce, drops omitted
     target = read_table_logical(spark, path)
     n_target = target.count()  # metadata-only for parquet
-    merged = bulk_merge_frame(target, updates_df, key_col, target_cols)
+    # consumed advice (r13): a hot merge key flagged by the log's
+    # heavy-hitter summary salts this plan's one big exchange
+    merged = bulk_merge_frame(
+        target, updates_df, key_col, target_cols,
+        salt_buckets=_merge_skew_salts(path, key_col),
+    )
 
     staged_total, manifest = _commit_bulk_rewrite(
         spark, path, merged, key_col, version, n_out, old_files,
@@ -4376,8 +4431,28 @@ def delete_bulk(
 
     target = read_table_logical(spark, path)
     n_target = target.count()  # metadata-only for parquet
-    kdf = keys_df.select(F.col(key_col)).distinct().hint("shuffle_hash")
-    survivors = target.join(kdf, key_col, "left_anti")
+    # consumed advice (r13): same skew salting as merge_bulk — the
+    # delete's anti-join shuffles the whole table on the key too
+    nsalt = _merge_skew_salts(path, key_col)
+    kdf = keys_df.select(F.col(key_col)).distinct()
+    if nsalt >= 2:
+        tgt = target.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in target.columns]),
+                F.lit(nsalt),
+            ).cast("int"),
+        )
+        kdf = kdf.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))
+        ).hint("shuffle_hash")
+        survivors = tgt.join(kdf, [key_col, "_salt"], "left_anti").drop(
+            "_salt"
+        )
+    else:
+        survivors = target.join(
+            kdf.hint("shuffle_hash"), key_col, "left_anti"
+        )
 
     staged_total, manifest = _commit_bulk_rewrite(
         spark, path, survivors, key_col, version, n_out, old_files

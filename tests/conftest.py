@@ -58,6 +58,9 @@ EXTRA_ORACLE_QUERIES = [
     # Round-11 swap-out (slot ceded to stats_catalog_parity):
     ("llmops_queries", "train_val_test_split", "TRAIN_VAL_TEST_ORACLE"),
     ("llmops_queries", "training_shard_assignment", "TRAINING_SHARD_ORACLE"),
+    # Round-13 swap-out (slot ceded to advised_join_parity; still
+    # exercised end-to-end by clean_corpus_pipeline):
+    ("llmops_queries", "dedup_exact", "DEDUP_EXACT_ORACLE"),
     ("relational_queries", "preprocess_rename_project_dropna", "PREPROCESS_RENAME_ORACLE"),
     ("relational_queries", "round_robin_synthetic_key", "ROUND_ROBIN_KEY_ORACLE"),
     ("relational_queries", "subquery_scalar_avg", "SUBQUERY_SCALAR_AVG_ORACLE"),
