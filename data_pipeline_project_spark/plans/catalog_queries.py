@@ -283,10 +283,13 @@ def advised_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         li.coalesce(4).write.parquet(fa)
         write_versioned_manifest(fa)
+        # only the FACT side needs sketches: the skew flag reads side
+        # a's heavy-hitter summary and broadcast_bytes=1 forces the
+        # shuffle strategy regardless of dim stats — one ANALYZE, not
+        # two, keeps the fixture lean at bench scale
         analyze_table(fa, spark=spark)
         pt.coalesce(2).write.parquet(di)
         write_versioned_manifest(di)
-        analyze_table(di, spark=spark)
         out, adv = advised_join(spark, fa, di, "sk", broadcast_bytes=1)
         if adv["strategy"] != "shuffle" or adv.get("skew_side") != "a":
             raise RuntimeError(

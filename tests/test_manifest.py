@@ -1527,7 +1527,7 @@ def test_time_travel_by_timestamp_and_vacuum_dry_run(spark, duck, tmp_path):
     assert version_as_of(path, dt.isoformat()) == 1
     with pytest.raises(ValueError, match="at or before"):
         version_as_of(path, t_after_v1 - 3600)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="mutually exclusive"):
         read_version(spark, path, version=1, as_of=t_after_v1)
     hist = table_history(path)
     stamps = [h["committed_at"] for h in hist]
