@@ -28,6 +28,9 @@ grammar onto them, one statement in, one result out:
     RESTORE [TABLE] t [TO] TAG AS OF 'name'          (r13: named refs)
     CREATE TABLE [IF NOT EXISTS] t LOCATION 'path'   (r13: catalog)
     DROP TABLE [IF EXISTS] t                         (r13: catalog)
+    CREATE TAG name ON t [VERSION AS OF n]           (r13: named refs)
+    DROP TAG name ON t
+    SHOW TABLES | SHOW TAGS t
     SELECT ...                                 (passthrough: snapshot
                                                 views + spark.sql;
                                                 r13: `t VERSION AS OF
@@ -142,6 +145,19 @@ _CREATE = re.compile(
 )
 _DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<t>[\w`\"]+)\s*$",
+    re.IGNORECASE,
+)
+_CREATE_TAG = re.compile(
+    r"^\s*CREATE\s+TAG\s+(?P<n>[\w.$-]+|'[^']+')\s+ON\s+(?P<t>[\w`\"]+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s*$",
+    re.IGNORECASE,
+)
+_DROP_TAG = re.compile(
+    r"^\s*DROP\s+TAG\s+(?P<n>[\w.$-]+|'[^']+')\s+ON\s+(?P<t>[\w`\"]+)\s*$",
+    re.IGNORECASE,
+)
+_SHOW = re.compile(
+    r"^\s*SHOW\s+(?:(?P<what>TABLES)|TAGS\s+(?P<t>[\w`\"]+))\s*$",
     re.IGNORECASE,
 )
 # `t VERSION AS OF 3` / `t TIMESTAMP AS OF '...'` / `t TAG AS OF
@@ -297,9 +313,15 @@ class LakehouseSQL:
         if head == "RESTORE":
             return self._restore(s)
         if head == "CREATE":
+            if _CREATE_TAG.match(s):
+                return self._create_tag(s)
             return self._create(s)
         if head == "DROP":
+            if _DROP_TAG.match(s):
+                return self._drop_tag(s)
             return self._drop(s)
+        if head == "SHOW":
+            return self._show(s)
         raise SQLCommandError(
             f"unsupported statement {head!r}: supported commands are "
             f"MERGE INTO / UPDATE / DELETE FROM / INSERT INTO / "
@@ -526,6 +548,41 @@ class LakehouseSQL:
             )
         return self.catalog.drop_table(
             _ident(m.group("t")), if_exists=bool(m.group("ie"))
+        )
+
+    def _create_tag(self, s: str):
+        from data_pipeline_project_spark.sinks.manifest import tag_snapshot
+
+        m = _CREATE_TAG.match(s)
+        name = m.group("n").strip("'")
+        return tag_snapshot(
+            self._path(m.group("t")),
+            name,
+            version=int(m.group("v")) if m.group("v") else None,
+        )
+
+    def _drop_tag(self, s: str):
+        from data_pipeline_project_spark.sinks.manifest import drop_tag
+
+        m = _DROP_TAG.match(s)
+        return drop_tag(self._path(m.group("t")), m.group("n").strip("'"))
+
+    def _show(self, s: str):
+        m = _SHOW.match(s)
+        if not m:
+            raise SQLCommandError(
+                "SHOW grammar: SHOW TABLES | SHOW TAGS t"
+            )
+        if m.group("what"):
+            rows = sorted(self._tables().items())
+            return self.spark.createDataFrame(
+                rows or [], "table_name string, location string"
+            )
+        from data_pipeline_project_spark.sinks.manifest import list_tags
+
+        rows = sorted(list_tags(self._path(m.group("t"))).items())
+        return self.spark.createDataFrame(
+            rows or [], "tag_name string, version long"
         )
 
     def _rewrite_time_travel(self, s: str) -> str:

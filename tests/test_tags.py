@@ -198,3 +198,31 @@ def test_sql_tag_surface(spark, duck, tmp_path):
     )
     lh.sql("RESTORE TABLE t TO TAG AS OF 'gold'")
     assert lh.sql("SELECT count(*) AS n FROM t").collect()[0].n == 200
+
+
+def test_sql_tag_lifecycle_statements(spark, duck, tmp_path):
+    """CREATE TAG / DROP TAG / SHOW TAGS / SHOW TABLES — the SQL twins
+    of tag_snapshot/drop_tag/list_tags and the catalog listing."""
+    from data_pipeline_project_spark.sinks.sql_commands import LakehouseSQL
+
+    p = str(tmp_path / "t")
+    _table(spark, p)
+    lh = LakehouseSQL(spark, {"t": p}, duck=duck)
+    v1 = snapshot_versions(p)[-1]
+    assert lh.sql("CREATE TAG gold ON t") == {"name": "gold", "version": v1}
+    append_snapshot(
+        spark, p, spark.createDataFrame([(900, 1)], "k long, v long")
+    )
+    lh.sql("CREATE TAG 'silver' ON t VERSION AS OF 1")
+    tags = {
+        r.tag_name: r.version for r in lh.sql("SHOW TAGS t").collect()
+    }
+    assert tags == {"gold": v1, "silver": 1}
+    tabs = {
+        r.table_name: r.location for r in lh.sql("SHOW TABLES").collect()
+    }
+    assert tabs == {"t": p}
+    assert lh.sql("DROP TAG silver ON t")["name"] == "silver"
+    assert [r.tag_name for r in lh.sql("SHOW TAGS t").collect()] == ["gold"]
+    with pytest.raises(ValueError, match="no tag"):
+        lh.sql("DROP TAG silver ON t")
