@@ -3889,15 +3889,50 @@ def merge_upsert(
         head = read_manifest(
             os.path.join(path, "_manifests", f"v{base_version}.json")
         )
-        zone_maps, rel_by_path, blooms = _snapshot_zone_maps(
-            duck, head, key_col, duck_type
-        )
         dv_relpaths = head.get("dv") or []
+        # INSERT-ONLY fast path (r13 consumed advice): when the batch's
+        # key range provably lies beyond the table's logged GLOBAL
+        # range, no file can hold a matched key — skip zone-map
+        # assembly, candidate selection, and the per-file loop
+        # entirely and go straight to the append step. This is the
+        # streaming-CDC append wave (monotone keys), where a
+        # million-file table would otherwise pay an O(files) zone-map
+        # walk per micro-batch for zero candidates. Requires full
+        # stats coverage (table_column_minmax returns None otherwise)
+        # and a non-float key (NaN breaks range reasoning, same guard
+        # _select_candidates applies).
+        insert_only = False
+        if not (new_fields or schema_widened) and dict(
+            updates_df.dtypes
+        ).get(key_col) not in ("float", "double"):
+            trange = table_column_minmax(path, key_col, version=base_version)
+            if trange is not None and trange[0] is not None:
+                kr = updates_df.agg(
+                    F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+                ).collect()[0]
+                try:
+                    insert_only = kr["lo"] is not None and (
+                        kr["lo"] > trange[1] or kr["hi"] < trange[0]
+                    )
+                except TypeError:
+                    insert_only = False  # cross-type compare: no proof
+        if insert_only:
+            rels = [e["path"] for e in head["files"]]
+            zone_maps = [(os.path.join(path, r), None, None) for r in rels]
+            rel_by_path = {os.path.join(path, r): r for r in rels}
+            blooms = {}
+            candidates = []
+        else:
+            zone_maps, rel_by_path, blooms = _snapshot_zone_maps(
+                duck, head, key_col, duck_type
+            )
+            candidates = None
     else:
         zone_maps = file_zone_maps(duck, path, key_col, duck_type)
         rel_by_path = {f: os.path.relpath(f, path) for f, _, _ in zone_maps}
         dv_relpaths = table_dv(path)
         blooms = {}
+        candidates = None
     pcols = _partition_cols_of(rel_by_path.values())
     if key_col in pcols:
         raise ValueError(
@@ -3907,21 +3942,22 @@ def merge_upsert(
             f"see it; key on a data column (a partition-changing update "
             f"then lands in its new partition automatically)"
         )
-    candidates = _select_candidates(
-        spark, zone_maps, updates_df, key_col, prune, blooms=blooms
-    )
-    if (
-        rewrite == "auto"
-        and not (new_fields or schema_widened)  # evolution stays targeted
-        and zone_maps
-        and len(candidates) >= BULK_REWRITE_FRACTION * len(zone_maps)
-    ):
-        # Table-scale selectivity: zone maps can't save this merge —
-        # nearly every file would be rewritten one at a time. Switch to
-        # the single shuffle anti-join + re-cluster plan instead.
-        return merge_bulk(
-            spark, path, key_col, updates_df, commit_extra=commit_extra
+    if candidates is None:
+        candidates = _select_candidates(
+            spark, zone_maps, updates_df, key_col, prune, blooms=blooms
         )
+        if (
+            rewrite == "auto"
+            and not (new_fields or schema_widened)  # evolution stays targeted
+            and zone_maps
+            and len(candidates) >= BULK_REWRITE_FRACTION * len(zone_maps)
+        ):
+            # Table-scale selectivity: zone maps can't save this merge —
+            # nearly every file would be rewritten one at a time. Switch
+            # to the single shuffle anti-join + re-cluster plan instead.
+            return merge_bulk(
+                spark, path, key_col, updates_df, commit_extra=commit_extra
+            )
 
     kdf = F.broadcast(updates_df.select(F.col(key_col)).distinct())
     # native blooms survive the rewrite (r13): size per CANDIDATE file

@@ -23,6 +23,7 @@ from data_pipeline_project_spark.sinks.manifest import (
     bulk_merge_frame,
     delete_bulk,
     merge_bulk,
+    merge_upsert,
     read_version,
     write_versioned_manifest,
 )
@@ -116,3 +117,89 @@ def test_delete_bulk_salted_final_state_equals_unsalted(
     rb = delete_bulk(spark, b, "k", keys)
     assert ra["rows_deleted"] == rb["rows_deleted"] > 2_000  # hot key gone
     assert _rows(spark, a) == _rows(spark, b)
+
+
+# -- r13: insert-only fast path (skip the candidate scan) ----------------
+
+
+def test_insert_only_merge_skips_candidate_machinery(
+    spark, duck, tmp_path, monkeypatch
+):
+    """A batch whose key range provably exceeds the table's logged
+    global range (the streaming-CDC append wave) must commit WITHOUT
+    touching zone-map assembly or candidate selection — poisoned here
+    — while an overlapping batch still goes through them."""
+    path = _uniform_table(spark, str(tmp_path / "t"), n=2_000)
+
+    def _boom(*a, **k):
+        raise AssertionError("candidate machinery touched")
+
+    monkeypatch.setattr(M, "_snapshot_zone_maps", _boom)
+    monkeypatch.setattr(M, "_select_candidates", _boom)
+    res = merge_upsert(
+        spark, duck, path, "k",
+        spark.range(0, 300).select(
+            (F.col("id") + 50_000).alias("k"), F.lit(-1).alias("v")
+        ),
+    )
+    assert res["rows_inserted"] == 300 and res["rows_updated"] == 0
+    assert res["files_rewritten"] == 0
+    assert read_version(spark, path).count() == 2_300
+    # overlapping keys: the poison fires, proving the normal path runs
+    monkeypatch.undo()
+    monkeypatch.setattr(M, "_select_candidates", _boom)
+    with pytest.raises(AssertionError, match="candidate machinery"):
+        merge_upsert(
+            spark, duck, path, "k",
+            spark.createDataFrame([(5, -9)], "k long, v long"),
+        )
+    monkeypatch.undo()
+    # and the real overlapping merge is still correct
+    merge_upsert(
+        spark, duck, path, "k",
+        spark.createDataFrame([(5, -9)], "k long, v long"),
+    )
+    assert read_version(spark, path).where("k = 5").collect()[0].v == -9
+
+
+def test_insert_only_fast_path_needs_full_stats_coverage(
+    spark, duck, tmp_path, monkeypatch
+):
+    """A bootstrap-era table (no per-file stats for the key) cannot
+    prove disjointness — the fast path must NOT fire."""
+    path = str(tmp_path / "b")
+    spark.range(0, 500).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    ).coalesce(1).write.parquet(path)
+    # listing bootstrap records footer stats; strip them to simulate a
+    # legacy manifest without stats coverage
+    import json as _json
+    import os as _os
+
+    from data_pipeline_project_spark.sinks.manifest import (
+        read_manifest,
+        write_versioned_manifest,
+    )
+
+    write_versioned_manifest(path)
+    mpath = _os.path.join(path, "_manifests", "latest.json")
+    m = read_manifest(mpath)
+    for e in m["files"]:
+        e.pop("stats", None)
+    for p in (mpath, _os.path.join(path, "_manifests", "v1.json")):
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    calls = []
+    orig = M._select_candidates
+    monkeypatch.setattr(
+        M, "_select_candidates",
+        lambda *a, **k: calls.append(1) or orig(*a, **k),
+    )
+    merge_upsert(
+        spark, duck, path, "k",
+        spark.range(0, 10).select(
+            (F.col("id") + 90_000).alias("k"), F.lit(-1).alias("v")
+        ),
+    )
+    assert calls, "without stats coverage the normal path must run"
+    assert read_version(spark, path).count() == 510
