@@ -434,37 +434,61 @@ def drop_boilerplate_lines(
     become empty) plus ``n_lines_kept`` / ``n_lines_dropped``.
 
     Scale shape (Penedo et al. 2023, RefinedWeb §G — reimplemented
-    Spark-first, no reference-code counterpart): one explode of the
-    line table, ONE shuffle to count each line's document frequency,
-    and the boilerplate set — only lines ABOVE the df threshold, a tiny
-    fraction of the line vocabulary — comes back as a broadcast anti
-    join, so the corpus itself is shuffled only once more to reassemble
-    documents (keyed by ``id_col``). Lines are compared by content
-    string; at 100 TB swap the join key for xxhash64(line) to shuffle
-    8-byte keys instead of line text (not done here so the DuckDB
-    oracle can replicate the operator bit-for-bit without a Spark-only
-    hash).
+    Spark-first, no reference-code counterpart): the line table is
+    exploded ONCE and materialized (query-scoped persist — its two
+    consumers would otherwise each re-run the scan+explode), ONE
+    shuffle counts each line's document frequency, and the boilerplate
+    set — only lines ABOVE the df threshold, a tiny fraction of the
+    line vocabulary — comes back as a broadcast LEFT join that flags
+    (rather than drops) boilerplate lines, so kept text, kept count
+    and total count all come out of ONE reassembly shuffle keyed by
+    ``id_col`` (r13: the drop-then-rejoin form cost a second explode
+    pass, a third narrow scan for totals, and a corpus-sized outer
+    join to restore all-boilerplate documents; flagging makes every
+    document survive the aggregate by construction). Lines are
+    compared by content string; at 100 TB swap the join key for
+    xxhash64(line) to shuffle 8-byte keys instead of line text (not
+    done here so the DuckDB oracle can replicate the operator
+    bit-for-bit without a Spark-only hash).
     """
+    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
+
     other_cols = [c for c in docs.columns if c != text_col]
-    lines = docs.select(
-        *other_cols,
-        F.posexplode(F.split(F.col(text_col), F.lit(line_sep))).alias("_bl_pos", "_bl_line"),
-    ).withColumn("_bl_line", F.trim("_bl_line"))
+    lines = scoped_persist(
+        docs.select(
+            *other_cols,
+            F.posexplode(F.split(F.col(text_col), F.lit(line_sep))).alias(
+                "_bl_pos", "_bl_line"
+            ),
+        ).withColumn("_bl_line", F.trim("_bl_line"))
+    )
 
     boiler = (
         lines.groupBy("_bl_line")
         .agg(F.countDistinct(id_col).alias("_bl_df"))
         .where(F.col("_bl_df") >= min_df)
-        .select("_bl_line")
+        .select("_bl_line", F.lit(True).alias("_bl_boiler"))
     )
 
-    kept = lines.join(F.broadcast(boiler), "_bl_line", "left_anti")
-    rebuilt = (
-        kept.groupBy(*other_cols)
+    flagged = lines.join(F.broadcast(boiler), "_bl_line", "left")
+    # collect_list skips nulls, so the when() keeps exactly the
+    # non-boilerplate lines; count(*) is the document's total line
+    # count (split() never returns an empty array, so every document
+    # reaches the aggregate — all-boilerplate ones with an empty kept
+    # list, which array_join renders as the same empty text the old
+    # outer-join restore produced).
+    return (
+        flagged.groupBy(*other_cols)
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("_bl_pos"), F.col("_bl_line")))
-            ).alias("_bl_parts")
+                F.collect_list(
+                    F.when(
+                        F.col("_bl_boiler").isNull(),
+                        F.struct(F.col("_bl_pos"), F.col("_bl_line")),
+                    )
+                )
+            ).alias("_bl_parts"),
+            F.count(F.lit(1)).cast("int").alias("_bl_total"),
         )
         .select(
             *other_cols,
@@ -472,24 +496,7 @@ def drop_boilerplate_lines(
                 F.transform(F.col("_bl_parts"), lambda s: s["_bl_line"]), line_sep
             ).alias(text_col),
             F.size("_bl_parts").alias("n_lines_kept"),
-        )
-    )
-    # Documents whose every line was boilerplate vanish from the anti
-    # join — restore them with empty text (dropping documents is a
-    # separate policy decision the caller makes, not a side effect).
-    totals = docs.select(
-        *other_cols,
-        F.size(F.split(F.col(text_col), F.lit(line_sep))).alias("_bl_total"),
-    )
-    return (
-        totals.join(rebuilt.select(id_col, text_col, "n_lines_kept"), id_col, "left_outer")
-        .select(
-            *other_cols,
-            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
-            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
-            (F.col("_bl_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0))).alias(
-                "n_lines_dropped"
-            ),
+            (F.col("_bl_total") - F.size("_bl_parts")).alias("n_lines_dropped"),
         )
     )
 

@@ -188,6 +188,12 @@ def cosine_near_pairs(
     right = base.select(
         F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("bucket0").alias("bucket")
     )
+    # No distinct: the right side keeps its single exact bucket and the
+    # left side's 9 probe keys (bucket0 ^ distinct masks) are distinct
+    # values, so an (id_a, id_b) pair joins at most once — and the
+    # mirrored (id_b, id_a) orientation is cut by the id_a < id_b
+    # filter. The dedup was a no-op costing the query's widest shuffle
+    # (every scored candidate pair) — removed (r13).
     return (
         left.join(right, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
@@ -196,7 +202,6 @@ def cosine_near_pairs(
             "id_b",
             F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
         )
-        .distinct()
         .where(F.col("cosine_sim") >= threshold)
     )
 
@@ -240,6 +245,10 @@ def lsh_cosine_topk(
     probes = [F.col("bucket0").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
     q = q.withColumn("bucket", F.explode(F.array(*probes)))
 
+    # No distinct: a corpus row has exactly ONE bucket and the probe
+    # masks are distinct, so bucket0 ^ mask enumerates distinct probe
+    # buckets — each (query, neighbor) pair matches at most once and a
+    # dedup would only re-shuffle every scored candidate (r13).
     sims = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -248,7 +257,6 @@ def lsh_cosine_topk(
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -378,6 +386,12 @@ def ivf_cosine_topk(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("list_id", F.explode(ivf_lists(F.col("qv"), centroids, n_probe)))
 
+    # No distinct: each corpus row carries exactly ONE list_id and a
+    # query's n_probe probe lists are distinct centroid ids (argsort
+    # indices), so a (query, neighbor) pair can match the equi-join at
+    # most once — a dedup here would be a no-op that costs a full
+    # shuffle of every scored candidate (r13: removed; was the largest
+    # exchange in the query).
     sims = (
         c.join(F.broadcast(q), "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -386,7 +400,6 @@ def ivf_cosine_topk(
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -469,6 +482,9 @@ def query_ivf_index(
             _as_double(F.col(vec_col)).alias("cv"),
         )
     )
+    # No distinct — same argument as ivf_cosine_topk: one list per
+    # corpus row, distinct probe ids per query, so the join emits each
+    # (query, neighbor) pair at most once (r13).
     sims = (
         c.join(F.broadcast(q), "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -477,7 +493,6 @@ def query_ivf_index(
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")

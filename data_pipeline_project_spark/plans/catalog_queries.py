@@ -286,8 +286,13 @@ def advised_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only the FACT side needs sketches: the skew flag reads side
         # a's heavy-hitter summary and broadcast_bytes=1 forces the
         # shuffle strategy regardless of dim stats — one ANALYZE, not
-        # two, keeps the fixture lean at bench scale
-        analyze_table(fa, spark=spark)
+        # two, keeps the fixture lean at bench scale. r13 opt: sketch
+        # only the JOIN KEY — the advice reads sk's NDV/top alone, and
+        # _est_inmem's lower-median over {sk} equals the {sk, qty}
+        # value (both cap at 32x), so the advice dict and the result
+        # are unchanged while the sketch scan halves (guide §4: pass
+        # only the columns the function needs).
+        analyze_table(fa, spark=spark, columns=["sk"])
         pt.coalesce(2).write.parquet(di)
         write_versioned_manifest(di)
         out, adv = advised_join(spark, fa, di, "sk", broadcast_bytes=1)

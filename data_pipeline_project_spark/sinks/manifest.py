@@ -655,41 +655,52 @@ def _sketch_files(spark, ndv_targets: dict, bloom_targets: dict) -> dict:
             "_f", F.input_file_name()
         )
 
-        # ONE long-format pass: per column, (file, col, value-string,
-        # hash); grouped to per-value counts. Every downstream branch
-        # (registers, top-K, blooms) aggregates THIS frame, and
-        # because all branches collect through one union, Catalyst's
-        # ReuseExchange dedups the shared groupBy shuffle — the whole
-        # sketch set is ONE Spark job per schema group, not three.
-        parts = [
-            df.select(
-                "_f",
+        # ONE long-format pass in ONE scan: per row, explode an array
+        # of (col, value-string, hash) structs — one pass over the
+        # files reads every sketch column (the per-column-union form
+        # scanned the file set once PER COLUMN: 8x the scan tasks and
+        # file opens for an 8-column sketch set). Grouped to per-value
+        # counts; every downstream branch (registers, top-K, blooms)
+        # aggregates THIS frame through one collect, so Catalyst's
+        # ReuseExchange dedups the shared aggregation shuffle.
+        structs = [
+            F.struct(
                 F.lit(c).alias("_c"),
                 F.col(c).cast(_SKETCH_CASTS[k]).cast("string").alias("_v"),
                 _sketch_hash_col(c, k).alias("_h"),
             )
             for c, k in sorted(all_cols.items())
         ]
-        u = parts[0]
-        for q in parts[1:]:
-            u = u.unionAll(q)
-        # ONE exchange for the whole sketch plan: hash-partition on
-        # (_f, _c) — a SUBSET of every downstream grouping/window key,
-        # so Catalyst satisfies all three branches' distribution
-        # requirements from this single shuffle (no 3x default-width
-        # exchanges; a micro-commit pays one small stage, a big
-        # ANALYZE gets file x column task grain, which is exactly the
-        # parallelism the work has). The partition count scales WITH
-        # the wave (r13 — the old flat 256 cap serialized a 100k-file
-        # ANALYZE into 256 tasks): ~32 file x column pairs per task
-        # beyond the 256 base, capped only by the pair count itself.
+        u = df.select("_f", F.explode(F.array(*structs)).alias("_s")).select(
+            "_f",
+            F.col("_s._c").alias("_c"),
+            F.col("_s._v").alias("_v"),
+            F.col("_s._h").alias("_h"),
+        )
+        # Aggregate BEFORE any exchange (guide §2.3: shuffle aggregated
+        # rows, not raw rows): groupBy's partial (map-side) aggregation
+        # collapses each scan partition to its distinct (file, col,
+        # value) rows, so the first exchange carries the column's
+        # redundancy-reduced footprint instead of every raw row with
+        # its filename string (measured 3.1x on the advised-join
+        # fixture: 6.8 -> 2.2 s median). The AGGREGATED frame is then
+        # repartitioned on (_f, _c) — a SUBSET of every downstream
+        # grouping/window key, so one small exchange satisfies all
+        # three branches' distribution requirements. Worst case (an
+        # all-distinct key column) ships the distinct set twice where
+        # the old plan shipped raw rows once — same asymptotics, and
+        # every repeated-value column wins by its redundancy factor.
+        # The partition count scales WITH the wave (r13 — the old flat
+        # 256 cap serialized a 100k-file ANALYZE into 256 tasks): ~32
+        # file x column pairs per task beyond the 256 base, capped
+        # only by the pair count itself.
         pairs = len(gpaths) * max(1, len(all_cols))
         nparts = max(2, min(pairs, max(256, pairs // 32)))
         g = (
             u.where(F.col("_h").isNotNull())
-            .repartition(nparts, "_f", "_c")
             .groupBy("_f", "_c", "_v", "_h")
             .agg(F.count(F.lit(1)).alias("_n"))
+            .repartition(nparts, "_f", "_c")
         )
 
         branches = []
@@ -997,7 +1008,8 @@ def _bloom_may_contain_any(bloom: dict, key_hashes: list) -> bool:
 
 
 def analyze_table(
-    path: str, max_retries: int | None = None, spark=None
+    path: str, max_retries: int | None = None, spark=None,
+    columns=None,
 ) -> dict:
     """ANALYZE TABLE: backfill NDV sketches for every pinned entry
     that lacks one (bootstrap-era files — the listing path records
@@ -1013,7 +1025,13 @@ def analyze_table(
     charges for distribution statistics (Spark/Iceberg's ANALYZE).
     Conflicts loudly with any concurrent rewrite of the files it
     re-pins (its intent names them all); rerun after. Returns
-    {version, files_analyzed}."""
+    {version, files_analyzed}.
+
+    ``columns``: optional iterable restricting the sketch to named
+    columns (guide §4: pass only the columns the job needs) — a
+    caller that only wants join-key statistics skips scanning and
+    hashing every other sketchable column. None (default) keeps the
+    full _entry_sketch_cols coverage."""
     versions = committed_versions(path, resolve_in_doubt=True)
     if not versions:
         raise ValueError(f"{path!r} has no snapshot to analyze")
@@ -1027,6 +1045,9 @@ def analyze_table(
         if live is None:
             raise FileNotFoundError(f"pinned file {f['path']} unresolvable")
         cols = _entry_sketch_cols(f)
+        if columns is not None:
+            want = set(columns)
+            cols = {c: k for c, k in cols.items() if c in want}
         if cols:
             todo[os.path.abspath(live)] = (f["path"], cols)
     if not todo:
