@@ -357,16 +357,27 @@ UNION ALL SELECT 'except', count(*) FROM e
 )
 def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """union / intersect / except (distinct set semantics) summarized
-    as counts so the result is scale-stable."""
+    as counts so the result is scale-stable.
+
+    r13 opt: both filtered key sets feed all three set operations —
+    materialize each once (query-scoped persist) so the three ops read
+    cached keys instead of re-running the scan+filter(+distinct) per
+    consumer (6 parquet scans became 2); the redundant .distinct() on
+    the already-distinct with_f side is gone (it cost a full extra
+    exchange for a no-op)."""
+    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
+
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    with_f = (
+    building = scoped_persist(
+        c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    )
+    with_f = scoped_persist(
         o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey")).distinct()
     )
     u = building.union(with_f).distinct()
     i = building.intersect(with_f)
-    e = building.exceptAll(with_f.distinct()).distinct()
+    e = building.exceptAll(with_f).distinct()
     return (
         u.agg(F.count(F.lit(1)).alias("n")).select(F.lit("union").alias("op"), "n")
         .unionAll(i.agg(F.count(F.lit(1)).alias("n")).select(F.lit("intersect").alias("op"), "n"))
@@ -753,26 +764,33 @@ WHERE total = (SELECT max(total) FROM tot t2
 )
 def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated aggregate subquery (TPC-H Q2/Q17 shape): per nation,
-    the customer(s) with the maximum order total. Catalyst decorrelates
-    the inner max into one aggregate joined back on the correlation key
-    — the inner query runs once, not per outer row."""
+    the customer(s) with the maximum order total. The ORACLE keeps the
+    correlated-subquery SQL; Spark-side this is executed as a window
+    max over ONE pass of the per-customer aggregate (r13 — Catalyst's
+    decorrelation computed the orders-join-customer aggregate TWICE:
+    once for the outer t1 rows and once for the per-nation max; the
+    window form is row-for-row equivalent — `total = max(total) OVER
+    nation` keeps exactly the rows the correlated predicate keeps,
+    ties included — and reuses the aggregate's exchange for the
+    window, so the whole query is one join + one shuffle lighter)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    orders.createOrReplaceTempView("v_orders5")
-    cust.createOrReplaceTempView("v_customer5")
-    return spark.sql(
-        """
-        WITH tot AS (
-            SELECT c_nationkey, o_custkey,
-                   sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total
-            FROM v_orders5 JOIN v_customer5 ON o_custkey = c_custkey
-            GROUP BY c_nationkey, o_custkey
+    tot = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("total")
         )
-        SELECT c_nationkey, o_custkey, CAST(total AS DOUBLE) AS total
-        FROM tot t1
-        WHERE total = (SELECT max(total) FROM tot t2
-                       WHERE t2.c_nationkey = t1.c_nationkey)
-        """
+    )
+    w = Window.partitionBy("c_nationkey")
+    return (
+        tot.withColumn("_mx", F.max("total").over(w))
+        .where(F.col("total") == F.col("_mx"))
+        .select(
+            "c_nationkey",
+            "o_custkey",
+            F.col("total").cast("double").alias("total"),
+        )
     )
 
 

@@ -186,13 +186,19 @@ def watermark_late_flags(
     never correctness) — e.g. from parquet footer statistics. Supplying
     it removes the min/max job ahead of the main query.
     """
+    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
     from data_pipeline_project_spark.operators.temporal import _epoch_us
 
     arr = (
         F.col(arrival_col) if isinstance(arrival_col, str) else arrival_col
     ).cast("bigint")
-    keyed = events.withColumn("_wm_arr", arr).withColumn(
-        "_wm_ts", _epoch_us(F.col(ts_col))
+    # Materialize once: the per-bucket max aggregate AND the main join
+    # both consume this frame — unpersisted, the scan plus the arrival
+    # hash expression run twice (r13).
+    keyed = scoped_persist(
+        events.withColumn("_wm_arr", arr).withColumn(
+            "_wm_ts", _epoch_us(F.col(ts_col))
+        )
     )
 
     if arrival_bounds is not None:

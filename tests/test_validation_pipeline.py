@@ -302,3 +302,39 @@ def test_batch_metrics_counts(spark, fixture_dir):
         "rows_valid": 3,
         "rows_quarantined": 7,
     }
+
+
+def test_header_probe_driver_and_executor_paths_agree(spark, tmp_path, monkeypatch):
+    """r13 opt regression: _first_lines has a size-gated driver-side
+    head-read fast path (<= _DRIVER_HEAD_FILES files) and the original
+    executor mapInPandas path above it. Both must return identical
+    (file, header) rows — the probe's verdicts cannot depend on which
+    side read the bytes."""
+    from data_pipeline_project_spark.sources import csv_source
+
+    d = tmp_path / "data"
+    d.mkdir()
+    write_csv(d, "ok.csv", ["2025-05-26 10:00:00,S1,20.0,0.5,1000.0"])
+    (d / "short_header.csv").write_text(
+        "timestamp,sensor_id,temperature,humidity\n"
+        "2025-05-26 10:00:00,S1,20.0,0.5\n"
+    )
+    (d / "crlf_header.csv").write_text(
+        "timestamp,sensor_id,temperature,humidity,pressure\r\n"
+        "2025-05-26 10:00:00,S1,20.0,0.5,1000.0\r\n"
+    )
+
+    assert len(list(d.iterdir())) <= csv_source._DRIVER_HEAD_FILES
+    driver_rows = sorted(
+        (r.file_name, r.header)
+        for r in csv_source._first_lines(spark, str(d)).collect()
+    )
+    monkeypatch.setattr(csv_source, "_DRIVER_HEAD_FILES", 0)
+    exec_rows = sorted(
+        (r.file_name, r.header)
+        for r in csv_source._first_lines(spark, str(d)).collect()
+    )
+    assert driver_rows == exec_rows
+    assert [f for f, _h in driver_rows] == [
+        "crlf_header.csv", "ok.csv", "short_header.csv"
+    ]
