@@ -344,8 +344,13 @@ def simhash_near_pairs(
             F.col("r.doc_id").alias("id_b"),
             F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the dedup shuffle (r13): a pair sharing k bands
+        # appears k times, so the distinct is required — but hamming is
+        # determined by the pair, so filtering first is identical and
+        # the exchange carries only true near-pairs instead of every
+        # band collision (collisions >> near-pairs at corpus scale).
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -551,6 +556,8 @@ def banded_hamming_pairs(
             F.col("r.doc_id").alias("id_b"),
             F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))).alias("hamming"),
         )
-        .distinct()
+        # same order as simhash_near_pairs (r13): hamming is determined
+        # by the pair, so filter first and dedup only true near-pairs
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -2516,22 +2516,20 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     in backoff order. Log-probs are int64 microlog fixed-point, so
     per-doc sums are order-independent — bit-stable cross-engine.
 
-    r13 opt (guide §1.2 step 1 — don't recompute what you can reuse):
-    the unpersisted form re-ran the scan+tokenize subtree once per
-    consumer (7 parquet scans in the physical plan). Now the token
-    frame is MATERIALIZED once, the per-(doc, bigram) counts ``db``
-    are materialized once and the TRAINING bigram counts derive from
-    them (sum of per-doc k == direct count over the exploded rows),
-    and the training-token total derives from the unigram vocabulary
-    (sum of counts == token count) — one tokenize pass, one bigram
-    explode, one unigram explode, identical values."""
-    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
+    r13 optimization attempt, MEASURED AND REVERTED: materializing the
+    token frame + per-doc bigram counts (7 scan+tokenize subtrees
+    collapse to 1) was tried in a 4-variant paired A/B — every persist
+    variant lost (old 1.65 s median vs 2.02 persist-uni-only / 3.13
+    full restructure, identical rows): each subtree here is one FUSED
+    codegen pipeline over a page-cached single-row-group file, and
+    cache materialization + InMemoryRelation reads + the extra
+    db-to-big shuffle cost more than the seven cheap fused passes. At
+    a scan-dominated scale the trade flips; that re-evaluation is
+    listed under "Not yet optimized" in OPTIMIZATION_r13.md."""
     from data_pipeline_project_spark.operators.text import tokens
 
     d = load_table(spark, "documents", sf_dir)
-    toks = scoped_persist(
-        d.select("doc_id", tokens(F.col("text")).alias("t"))
-    )
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
     # Spark's sequence(2, n) counts DOWN when n < 2 (DuckDB's range is
     # empty there) — guard short docs explicitly.
     idx = F.when(F.size("t") >= 2, F.sequence(F.lit(2), F.size("t"))).otherwise(
@@ -2552,25 +2550,9 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     is_train = F.col("doc_id") % 2 == 0
     train_tok = toks.where(is_train).select(F.explode("t").alias("term"))
-    # vocab-bounded: persist so u1/u2/uni_lp read one aggregation
-    # instead of re-running the explode+groupBy per consumer
-    uni = scoped_persist(
-        train_tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    )
-    # total training tokens == sum of the vocabulary's counts: derived
-    # from the tiny cached uni, not another corpus-wide explode pass
-    total = uni.agg(F.sum("c").cast("bigint").alias("n"))
-    # per-(doc, w1, w2) counts materialized ONCE: the scoring join and
-    # the training counts both read it (big == sum of training docs'
-    # per-doc counts — identical to counting the exploded rows)
-    db = scoped_persist(
-        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
-    )
-    big = (
-        db.where(is_train)
-        .groupBy("w1", "w2")
-        .agg(F.sum("k").cast("bigint").alias("c12"))
-    )
+    uni = train_tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = train_tok.agg(F.count(F.lit(1)).alias("n"))
+    big = bg.where(is_train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
 
     u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
@@ -2603,6 +2585,7 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(0.3 * 0.5 / F.col("n")) * 1e6, 0).cast("bigint").alias("flp6")
     )
 
+    db = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
     scored = (
         db.join(big_lp, ["w1", "w2"], "left")
         .join(F.broadcast(uni_lp), "w2", "left")

@@ -359,20 +359,16 @@ def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """union / intersect / except (distinct set semantics) summarized
     as counts so the result is scale-stable.
 
-    r13 opt: both filtered key sets feed all three set operations —
-    materialize each once (query-scoped persist) so the three ops read
-    cached keys instead of re-running the scan+filter(+distinct) per
-    consumer (6 parquet scans became 2); the redundant .distinct() on
-    the already-distinct with_f side is gone (it cost a full extra
-    exchange for a no-op)."""
-    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
-
+    r13 opt: the redundant .distinct() on the already-distinct with_f
+    side is gone (a full extra exchange for a no-op) — paired A/B
+    0.78 -> 0.65 s median. Persisting the two key sets was ALSO tried
+    (the three ops re-scan each side) and measured SLOWER (0.94 s):
+    at these sizes cache materialization costs more than the repeated
+    pushed-down scans, so the scans stay."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    building = scoped_persist(
-        c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    )
-    with_f = scoped_persist(
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_f = (
         o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey")).distinct()
     )
     u = building.union(with_f).distinct()
@@ -733,16 +729,30 @@ def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside the sketch's documented error); the oracle supplies exact
     counts and literal TRUE. Every output column is deterministic and
     hash-checked; the tighter 2% error is additionally pinned in
-    tests/test_llmops.py::test_approx_distinct_within_tolerance."""
+    tests/test_llmops.py::test_approx_distinct_within_tolerance.
+
+    r13 opt: mixing count_distinct with a regular aggregate made
+    Catalyst plan an Expand (every row duplicated once per aggregate
+    class) feeding the exchange. HLL++ registers depend only on the
+    SET of values — duplicates hash to the same register update — so
+    deduplicating (priority, custkey) first and then counting rows /
+    sketching the deduped keys yields bit-identical outputs from a
+    plan that partial-aggregates before one ordinary exchange and
+    never doubles the rows."""
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.count_distinct("o_custkey").alias("exact_custkeys"),
+    # null keys filtered up front: COUNT(DISTINCT c) and the HLL both
+    # skip nulls, so the deduped-pairs rewrite must too
+    pairs = orders.where(F.col("o_custkey").isNotNull()).groupBy(
+        "o_orderpriority", "o_custkey"
+    ).agg(F.lit(1).alias("_one"))
+    return pairs.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("exact_custkeys"),
         (
             F.abs(
                 F.approx_count_distinct("o_custkey", 0.02)
-                - F.count_distinct("o_custkey")
+                - F.count(F.lit(1))
             )
-            <= F.count_distinct("o_custkey") * F.lit(0.05)
+            <= F.count(F.lit(1)) * F.lit(0.05)
         ).alias("approx_within_bounds"),
     )
 
