@@ -490,22 +490,25 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 terms per document by tf-idf. Shape at scale: one explode
-    + (doc, term) partial-agg shuffle for tf, MATERIALIZED once — the
-    document-frequency table, the corpus-size scalar, and the final
-    ranking all derive from it, so the corpus is tokenized exactly once
-    (unpersisted, each of the three consumers would re-run the
-    tokenize+explode scan); dfreq and n_docs are tiny aggregates
+    """Top-3 terms per document by tf-idf: one explode + (doc, term)
+    partial-agg shuffle for tf; dfreq and n_docs are tiny aggregates
     broadcast back — no second shuffle of the big side; final per-doc
-    top-k is a window over the tf shuffle's existing partitioning."""
-    from data_pipeline_project_spark.functions.persist_scope import scoped_persist
+    top-k is a WindowGroupLimit-pruned window over the tf rows.
+
+    r13: the tf persist inherited from earlier rounds is GONE — paired
+    A/B (5 interleaved passes, rows identical) read 2.32 s cached vs
+    1.11 s recomputed: the three consumers' tf subtrees are fused
+    whole-stage pipelines over a page-cached file, and the cache's
+    columnar encode + materialization barrier + decode x3 cost more
+    than re-running them. At warehouse scale the tf table would be
+    WRITTEN AND READ BACK (a storage materialization, not an executor
+    cache); the in-memory persist is the one form that loses at both
+    ends."""
     from data_pipeline_project_spark.operators.text import tokens
 
     d = load_table(spark, "documents", sf_dir)
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = scoped_persist(
-        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = tf.select(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
