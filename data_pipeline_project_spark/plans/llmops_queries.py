@@ -705,6 +705,11 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("detected_lang") == "en")
         & F.col("n_tokens").between(10, 1000)
     )
+    # r13 plan audit: windowing on md5(text) does NOT ship the text —
+    # Catalyst projects the partition expression to a _w0 column and
+    # prunes text before the exchange (verified in
+    # plans/r13/clean_corpus_pipeline_before.txt: Exchange input is
+    # [doc_id, n_tokens, quality, _w0]). Left as-is.
     w = Window.partitionBy(F.md5("text"))
     return (
         filtered.withColumn("_keeper", F.min("doc_id").over(w))

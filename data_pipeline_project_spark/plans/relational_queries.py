@@ -731,14 +731,18 @@ def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked; the tighter 2% error is additionally pinned in
     tests/test_llmops.py::test_approx_distinct_within_tolerance.
 
-    r13 opt: mixing count_distinct with a regular aggregate made
-    Catalyst plan an Expand (every row duplicated once per aggregate
-    class) feeding the exchange. HLL++ registers depend only on the
-    SET of values — duplicates hash to the same register update — so
-    deduplicating (priority, custkey) first and then counting rows /
-    sketching the deduped keys yields bit-identical outputs from a
-    plan that partial-aggregates before one ordinary exchange and
-    never doubles the rows."""
+    r13 opt: mixing count_distinct with approx_count_distinct made the
+    distinct-rewrite plan evaluate partial_approx_count_distinct BELOW
+    the (priority, custkey) grouping — every stage and exchange of the
+    chain carried the HLL's 410-register partial buffer as 410 long
+    columns PER GROUP ROW (412-wide rows in the before-plan, ~3.3 KB
+    per distinct pair). HLL++ registers depend only on the SET of
+    values — duplicates hash to the same register update — so
+    deduplicating (priority, custkey) first (narrow 2-column rows,
+    map-side partial count) and sketching the deduped keys in the
+    final tiny aggregate yields bit-identical outputs; the 410-long
+    buffer now exists only in the last per-partition merge (rows =
+    groups x partitions). Paired A/B 1.43 -> 0.63 s median."""
     orders = _t(spark, sf_dir, "orders")
     # null keys filtered up front: COUNT(DISTINCT c) and the HLL both
     # skip nulls, so the deduped-pairs rewrite must too
