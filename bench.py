@@ -140,6 +140,14 @@ def main() -> None:
         # one sample before pass 1, one after each query pass, one after
         # ingest — a loaded-box round shows up in the artifact itself
         "load": load_samples,
+        # Core-count contract evidence (r13 PERF set suspect_cpus_ignored:
+        # the load samples only report hardware os.cpu_count(), so the
+        # artifact could not PROVE $SPARK_GRAFT_CPUS took effect even
+        # though session.py honors it). Additions only — the one-line
+        # JSON contract and every existing key are unchanged.
+        "requested_cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }
     if errors:
         payload["errors"] = errors

@@ -174,26 +174,23 @@ def pack_sequences(
 def _positional_shingle_kernel_factory(n: int):
     """POSITIONAL (non-distinct) k-shingle hashes — unlike
     dedup._shingle_kernel_factory, every position keeps its hash so
-    span offsets survive; no minhash range-mod, full 60-bit digests."""
+    span offsets survive; no minhash range-mod, full 60-bit digests.
+    One batched md5 per Arrow batch, no per-shingle Python hashing
+    (guide §4.2 / r13 verdict item 3; digest contract unchanged)."""
     import re
 
+    import numpy as np
     import pandas as pd
 
-    from data_pipeline_project_spark.operators.dedup import _md5_hash
+    from data_pipeline_project_spark.operators.dedup import _batch_shingle_hashes
 
     pat = re.compile("[^a-z0-9]+")
 
     def kernel(texts):
-        out = []
-        for t in texts:
-            toks = [x for x in pat.split(t.lower()) if x] if t else []
-            out.append(
-                [
-                    _md5_hash(" ".join(toks[i : i + n]))
-                    for i in range(max(len(toks) - (n - 1), 0))
-                ]
-            )
-        return pd.Series(out)
+        counts, flat = _batch_shingle_hashes(texts, n, pat)
+        return pd.Series(
+            [part.tolist() for part in np.split(flat, np.cumsum(counts)[:-1])]
+        )
 
     return kernel
 
@@ -510,7 +507,6 @@ def _cdc_chunk_kernel(texts):
     bit-for-bit. chunk_idx numbering skips an empty trailing segment
     (boundary exactly at the document end) identically in both
     engines."""
-    import hashlib
     import re
 
     import pandas as pd
@@ -518,28 +514,42 @@ def _cdc_chunk_kernel(texts):
     pat = re.compile("[^a-z0-9]+")
     divisor = 64
 
-    def hash60(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    # Boundary detection = positional 3-shingle hashing, batched (one
+    # md5 call per Arrow batch — guide §4.2); a boundary after 1-based
+    # token i is shingle index i-3 (0-based) with hash % divisor == 0.
+    import numpy as np
+
+    from data_pipeline_project_spark.functions.md5_batch import md5_hex_strings
+    from data_pipeline_project_spark.operators.dedup import _batch_shingle_hashes
+
+    tok_lists = [
+        [x for x in pat.split(t.lower()) if x] if t else [] for t in texts
+    ]
+    counts, flat = _batch_shingle_hashes(texts, 3, pat)
+    parts = np.split(flat, np.cumsum(counts)[:-1])
 
     out = []
-    for t in texts:
-        toks = [x for x in pat.split(t.lower()) if x] if t else []
-        bounds = [
-            i
-            for i in range(3, len(toks) + 1)
-            if hash60(" ".join(toks[i - 3 : i])) % divisor == 0
-        ]
+    pieces: list[str] = []  # chunk texts across the whole batch
+    meta: list[list[tuple[int, int]]] = []  # (chunk_idx, n_tokens) per doc
+    for toks, hs in zip(tok_lists, parts):
+        bounds = (np.nonzero(hs % divisor == 0)[0] + 3).tolist()
         chunks = []
         starts = [1] + [b + 1 for b in bounds]
         ends = bounds + [len(toks)]
         for ci, (s0, e0) in enumerate(zip(starts, ends)):
             if e0 < s0:
                 continue  # boundary at document end: empty tail segment
-            piece = " ".join(toks[s0 - 1 : e0])
-            chunks.append(
-                (ci, e0 - s0 + 1, hashlib.md5(piece.encode()).hexdigest())
-            )
-        out.append(chunks)
+            pieces.append(" ".join(toks[s0 - 1 : e0]))
+            chunks.append((ci, e0 - s0 + 1))
+        meta.append(chunks)
+    hexes = md5_hex_strings(pieces)  # one batched md5 for chunk hashes
+    pi = 0
+    for chunks in meta:
+        doc_out = []
+        for ci, ntok in chunks:
+            doc_out.append((ci, ntok, hexes[pi]))
+            pi += 1
+        out.append(doc_out)
     return pd.Series(out)
 
 

@@ -86,15 +86,86 @@ def _shingle_list(text: str | None, n: int, pat) -> list[int]:
     return list(hs)
 
 
+def _batch_shingle_hashes(texts, n: int, pat, mod: int | None = None):
+    """Positional k-shingle hashes for a whole batch, vectorized
+    (guide §4.2 / r13 verdict item 3 — no per-shingle Python hashing).
+
+    Per DOC Python does only tokenize + " ".join (the shingle i of a
+    space-joined token string is exactly the byte slice from token i's
+    start to token i+n-1's end — tokens are ASCII by construction, so
+    char offsets are byte offsets). Per SHINGLE everything is one NumPy
+    gather + one batched md5 (functions/md5_batch). Digests identical
+    to the per-row ``_md5_hash`` form; the oracle contract is untouched.
+
+    Returns ``(counts, flat)``: shingle count per doc (int64 array, doc
+    order) and the flat int64 hash array in (doc, position) order.
+    """
+    import numpy as np
+
+    from data_pipeline_project_spark.functions.md5_batch import md5_prefix60_slices
+
+    ndocs = len(texts)
+    counts = np.zeros(ndocs, dtype=np.int64)
+    bufparts: list[bytes] = []
+    tok_lens: list[int] = []  # token byte lengths, all kept docs flat
+    tok_counts: list[int] = []  # tokens per kept doc
+    for di, t in enumerate(texts):
+        toks = [x for x in pat.split(t.lower()) if x] if t else []
+        m = len(toks)
+        nsh = m - (n - 1)
+        if nsh <= 0:
+            continue
+        counts[di] = nsh
+        bufparts.append(" ".join(toks).encode())
+        tok_lens.extend(map(len, toks))
+        tok_counts.append(m)
+    if not bufparts:
+        return counts, np.empty(0, dtype=np.int64)
+    # Global span math (no per-doc numpy calls): in the "all tokens
+    # joined by one space" layout, token j starts at c[j-1] where
+    # c = cumsum(len+1); the real buffer has no separator BETWEEN docs,
+    # so subtract one phantom separator per preceding doc.
+    buf = np.frombuffer(b"".join(bufparts), dtype=np.uint8)
+    tl = np.fromiter(tok_lens, dtype=np.int64, count=len(tok_lens))
+    tc = np.fromiter(tok_counts, dtype=np.int64, count=len(tok_counts))
+    base = np.empty(len(tl), dtype=np.int64)
+    base[0] = 0
+    np.cumsum(tl[:-1] + 1, out=base[1:])
+    doc_idx = np.repeat(np.arange(len(tc), dtype=np.int64), tc)
+    starts_g = base - doc_idx
+    doc_first = np.empty(len(tc), dtype=np.int64)
+    doc_first[0] = 0
+    np.cumsum(tc[:-1], out=doc_first[1:])
+    within = np.arange(len(tl), dtype=np.int64) - doc_first[doc_idx]
+    head = np.nonzero(within < np.repeat(tc - (n - 1), tc))[0]  # shingle starts
+    S = starts_g[head]
+    # shingle from token j spans to the end of token j+n-1 (same doc
+    # by construction of `head`)
+    L = starts_g[head + (n - 1)] + tl[head + (n - 1)] - S
+    flat = md5_prefix60_slices(buf, S, L)
+    if mod is not None:
+        flat = flat % mod
+    return counts, flat
+
+
 def _shingle_kernel_factory(n: int):
     import re
 
+    import numpy as np
     import pandas as pd
 
     pat = re.compile("[^a-z0-9]+")
 
     def kernel(texts):
-        return pd.Series([_shingle_list(t, n, pat) for t in texts])
+        counts, flat = _batch_shingle_hashes(texts, n, pat, mod=HASH_MOD)
+        # pd.unique = first-occurrence-order distinct (C hash table) —
+        # same order/content as the dict.fromkeys form in _shingle_list
+        return pd.Series(
+            [
+                pd.unique(part).tolist()
+                for part in np.split(flat, np.cumsum(counts)[:-1])
+            ]
+        )
 
     return kernel
 
@@ -102,8 +173,9 @@ def _shingle_kernel_factory(n: int):
 def _signature_kernel_factory(n: int):
     """Shingle hashes AND the 16 minhash values in one kernel pass:
     mh_i = min((A_i*h + B_i) mod P over the shingle set), vectorized as
-    an int64 (16, |sh|) matrix op — exact integer arithmetic, identical
-    to the affine-permutation SQL the oracle runs. Products stay under
+    an int64 (16, total) matrix op with one segmented min per doc
+    (``np.minimum.reduceat``) — exact integer arithmetic, identical to
+    the affine-permutation SQL the oracle runs. Products stay under
     2^60 (A_i < 2^30, h < P < 2^30)."""
     import re
 
@@ -115,18 +187,25 @@ def _signature_kernel_factory(n: int):
     B = np.array(MINHASH_B, dtype=np.int64)[:, None]
 
     def kernel(texts):
-        shs, mhs = [], []
-        for t in texts:
-            sh = _shingle_list(t, n, pat)
-            shs.append(sh)
-            if not sh:
-                mhs.append([])
-                continue
-            hs = np.array(sh, dtype=np.int64)[None, :]
-            mh = ((A * hs + B) % HASH_MOD).min(axis=1)
-            mhs.append([int(v) for v in mh])
+        counts, flat = _batch_shingle_hashes(texts, n, pat, mod=HASH_MOD)
+        parts = np.split(flat, np.cumsum(counts)[:-1])
+        shs = [pd.unique(part) for part in parts]
+        dl = np.fromiter((len(s) for s in shs), dtype=np.int64, count=len(shs))
+        nz = np.nonzero(dl)[0]
+        mhs: list = [[]] * len(shs)
+        if len(nz):
+            dist = np.concatenate([shs[i] for i in nz])
+            # (16, total) affine images; segmented min per doc — exact,
+            # order-independent (min over the same value set)
+            prod = (A * dist[None, :] + B) % HASH_MOD
+            offs = np.empty(len(nz), dtype=np.int64)
+            offs[0] = 0
+            np.cumsum(dl[nz][:-1], out=offs[1:])
+            mins = np.minimum.reduceat(prod, offs, axis=1)
+            for j, i in enumerate(nz):
+                mhs[i] = mins[:, j].tolist()
         # struct return type => one DataFrame column per struct field
-        return pd.DataFrame({"sh": shs, "mh": mhs})
+        return pd.DataFrame({"sh": [s.tolist() for s in shs], "mh": mhs})
 
     return kernel
 
@@ -263,20 +342,43 @@ def _simhash_kernel_factory(bits: int):
     jbits = np.arange(bits, dtype=np.uint64)
 
     def kernel(texts):
-        out = []
-        for t in texts:
-            toks = list(dict.fromkeys(x for x in pat.split(t.lower()) if x)) if t else []
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.array([_md5_hash(x) for x in toks], dtype=np.uint64)
-            # (ntok, bits) sign matrix; column sums are exact int ops,
-            # commutative — order-independent, same result as the SQL
-            # per-bit SUM(CASE...)
-            signs = (((hs[:, None] >> jbits) & 1) * 2).astype(np.int64) - 1
-            cnt = signs.sum(axis=0)
-            out.append(int(((cnt > 0).astype(np.uint64) << jbits).sum()))
-        return pd.Series(out)
+        from data_pipeline_project_spark.functions.md5_batch import (
+            md5_prefix60_strings,
+        )
+
+        # Per doc: distinct token set (first-occurrence order is
+        # irrelevant — the per-bit sums are commutative). Per TOKEN:
+        # one batched md5 + one segmented bit-count, no Python loop
+        # (guide §4.2 / r13 verdict item 3).
+        tok_sets = [
+            list(dict.fromkeys(x for x in pat.split(t.lower()) if x)) if t else []
+            for t in texts
+        ]
+        dl = np.fromiter((len(s) for s in tok_sets), dtype=np.int64, count=len(tok_sets))
+        out = np.zeros(len(tok_sets), dtype=np.int64)
+        nz = np.nonzero(dl)[0]
+        if len(nz):
+            flat: list[str] = []
+            for i in nz:
+                flat.extend(tok_sets[i])
+            # hash the batch VOCABULARY once (tokens repeat heavily
+            # across docs), then scatter back via factorize codes
+            codes, vocab = pd.factorize(np.asarray(flat, dtype=object))
+            hs = md5_prefix60_strings(vocab.tolist()).astype(np.uint64)[codes]
+            # (ntok, bits) 0/1 matrix; per-doc bit sums via one
+            # segmented reduce — exact int ops, commutative, identical
+            # to the per-doc SUM(CASE...) the oracle runs. Sign trick:
+            # sum(2*b - 1) > 0  <=>  ones > ntok/2, computed from the
+            # ones-count to keep the reduce in one pass.
+            ones = ((hs[:, None] >> jbits) & np.uint64(1)).astype(np.int64)
+            offs = np.empty(len(nz), dtype=np.int64)
+            offs[0] = 0
+            np.cumsum(dl[nz][:-1], out=offs[1:])
+            cnt = np.add.reduceat(ones, offs, axis=0)  # (ndocs_nz, bits)
+            pos = (2 * cnt) > dl[nz][:, None]  # sum(±1) > 0
+            fp = (pos.astype(np.uint64) << jbits[None, :]).sum(axis=1)
+            out[nz] = fp.astype(np.int64)
+        return pd.Series(out.tolist())
 
     return kernel
 
