@@ -237,6 +237,56 @@ GROUP BY grp
 """
 
 
+# advised_join_parity fixture PARQUET: the fact/dim file bytes are a
+# deterministic pure transform of lineitem/part (skewed key projection +
+# distinct dim), identical on every build — so within one process the
+# write jobs run once per sf_dir and later passes HARDLINK the same
+# bytes into a fresh table dir. This is fixture SETUP reuse, not result
+# caching: every invocation still executes the full measured contract —
+# manifest bootstrap, the ANALYZE sketch job over the parquet bytes,
+# the advice read, the salted-skew join, and the aggregate — against
+# its own fresh manifest log (r13 verdict item 4 sanctions exactly
+# this split; the declared result is recomputed from parquet every
+# time and is byte-identical either way, oracle-pinned).
+_ADVISED_FIXTURE_SRC: dict[str, str] = {}
+
+
+def _advised_fixture_parquet(spark: SparkSession, sf_dir: str, fa: str, di: str) -> None:
+    """Materialize the fixture's fact/dim parquet under ``fa``/``di``
+    (hardlinks to the once-written per-process source when possible)."""
+    src = _ADVISED_FIXTURE_SRC.get(sf_dir)
+    if src is None or not os.path.isdir(os.path.join(src, "fact")):
+        src = tempfile.mkdtemp(prefix="advised_join_src_")
+        li = load_table(spark, "lineitem", sf_dir).select(
+            F.when(F.col("l_orderkey") % 5 < 2, F.lit(0))
+            .otherwise(F.col("l_partkey") % 2000)
+            .cast("long")
+            .alias("sk"),
+            F.col("l_quantity").alias("qty"),
+        )
+        pt = (
+            load_table(spark, "part", sf_dir)
+            .select(
+                (F.col("p_partkey") % 2000).cast("long").alias("sk"),
+                ((F.col("p_partkey") % 2000) % 7).cast("long").alias("grp"),
+            )
+            .distinct()
+        )
+        li.coalesce(4).write.parquet(os.path.join(src, "fact"))
+        pt.coalesce(2).write.parquet(os.path.join(src, "dim"))
+        _ADVISED_FIXTURE_SRC[sf_dir] = src
+    for sub, dst in (("fact", fa), ("dim", di)):
+        os.makedirs(dst, exist_ok=True)
+        sdir = os.path.join(src, sub)
+        for fn in os.listdir(sdir):
+            if not fn.endswith(".parquet"):
+                continue  # _SUCCESS / .crc sidecars: not table data
+            try:
+                os.link(os.path.join(sdir, fn), os.path.join(dst, fn))
+            except OSError:  # cross-device /tmp: fall back to a copy
+                shutil.copy2(os.path.join(sdir, fn), os.path.join(dst, fn))
+
+
 @register("advised_join_parity", oracle=_ADVISED_JOIN_ORACLE)
 def advised_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consumed join advice under the driver's hash gate (r13 registry
@@ -263,25 +313,10 @@ def advised_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_versioned_manifest,
     )
 
-    li = load_table(spark, "lineitem", sf_dir).select(
-        F.when(F.col("l_orderkey") % 5 < 2, F.lit(0))
-        .otherwise(F.col("l_partkey") % 2000)
-        .cast("long")
-        .alias("sk"),
-        F.col("l_quantity").alias("qty"),
-    )
-    pt = (
-        load_table(spark, "part", sf_dir)
-        .select(
-            (F.col("p_partkey") % 2000).cast("long").alias("sk"),
-            ((F.col("p_partkey") % 2000) % 7).cast("long").alias("grp"),
-        )
-        .distinct()
-    )
     work = tempfile.mkdtemp(prefix="advised_join_parity_")
     fa, di = os.path.join(work, "fact"), os.path.join(work, "dim")
     try:
-        li.coalesce(4).write.parquet(fa)
+        _advised_fixture_parquet(spark, sf_dir, fa, di)
         write_versioned_manifest(fa)
         # only the FACT side needs sketches: the skew flag reads side
         # a's heavy-hitter summary and broadcast_bytes=1 forces the
@@ -293,7 +328,6 @@ def advised_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # are unchanged while the sketch scan halves (guide §4: pass
         # only the columns the function needs).
         analyze_table(fa, spark=spark, columns=["sk"])
-        pt.coalesce(2).write.parquet(di)
         write_versioned_manifest(di)
         out, adv = advised_join(spark, fa, di, "sk", broadcast_bytes=1)
         if adv["strategy"] != "shuffle" or adv.get("skew_side") != "a":

@@ -615,7 +615,12 @@ def _sketch_files(spark, ndv_targets: dict, bloom_targets: dict) -> dict:
     groups: dict = {}
     for p in paths:
         try:
-            sig = str(pq.read_metadata(p).schema)
+            # to_arrow_schema(): a stable textual signature. str() on
+            # the raw ParquetSchema leads with the object repr (memory
+            # address), which made every file its own "group" — one
+            # scan job PER FILE instead of one per schema (r14 fix;
+            # the per-file jobs were pure fixed-cost multiplication).
+            sig = str(pq.read_metadata(p).schema.to_arrow_schema())
         except Exception:  # noqa: BLE001 — unreadable footer: skip
             continue
         groups.setdefault(sig, []).append(p)
@@ -700,8 +705,20 @@ def _sketch_files(spark, ndv_targets: dict, bloom_targets: dict) -> dict:
             u.where(F.col("_h").isNotNull())
             .groupBy("_f", "_c", "_v", "_h")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .repartition(nparts, "_f", "_c")
         )
+        # The shared (_f, _c) repartition exists for the BLOOM branch
+        # (distinct + capped row_number + collect_list all reuse it
+        # with zero further exchanges). Without blooms (the ANALYZE /
+        # key-only path) it would re-ship an all-distinct column's
+        # whole distinct set a second time (r13 verdict item 4), while
+        # the register branch's own exchange ships ≤128 partial rows
+        # per (file, col) per map partition and the top-K branch's
+        # ships ≤K per (file, col) per map partition (WindowGroupLimit
+        # prunes below the exchange) — both bounded, so the branches
+        # go direct off the aggregation exchange (ReuseExchange dedups
+        # it) and the distinct set crosses the wire exactly once.
+        if bloom_cols:
+            g = g.repartition(nparts, "_f", "_c")
 
         branches = []
         empty_hs = F.lit(None).cast("array<bigint>")
