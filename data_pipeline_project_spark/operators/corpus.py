@@ -454,9 +454,14 @@ def drop_boilerplate_lines(
     lines = scoped_persist(
         docs.select(
             *other_cols,
-            F.posexplode(F.split(F.col(text_col), F.lit(line_sep))).alias(
-                "_bl_pos", "_bl_line"
-            ),
+            # coalesce NULL text to '' BEFORE the split (r13 advice):
+            # split(NULL) is NULL and posexplode(NULL) emits zero rows,
+            # which would silently drop null-text documents from the
+            # aggregate — '' splits to [''] so every input document
+            # still reaches the groupBy (one-row-per-doc contract).
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(line_sep))
+            ).alias("_bl_pos", "_bl_line"),
         ).withColumn("_bl_line", F.trim("_bl_line"))
     )
 

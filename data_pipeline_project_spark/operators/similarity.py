@@ -654,7 +654,18 @@ def append_to_ivf_index(
         .orderBy("centroid_id")
         .collect()
     ]
-    assigned = new_vectors.select(F.col(id_col), F.col(vec_col)).withColumn(
+    # Index contract (r13 advice): query_ivf_index relies on ONE list
+    # row per vec_id — its candidate join emits each (query, neighbor)
+    # pair at most once, which is what let r13 drop the probe-path
+    # distinct. Within-batch duplicates are collapsed here (ingest-
+    # sized); ids already in the index are the CALLER's precondition
+    # (an anti-join against the existing lists would rescan the index
+    # per append, breaking this function's O(batch) posture — callers
+    # replaying a batch must route through an exactly-once envelope,
+    # e.g. the lakehouse ingest's replay guard, not this append).
+    assigned = new_vectors.select(F.col(id_col), F.col(vec_col)).dropDuplicates(
+        [id_col]
+    ).withColumn(
         "list_id", F.element_at(ivf_lists(F.col(vec_col), cents, 1), 1)
     )
     n = assigned.count()

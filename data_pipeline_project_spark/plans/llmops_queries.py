@@ -2531,9 +2531,19 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     full restructure, identical rows): each subtree here is one FUSED
     codegen pipeline over a page-cached single-row-group file, and
     cache materialization + InMemoryRelation reads + the extra
-    db-to-big shuffle cost more than the seven cheap fused passes. At
-    a scan-dominated scale the trade flips; that re-evaluation is
-    listed under "Not yet optimized" in OPTIMIZATION_r13.md."""
+    db-to-big shuffle cost more than the seven cheap fused passes.
+
+    r14 re-evaluation at 10x data (verdict item 7), MEASURED, fused
+    form KEPT: 5 interleaved passes per variant on a 10x documents
+    replica (~150 MB, 50k docs, beyond one row group's page-cache
+    sweet spot) read fused 2.91 s median vs persist-toks 3.09 s
+    (rows identical); at 1x fused 1.17 vs 1.20. The trade has not
+    flipped by 10x — the token frame's columnar materialization +
+    InMemoryRelation reads still cost more than seven fused
+    scan+tokenize pipelines, so the recompute form stays at both
+    regimes and the decision is recorded here and in
+    OPTIMIZATION_r14.md rather than behind a size gate this data
+    cannot justify."""
     from data_pipeline_project_spark.operators.text import tokens
 
     d = load_table(spark, "documents", sf_dir)

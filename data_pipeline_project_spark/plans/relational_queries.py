@@ -364,7 +364,14 @@ def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.78 -> 0.65 s median. Persisting the two key sets was ALSO tried
     (the three ops re-scan each side) and measured SLOWER (0.94 s):
     at these sizes cache materialization costs more than the repeated
-    pushed-down scans, so the scans stay."""
+    pushed-down scans, so the scans stay.
+
+    r14 opt (verdict item 5): EXCEPT as distinct + LEFT ANTI join —
+    Spark plans exceptAll through a sort-based replicate-rows rewrite;
+    `A EXCEPT B == distinct(A) ANTI JOIN B` is the set-semantics
+    identity (the trailing .distinct() collapsed exceptAll's multiset
+    result anyway), and the anti join hash-builds the small distinct
+    key set instead of sorting both sides at scale."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -373,7 +380,7 @@ def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = building.union(with_f).distinct()
     i = building.intersect(with_f)
-    e = building.exceptAll(with_f).distinct()
+    e = building.dropDuplicates(["c_custkey"]).join(with_f, "c_custkey", "left_anti")
     return (
         u.agg(F.count(F.lit(1)).alias("n")).select(F.lit("union").alias("op"), "n")
         .unionAll(i.agg(F.count(F.lit(1)).alias("n")).select(F.lit("intersect").alias("op"), "n"))
@@ -745,7 +752,12 @@ def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups x partitions). Paired A/B 1.43 -> 0.63 s median."""
     orders = _t(spark, sf_dir, "orders")
     # null keys filtered up front: COUNT(DISTINCT c) and the HLL both
-    # skip nulls, so the deduped-pairs rewrite must too
+    # skip nulls, so the deduped-pairs rewrite must too. Known
+    # assumption (r13 advice, accepted): a priority group whose
+    # custkeys are ALL null would drop out entirely here where the
+    # grouped original emitted it with exact_custkeys=0 — impossible
+    # on this schema (o_custkey is a join key, never null), so group
+    # coverage is preserved without re-joining the unfiltered frame.
     pairs = orders.where(F.col("o_custkey").isNotNull()).groupBy(
         "o_orderpriority", "o_custkey"
     ).agg(F.lit(1).alias("_one"))
@@ -798,7 +810,14 @@ def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("c_nationkey")
     return (
-        tot.withColumn("_mx", F.max("total").over(w))
+        # null-nation guard (r13 advice): the correlated predicate
+        # t2.c_nationkey = t1.c_nationkey drops NULL-nation rows
+        # (NULL = NULL is not true), while partitionBy groups NULLs
+        # into one partition and would keep their max rows. TPC-H
+        # nationkeys are non-null, so this is a no-op on the fixture —
+        # it pins the rewrite to the subquery's semantics on ANY input.
+        tot.where(F.col("c_nationkey").isNotNull())
+        .withColumn("_mx", F.max("total").over(w))
         .where(F.col("total") == F.col("_mx"))
         .select(
             "c_nationkey",

@@ -234,13 +234,24 @@ class CorpusIngestor:
         # Within-batch first-arrival dedup, then shard assignment (the
         # same pure hash the corpus layout uses).
         keyed = clean.where(F.col(self.key_col).isNotNull()).localCheckpoint()
-        n_raw = keyed.count()
+        # ONE audit job for both counts (r14, verdict item 6): keyed's
+        # row count is n_raw, and its DISTINCT key count equals
+        # sharded.count() by construction (dropDuplicates on the key
+        # emits one row per key) — so the separate sharded.count() job
+        # per micro-batch is gone. Observation was considered and
+        # rejected: its session-state poisons later pyspark.ml jobs on
+        # the same session (r6 gotcha, test_quality_model).
+        audit = keyed.agg(
+            F.count(F.lit(1)).alias("_n_raw"),
+            F.count_distinct(F.col(self.key_col)).alias("_n_in"),
+        ).first()
+        n_raw = audit["_n_raw"]
         sharded = (
             keyed.dropDuplicates([self.key_col])
             .withColumn("shard", shard_id(F.col(self.key_col), self.n_shards))
-            .localCheckpoint()  # consumed 3x (shards, dedup, count); small
+            .localCheckpoint()  # consumed 3x (shards, dedup, write); small
         )
-        n_in = sharded.count()
+        n_in = audit["_n_in"]
 
         # Decontamination gate: docs sharing >= decontam_min_shared
         # trigram shingles with the eval set divert to the decontam
