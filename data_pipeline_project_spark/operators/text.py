@@ -154,17 +154,16 @@ TEXT_STATS_FIELDS = (
 
 
 def _text_stats_kernel(texts):
-    """All five per-document stats in one Python pass (md5 memoized via
-    operators/dedup._md5_hash). Every arithmetic step replicates the
-    SQL oracle's op order exactly: mean/ratio double divisions, the
-    (len + stop + alpha)/3 left-fold, the (acc*31 + h) % mod integer
-    recurrence, and half-away-from-zero rounding at 1e-6."""
+    """All five per-document stats in one Python pass (token md5s
+    batched per Arrow batch via functions/md5_batch). Every arithmetic
+    step replicates the SQL oracle's op order exactly: mean/ratio
+    double divisions, the (len + stop + alpha)/3 left-fold, the
+    (acc*31 + h) % mod integer recurrence, and half-away-from-zero
+    rounding at 1e-6."""
     import math
     import re
 
     import pandas as pd
-
-    from data_pipeline_project_spark.operators.dedup import _md5_hash
 
     pat = re.compile(TOKEN_SPLIT_RE)
     strip = re.compile("[^a-z0-9]")
@@ -174,9 +173,23 @@ def _text_stats_kernel(texts):
 
     rows = {k: [] for k in ("n_tokens", "n_distinct_tokens", "quality",
                             "detected_lang", "doc_fingerprint")}
+    # Batch-hash the BATCH VOCABULARY once (r14, guide §4.2 — no
+    # per-token md5 calls inside the doc loop); the fingerprint fold
+    # below is pure integer arithmetic over these lookups.
+    from data_pipeline_project_spark.functions.md5_batch import (
+        md5_prefix60_strings,
+    )
+
+    tok_lists = []
     for t in texts:
         low = t.lower() if t else ""
-        toks = [x for x in pat.split(low) if x]
+        tok_lists.append([x for x in pat.split(low) if x])
+    vocab = list(dict.fromkeys(x for toks in tok_lists for x in toks))
+    hmod = dict(
+        zip(vocab, (md5_prefix60_strings(vocab) % HASH_MOD).tolist())
+    )
+    for t, toks in zip(texts, tok_lists):
+        low = t.lower() if t else ""
         dtoks = list(dict.fromkeys(toks))
         n = len(toks)
 
@@ -198,7 +211,7 @@ def _text_stats_kernel(texts):
 
         fp = 0
         for x in toks:
-            fp = (fp * 31 + _md5_hash(x) % HASH_MOD) % FINGERPRINT_MOD
+            fp = (fp * 31 + hmod[x]) % FINGERPRINT_MOD
 
         rows["n_tokens"].append(n)
         rows["n_distinct_tokens"].append(len(dtoks))

@@ -18,7 +18,6 @@ latest row per key is the live distinct-count dashboard.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -27,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from data_pipeline_project_spark.functions.md5_batch import md5_prefix60_strings
 
 
 def _hll_estimate(regs: np.ndarray) -> float:
@@ -59,14 +60,26 @@ def streaming_distinct_count(
         else:
             regs = np.zeros(m, dtype=np.int64)
         for pdf in batches:
-            for v in pdf[item_col].dropna().astype(str):
-                h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
-                idx = h & (m - 1)
-                rest = h >> p
-                # rank of the first set bit in the remaining 60-p bits
-                rank = (60 - p) - rest.bit_length() + 1
-                if rank > regs[idx]:
-                    regs[idx] = rank
+            vals = pdf[item_col].dropna().astype(str).tolist()
+            if not vals:
+                continue
+            # one batched md5 per micro-batch (guide §4.2 — no
+            # per-value Python hashing in the state kernel)
+            h = md5_prefix60_strings(vals)
+            idx = h & (m - 1)
+            rest = (h >> p).astype(np.uint64)
+            # exact vectorized bit_length via binary-search shifts
+            # (no float log: log2 rounding near 2^k boundaries would
+            # corrupt ranks)
+            bl = np.zeros(len(rest), dtype=np.int64)
+            cur = rest.copy()
+            for shift in (32, 16, 8, 4, 2, 1):
+                big = cur >= (np.uint64(1) << np.uint64(shift))
+                bl[big] += shift
+                cur[big] >>= np.uint64(shift)
+            bl[cur > 0] += 1  # cur is now 0 or 1
+            rank = (60 - p) - bl + 1
+            np.maximum.at(regs, idx, rank)
         state.update((regs.tolist(),))
         yield pd.DataFrame(
             {key_col: [key[0]], "estimate": [round(_hll_estimate(regs), 2)]}
