@@ -57,6 +57,11 @@ def _duck():
     reused across tasks)."""
     global _DUCK, _DUCK_FAILED, _HAS_NUM
     if _DUCK is None and not _DUCK_FAILED:
+        import os
+
+        if os.environ.get("SPARK_GRAFT_MD5_IMPL", "") == "hashlib":
+            _DUCK_FAILED = True  # explicit opt-out (diagnosis/benchmarks)
+            return None
         try:
             import duckdb
 
@@ -104,11 +109,18 @@ def _prefix60_hashlib(strings) -> np.ndarray:
     )
 
 
+# Below this many values the per-call DuckDB round trip (register +
+# execute + Arrow fetch, ~2-3 ms) costs more than a tight C hashlib
+# loop (~0.7 µs/value) — small probe batches (eval sets, micro-batch
+# streams) take the loop, large corpus batches take the vectorized scan.
+_SMALL_BATCH = 4096
+
+
 def md5_prefix60_strings(strings) -> np.ndarray:
     """``int(md5(s).hexdigest()[:15], 16)`` for every string, as int64."""
     if len(strings) == 0:
         return np.empty(0, dtype=np.int64)
-    con = _duck()
+    con = _duck() if len(strings) >= _SMALL_BATCH else None
     if con is None:
         return _prefix60_hashlib(strings)
     import pyarrow as pa
@@ -128,7 +140,7 @@ def md5_prefix60_slices(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -
     n = len(starts)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    con = _duck()
+    con = _duck() if n >= _SMALL_BATCH else None
     if con is None:
         mv = memoryview(buf)
         import hashlib
@@ -179,7 +191,7 @@ def md5_hex_strings(strings) -> list[str]:
     """Full 32-char md5 hexdigest per string (CDC chunk hashes)."""
     if len(strings) == 0:
         return []
-    con = _duck()
+    con = _duck() if len(strings) >= _SMALL_BATCH else None
     if con is None:
         import hashlib
 
