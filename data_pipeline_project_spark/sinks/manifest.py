@@ -503,6 +503,7 @@ def _stats_decode(v, kind):
 # F.xxhash64), so no JVM round-trip is needed at plan time.
 COLLECT_NDV = True
 _NDV_REGISTERS = 128  # HLL m: se ~ 1.04/sqrt(128) = 9.2% — planner-grade
+_SKETCH_FILES_PER_JOB = 32  # files per sketch job: bounds per-job agg state
 _NDV_MAX_COLS = 8
 _NDV_TOPK = 4
 
@@ -631,7 +632,19 @@ def _sketch_files(spark, ndv_targets: dict, bloom_targets: dict) -> dict:
     def _norm(uri: str) -> str:
         return os.path.abspath(unquote(urlparse(uri).path))
 
-    for gpaths in groups.values():
+    # Bounded files-per-job chunks within each schema group: one job
+    # per GROUP (the r14 grouping fix) made the aggregation state of a
+    # big ANALYZE wave proportional to the whole wave's distinct sets —
+    # the 10x scale gate OOM'd a default-sized heap that the accidental
+    # per-file jobs (and their per-job state bound) used to fit. A
+    # 32-file chunk keeps the 32x job-count reduction while re-bounding
+    # per-job hash-aggregate state to a constant file count; shuffle
+    # partitioning inside the job handles scale beyond that.
+    chunked = []
+    for gpaths_all in groups.values():
+        for ci in range(0, len(gpaths_all), _SKETCH_FILES_PER_JOB):
+            chunked.append(gpaths_all[ci : ci + _SKETCH_FILES_PER_JOB])
+    for gpaths in chunked:
         ndv_cols: dict = {}
         bloom_cols: dict = {}
         for p in gpaths:

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain('formatted') for every registered query into
-plans/r13/<query>_<tag>.txt (tag = before/after, argv[1]).
+plans/<round>/<query>_<tag>.txt (tag = before/after, argv[1];
+round dir from $SPARK_GRAFT_PLANS_ROUND, default r14).
 
 Fixture-building queries (stats_catalog_parity, era_mixed_time_range,
 advised_join_parity) execute eagerly inside the builder and return a
@@ -30,7 +31,7 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = REPO / "plans" / "r13"
+    out_dir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark(app_name="capture_plans")
