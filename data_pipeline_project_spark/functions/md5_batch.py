@@ -109,11 +109,15 @@ def _prefix60_hashlib(strings) -> np.ndarray:
     )
 
 
-# Below this many values the per-call DuckDB round trip (register +
-# execute + Arrow fetch, ~2-3 ms) costs more than a tight C hashlib
-# loop (~0.7 µs/value) — small probe batches (eval sets, micro-batch
-# streams) take the loop, large corpus batches take the vectorized scan.
-_SMALL_BATCH = 4096
+# Below this many values a tight C hashlib loop (~0.7 µs/value) beats
+# the DuckDB path: the per-call round trip costs ~2-3 ms warm, and a
+# FRESH Python worker (Spark reclaims idle workers between queries)
+# pays the duckdb import + connect (~0.3-0.5 s) on first use — measured
+# as bimodal kernel-stage walls. 32k puts every deduped k<=3 shingle
+# batch, token vocabulary, and probe set on the always-warm stdlib
+# loop; only genuinely large batches (positional k-shingles of a big
+# corpus split) amortize the vectorized scan.
+_SMALL_BATCH = 32768
 
 
 def md5_prefix60_strings(strings) -> np.ndarray:
@@ -172,19 +176,48 @@ def md5_prefix60_slices(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -
             if total < 2**31
             else (np.int64, pa.LargeStringArray)
         )
-        offsets = np.empty(m + 1, dtype=odt)
+        offsets = _scratch(f"off_{odt.__name__}", m + 1, odt)
         offsets[0] = 0
         np.cumsum(L, out=offsets[1:])
-        # position j of the chunk buffer reads buf[S[i] + (j - offsets[i])]
-        pos = (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(offsets[:-1].astype(np.int64), L)
-            + np.repeat(S, L)
-        )
-        values = np.ascontiguousarray(buf[pos])
+        # position j of the chunk buffer reads buf[S[i] + (j - offsets[i])].
+        # Built as cumsum of a delta vector (+1 inside a slice, a jump at
+        # each slice start) entirely in REUSED scratch buffers: fresh
+        # multi-MB allocations here re-fault their pages on every call,
+        # and under co-tenant memory pressure those faults measured
+        # 0.8-2.3 s spikes (vs ~0.1 s warm) — the scratch pool pays them
+        # once per worker process.
+        if total < 2**31 and not (L == 0).any():
+            delta = _scratch("delta", total, np.int64)
+            delta.fill(1)
+            delta[0] = S[0]
+            if m > 1:
+                delta[offsets[1:m]] = S[1:] - S[:-1] - L[:-1].astype(np.int64) + 1
+            pos = _scratch("pos", total, np.int64)
+            np.cumsum(delta, out=pos)
+            values = _scratch("values", total, np.uint8)
+            np.take(buf, pos, out=values)
+        else:  # empty slices or >2 GiB chunk: the plain allocation path
+            pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(offsets[:-1].astype(np.int64), L)
+                + np.repeat(S, L)
+            )
+            values = np.ascontiguousarray(buf[pos])
         arr = cls.from_buffers(m, pa.py_buffer(offsets), pa.py_buffer(values))
         out[c0:c1] = _run_prefix60(con, pa.table({"s": arr}))
     return out
+
+
+_SCRATCH: dict = {}
+
+
+def _scratch(name: str, size: int, dtype) -> np.ndarray:
+    """Growable per-process scratch arrays (views of cached buffers)."""
+    a = _SCRATCH.get(name)
+    if a is None or a.size < size:
+        a = np.empty(max(int(size * 1.25), 1024), dtype=dtype)
+        _SCRATCH[name] = a
+    return a[:size]
 
 
 def md5_hex_strings(strings) -> list[str]:

@@ -188,9 +188,9 @@ def _positional_shingle_kernel_factory(n: int):
 
     def kernel(texts):
         counts, flat = _batch_shingle_hashes(texts, n, pat)
-        return pd.Series(
-            [part.tolist() for part in np.split(flat, np.cumsum(counts)[:-1])]
-        )
+        # ndarray elements: Arrow list-encoding reads int64 buffers
+        # directly — no per-hash Python int materialization
+        return pd.Series(np.split(flat, np.cumsum(counts)[:-1]))
 
     return kernel
 

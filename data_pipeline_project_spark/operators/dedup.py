@@ -101,6 +101,7 @@ def _batch_shingle_hashes(texts, n: int, pat, mod: int | None = None):
     order) and the flat int64 hash array in (doc, position) order.
     """
     import numpy as np
+    import pandas as pd
 
     from data_pipeline_project_spark.functions.md5_batch import md5_prefix60_slices
 
@@ -109,6 +110,7 @@ def _batch_shingle_hashes(texts, n: int, pat, mod: int | None = None):
     bufparts: list[bytes] = []
     tok_lens: list[int] = []  # token byte lengths, all kept docs flat
     tok_counts: list[int] = []  # tokens per kept doc
+    flat_toks: list[str] = []  # tokens flat (n<=3 dedup path)
     for di, t in enumerate(texts):
         toks = [x for x in pat.split(t.lower()) if x] if t else []
         m = len(toks)
@@ -119,6 +121,8 @@ def _batch_shingle_hashes(texts, n: int, pat, mod: int | None = None):
         bufparts.append(" ".join(toks).encode())
         tok_lens.extend(map(len, toks))
         tok_counts.append(m)
+        if n <= 3:
+            flat_toks.extend(toks)
     if not bufparts:
         return counts, np.empty(0, dtype=np.int64)
     # Global span math (no per-doc numpy calls): in the "all tokens
@@ -142,6 +146,31 @@ def _batch_shingle_hashes(texts, n: int, pat, mod: int | None = None):
     # shingle from token j spans to the end of token j+n-1 (same doc
     # by construction of `head`)
     L = starts_g[head + (n - 1)] + tl[head + (n - 1)] - S
+    # Short shingles (n<=3) repeat heavily across positions and docs
+    # (sf0.1: 27k distinct of 260k k=3 shingles — the redundancy the
+    # old per-row memo exploited). Hash each DISTINCT shingle once:
+    # factorize the token vocabulary (C hash table), pack a shingle's
+    # <=3 token codes into one exact int64 key (21 bits each — exact
+    # while the batch vocabulary stays under 2^21), unique the keys,
+    # hash only first occurrences, scatter back. Within-session
+    # interleaved A/B: the hash-every-occurrence form read 1.23x the
+    # memoized loop on dedup_minhash_lsh; this form hashes 10x fewer
+    # slices than either.
+    if n <= 3:
+        codes, vocab = pd.factorize(np.asarray(flat_toks, dtype=object))
+        if len(vocab) < (1 << 21):
+            codes = codes.astype(np.int64)
+            keys = codes[head]
+            for j in range(1, n):
+                keys = (keys << 21) | codes[head + j]
+            uniq, first_idx, inverse = np.unique(
+                keys, return_index=True, return_inverse=True
+            )
+            uh = md5_prefix60_slices(buf, S[first_idx], L[first_idx])
+            flat = uh[inverse]
+            if mod is not None:
+                flat = flat % mod
+            return counts, flat
     flat = md5_prefix60_slices(buf, S, L)
     if mod is not None:
         flat = flat % mod
@@ -159,10 +188,11 @@ def _shingle_kernel_factory(n: int):
     def kernel(texts):
         counts, flat = _batch_shingle_hashes(texts, n, pat, mod=HASH_MOD)
         # pd.unique = first-occurrence-order distinct (C hash table) —
-        # same order/content as the dict.fromkeys form in _shingle_list
+        # same order/content as the dict.fromkeys form in _shingle_list;
+        # ndarray elements avoid per-hash Python int materialization
         return pd.Series(
             [
-                pd.unique(part).tolist()
+                pd.unique(part)
                 for part in np.split(flat, np.cumsum(counts)[:-1])
             ]
         )
@@ -192,20 +222,34 @@ def _signature_kernel_factory(n: int):
         shs = [pd.unique(part) for part in parts]
         dl = np.fromiter((len(s) for s in shs), dtype=np.int64, count=len(shs))
         nz = np.nonzero(dl)[0]
-        mhs: list = [[]] * len(shs)
+        empty = np.empty(0, dtype=np.int64)
+        mhs: list = [empty] * len(shs)
         if len(nz):
             dist = np.concatenate([shs[i] for i in nz])
             # (16, total) affine images; segmented min per doc — exact,
-            # order-independent (min over the same value set)
-            prod = (A * dist[None, :] + B) % HASH_MOD
+            # order-independent (min over the same value set). The
+            # matrix lives in a REUSED scratch buffer with in-place
+            # ops: the expression form allocated ~100 MB of fresh
+            # temporaries per call, whose page faults stalled the
+            # kernel for SECONDS under co-tenant memory pressure
+            # (measured 0.4 s -> 3-6 s intermittents; rss flat).
+            from data_pipeline_project_spark.functions.md5_batch import _scratch
+
+            prod = _scratch("mh_prod", 16 * len(dist), np.int64).reshape(
+                16, len(dist)
+            )
+            np.multiply(A, dist[None, :], out=prod)
+            prod += B
+            np.mod(prod, HASH_MOD, out=prod)
             offs = np.empty(len(nz), dtype=np.int64)
             offs[0] = 0
             np.cumsum(dl[nz][:-1], out=offs[1:])
             mins = np.minimum.reduceat(prod, offs, axis=1)
             for j, i in enumerate(nz):
-                mhs[i] = mins[:, j].tolist()
-        # struct return type => one DataFrame column per struct field
-        return pd.DataFrame({"sh": [s.tolist() for s in shs], "mh": mhs})
+                mhs[i] = mins[:, j]
+        # struct return type => one DataFrame column per struct field;
+        # ndarray cells skip per-value Python int materialization
+        return pd.DataFrame({"sh": shs, "mh": mhs})
 
     return kernel
 
@@ -365,20 +409,30 @@ def _simhash_kernel_factory(bits: int):
             # across docs), then scatter back via factorize codes
             codes, vocab = pd.factorize(np.asarray(flat, dtype=object))
             hs = md5_prefix60_strings(vocab.tolist()).astype(np.uint64)[codes]
-            # (ntok, bits) 0/1 matrix; per-doc bit sums via one
-            # segmented reduce — exact int ops, commutative, identical
-            # to the per-doc SUM(CASE...) the oracle runs. Sign trick:
-            # sum(2*b - 1) > 0  <=>  ones > ntok/2, computed from the
-            # ones-count to keep the reduce in one pass.
-            ones = ((hs[:, None] >> jbits) & np.uint64(1)).astype(np.int64)
+            # per-doc bit sums via one segmented reduce PER BIT — exact
+            # int ops, commutative, identical to the per-doc
+            # SUM(CASE...) the oracle runs. Sign trick: sum(2*b - 1)
+            # > 0  <=>  ones > ntok/2. The bit loop keeps temporaries
+            # to one (ntok,) scratch row — the (ntok, 60) matrix form
+            # allocated ~130 MB fresh per call, whose page faults
+            # stall for seconds under co-tenant memory pressure.
+            from data_pipeline_project_spark.functions.md5_batch import _scratch
+
             offs = np.empty(len(nz), dtype=np.int64)
             offs[0] = 0
             np.cumsum(dl[nz][:-1], out=offs[1:])
-            cnt = np.add.reduceat(ones, offs, axis=0)  # (ndocs_nz, bits)
-            pos = (2 * cnt) > dl[nz][:, None]  # sum(±1) > 0
-            fp = (pos.astype(np.uint64) << jbits[None, :]).sum(axis=1)
+            row = _scratch("sh_row", len(hs), np.uint64)
+            fp = np.zeros(len(nz), dtype=np.uint64)
+            half = dl[nz].astype(np.int64)  # sum(±1) > 0 <=> 2*ones > n
+            for j in range(bits):
+                np.right_shift(hs, np.uint64(j), out=row)
+                np.bitwise_and(row, np.uint64(1), out=row)
+                cnt = np.add.reduceat(row, offs)  # (ndocs_nz,)
+                fp |= (2 * cnt.astype(np.int64) > half).astype(
+                    np.uint64
+                ) << np.uint64(j)
             out[nz] = fp.astype(np.int64)
-        return pd.Series(out.tolist())
+        return pd.Series(out)
 
     return kernel
 
